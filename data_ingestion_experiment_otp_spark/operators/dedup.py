@@ -1,0 +1,204 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.10).
+
+Four strategies, from cheap/exact to approximate:
+
+- exact (content-hash groupBy) — one shuffle on a 32-byte key; the 100 TB
+  default.
+- n-gram Jaccard via inverted index — exact pairwise similarity without a
+  cross join: explode tokens, self-join on token (the shuffle key is the
+  token, so pair generation is local to each token group), aggregate
+  intersection counts. Full DuckDB oracle.
+- MinHash-LSH (spark.ml) — the sub-quadratic scale path; candidate pairs
+  from banded signatures only, so the comparison count is ~linear. Seeded,
+  deterministic, but not SQL-expressible → rows-only + invariant tests.
+- SimHash — 64-bit signature from token hashes; hamming-adjacent buckets
+  give near-dup candidates. Murmur3 is Spark-specific → rows-only +
+  invariant tests.
+- embedding-cosine near-dup — exact pair similarity over the vector column;
+  full oracle via DuckDB list_cosine_similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load
+
+# Random embeddings in the fixture peak at cosine ~0.51, so 0.4 yields a
+# small, non-empty near-dup pair set.
+_COSINE_DEDUP_THRESHOLD = 0.4
+_JACCARD_THRESHOLD = 0.5
+
+
+@register(
+    "llm_exact_dedup",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+    GROUP BY sha256(text)
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash over a corpus with duplicated delivery
+    (each doc appears twice): group on sha256(text), keep the lowest doc_id.
+    At 100 TB this is the canonical pattern — the shuffle carries the 32-byte
+    hash, never the document text."""
+    d = load(spark, sf_dir, "documents")
+    doubled = d.unionByName(d)
+    return (
+        doubled.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "llm_ngram_jaccard",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS w
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n + sb.n - n_common) >= {_JACCARD_THRESHOLD}
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard similarity via an inverted index (no cross
+    join): explode distinct tokens, self-join on token, count shared tokens
+    per pair, |A∪B| = |A|+|B|-|A∩B|. Pairs above the threshold are near-dup
+    candidates. The token is the shuffle key — pair generation never
+    materializes the full doc×doc square."""
+    d = load(spark, sf_dir, "documents")
+    words = F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+    tok = d.select("doc_id", F.explode(words).alias("w"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "llm_embed_cosine_dedup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {_COSINE_DEDUP_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "vector"),
+)
+def llm_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: exact pairwise cosine over the
+    vector column, pure `zip_with`/`aggregate` SQL arithmetic (no UDF).
+
+    The fixture table is small enough for the exact quadratic pass; the
+    sub-quadratic scale path is `llm_sim_lsh_bucketed` (sign-LSH bucketing)
+    in similarity.py.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").cast("array<double>").alias("ea"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").cast("array<double>").alias("eb"),
+    )
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    sq = lambda c: F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)  # noqa: E731
+    cosine = dot / (F.sqrt(sq("ea")) * F.sqrt(sq("eb")))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_raw", cosine)
+        .filter(F.col("cosine_raw") >= _COSINE_DEDUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+@register("llm_near_dedup_minhash", oracle=None, tags=("llm", "dedup", "approx"))
+def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (shingle → hashed term
+    frequencies → banded min-hash signatures → bucket join), via
+    spark.ml MinHashLSH with a fixed seed.
+
+    Sub-quadratic: candidate generation touches only signature-bucket
+    collisions. The reported distance is the exact Jaccard distance of the
+    hashed feature vectors, so there are no false positives below the
+    threshold — only (bounded-probability) false negatives. Not
+    SQL-expressible → rows-only check here; invariant tests in
+    tests/test_dedup.py compare against exact Jaccard.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load(spark, sf_dir, "documents")
+    words = F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+    docs = d.select("doc_id", words.alias("tokens")).filter(F.size("tokens") > 0)
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 1.0 - _JACCARD_THRESHOLD, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+    )
+
+
+@register("llm_simhash", oracle=None, tags=("llm", "dedup", "approx"))
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from Murmur3 token hashes: bit j of the
+    signature is the sign of Σ_tokens (±1 by bit j of hash(token)).
+
+    Built entirely from built-in expressions (explode + conditional sums +
+    bit recombination) — one shuffle on doc_id, no Python. Murmur3 is
+    engine-specific → rows-only; invariants (determinism, hamming locality)
+    are pytest-checked in tests/test_dedup.py.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    tok = d.select("doc_id", F.explode(words).alias("w")).withColumn("h", F.hash("w"))
+    bit_sums = [
+        F.sum(((F.shiftright("h", j).bitwiseAND(F.lit(1))) * 2 - 1)).alias(f"s{j}")
+        for j in range(32)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for j in range(32):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = bit if simhash is None else simhash + bit
+    return agg.select("doc_id", simhash.alias("simhash"))

@@ -1,0 +1,195 @@
+"""Registered extraction queries (SURVEY.md §2.3): the reference's
+parse/extract scalar pipeline over synthesized MIME, each stage
+hash-checked against a DuckDB oracle that reconstructs the expected value
+in pure SQL (see functions/extract.py for the synthesis contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.extract import (
+    FROM_BODY_PATTERN,
+    ORACLE_SYNTH_CTE,
+    OTP_PATTERN,
+    TO_BODY_PATTERN,
+    html_to_text,
+    synthesize_mime,
+    udf_addr_parse,
+    udf_mime_walk,
+)
+from ..plans.registry import register
+from ..sources.catalog import load
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → synthetic MIME → UDF mime walk (body + headers)."""
+    docs = load(spark, sf_dir, "documents")
+    mime = synthesize_mime(docs)
+    return mime.withColumn("parsed", udf_mime_walk("mime")).select(
+        "doc_id",
+        F.col("parsed.body").alias("body"),
+        F.col("parsed.hdr_from").alias("hdr_from"),
+        F.col("parsed.hdr_to").alias("hdr_to"),
+    )
+
+
+@register(
+    "ext_mime_parse",
+    oracle=ORACLE_SYNTH_CTE
+    + """
+    SELECT doc_id,
+           body_html AS body,
+           'Portal <' || hdr_from_addr || '>' AS hdr_from,
+           'User <' || to_addr || '>' AS hdr_to
+    FROM built
+    """,
+    tags=("extract", "udf"),
+)
+def ext_mime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIME parse + multipart walk UDF (`api/main.py:91,100-108`): the
+    oracle reconstructs the exact body/header strings the UDF must recover,
+    so the Python parse is value-checked, not just row-counted."""
+    return _parsed(spark, sf_dir)
+
+
+@register(
+    "ext_html_to_text",
+    oracle=ORACLE_SYNTH_CTE + "SELECT doc_id, body_text FROM stripped",
+    tags=("extract",),
+)
+def ext_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text over the parsed body (`api/main.py:110-111`): tag strip +
+    entity unescape + whitespace collapse, all built-in regexp."""
+    p = _parsed(spark, sf_dir)
+    return p.select("doc_id", html_to_text(F.col("body")).alias("body_text"))
+
+
+@register(
+    "ext_regex_from",
+    oracle=ORACLE_SYNTH_CTE
+    + f"""
+    SELECT doc_id,
+           nullif(regexp_extract(body_text, '{FROM_BODY_PATTERN}', 1), '') AS body_from
+    FROM stripped
+    """,
+    tags=("extract", "regex"),
+)
+def ext_regex_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forwarded-From capture (`api/main.py:114,116`): regex on the visible
+    body text; null when the doc carries no forwarded block."""
+    p = _parsed(spark, sf_dir)
+    text = html_to_text(F.col("body"))
+    return p.select(
+        "doc_id",
+        F.nullif(F.regexp_extract(text, FROM_BODY_PATTERN, 1), F.lit("")).alias("body_from"),
+    )
+
+
+@register(
+    "ext_regex_to",
+    oracle=ORACLE_SYNTH_CTE
+    + f"""
+    SELECT doc_id,
+           nullif(regexp_extract(body_text, '{TO_BODY_PATTERN}', 1), '') AS body_to
+    FROM stripped
+    """,
+    tags=("extract", "regex"),
+)
+def ext_regex_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """To capture on the body (`api/main.py:115,117`) — always null for the
+    synthetic corpus (no forwarded To line), pinning the miss behavior."""
+    p = _parsed(spark, sf_dir)
+    text = html_to_text(F.col("body"))
+    return p.select(
+        "doc_id",
+        F.nullif(F.regexp_extract(text, TO_BODY_PATTERN, 1), F.lit("")).alias("body_to"),
+    )
+
+
+@register(
+    "ext_header_fallback",
+    oracle=ORACLE_SYNTH_CTE
+    + f"""
+    SELECT doc_id,
+           coalesce(nullif(regexp_extract(body_text, '{FROM_BODY_PATTERN}', 1), ''),
+                    hdr_from_addr) AS from_email
+    FROM stripped
+    """,
+    tags=("extract", "coalesce"),
+)
+def ext_header_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Body-regex-wins, header-fallback coalesce (`api/main.py:119-128`):
+    the body capture takes precedence; on miss, fall back to the RFC-parsed
+    From header address (udf_addr_parse = `getaddresses`)."""
+    p = _parsed(spark, sf_dir)
+    text = html_to_text(F.col("body"))
+    body_from = F.nullif(F.regexp_extract(text, FROM_BODY_PATTERN, 1), F.lit(""))
+    header_from = udf_addr_parse("hdr_from")
+    return p.select("doc_id", F.coalesce(body_from, header_from).alias("from_email"))
+
+
+@register(
+    "ext_otp_regex",
+    oracle=ORACLE_SYNTH_CTE
+    + f"""
+    SELECT doc_id,
+           nullif(regexp_extract(body_text, '{OTP_PATTERN}', 1), '') AS otp
+    FROM stripped
+    """,
+    tags=("extract", "regex"),
+)
+def ext_otp_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payload extraction (`api/main.py:131-132`): case-insensitive
+    literal-phrase capture of exactly 4 digits; null when absent."""
+    p = _parsed(spark, sf_dir)
+    text = html_to_text(F.col("body"))
+    return p.select(
+        "doc_id",
+        F.nullif(F.regexp_extract(text, OTP_PATTERN, 1), F.lit("")).alias("otp"),
+    )
+
+
+@register(
+    "flt_has_otp",
+    oracle=ORACLE_SYNTH_CTE
+    + f"""
+    SELECT doc_id,
+           nullif(regexp_extract(body_text, '{OTP_PATTERN}', 1), '') AS otp
+    FROM stripped
+    WHERE nullif(regexp_extract(body_text, '{OTP_PATTERN}', 1), '') IS NOT NULL
+    """,
+    tags=("filter", "extract"),
+)
+def flt_has_otp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null gate before the sink (`api/main.py:302`): only rows with an
+    extracted OTP proceed."""
+    p = _parsed(spark, sf_dir)
+    text = html_to_text(F.col("body"))
+    otp = F.nullif(F.regexp_extract(text, OTP_PATTERN, 1), F.lit(""))
+    return p.select("doc_id", otp.alias("otp")).filter(F.col("otp").isNotNull())
+
+
+@register(
+    "prj_username_from_email",
+    oracle=ORACLE_SYNTH_CTE
+    + """
+    SELECT doc_id,
+           split_part(to_addr, '@', 1) AS username,
+           'zepto_' || split_part(to_addr, '@', 1) AS signal_key
+    FROM built
+    """,
+    tags=("projection", "extract"),
+)
+def prj_username_from_email(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key derivation (`api/main.py:303,182`): username = local part of the
+    To address; signal key = platform_username with the constant platform
+    (`ext_const_platform`, `api/main.py:134`)."""
+    p = _parsed(spark, sf_dir)
+    to_addr = udf_addr_parse("hdr_to")
+    username = F.substring_index(to_addr, "@", 1)
+    return p.select(
+        "doc_id",
+        username.alias("username"),
+        F.concat_ws("_", F.lit("zepto"), username).alias("signal_key"),
+    )

@@ -1,0 +1,79 @@
+"""Multimodal column plumbing (SURVEY.md §2.10 `llm_multimodal_cols` — the
+decode/feature side).
+
+Design: media is carried as an opaque `binary` column plus a typed metadata
+struct; decode / feature-extract / resize run as Arrow-batched
+`mapInPandas` stages so each task processes a columnar batch of blobs
+without ever materializing them on the driver. The schema, partitioning,
+UDF signature and batch shape here are the real 100 TB plumbing; only the
+codec itself is stubbed (no image/audio libraries in this container) behind
+`_decode_image`, which falls back to a deterministic fake feature vector.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, checksum long, feature_mean double"
+)
+
+
+def _decode_image(blob: bytes) -> list[float]:
+    """Stub codec. A real deployment decodes the blob (PIL/ffmpeg/etc.) and
+    returns model features; neither library ships in this container, so the
+    fallback derives a deterministic fake feature from the bytes — keeping
+    the full Spark-side pipeline testable end-to-end."""
+    try:  # pragma: no cover - exercised only where PIL exists
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError("real image decode not wired in this environment")
+    except ImportError:
+        # Deterministic fake: 4 moments of the byte histogram.
+        if not blob:
+            return [0.0, 0.0, 0.0, 0.0]
+        n = float(len(blob))
+        s = float(sum(blob))
+        mx = float(max(blob))
+        mn = float(min(blob))
+        return [s / n, mx, mn, n]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over (doc_id, media_type, payload)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(_decode_image)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "checksum": pdf["payload"].map(lambda b: sum(b) % (1 << 31)).astype("int64"),
+                    "feature_mean": feats.map(lambda f: f[0]),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+@register("llm_multimodal_features", oracle=None, tags=("llm", "multimodal", "udf"))
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column media pipeline: documents → opaque binary payload +
+    typed metadata → Arrow-batched mapInPandas decode/feature stage (codec
+    stubbed, plumbing real). Rows-only check; invariants (checksum
+    determinism, n_bytes == octet_length) are pytest-asserted."""
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.lit("text/plain").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return extract_features(media)

@@ -1,0 +1,400 @@
+"""Scans, filters, projections, joins (SURVEY.md §2.1, §2.2, §2.4).
+
+Everything here is a stock Catalyst plan: filters/projections push into the
+parquet scan, small dimension tables are broadcast explicitly, large joins
+shuffle on their keys and rely on AQE for skew/coalesce. No custom join code
+— matching SURVEY §2.4's conclusion that zero custom join machinery is
+warranted.
+
+Reference parity notes are cited per query (paths relative to
+/root/reference/gmail-otp-listener unless noted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load
+
+# ---------------------------------------------------------------------------
+# Scans (§2.1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "src_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity < 10
+    """,
+    tags=("scan",),
+)
+def src_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected, filtered parquet scan — predicate + column pruning reach the
+    reader (`.explain` shows PushedFilters and a 4-column ReadSchema)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") < 10))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@register(
+    "src_point_lookup_latest",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 1
+    """,
+    tags=("scan",),
+)
+def src_point_lookup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-by-recency scan (reference: `api/main.py:146-151`, `maxResults=1`).
+
+    Spark plans this as TakeOrderedAndProject — the LIMIT is pushed so no
+    global sort materializes.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@register(
+    "src_incremental_history",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us
+    FROM events
+    WHERE event_id > (SELECT max(event_id) * 3 // 4 FROM events)
+      AND event_type = 'signup'
+    """,
+    tags=("scan", "cdc"),
+)
+def src_incremental_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC scan: only change records after the cursor, with a
+    server-side event-type filter (reference: `api/main.py:278-287`,
+    `startHistoryId` + `historyTypes=["messageAdded"]`).
+
+    The cursor is a scalar aggregate broadcast to every scan task; both the
+    id-range and the type predicate push into the parquet reader.
+    """
+    ev = load(spark, sf_dir, "events")
+    cursor = ev.agg((F.max("event_id") * 3 / 4).cast("long").alias("cursor"))
+    return (
+        ev.join(F.broadcast(cursor))
+        .filter((F.col("event_id") > F.col("cursor")) & (F.col("event_type") == "signup"))
+        .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections (§2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flt_freshness",
+    oracle="""
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 2 MINUTE
+    """,
+    tags=("filter", "event-time"),
+)
+def flt_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time freshness predicate: drop rows older than 2 minutes
+    relative to the newest event (reference: `api/main.py:94-97` — strict
+    `age > 2 min` is dropped, so exactly-2-minutes-old rows survive as
+    `ts >= max_ts - 2min`). Streaming form: `withWatermark("ts","2 minutes")`
+    (see streaming/watermark.py)."""
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.join(F.broadcast(max_ts))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 2 MINUTES"))
+        .select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    )
+
+
+@register(
+    "flt_stale_watermark",
+    oracle="""
+    SELECT event_id, user_id
+    FROM events
+    WHERE event_id > (SELECT max(event_id) // 2 FROM events)
+    """,
+    tags=("filter", "dedup"),
+)
+def flt_stale_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-cursor dedup as an anti-join: a batch of incoming ids is
+    checked against the already-seen set; `id <= cursor` rows are discarded
+    (reference: `api/main.py:269-273`, note `<=` not `<`).
+
+    Batch form of the watermark gate: LEFT ANTI join against the seen-ids
+    relation. At scale the seen-set is a bloom/state store; here it is an
+    exact anti-join that AQE turns into a broadcast when small.
+    """
+    ev = load(spark, sf_dir, "events")
+    cursor = ev.agg((F.max("event_id") / 2).cast("long").alias("cursor"))
+    seen = (
+        ev.join(F.broadcast(cursor))
+        .filter(F.col("event_id") <= F.col("cursor"))
+        .select("event_id")
+    )
+    return ev.join(seen, on="event_id", how="left_anti").select("event_id", "user_id")
+
+
+@register(
+    "flt_platform_gate",
+    oracle="""
+    SELECT event_id, user_id FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("filter",),
+)
+def flt_platform_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical gate: accept exactly one category (reference:
+    `api/login_workflow.py:44-45`, platform != "zepto" rejected)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id")
+
+
+@register(
+    "prj_general",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg,
+           c_acctbal,
+           c_acctbal * 1.1 AS projected_bal
+    FROM customer
+    WHERE c_acctbal BETWEEN 100 AND 9000
+      AND c_mktsegment LIKE '%A%'
+      AND c_nationkey IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    """,
+    tags=("projection",),
+)
+def prj_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General select/withColumn with between/isin/like predicates
+    (engine-target generalization of the reference's fixed projections,
+    `api/main.py:245-246`)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(
+            F.col("c_acctbal").between(100, 9000)
+            & F.col("c_mktsegment").like("%A%")
+            & F.col("c_nationkey").isin(list(range(13)))
+        )
+        .select(
+            "c_custkey",
+            F.upper("c_mktsegment").alias("seg"),
+            "c_acctbal",
+            (F.col("c_acctbal") * 1.1).alias("projected_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (§2.4) — all stock; broadcast hints where the dimension is small
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join",),
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders ⋈ customer + aggregation. Catalyst/AQE picks
+    the physical join (broadcast at this scale; sort-merge on the cluster
+    when both sides are large and co-partitioned)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT r_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("join", "broadcast"),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem against three explicitly-broadcast dims.
+    At 100 TB the fact side never shuffles for these joins — each dim ships
+    to every executor once (BroadcastHashJoin, no exchange on the fact)."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            # round at the 4-decimal grid of price*(1-disc) — see
+            # aggregates.agg_groupby for the float-determinism rationale.
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("join",),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count = 0)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nationkey, count(*) AS n FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nationkey, count(*) AS n FROM supplier GROUP BY 1)
+    SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+           coalesce(cn.n, 0) AS n_customers,
+           coalesce(sn.n, 0) AS n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+    """,
+    tags=("join",),
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two keyed aggregates, nulls coalesced to zero."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(F.count("*").alias("cn_n"))
+    sn = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(F.count("*").alias("sn_n"))
+    return (
+        cn.join(sn, on="nationkey", how="full")
+        .select(
+            "nationkey",
+            F.coalesce("cn_n", F.lit(0)).alias("n_customers"),
+            F.coalesce("sn_n", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_nationkey
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers with at least one order (EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_nationkey
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders (NOT EXISTS). Also the batch
+    form of the reference's stale-id rejection (`api/main.py:269-273`)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT c_custkey, count(*) AS n_small_orders
+    FROM customer JOIN orders
+      ON o_custkey = c_custkey AND o_totalprice < c_acctbal * 20
+    GROUP BY c_custkey
+    """,
+    tags=("join", "theta"),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join with an additional non-equi (theta/range) predicate. The
+    equi key carries the shuffle; the range predicate is evaluated post-match
+    — the scalable form of a theta join (pure theta would be a
+    BroadcastNestedLoopJoin)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice < c.c_acctbal * 20)
+    return c.join(o, cond).groupBy("c_custkey").agg(F.count("*").alias("n_small_orders"))
+
+
+@register(
+    "join_stream_static",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "streaming"),
+)
+def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment in batch form: the event stream joined to a
+    broadcast dimension (customer as the user dim). Structured Streaming
+    supports the identical plan with `events` as a readStream."""
+    ev = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

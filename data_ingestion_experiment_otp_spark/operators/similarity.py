@@ -1,0 +1,146 @@
+"""Similarity search over the embedding column (SURVEY.md §2.10
+`llm_sim_topk`).
+
+Two tiers:
+- exact brute-force cosine top-k (query side broadcast, dot products via
+  `zip_with`/`aggregate` — pure JVM arithmetic, no UDF) — correct baseline,
+  full DuckDB oracle;
+- sign-LSH bucketed ANN — the scale path: deterministic random-hyperplane
+  signatures shrink the candidate set before exact re-ranking. At 100 TB the
+  bucket join replaces the query×corpus product with per-bucket products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load
+
+_TOP_K = 5
+
+
+def _cosine(ea: str, eb: str):
+    dot = F.aggregate(F.zip_with(ea, eb, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    sq = lambda c: F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)  # noqa: E731
+    return dot / (F.sqrt(sq(ea)) * F.sqrt(sq(eb)))
+
+
+@register(
+    "llm_sim_topk",
+    oracle=f"""
+    SELECT query_id, vec_id, round(cosine, 6) AS cosine, rn
+    FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                        e.vec_id) AS rn
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id % 100 = 0
+    )
+    WHERE rn <= {_TOP_K}
+    """,
+    tags=("llm", "similarity", "vector"),
+)
+def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k nearest neighbors for a query subset
+    (vec_id % 100 = 0), brute force: broadcast the query vectors against the
+    corpus, rank per query. The per-query rank is a window over the
+    query-id partition — the standard distributed top-k-per-group shape."""
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ec"))
+    queries = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("eq"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine_raw", _cosine("eq", "ec"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id", F.round("cosine_raw", 6).alias("cosine"), "rn")
+    )
+
+
+@register("llm_sim_lsh_bucketed", oracle=None, tags=("llm", "similarity", "approx"))
+def llm_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-LSH bucketing: an 8-bit signature from the
+    signs of 8 deterministic pseudo-random hyperplanes (each plane is a ±1
+    pattern over the 64 dims derived from the plane index), candidates =
+    same-bucket pairs, then exact cosine re-rank within the bucket.
+
+    This is the IVF-style scale path: at 100 TB the bucket key becomes the
+    shuffle/partition key and each bucket's candidate set is a tiny fraction
+    of the corpus. Approximate (recall < 1) → rows-only; recall vs the exact
+    top-k is asserted in tests/test_similarity.py.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    vec = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    # Plane p weight for dim d: +1 if bit (d % 31) of (p*2654435761 + d*40503)
+    # is even — a fixed, engine-independent pseudo-random ±1 pattern.
+    def plane_dot(p: int):
+        return F.aggregate(
+            F.zip_with(
+                "v",
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda x, d: x * (((p * 2654435761 + d * 40503) % 2 == 0).cast("int") * 2 - 1),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    sig = None
+    for p in range(8):
+        bit = (plane_dot(p) > 0).cast("long") * (1 << p)
+        sig = bit if sig is None else sig + bit
+    bucketed = vec.withColumn("bucket", sig)
+
+    queries = bucketed.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), "bucket"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        bucketed.join(F.broadcast(queries), on="bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine_raw", _cosine("q", "v"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id", F.round("cosine_raw", 6).alias("cosine"), "rn")
+    )
+
+
+@register(
+    "llm_multimodal_cols",
+    oracle="""
+    SELECT d.doc_id,
+           octet_length(encode(d.text)) AS n_bytes,
+           d.lang,
+           e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS self_cosine
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row assembly: text + opaque binary payload + typed metadata
+    + embedding vector coexisting in one table (documents ⋈ embeddings on
+    id). The binary column is the utf-8 encoded payload standing in for an
+    image/audio blob; decode/feature-extraction over such columns is in
+    operators/multimodal.py (mapInPandas plumbing with a stubbed codec)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label")
+    return (
+        d.join(ed, d.doc_id == ed.vec_id)
+        .select(
+            "doc_id",
+            F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+            "lang",
+            "label",
+            F.round(_cosine("emb", "emb"), 6).alias("self_cosine"),
+        )
+    )

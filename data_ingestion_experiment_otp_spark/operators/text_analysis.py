@@ -1,0 +1,188 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.10).
+
+All pure built-in expressions (whole-stage codegen, no Python in the hot
+path): language-ID heuristic, quality scoring, token counting, rolling-hash
+fingerprinting, keyword extraction. Every query has a full DuckDB oracle —
+both engines run the identical arithmetic/regex over the identical text, so
+results match exactly (doubles rounded to 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load
+
+_STOPWORDS = ("the", "a", "of", "and", "in", "to")
+_KEYWORD_PAT = "join|sort|hash|scan|merge|filter"
+
+
+@register(
+    "llm_text_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(len(list_filter(string_split(text, ' '), w -> w <> ''))), 4) AS avg_words,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("llm", "text"),
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source): doc counts, mean length in chars
+    and words, total volume."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(words)), 4).alias("avg_words"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "llm_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> w <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+           n_chars
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    tokenizer (alpha runs / digit runs). Generalizes the reference's regex
+    scalar pipeline (`api/main.py:131-132`) to corpus scale."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)).alias("re_tokens"),
+        "n_chars",
+    )
+
+
+@register(
+    "llm_lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN text LIKE '%spark%' THEN 'spark-doc'
+                WHEN text LIKE '%query%' AND text LIKE '%join%' THEN 'sql-doc'
+                WHEN text LIKE '%stream%' THEN 'stream-doc'
+                ELSE 'generic' END AS doc_class
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based content classification — the shape of an n-gram language-ID
+    pass (marker-term matching cascaded by priority). The fixture corpus is a
+    single-vocabulary word salad, so markers are domain terms rather than
+    natural-language stopwords; the mechanics (cascaded LIKE over the scan,
+    fully codegen'd) are what a real fastText-style gate would replace."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("text").like("%spark%"), "spark-doc")
+        .when(F.col("text").like("%query%") & F.col("text").like("%join%"), "sql-doc")
+        .when(F.col("text").like("%stream%"), "stream-doc")
+        .otherwise("generic")
+        .alias("doc_class"),
+    )
+
+
+_STOPWORDS_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+@register(
+    "llm_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split(text, ' '), w -> w <> '') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           round(
+             0.4 * least(1.0, n_chars / 200.0)
+             + 0.3 * (1.0 - len(list_filter(words, w -> w IN {_STOPWORDS_SQL})) / len(words))
+             + 0.3 * (len(list_distinct(words)) / len(words)),
+           6) AS quality
+    FROM t
+    """,
+    tags=("llm", "text"),
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristic: length saturation + (1 - stopword ratio)
+    + lexical diversity, weighted 0.4/0.3/0.3 — the standard cheap-filter
+    stage before expensive model-based scoring in a training-data pipeline."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    t = d.select("doc_id", "n_chars", words.alias("words"))
+    n_words = F.size("words")
+    n_stop = F.size(F.filter("words", lambda w: w.isin(*_STOPWORDS)))
+    n_distinct = F.size(F.array_distinct("words"))
+    quality = (
+        0.4 * F.least(F.lit(1.0), F.col("n_chars") / 200.0)
+        + 0.3 * (1.0 - n_stop / n_words)
+        + 0.3 * (n_distinct / n_words)
+    )
+    return t.select("doc_id", F.round(quality, 6).alias("quality"))
+
+
+@register(
+    "llm_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+                              w -> (ascii(w) * 31 + length(w))::BIGINT)),
+             (h, x) -> (h * 131 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over the token stream (order-sensitive
+    document fingerprint, mod 1e9+7). The fold runs JVM-side via
+    `F.aggregate`; the oracle folds the same integer recurrence with
+    `list_reduce` — exact integer arithmetic, so the match is bit-exact."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    token_ints = F.transform(words, lambda w: (F.ascii(w) * 31 + F.length(w)).cast("long"))
+    fp = F.aggregate(
+        token_ints,
+        F.lit(0).cast("long"),
+        lambda h, x: (h * 131 + x) % F.lit(1000000007).cast("long"),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "llm_keyword_extract",
+    oracle=f"""
+    SELECT keyword, count(*) AS n
+    FROM (SELECT unnest(regexp_extract_all(text, '{_KEYWORD_PAT}')) AS keyword
+          FROM documents)
+    GROUP BY keyword
+    """,
+    tags=("llm", "text"),
+)
+def llm_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide keyword frequency via regexp_extract_all + explode — the
+    generalized form of the reference's OTP capture (`api/main.py:131-132`)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.regexp_extract_all("text", F.lit(_KEYWORD_PAT), 0)).alias("keyword"))
+        .groupBy("keyword")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,289 @@
+"""Window functions, sorts, top-k, set ops, and time windows
+(SURVEY.md §2.6, §2.7 tumbling/sliding/session).
+
+Window specs always carry a total order (timestamp + id tie-break) so
+results are deterministic across engines. Time-window queries emit window
+starts as epoch seconds (bigint) — identical arithmetic on both sides, no
+timestamp-representation hazards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load
+
+
+@register(
+    "win_rank",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number. Generalizes the reference's
+    first-matching-part short-circuit (`api/main.py:103-105` = rank 1 in
+    walk order)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "win_analytic",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead per user — the sessionization precursor over the event
+    stream."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "win_frame",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rolling_sum
+    FROM orders
+    """,
+    tags=("window",),
+)
+def win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding row-frame aggregate: 3-row rolling revenue per customer."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_sum"),
+    )
+
+
+@register(
+    "topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "topk"),
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (generalizes `maxResults=1`, `api/main.py:149`). Spark
+    plans TakeOrderedAndProject: per-partition heaps + driver merge — no
+    global sort, which is what makes top-k viable on 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "sort_global",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    ORDER BY n_name
+    """,
+    tags=("sort",),
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total order via range-partitioned sort-shuffle (demonstrated on the
+    small dim; the plan shape — rangepartitioning exchange + per-partition
+    sort — is the scalable one)."""
+    n = load(spark, sf_dir, "nation")
+    return n.orderBy("n_name").select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-distinct of two key sets."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersection of nation-key sets."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference: nations with customers but no suppliers."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# Time windows (§2.7 [target] rows) — batch expressions of the streaming
+# window operators; the identical groupBy(window(...)) runs under readStream
+# (see streaming/watermark.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "st_tumbling_window",
+    oracle="""
+    SELECT epoch_us(ts) // 600000000 * 600 AS window_start_s,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window", "streaming"),
+)
+def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window aggregation over event time. Window start is
+    emitted as epoch seconds; Spark's `window()` is epoch-aligned, matching
+    the oracle's integer bucket arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "st_sliding_window",
+    oracle="""
+    SELECT (epoch_us(ts) // 300000000) * 300 - off * 300 AS window_start_s,
+           count(*) AS n,
+           round(round(sum(value), 2) / count(*), 6) AS avg_value
+    FROM events, (VALUES (0), (1)) AS offs(off)
+    GROUP BY 1
+    """,
+    tags=("window", "streaming"),
+)
+def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes: each event lands in exactly
+    two windows. The oracle enumerates the two per-row window starts with the
+    same epoch-aligned arithmetic Spark's `window(ts, size, slide)` uses."""
+    ev = load(spark, sf_dir, "events")
+    # avg via grid-rounded sum / count — see aggregates.agg_groupby for the
+    # cross-engine float-determinism rationale.
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.round(F.sum("value"), 2) / F.count("*"), 6).alias("avg_value"),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("window_start_s"),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "st_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "streaming", "session"),
+)
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap per user. Spark's
+    native `session_window` (merging state windows); the oracle derives the
+    same sessions with the classic gaps-and-islands construction."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,49 @@
+"""Parquet fixture catalog (`src_parquet`).
+
+Loads the driver-generated tables at ``/root/testdata/sf*/``. All reads are
+plain ``spark.read.parquet`` so Catalyst gets predicate pushdown, column
+pruning, and partition pruning for free; the only special case is
+``events.ts`` (parquet TIMESTAMP(NANOS)), read as long ns via the legacy
+flag and truncated to microseconds — exactly the truncation DuckDB applies
+on read, so both engines see identical values.
+
+Reference parity: the reference has no file sources (it reads the Gmail API,
+`main.py:139-177`); this catalog is the engine-target generalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..session import NANOS_AS_LONG
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing types for cross-engine parity."""
+    if name == "events":
+        # Runtime-settable: works even on a driver-created session that
+        # didn't have the flag at build time.
+        spark.conf.set(NANOS_AS_LONG, "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # ns -> us truncation matches DuckDB's TIMESTAMP(NANOS) read.
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register fixture tables as temp views for SQL-form queries."""
+    for name in tables:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

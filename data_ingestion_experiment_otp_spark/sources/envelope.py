@@ -1,0 +1,96 @@
+"""Push-envelope source and semi-structured decode (SURVEY.md §2.1
+`src_push_envelope`, §2.2 `prj_envelope_fields`, §2.3 `ext_b64_json`,
+`ext_json_scalar`).
+
+The reference consumes Pub/Sub push envelopes whose payload is
+base64 → utf-8 → JSON (`api/main.py:39-41`, `main.py:242-246`). Here the
+envelope stream is synthesized deterministically from the `events` fixture,
+then decoded with the idiomatic Spark chain
+`from_json(decode(unbase64(col), 'utf-8'), schema)` — the whole decode is
+JVM-side, no Python. Oracles verify the round trip by computing the decoded
+fields directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..plans.registry import register
+from .catalog import load
+
+ENVELOPE_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("historyId", T.LongType()),
+        T.StructField("emailAddress", T.StringType()),
+    ]
+)
+
+
+def synthesize_envelopes(events: DataFrame) -> DataFrame:
+    """Build the Pub/Sub-shaped envelope column from events: one envelope per
+    event, payload = base64(json({historyId, emailAddress}))
+    (mirrors `api/main.py:39-41` and the fixture spec in FIXTURES.md §3)."""
+    payload = F.to_json(
+        F.struct(
+            F.col("event_id").alias("historyId"),
+            F.concat(F.lit("user"), F.col("user_id"), F.lit("@example.com")).alias("emailAddress"),
+        )
+    )
+    return events.select(
+        F.struct(
+            F.base64(F.encode(payload, "utf-8")).alias("data"),
+            F.col("event_id").cast("string").alias("messageId"),
+        ).alias("message"),
+        F.lit("projects/demo/subscriptions/events").alias("subscription"),
+    )
+
+
+def decode_envelopes(envelopes: DataFrame) -> DataFrame:
+    """The reference's decode chain (`api/main.py:242-246`):
+    base64 → utf-8 → JSON with an explicit schema (never inferred)."""
+    return envelopes.withColumn(
+        "payload",
+        F.from_json(F.decode(F.unbase64("message.data"), "utf-8"), ENVELOPE_PAYLOAD_SCHEMA),
+    )
+
+
+@register(
+    "src_push_envelope",
+    oracle="""
+    SELECT event_id AS historyId,
+           'user' || user_id || '@example.com' AS emailAddress
+    FROM events
+    """,
+    tags=("source", "streaming"),
+)
+def src_push_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope encode→decode round trip: synthesize the push envelope,
+    decode it with `from_json(decode(unbase64(...)))`, project the payload
+    fields (`prj_envelope_fields`, `api/main.py:245-246`). The oracle
+    computes the expected decoded fields directly — verifying the full
+    encode/decode identity."""
+    ev = load(spark, sf_dir, "events")
+    decoded = decode_envelopes(synthesize_envelopes(ev))
+    return decoded.select(
+        F.col("payload.historyId").alias("historyId"),
+        F.col("payload.emailAddress").alias("emailAddress"),
+    )
+
+
+@register(
+    "ext_json_scalar",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+    tags=("extract", "json"),
+)
+def ext_json_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar access on the semi-structured `props` column via
+    `get_json_object` — the engine-target generalization of the envelope
+    field access (`api/main.py:245-246`)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k_val")).filter(F.col("k_val") >= 50)

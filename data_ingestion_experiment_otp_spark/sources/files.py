@@ -1,0 +1,100 @@
+"""Semi-structured file sources and materialization sinks (SURVEY.md §2.1
+`src_jsonl`, `src_csv`, `snk_parquet`).
+
+Each query demonstrates a write→read round trip through a spill directory:
+the fixture table is materialized in the target format and read back with an
+**explicit schema** (the engine never infers schemas — matching the
+reference's validate-at-the-edge stance, SURVEY §1.3). The oracle reads the
+original table directly, so any loss in the round trip fails the hash
+comparison.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..plans.registry import register
+from .catalog import load
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+
+def _scratch(name: str) -> str:
+    base = os.path.join(tempfile.gettempdir(), "diospark_roundtrip")
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, name)
+
+
+@register(
+    "src_jsonl",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    tags=("source",),
+)
+def src_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion: documents → line-delimited JSON → read back with an
+    explicit schema (no inference). Exercises the reference's JSON decode
+    path (`api/main.py:243`) as a file source."""
+    d = load(spark, sf_dir, "documents").select([f.name for f in DOCUMENTS_SCHEMA.fields])
+    path = _scratch("documents_jsonl")
+    d.write.mode("overwrite").json(path)
+    return spark.read.schema(DOCUMENTS_SCHEMA).json(path)
+
+
+@register(
+    "src_csv",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    tags=("source",),
+)
+def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion with explicit schema and header. Java's shortest-
+    round-trip double formatting makes the write→read identity exact."""
+    c = load(spark, sf_dir, "customer").select([f.name for f in CUSTOMER_SCHEMA.fields])
+    path = _scratch("customer_csv")
+    c.write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.schema(CUSTOMER_SCHEMA).option("header", "true").csv(path)
+
+
+@register(
+    "snk_parquet",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY l_returnflag
+    """,
+    tags=("sink",),
+)
+def snk_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet materialization sink: filter → write → re-read → aggregate.
+    The written dataset is partitioned by the aggregation column, so the
+    re-read aggregate benefits from partition pruning — the materialize-
+    then-serve pattern of a warehouse sink."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 25)
+    path = _scratch("lineitem_parquet")
+    l.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
