@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>}
+
+Each query is forced end-to-end with a noop sink (full materialization, no
+driver collect). A small warmup query absorbs JVM/codegen startup so the
+timings reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_ingestion_experiment_otp_spark.plans.registry import queries  # noqa: E402
+from data_ingestion_experiment_otp_spark.session import get_spark  # noqa: E402
+
+# Headline set: one representative per operator family, weighted toward the
+# scale-stressing plans (big agg, star join, window, session, dedup,
+# pairwise similarity, full pipeline).
+HEADLINE = [
+    "agg_groupby",
+    "join_inner_equi",
+    "join_broadcast",
+    "join_asof",
+    "win_rank",
+    "st_session_window",
+    "st_watermark_dedup",
+    "agg_stateful_rendezvous",
+    "llm_exact_dedup",
+    "llm_ngram_jaccard",
+    "llm_sim_topk",
+    "llm_fingerprint",
+    "pipeline_otp_ingest",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    q = queries()
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    q["src_point_lookup_latest"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

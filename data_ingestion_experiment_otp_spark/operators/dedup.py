@@ -28,7 +28,25 @@ from ..sources.catalog import load
 # Random embeddings in the fixture peak at cosine ~0.51, so 0.4 yields a
 # small, non-empty near-dup pair set.
 _COSINE_DEDUP_THRESHOLD = 0.4
-_JACCARD_THRESHOLD = 0.5
+# The fixture corpus contains generator-injected perturbed near-duplicates
+# whose 3-gram Jaccard reaches ~0.99; 0.6 separates them cleanly from the
+# random background (~0.0-0.1).
+_JACCARD_THRESHOLD = 0.6
+
+# Word-3-gram shingle arrays, Spark-side (0-based ws[i]) and DuckDB-side
+# (1-based ws[i]). Shingling is what makes the inverted-index join sparse:
+# shingles are near-unique across unrelated docs, so candidate pairs are
+# ~linear in corpus size instead of quadratic.
+# Callers must pre-filter size(ws) >= 3: Spark's sequence(a, b) runs
+# DESCENDING when b < a, and DuckDB's range is end-exclusive.
+_SHINGLES_SPARK = (
+    "array_distinct(transform(sequence(0, size(ws) - 3),"
+    " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"
+)
+_SHINGLES_DUCK = (
+    "list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
+    " for i in range(1, len(ws) - 1)])"
+)
 
 
 @register(
@@ -61,9 +79,12 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_ngram_jaccard",
     oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS w
+    WITH ws_t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
       FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS w FROM ws_t WHERE len(ws) >= 3
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
     inter AS (
@@ -81,14 +102,18 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard similarity via an inverted index (no cross
-    join): explode distinct tokens, self-join on token, count shared tokens
-    per pair, |A∪B| = |A|+|B|-|A∩B|. Pairs above the threshold are near-dup
-    candidates. The token is the shuffle key — pair generation never
-    materializes the full doc×doc square."""
+    """Exact 3-gram-shingle Jaccard similarity via an inverted index (no
+    cross join): shingle, explode, self-join on shingle, count shared
+    shingles per pair, |A∪B| = |A|+|B|-|A∩B|. The shingle is the shuffle
+    key — unrelated docs rarely share one, so candidate pairs stay ~linear
+    in corpus size; pair generation never materializes the doc×doc square."""
     d = load(spark, sf_dir, "documents")
-    words = F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
-    tok = d.select("doc_id", F.explode(words).alias("w"))
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    tok = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("w"))
+    )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = tok.alias("a")
     b = tok.alias("b")
@@ -162,8 +187,13 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load(spark, sf_dir, "documents")
-    words = F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
-    docs = d.select("doc_id", words.alias("tokens")).filter(F.size("tokens") > 0)
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    docs = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", F.expr(_SHINGLES_SPARK).alias("tokens"))
+        .filter(F.size("tokens") > 0)
+    )
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
     feat = tf.transform(docs)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
