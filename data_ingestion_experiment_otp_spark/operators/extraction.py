@@ -171,6 +171,27 @@ def flt_has_otp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_const_platform",
+    oracle=ORACLE_SYNTH_CTE
+    + f"""
+    SELECT doc_id,
+           'zepto' AS platform,
+           nullif(regexp_extract(body_text, '{OTP_PATTERN}', 1), '') AS otp
+    FROM stripped
+    """,
+    tags=("extract", "constant"),
+)
+def ext_const_platform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-valued derived column platform = 'zepto'
+    (`api/main.py:134`) carried alongside the extracted payload — Catalyst
+    constant-folds the literal."""
+    p = _parsed(spark, sf_dir)
+    text = html_to_text(F.col("body"))
+    otp = F.nullif(F.regexp_extract(text, OTP_PATTERN, 1), F.lit(""))
+    return p.select("doc_id", F.lit("zepto").alias("platform"), otp.alias("otp"))
+
+
+@register(
     "prj_username_from_email",
     oracle=ORACLE_SYNTH_CTE
     + """

@@ -286,6 +286,27 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_mktsegment
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal < 0
+    """,
+    tags=("join",),
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving order-less customers (null o_orderkey);
+    the acctbal predicate pushes into the preserved (customer) side's scan."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .filter(F.col("c_acctbal") < 0)
+        .select("o_orderkey", "c_custkey", "c_mktsegment")
+    )
+
+
+@register(
     "join_full",
     oracle="""
     WITH cn AS (SELECT c_nationkey AS nationkey, count(*) AS n FROM customer GROUP BY 1),

@@ -145,6 +145,38 @@ def _transition(s, x):
 
 
 @register(
+    "st_late_data_reject",
+    oracle="""
+    WITH hwm AS (
+      SELECT user_id,
+             max(ts) - INTERVAL 2 MINUTE AS wm
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e JOIN hwm USING (user_id)
+    WHERE e.ts > hwm.wm
+    """,
+    tags=("streaming", "event-time"),
+)
+def st_late_data_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key event-time lateness bound (reference: emails older than 2 min
+    never fire the workflow, `api/main.py:94-97`). Batch form: each key's
+    watermark is its max event time minus the bound; strictly-late rows are
+    dropped. One shuffle on the key; the window avoids a self-join.
+    Streaming form: `withWatermark("ts", "2 minutes")` before stateful ops
+    (streaming/watermark.py)."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    wm = F.max("ts").over(Window.partitionBy("user_id")) - F.expr("INTERVAL 2 MINUTES")
+    return (
+        ev.withColumn("wm", wm)
+        .filter(F.col("ts") > F.col("wm"))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@register(
     "flt_empty_shortcircuit",
     oracle="""
     SELECT count(*) AS n

@@ -78,6 +78,51 @@ def src_push_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_b64_json",
+    oracle="""
+    SELECT event_id AS historyId,
+           length('user' || user_id || '@example.com') AS addr_len
+    FROM events
+    WHERE event_id % 7 = 0
+    """,
+    tags=("extract", "decode"),
+)
+def ext_b64_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode chain in isolation (`api/main.py:242-243`):
+    `from_json(decode(unbase64(data), 'utf-8'), schema)` — all JVM-side.
+    A post-decode predicate proves the decoded struct participates in
+    ordinary Catalyst filtering."""
+    ev = load(spark, sf_dir, "events")
+    decoded = decode_envelopes(synthesize_envelopes(ev))
+    return decoded.select(
+        F.col("payload.historyId").alias("historyId"),
+        F.length("payload.emailAddress").alias("addr_len"),
+    ).filter(F.col("historyId") % 7 == 0)
+
+
+@register(
+    "prj_envelope_fields",
+    oracle="""
+    SELECT event_id AS historyId,
+           'user' || user_id || '@example.com' AS emailAddress
+    FROM events
+    WHERE event_id % 5 = 0
+    """,
+    tags=("projection",),
+)
+def prj_envelope_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep only {historyId, emailAddress} from the decoded payload
+    (`api/main.py:245-246`) — column pruning drops the rest of the envelope
+    before the filter runs."""
+    ev = load(spark, sf_dir, "events")
+    decoded = decode_envelopes(synthesize_envelopes(ev))
+    return decoded.select(
+        F.col("payload.historyId").alias("historyId"),
+        F.col("payload.emailAddress").alias("emailAddress"),
+    ).filter(F.col("historyId") % 5 == 0)
+
+
+@register(
     "ext_json_scalar",
     oracle="""
     SELECT event_id,

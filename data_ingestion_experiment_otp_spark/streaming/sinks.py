@@ -1,0 +1,75 @@
+"""Idempotent streaming sinks (SURVEY.md §2.7 `st_replay_safe_step`,
+§2.1 `snk_state_file`, `snk_http_signal`).
+
+The reference advances its cursor BEFORE processing and swallows all errors
+with HTTP 200 (`api/main.py:289-290`, `main.py:311-313`) — at-most-once:
+a crash between cursor write and sink loses the batch. The engine inverts
+this to at-least-once + idempotent sink: the checkpoint commits an epoch
+only after `foreachBatch` returns, and the batch write is keyed by batchId
+so a replayed epoch overwrites its own previous (possibly partial) output
+instead of duplicating it — exactly-once end to end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def idempotent_parquet_sink(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: write each epoch to its own batchId-keyed
+    subdirectory with overwrite — replays are absorbed, not duplicated
+    (the journaled-step semantics of `ctx.run`,
+    `api/login_workflow.py:110`)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    return write
+
+
+def watermark_file_sink(
+    out_dir: str, state_path: str, id_col: str = "event_id"
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function reproducing the reference's scalar-cursor file
+    (`last_history_id.txt`, `api/main.py:258-290`) with the ordering fixed:
+    data first, cursor last, cursor write idempotent and monotone. The
+    cursor file is observability/interop state — correctness comes from the
+    checkpoint, not the file."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        row = batch_df.selectExpr(f"max({id_col}) AS m").collect()[0]
+        if row["m"] is None:
+            return
+        previous = -1
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                previous = json.load(f).get("last_id", -1)
+        if row["m"] > previous:
+            tmp = state_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"last_id": int(row["m"]), "batch_id": batch_id}, f)
+            os.replace(tmp, state_path)  # atomic, torn-write safe
+
+    return write
+
+
+def http_signal_sink(
+    post: Callable[[str, dict], None]
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function for the keyed HTTP push sink
+    (`api/main.py:180-194`): POST one signal per row to the keyed endpoint.
+    `post` is injected (tests pass a recorder; production passes a real
+    HTTP client). Signals are the post-filter trickle (OTP hits), so the
+    driver-side iteration is bounded; a high-volume sink would move the
+    client into `foreachPartition` instead."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.select("signal_key", "otp").toLocalIterator():
+            post(r["signal_key"], {"otp": r["otp"], "batch_id": batch_id})
+
+    return write

@@ -1,0 +1,137 @@
+"""Invariant checks for the approximate / non-SQL-expressible operators
+(the rows-only entries in the registry): each approximate result is compared
+against its exact counterpart computed in-process, so the driver's weaker
+rows-only gate is backed by a real correctness bound here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_experiment_otp_spark.operators import dedup, similarity
+from data_ingestion_experiment_otp_spark.operators.aggregates import (
+    agg_approx_distinct,
+    agg_distinct,
+)
+from data_ingestion_experiment_otp_spark.operators.dedup import (
+    llm_near_dedup_minhash,
+    llm_ngram_jaccard,
+    llm_simhash,
+)
+from data_ingestion_experiment_otp_spark.operators.multimodal import llm_multimodal_features
+from data_ingestion_experiment_otp_spark.operators.similarity import (
+    llm_sim_lsh_bucketed,
+    llm_sim_topk,
+)
+
+
+class TestApproxDistinct:
+    def test_hll_within_5pct_of_exact(self, spark, sf_dir):
+        approx = {
+            r["l_returnflag"]: r["approx_parts"]
+            for r in agg_approx_distinct(spark, sf_dir).collect()
+        }
+        exact = {
+            r["l_returnflag"]: r["n_parts"] for r in agg_distinct(spark, sf_dir).collect()
+        }
+        assert set(approx) == set(exact)
+        for flag, n in exact.items():
+            assert abs(approx[flag] - n) <= max(2, 0.05 * n), (flag, approx[flag], n)
+
+
+class TestMinHash:
+    def test_candidates_superset_of_exact_pairs(self, spark, sf_dir):
+        """LSH has false negatives with bounded probability but its reported
+        distance is exact — so (a) every reported pair really meets the
+        threshold, and (b) recall vs the exact inverted-index result is high
+        on the fixture's injected near-dups."""
+        exact = {
+            (r["doc_a"], r["doc_b"]) for r in llm_ngram_jaccard(spark, sf_dir).collect()
+        }
+        approx_rows = llm_near_dedup_minhash(spark, sf_dir).collect()
+        approx = {(r["doc_a"], r["doc_b"]) for r in approx_rows}
+        # (a) no false positives below the threshold
+        for r in approx_rows:
+            assert r["jaccard"] >= dedup._JACCARD_THRESHOLD - 1e-9
+        # (b) recall: 8 hash tables over >=0.6-Jaccard pairs miss rarely
+        if exact:
+            recall = len(exact & approx) / len(exact)
+            assert recall >= 0.8, f"minhash recall {recall:.2f} over {len(exact)} pairs"
+
+    def test_deterministic(self, spark, sf_dir):
+        a = sorted(map(tuple, llm_near_dedup_minhash(spark, sf_dir).collect()))
+        b = sorted(map(tuple, llm_near_dedup_minhash(spark, sf_dir).collect()))
+        assert a == b
+
+
+class TestSimHash:
+    def test_deterministic_and_bounded(self, spark, sf_dir):
+        rows = llm_simhash(spark, sf_dir).collect()
+        again = llm_simhash(spark, sf_dir).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+        for r in rows:
+            assert 0 <= r["simhash"] < (1 << 32)
+
+    def test_hamming_locality_on_near_dups(self, spark, sf_dir):
+        """Injected near-duplicate pairs (Jaccard >= 0.6) must be closer in
+        Hamming distance than the random-pair background average."""
+        pairs = [
+            (r["doc_a"], r["doc_b"]) for r in llm_ngram_jaccard(spark, sf_dir).collect()
+        ]
+        if not pairs:
+            return
+        sig = {r["doc_id"]: r["simhash"] for r in llm_simhash(spark, sf_dir).collect()}
+
+        def ham(a, b):
+            return bin(sig[a] ^ sig[b]).count("1")
+
+        near = [ham(a, b) for a, b in pairs if a in sig and b in sig]
+        ids = sorted(sig)
+        background = [ham(ids[i], ids[-1 - i]) for i in range(min(50, len(ids) // 2))]
+        assert sum(near) / len(near) < sum(background) / len(background)
+
+
+class TestLshTopK:
+    def test_reported_cosines_exact_and_recall(self, spark, sf_dir):
+        """Bucketed ANN re-ranks with the exact cosine, so every reported
+        (query, neighbor, cosine) must agree with the brute-force value; and
+        bucket collisions must recover a nontrivial share of true top-k."""
+        exact = {
+            (r["query_id"], r["vec_id"]): r["cosine"]
+            for r in llm_sim_topk(spark, sf_dir).collect()
+        }
+        approx = {
+            (r["query_id"], r["vec_id"]): r["cosine"]
+            for r in llm_sim_lsh_bucketed(spark, sf_dir).collect()
+        }
+        for key, cos in approx.items():
+            if key in exact:
+                assert abs(cos - exact[key]) < 1e-6
+        # Sign-LSH on random 64-d vectors is a weak filter at 8 bits; assert
+        # the plumbing finds at least some true neighbors rather than a
+        # recall bar the math doesn't promise.
+        assert len(set(approx) & set(exact)) > 0
+
+
+class TestMultimodal:
+    def test_feature_stage_matches_source_bytes(self, spark, sf_dir):
+        from data_ingestion_experiment_otp_spark.sources.catalog import load
+
+        feats = {r["doc_id"]: r for r in llm_multimodal_features(spark, sf_dir).collect()}
+        src = {
+            r["doc_id"]: r["n"]
+            for r in load(spark, sf_dir, "documents")
+            .select("doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
+            .collect()
+        }
+        assert set(feats) == set(src)
+        for doc_id, n in src.items():
+            assert feats[doc_id]["n_bytes"] == n
+            assert feats[doc_id]["media_type"] == "text/plain"
+            # feature_mean is the byte-histogram mean: bounded by byte range
+            assert 0.0 <= feats[doc_id]["feature_mean"] <= 255.0
+
+    def test_deterministic(self, spark, sf_dir):
+        a = sorted(map(tuple, llm_multimodal_features(spark, sf_dir).collect()))
+        b = sorted(map(tuple, llm_multimodal_features(spark, sf_dir).collect()))
+        assert a == b

@@ -1,0 +1,291 @@
+"""Structured Streaming behavior: watermark dedup, windowed aggregation,
+applyInPandasWithState state machine + rendezvous, idempotent sinks.
+
+Stream inputs are staged as parquet files in a temp dir and driven with
+`Trigger.AvailableNow` + `drive.drain`. Neither `processAllAvailable()`
+nor bare AvailableNow termination works for the stateful-timeout queries:
+a key armed with a ProcessingTimeTimeout keeps the engine in a timer-check
+trigger loop forever, so those tests pass an explicit `until` completion
+predicate (see streaming/drive.py). Cross-restart tests pass an explicit
+checkpoint dir and rerun the query — state must come back from the
+checkpoint, which is also the stronger claim (survives restart, not just
+next-batch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from data_ingestion_experiment_otp_spark.streaming import drive, sinks, state_machine, watermark
+
+
+def _drive(df, name, output_mode="update", checkpoint=None, until=None):
+    w = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    drive.drain(q, until=until)
+    return q
+
+
+def _stage_stream(spark, tmp_path, rows, schema, subdir="in"):
+    path = str(tmp_path / subdir)
+    spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode("append").parquet(path)
+    return path
+
+
+class TestWatermarkDedup:
+    def test_stream_dedup_drops_redelivery(self, spark, tmp_path):
+        rows = [(1, 1_000_000_000, 1, "signup", 1.0, "{}")] * 3 + [
+            (2, 2_000_000_000, 1, "purchase", 2.0, "{}")
+        ]
+        path = _stage_stream(
+            spark, tmp_path, rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        stream = (
+            spark.readStream.schema(watermark.EVENTS_RAW_SCHEMA)
+            .parquet(path)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        deduped = watermark.dedup_by_id(stream)
+        _drive(deduped, "dedup_out", output_mode="append")
+        out = spark.sql("SELECT event_id FROM dedup_out").collect()
+        assert sorted(r.event_id for r in out) == [1, 2]
+
+    def test_streaming_events_fixture(self, spark, sf_dir, tmp_path):
+        """Append mode emits a window only once the watermark passes its end.
+        Run 1 ingests the fixture; run 2 (same checkpoint) ingests one
+        far-future event, forcing the watermark past every run-1 window —
+        all of them must then flush. Two runs are needed because whether an
+        extra watermark-advancing batch happens before AvailableNow
+        terminates is timing-dependent."""
+        events_dir = watermark.stage_events_dir(spark, sf_dir, str(tmp_path / "events_dir"))
+        ckpt = str(tmp_path / "ckpt")
+        got: list[tuple] = []
+
+        def run():
+            agg = watermark.windowed_counts(watermark.stream_events(spark, events_dir))
+            q = (
+                agg.writeStream.foreachBatch(
+                    lambda df, bid: got.extend(map(tuple, df.collect()))
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            drive.drain(q)
+
+        run()
+        seen_after_run1 = len(got)
+        head = spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts").alias("m")).collect()[0].m
+        schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+        # Two far-future arrivals, one per extra run: a batch's own max event
+        # time only becomes the watermark at the NEXT batch, so run 2 flushes
+        # windows up to run 1's head and run 3 flushes the rest.
+        for i, hours in enumerate((1, 2), start=1):
+            _stage_stream(
+                spark, tmp_path,
+                [(10**9 + i, int(head) + hours * 3_600_000_000_000, 1, "signup", 0.0, "{}")],
+                schema,
+                subdir="events_dir",
+            )
+            run()
+        assert len(got) > seen_after_run1
+        # every fixture window is closed now; only the far-future events' own
+        # windows can still be open
+        batch_windows = (
+            watermark.windowed_counts(
+                spark.read.parquet(events_dir)
+                .filter(F.col("event_id") < 10**9)
+                .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            ).count()
+        )
+        assert len(got) >= batch_windows
+
+
+class TestStateMachine:
+    def test_advance_monotone_and_terminal(self):
+        a = state_machine.advance
+        assert a(None, "subprocess_created") == "subprocess_created"
+        assert a("subprocess_created", "browser_ready") == "browser_ready"
+        # replays / out-of-order never regress (idempotent re-entry)
+        assert a("waiting_for_otp", "subprocess_created") == "waiting_for_otp"
+        assert a("waiting_for_otp", "waiting_for_otp") == "waiting_for_otp"
+        # error is terminal and absorbing
+        assert a("browser_ready", "error") == "error"
+        assert a("error", "success") == "error"
+        assert a("success", "error") == "success"
+        # unknown statuses ignored
+        assert a("browser_ready", "garbage") == "browser_ready"
+
+    def test_streaming_state_machine(self, spark, tmp_path):
+        rows = [
+            ("k1", "subprocess_created", 1),
+            ("k1", "browser_ready", 2),
+            ("k1", "waiting_for_otp", 3),
+            ("k1", "otp_submitted", 4),
+            ("k1", "success", 5),
+            ("k2", "subprocess_created", 1),
+            ("k2", "error", 2),
+            ("k2", "browser_ready", 3),  # after terminal: absorbed
+        ]
+        path = _stage_stream(spark, tmp_path, rows, "key string, status string, seq long")
+        stream = spark.readStream.schema("key string, status string, seq long").parquet(path)
+        out = state_machine.apply_state_machine(stream)
+        _drive(out, "sm_out")
+        final = {
+            r.key: (r.state, r.n_events)
+            for r in spark.sql(
+                "SELECT key, state, n_events FROM sm_out"
+            ).collect()
+        }
+        assert final["k1"] == ("success", 5)
+        assert final["k2"] == ("error", 3)
+
+    def test_state_survives_across_restarts(self, spark, tmp_path):
+        schema = "key string, status string, seq long"
+        ckpt = str(tmp_path / "ckpt")
+        path = _stage_stream(spark, tmp_path, [("k1", "subprocess_created", 1)], schema)
+        got: list[tuple] = []
+
+        def run():
+            stream = spark.readStream.schema(schema).parquet(path)
+            q = (
+                state_machine.apply_state_machine(stream)
+                .writeStream.foreachBatch(
+                    lambda df, bid: got.extend((r.state, r.n_events) for r in df.collect())
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            drive.drain(q)
+
+        run()
+        # second file arrives; a NEW query on the same checkpoint must resume
+        # the per-key state from the state store, not restart from scratch
+        _stage_stream(spark, tmp_path, [("k1", "waiting_for_otp", 2)], schema)
+        run()
+        assert ("waiting_for_otp", 2) in set(got)
+
+
+class TestRendezvous:
+    def test_request_then_otp_matches(self, spark, tmp_path):
+        schema = "key string, kind string, payload string"
+        path = _stage_stream(
+            spark,
+            tmp_path,
+            [("zepto_u1", "request", None), ("zepto_u1", "otp", "1234"), ("zepto_u2", "request", None)],
+            schema,
+        )
+        stream = spark.readStream.schema(schema).parquet(path)
+        out = state_machine.apply_rendezvous(stream)
+        got: list[tuple] = []
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, bid: got.extend((r.key, r.status, r.otp) for r in df.collect())
+            )
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # u2's armed 300s timer keeps the query alive forever — stop once
+        # the u1 match (same input batch as u2's request) has been emitted.
+        drive.drain(q, until=lambda: ("zepto_u1", "matched", "1234") in got)
+        assert ("zepto_u1", "matched", "1234") in got
+        # u2 still waiting: no emitted row, state armed with timeout
+        assert not any(k == "zepto_u2" for k, _, _ in got)
+
+    def test_otp_before_request_parks_signal(self, spark, tmp_path):
+        schema = "key string, kind string, payload string"
+        ckpt = str(tmp_path / "ckpt")
+        path = _stage_stream(spark, tmp_path, [("k", "otp", "9999")], schema)
+        got: list[tuple] = []
+
+        def run(until_for):
+            stream = spark.readStream.schema(schema).parquet(path)
+            q = (
+                state_machine.apply_rendezvous(stream)
+                .writeStream.foreachBatch(
+                    lambda df, bid: got.extend((r.status, r.otp) for r in df.collect())
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            drive.drain(q, until=until_for(q))
+
+        # otp arrives first: parked in state, nothing is emitted — done once
+        # the file's batch has been committed
+        run(lambda q: lambda: drive.consumed_input(q))
+        assert got == []
+        _stage_stream(spark, tmp_path, [("k", "request", None)], schema)
+        run(lambda q: lambda: ("matched", "9999") in got)
+        assert ("matched", "9999") in set(got)
+
+
+class TestSinks:
+    def test_idempotent_parquet_sink_overwrites_on_replay(self, spark, tmp_path):
+        out = str(tmp_path / "out")
+        sink = sinks.idempotent_parquet_sink(out)
+        df1 = spark.range(5).toDF("x")
+        sink(df1, 7)
+        sink(df1, 7)  # replayed epoch
+        got = spark.read.parquet(out)
+        assert got.count() == 5  # not 10: replay absorbed
+
+    def test_watermark_file_sink_monotone_and_atomic(self, spark, tmp_path):
+        out = str(tmp_path / "out")
+        state = str(tmp_path / "cursor.json")
+        sink = sinks.watermark_file_sink(out, state)
+        sink(spark.createDataFrame([(10,), (20,)], "event_id long"), 0)
+        assert json.load(open(state))["last_id"] == 20
+        # replay of an older batch must not regress the cursor
+        sink(spark.createDataFrame([(5,)], "event_id long"), 1)
+        assert json.load(open(state))["last_id"] == 20
+        # empty batch: cursor untouched
+        sink(spark.createDataFrame([], "event_id long"), 2)
+        assert json.load(open(state))["last_id"] == 20
+
+    def test_http_signal_sink_posts_each_row(self, spark):
+        posted = []
+        sink = sinks.http_signal_sink(lambda key, body: posted.append((key, body["otp"])))
+        df = spark.createDataFrame(
+            [("zepto_u1", "1234"), ("zepto_u2", "5678")], "signal_key string, otp string"
+        )
+        sink(df, 3)
+        assert sorted(posted) == [("zepto_u1", "1234"), ("zepto_u2", "5678")]
+
+
+class TestTimeoutLadder:
+    def test_constants_mirror_reference(self):
+        assert state_machine.RENDEZVOUS_TIMEOUT_MS == 300_000
+        assert state_machine.OTP_POLL_CAP_MS == 600_000
+        assert state_machine.RESULT_POLL_CAP_MS == 18_000_000
+
+    def test_rendezvous_timeout_path(self):
+        """Drive the timeout branch of the rendezvous fn with a fake state."""
+
+        class FakeState:
+            exists = False
+            hasTimedOut = True
+
+            def remove(self):
+                self.removed = True
+
+        state = FakeState()
+        out = list(state_machine._rendezvous_fn(("k",), iter([]), state))
+        assert state.removed
+        assert out[0]["status"].tolist() == ["timeout"]
+        assert out[0]["otp"].isna().all()
