@@ -1,0 +1,95 @@
+"""Scalar-function surface (SURVEY.md §2.8): math, date, array, and
+conditional built-ins exercised in one oracle-checked projection each.
+
+The reference's scalar usage is regex/split/trim/concat/base64/JSON/
+datetime (each cited and covered by the extraction queries, §2.3); the
+rows here are the engine-target additions — all pure `pyspark.sql.
+functions`, whole-stage-codegen'd, zero Python.
+
+Cross-engine notes baked into the oracles:
+- Spark `dayofweek` is 1=Sunday..7; DuckDB `dayofweek` is 0=Sunday..6 —
+  the Spark side subtracts 1.
+- Spark `log` is natural log; DuckDB's is `ln`.
+- Spark array indexing via `element_at` is 1-based, same as DuckDB lists.
+- `sequence(1, n)` == DuckDB `range(1, n+1)` (end-exclusive there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load
+
+
+@register(
+    "fn_scalar_math_date",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           round(abs(l_discount - 0.05), 6) AS disc_dev,
+           round(pow(l_quantity, 2), 2) AS qty_sq,
+           round(ln(l_extendedprice), 6) AS log_price,
+           year(l_shipdate) AS ship_year,
+           month(l_shipdate) AS ship_month,
+           dayofweek(l_shipdate) AS ship_dow,
+           date_trunc('month', l_shipdate)::DATE AS ship_month_start,
+           datediff('day', DATE '1992-01-01', l_shipdate) AS days_since_epoch
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+    tags=("scalar", "math", "date"),
+)
+def fn_scalar_math_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math (`abs`, `pow`, `log`, `round`) and date (`year`, `month`,
+    `dayofweek`, `date_trunc`, `datediff`) built-ins over the lineitem
+    scan — one projection, fully codegen'd, the filter pushed to parquet."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.round(F.pow("l_quantity", 2), 2).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("log_price"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        (F.dayofweek("l_shipdate") - 1).alias("ship_dow"),
+        F.trunc("l_shipdate", "month").alias("ship_month_start"),
+        F.datediff("l_shipdate", F.lit("1992-01-01").cast("date")).alias("days_since_epoch"),
+    )
+
+
+@register(
+    "fn_scalar_array_cond",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           len(range(1, l_linenumber + 1)) AS seq_len,
+           list_contains(range(1, l_linenumber + 1), 3) AS has_three,
+           list_reduce(list_prepend(0, range(1, l_linenumber + 1)), (s, x) -> s + x) AS seq_sum,
+           list_transform(range(1, l_linenumber + 1), x -> x * 2)[1] AS first_doubled,
+           CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'kept' END AS ret_label,
+           coalesce(nullif(l_linestatus, 'O'), 'open') AS status_label
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+    tags=("scalar", "array", "conditional"),
+)
+def fn_scalar_array_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array (`sequence`, `size`, `array_contains`, `aggregate`,
+    `transform`, `element_at`) and conditional (`when/otherwise`,
+    `coalesce`/`nullif`) built-ins — the same higher-order-function
+    machinery the embedding arithmetic and fingerprint fold rely on,
+    pinned here on exact integer semantics."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    seq = F.sequence(F.lit(1), F.col("l_linenumber"))
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(seq).alias("seq_len"),
+        F.array_contains(seq, 3).alias("has_three"),
+        F.aggregate(seq, F.lit(0), lambda s, x: s + x).alias("seq_sum"),
+        F.element_at(F.transform(seq, lambda x: x * 2), 1).alias("first_doubled"),
+        F.when(F.col("l_returnflag") == "R", "returned").otherwise("kept").alias("ret_label"),
+        F.coalesce(F.nullif("l_linestatus", F.lit("O")), F.lit("open")).alias("status_label"),
+    )

@@ -104,6 +104,46 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udf_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id % 2 = 0
+    """,
+    tags=("udf", "vector"),
+)
+def udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas_udf cosine over consecutive-id vector pairs
+    (SURVEY §2.9 `udf_cosine`): the vectorized-Python slow path for vector
+    math that built-ins can't express efficiently — numpy einsum per Arrow
+    batch, no per-row Python. The pure-SQL `zip_with`/`aggregate`
+    formulation of the same arithmetic is in llm_embed_cosine_dedup; the
+    batched-matmul scale path is llm_sim_topk."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(a, b):  # (pd.Series of array, pd.Series of array) -> pd.Series
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", A, B)
+        return pd.Series(dots / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)))
+
+    cosine = pandas_udf(_cos, "double")
+
+    e = load(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_b") == F.col("vec_a") + 1)
+        .select("vec_a", "vec_b", F.round(cosine("ea", "eb"), 6).alias("cosine"))
+    )
+
+
 @register("llm_sim_lsh_bucketed", oracle=None, tags=("llm", "similarity", "approx"))
 def llm_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via sign-LSH bucketing: an 8-bit signature from the

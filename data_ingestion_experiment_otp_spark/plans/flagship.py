@@ -32,9 +32,7 @@ _FRESHNESS = "INTERVAL 7 DAYS"  # widened from the reference's 2 minutes so the
 # 2-minute semantics.
 
 
-@register(
-    "pipeline_otp_ingest",
-    oracle="""
+_PIPELINE_ORACLE = """
     WITH head AS (SELECT max(ts) AS max_ts, max(event_id) // 4 AS cursor FROM events),
     fresh AS (
       SELECT e.* FROM events e, head
@@ -57,7 +55,12 @@ _FRESHNESS = "INTERVAL 7 DAYS"  # widened from the reference's 2 minutes so the
     FROM extracted
     WHERE otp IS NOT NULL
       AND event_type IN ('signup', 'purchase')
-    """,
+    """
+
+
+@register(
+    "pipeline_otp_ingest",
+    oracle=_PIPELINE_ORACLE,
     tags=("pipeline", "flagship"),
 )
 def pipeline_otp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,6 +126,36 @@ def pipeline_otp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             username.alias("username"),
             F.concat_ws("_", F.col("event_type"), username).alias("signal_key"),
         )
+    )
+
+
+@register(
+    "snk_http_signal",
+    oracle=f"""
+    WITH pipeline AS ({_PIPELINE_ORACLE})
+    SELECT signal_key,
+           'http://localhost:8080/login_workflow/' || signal_key || '/receive_otp' AS endpoint,
+           otp
+    FROM pipeline
+    """,
+    tags=("sink", "signal"),
+)
+def snk_http_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed HTTP push-sink payloads (reference: POST the extracted OTP to
+    the keyed workflow endpoint, `api/main.py:180-194`): the pipeline's
+    post-filter trickle projected to (key, endpoint, body). The actual POST
+    loop — injected client, per-row foreachBatch — is
+    streaming/sinks.py::http_signal_sink; this entry verifies the exact
+    payloads it would send."""
+    out = pipeline_otp_ingest(spark, sf_dir)
+    return out.select(
+        "signal_key",
+        F.concat(
+            F.lit("http://localhost:8080/login_workflow/"),
+            F.col("signal_key"),
+            F.lit("/receive_otp"),
+        ).alias("endpoint"),
+        "otp",
     )
 
 

@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extraction,
         multimodal,
         relational,
+        scalars,
         similarity,
         statemachine,
         text_analysis,

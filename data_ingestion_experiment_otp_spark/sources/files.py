@@ -76,6 +76,68 @@ def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_argv_json",
+    oracle="""
+    SELECT 'zepto' AS platformSync,
+           'user1' AS username,
+           'env-key-1' AS api_key,
+           'production' AS environment,
+           TRUE AS valid
+    """,
+    tags=("source", "config"),
+)
+def src_argv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-record source: one JSON record arriving as a process argument
+    (reference: the subprocess parses its config from argv[1],
+    `api/playwright_login_runner.py:22-26`). Parsed with `from_json` and an
+    explicit schema — never inferred — plus the platform-Literal validation
+    the reference gets from Pydantic (`api/login_workflow.py:21-26`)."""
+    argv_json = '{"platformSync": "zepto", "username": "user1", "api_key": "env-key-1", "environment": "production"}'
+    schema = T.StructType(
+        [
+            T.StructField("platformSync", T.StringType()),
+            T.StructField("username", T.StringType()),
+            T.StructField("api_key", T.StringType()),
+            T.StructField("environment", T.StringType()),
+        ]
+    )
+    return (
+        spark.range(1)
+        .select(F.from_json(F.lit(argv_json), schema).alias("cfg"))
+        .select(
+            "cfg.*",
+            F.col("cfg.platformSync").isin("zepto", "swiggy", "blinkit").alias("valid"),
+        )
+    )
+
+
+@register(
+    "snk_state_file",
+    oracle="SELECT CAST(max(event_id) AS BIGINT) AS last_id FROM events",
+    tags=("sink", "state"),
+)
+def snk_state_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-cursor state sink (reference: the watermark file
+    `last_history_id.txt`, written `api/main.py:289-290`): compute the
+    high-water-mark, persist it atomically (tmp + rename, fixing the
+    reference's torn-write exposure), and return the READ-BACK value — the
+    oracle checks the round trip, not the in-memory aggregate. The
+    streaming form (monotone, replay-safe, per-batch) is
+    streaming/sinks.py::watermark_file_sink."""
+    import json
+
+    cursor = load(spark, sf_dir, "events").agg(F.max("event_id").alias("last_id")).collect()[0]
+    path = _scratch("cursor.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"last_id": int(cursor["last_id"])}, f)
+    os.replace(tmp, path)
+    with open(path) as f:
+        persisted = json.load(f)
+    return spark.createDataFrame([(int(persisted["last_id"]),)], "last_id long")
+
+
+@register(
     "snk_parquet",
     oracle="""
     SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total
