@@ -1,0 +1,126 @@
+"""Physical-plan assertions: the scale properties SURVEY §4.3 claims are
+pinned here so a regression (lost pushdown, surprise shuffle, broadcast
+degraded to sort-merge, top-k degraded to global sort) fails loudly —
+these are what make the operators viable at 100 TB, independent of the
+value-correctness oracle.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from data_ingestion_experiment_otp_spark.plans.registry import all_queries
+
+SPECS = all_queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = SPECS[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def ops_of(plan: str) -> list[str]:
+    return [
+        re.sub(r"^\(\d+\)\s+", "", line.strip()).split(" [")[0]
+        for line in plan.splitlines()
+        if re.match(r"^\(\d+\)", line.strip())
+    ]
+
+
+class TestPushdown:
+    def test_filter_and_projection_reach_parquet_scan(self, spark, sf_dir):
+        p = plan_of(spark, sf_dir, "src_parquet")
+        assert "EqualTo(l_returnflag,R)" in p, "predicate not pushed to scan"
+        assert "LessThan(l_quantity,10.0)" in p
+        schema_line = next(l for l in p.splitlines() if "ReadSchema" in l)
+        # exactly the referenced columns — no full-width scan
+        assert "l_tax" not in schema_line and "l_shipdate" not in schema_line
+        for col in ("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"):
+            assert col in schema_line
+
+    def test_incremental_scan_pushes_type_filter(self, spark, sf_dir):
+        p = plan_of(spark, sf_dir, "src_incremental_history")
+        assert "EqualTo(event_type,signup)" in p
+
+
+class TestJoinStrategies:
+    def test_star_join_broadcasts_all_dims_one_shuffle(self, spark, sf_dir):
+        ops = ops_of(plan_of(spark, sf_dir, "join_broadcast"))
+        assert ops.count("BroadcastHashJoin") == 3, ops
+        assert "SortMergeJoin" not in ops
+        # the ONLY row shuffle is the final aggregation's
+        assert ops.count("Exchange") == 1, ops
+
+    def test_asof_join_is_window_not_join(self, spark, sf_dir):
+        ops = ops_of(plan_of(spark, sf_dir, "join_asof"))
+        assert not any("Join" in o for o in ops), ops
+        assert "Window" in ops
+        assert ops.count("Exchange") == 1, ops  # one shuffle on the key
+
+    def test_stream_static_enrichment_broadcasts_dim(self, spark, sf_dir):
+        ops = ops_of(plan_of(spark, sf_dir, "join_stream_static"))
+        assert "BroadcastHashJoin" in ops
+        assert "SortMergeJoin" not in ops
+
+
+class TestAggregates:
+    def test_groupby_is_partial_plus_final(self, spark, sf_dir):
+        ops = ops_of(plan_of(spark, sf_dir, "agg_groupby"))
+        # map-side combine: partial HashAggregate before the exchange,
+        # final after — the shuffle carries pre-aggregated state
+        assert ops.count("HashAggregate") == 2, ops
+        assert ops.count("Exchange") == 1, ops
+
+    def test_groupby_combines_map_side(self, spark, sf_dir):
+        p = plan_of(spark, sf_dir, "agg_groupby")
+        # the pre-shuffle HashAggregate runs partial_* functions — the
+        # shuffle carries per-group state, not raw rows
+        assert "partial_sum" in p and "partial_avg" in p, p
+
+
+class TestTopK:
+    def test_topk_never_global_sorts(self, spark, sf_dir):
+        ops = ops_of(plan_of(spark, sf_dir, "topk"))
+        assert "TakeOrderedAndProject" in ops, ops
+        assert "Sort" not in ops and "Exchange" not in ops, ops
+
+    def test_point_lookup_latest_same_shape(self, spark, sf_dir):
+        ops = ops_of(plan_of(spark, sf_dir, "src_point_lookup_latest"))
+        assert "TakeOrderedAndProject" in ops, ops
+        assert "Exchange" not in ops, ops
+
+
+class TestWindowAndDedup:
+    def test_win_rank_single_key_shuffle(self, spark, sf_dir):
+        ops = ops_of(plan_of(spark, sf_dir, "win_rank"))
+        assert "Window" in ops
+        assert ops.count("Exchange") == 1, ops
+
+    def test_exact_dedup_shuffles_hash_not_text(self, spark, sf_dir):
+        p = plan_of(spark, sf_dir, "llm_exact_dedup")
+        # sha2(text) must be projected BEFORE the exchange so the shuffle
+        # never carries the document text
+        lines = p.splitlines()
+        ex_at = next(i for i, l in enumerate(lines) if "Arguments: hashpartitioning" in l)
+        ex_input = next(l for l in lines[:ex_at][::-1] if l.strip().startswith("Input"))
+        assert "text#" not in ex_input, ex_input
+        assert "sha2" in p
+
+
+@pytest.mark.parametrize(
+    "name", ["flt_freshness", "flt_stale_watermark", "pipeline_otp_ingest"]
+)
+class TestScalarCursorPattern:
+    def test_cursor_is_broadcast_not_shuffle(self, spark, sf_dir, name):
+        """The watermark/freshness cursor joins are scalar aggregates
+        broadcast to the scan — the big side must never shuffle for them."""
+        ops = ops_of(plan_of(spark, sf_dir, name))
+        assert any("Broadcast" in o for o in ops), ops
+        assert "SortMergeJoin" not in ops, ops
