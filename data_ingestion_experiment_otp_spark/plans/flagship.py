@@ -58,18 +58,11 @@ _PIPELINE_ORACLE = """
     """
 
 
-@register(
-    "pipeline_otp_ingest",
-    oracle=_PIPELINE_ORACLE,
-    tags=("pipeline", "flagship"),
-)
-def pipeline_otp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end ingestion pipeline (see module docstring)."""
-    ev = load(spark, sf_dir, "events")
-
-    # 1. envelope decode round trip (the reference's main.py:242-246 chain):
-    #    the envelope is synthesized as a column and decoded back inline —
-    #    no join, the whole round trip stays in the row's projection.
+def decode_stage(ev: DataFrame) -> DataFrame:
+    """Stage 1 — envelope decode round trip (the reference's main.py:242-246
+    chain): the envelope is synthesized as a column and decoded back inline
+    — no join, the whole round trip stays in the row's projection. Works
+    identically on batch and streaming DataFrames."""
     envelope = F.base64(
         F.encode(
             F.to_json(
@@ -83,36 +76,25 @@ def pipeline_otp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "utf-8",
         )
     )
-    ev = ev.withColumn(
+    return ev.withColumn(
         "payload", F.from_json(F.decode(F.unbase64(envelope), "utf-8"), ENVELOPE_PAYLOAD_SCHEMA)
     ).withColumn("email", F.col("payload.emailAddress"))
 
-    # 2+3. watermark cursor & freshness bound, both relative to stream head.
-    head = ev.agg(
-        F.max("ts").alias("max_ts"),
-        (F.max("event_id") / 4).cast("long").alias("cursor"),
-    )
-    fresh = (
-        ev.join(F.broadcast(head))
-        .filter(
-            (F.col("event_id") > F.col("cursor"))
-            & (F.col("ts") >= F.col("max_ts") - F.expr(_FRESHNESS))
-        )
-    )
 
-    # 4. payload extraction: the message body is synthesized from props.k
-    #    (the fixture's JSON payload) and the OTP captured back out with the
-    #    reference regex (main.py:131-132).
+def extract_stage(decoded: DataFrame) -> DataFrame:
+    """Stages 4+5 — payload extraction, gates, key derivation: the message
+    body is synthesized from props.k (the fixture's JSON payload), the OTP
+    captured back out with the reference regex (main.py:131-132), null- and
+    type-gated (main.py:302), key derived (main.py:303, main.py:182).
+    Stream-safe: pure projections and filters."""
     body = F.concat(
         F.lit("Your otp code is "),
         F.lpad((F.get_json_object("props", "$.k").cast("long") % 10000).cast("string"), 4, "0"),
     )
-    extracted = fresh.withColumn(
+    extracted = decoded.withColumn(
         "otp",
         F.nullif(F.regexp_extract(body, r"(?i)your otp code is (\d{4})", 1), F.lit("")),
     )
-
-    # 5. gates + key derivation (main.py:302-303, main.py:182).
     username = F.substring_index("email", "@", 1)
     return (
         extracted.filter(
@@ -127,6 +109,32 @@ def pipeline_otp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("_", F.col("event_type"), username).alias("signal_key"),
         )
     )
+
+
+@register(
+    "pipeline_otp_ingest",
+    oracle=_PIPELINE_ORACLE,
+    tags=("pipeline", "flagship"),
+)
+def pipeline_otp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ingestion pipeline (see module docstring)."""
+    ev = decode_stage(load(spark, sf_dir, "events"))
+
+    # 2+3. watermark cursor & freshness bound, both relative to stream head
+    #      (batch forms; the streaming pipeline replaces these with the
+    #      checkpoint + withWatermark, streaming/pipeline.py).
+    head = ev.agg(
+        F.max("ts").alias("max_ts"),
+        (F.max("event_id") / 4).cast("long").alias("cursor"),
+    )
+    fresh = (
+        ev.join(F.broadcast(head))
+        .filter(
+            (F.col("event_id") > F.col("cursor"))
+            & (F.col("ts") >= F.col("max_ts") - F.expr(_FRESHNESS))
+        )
+    )
+    return extract_stage(fresh)
 
 
 @register(

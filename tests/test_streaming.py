@@ -268,6 +268,48 @@ class TestSinks:
         assert sorted(posted) == [("zepto_u1", "1234"), ("zepto_u2", "5678")]
 
 
+class TestEndToEndPipeline:
+    def test_streaming_matches_batch_semantics(self, spark, sf_dir, tmp_path):
+        """The composed §3.1 pipeline (source → decode → watermarked dedup →
+        extract → three-sink epoch) over the staged fixture must produce
+        exactly the rows the same stages produce in batch (in-order staging
+        → no late drops), the cursor file must hold the global max id, and
+        the parquet sink must hold the same rows."""
+        from data_ingestion_experiment_otp_spark.plans import flagship
+        from data_ingestion_experiment_otp_spark.sources.catalog import load
+        from data_ingestion_experiment_otp_spark.streaming import pipeline
+
+        events_dir = watermark.stage_events_dir(spark, sf_dir, str(tmp_path / "events_dir"))
+        posted: list[tuple] = []
+        q = pipeline.start_otp_pipeline(
+            spark,
+            events_dir,
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            cursor_path=str(tmp_path / "cursor.json"),
+            post=lambda key, body: posted.append((key, body["otp"])),
+        )
+        assert drive.drain(q), "no armed timers — the pipeline must self-terminate"
+
+        ev = load(spark, sf_dir, "events")
+        expected = (
+            flagship.extract_stage(flagship.decode_stage(ev.dropDuplicates(["event_id"])))
+            .select("signal_key", "otp")
+            .collect()
+        )
+        assert sorted(posted) == sorted((r.signal_key, r.otp) for r in expected)
+        assert len(posted) > 0
+
+        cursor = json.load(open(tmp_path / "cursor.json"))
+        assert cursor["last_id"] == ev.agg(F.max("event_id")).collect()[0][0]
+
+        sunk = spark.read.parquet(str(tmp_path / "out"))
+        assert sunk.count() == len(expected)
+        assert sorted(r.signal_key for r in sunk.select("signal_key").collect()) == sorted(
+            r.signal_key for r in expected
+        )
+
+
 class TestTimeoutLadder:
     def test_constants_mirror_reference(self):
         assert state_machine.RENDEZVOUS_TIMEOUT_MS == 300_000
