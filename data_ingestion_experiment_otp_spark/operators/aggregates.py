@@ -129,6 +129,59 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one pass —
+    Spark expands to a single Expand + hash aggregate, not 4 scans."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew"),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys: stage 1 aggregates on
+    (key, salt) spreading each hot key over 16 reducers; stage 2 merges the
+    partials per key. Result is identical to the direct groupBy (the
+    oracle) — only the shuffle distribution changes. l_returnflag has 3
+    values over the whole table, the canonical pathological-skew shape;
+    this is the manual form of what AQE's skew-join handling does for
+    joins, applicable when a single reducer would otherwise own a hot
+    key's entire partial state."""
+    l = load(spark, sf_dir, "lineitem")
+    salted = l.withColumn("salt", (F.rand(seed=7) * 16).cast("int"))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum("l_quantity").alias("part_qty"),
+        F.count("*").alias("part_n"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("part_qty").cast("long").alias("sum_qty"),
+        F.sum("part_n").alias("n"),
+    )
+
+
+@register(
     "agg_collect",
     oracle="""
     SELECT lang,

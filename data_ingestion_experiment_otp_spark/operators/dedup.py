@@ -186,6 +186,149 @@ def llm_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Oracle-checkable MinHash (llm_minhash_banded) -------------------------
+# Cross-engine integer arithmetic only, so DuckDB reproduces every
+# signature bit-for-bit: a word hash from character probes, a polynomial
+# shingle hash, 8 universal-hash permutations, 4 bands of 2.
+_P = 1_000_000_007
+_N_PERM = 8
+_BAND_SIZE = 2
+_PERM = [((2654435761 * (i + 1)) % _P, (40503 * (i + 1) + 17) % _P) for i in range(_N_PERM)]
+
+# word hash: first/second/last char probes + length (pure ASCII arithmetic)
+# leading BIGINT cast promotes the whole polynomial past int32 (ANSI mode
+# overflows otherwise); DuckDB promotes automatically
+_WH_SPARK = (
+    "CAST(ascii(substring({w}, 1, 1)) AS BIGINT) * 961"
+    " + if(length({w}) >= 2, ascii(substring({w}, 2, 1)), 0) * 31"
+    " + ascii(substring({w}, length({w}), 1)) * 17"
+    " + length({w})"
+)
+_WH_DUCK = (
+    "ascii(substring({w}, 1, 1)) * 961"
+    " + CASE WHEN length({w}) >= 2 THEN ascii(substring({w}, 2, 1)) ELSE 0 END * 31"
+    " + ascii(substring({w}, length({w}), 1)) * 17"
+    " + length({w})"
+)
+
+
+def _shingle_hash(wh: str, i: str) -> str:
+    """Polynomial combine of 3 word hashes (template, idx is engine's base)."""
+    w1 = wh.format(w=f"ws[{i}]")
+    w2 = wh.format(w=f"ws[{i}+1]")
+    w3 = wh.format(w=f"ws[{i}+2]")
+    return f"((({w1}) * 131 + ({w2})) * 131 + ({w3})) % {_P}"
+
+
+_HS_SPARK = (
+    "array_distinct(transform(sequence(0, size(ws) - 3), i -> "
+    + _shingle_hash(_WH_SPARK, "i")
+    + "))"
+)
+_HS_DUCK = (
+    "list_distinct([" + _shingle_hash(_WH_DUCK, "i") + " for i in range(1, len(ws) - 1)])"
+)
+
+
+@register(
+    "llm_minhash_banded",
+    oracle=f"""
+    WITH ws_t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    hs_t AS (
+      SELECT doc_id, {_HS_DUCK} AS hs FROM ws_t WHERE len(ws) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, hs,
+             {', '.join(f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_P})) AS s{i}" for i, (a, b) in enumerate(_PERM))}
+      FROM hs_t
+    ),
+    bands AS (
+      {' UNION ALL '.join(f"SELECT doc_id, {bi} AS band, s{2 * bi} AS v1, s{2 * bi + 1} AS v2 FROM sig" for bi in range(_N_PERM // _BAND_SIZE))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sa.hs, sb.hs))
+                 / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))), 6) AS jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE len(list_intersect(sa.hs, sb.hs))
+          / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= {_JACCARD_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "minhash"),
+)
+def llm_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding built from deterministic cross-engine integer
+    arithmetic — the full sub-quadratic near-dup pipeline with an EXACT
+    DuckDB oracle (spark.ml's MinHashLSH uses engine-private hashes, so its
+    entry `llm_near_dedup_minhash` can only be rows-only checked; this one
+    is hash-matched end to end):
+
+    1. shingle → polynomial word/char hash (no engine hash functions);
+    2. 8 universal-hash permutations `(a_i*h + b_i) mod p`, signature =
+       per-permutation min — per doc this is `array_min(transform(...))`,
+       one pass, no explode;
+    3. 4 bands of 2: docs agreeing on a whole band become candidates
+       (band equi-join on the band struct — the shuffle key is the band
+       value, candidates ~linear for non-pathological corpora);
+    4. exact verification on the hashed shingle SETS via
+       `array_intersect` — no false positives in the output, only
+       (bounded-probability) false negatives.
+
+    At 100 TB only stage 4's candidate join scales with near-dup density;
+    stages 1-3 are a single scan-side projection per document."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    hs_t = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", F.expr(_HS_SPARK).alias("hs"))
+    )
+    sig_cols = [
+        F.array_min(
+            F.expr(f"transform(hs, h -> (CAST({a} AS BIGINT) * h + {b}) % {_P})")
+        ).alias(f"s{i}")
+        for i, (a, b) in enumerate(_PERM)
+    ]
+    sig = hs_t.select("doc_id", "hs", *sig_cols)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.col(f"s{2 * bi}").alias("v1"),
+                F.col(f"s{2 * bi + 1}").alias("v2"),
+            )
+            for bi in range(_N_PERM // _BAND_SIZE)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = inter / (F.size("hs_a") + F.size("hs_b") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 @register("llm_near_dedup_minhash", oracle=None, tags=("llm", "dedup", "approx"))
 def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (shingle → hashed term

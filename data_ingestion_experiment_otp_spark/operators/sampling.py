@@ -1,0 +1,96 @@
+"""Deterministic sampling & sharding for training-data pipelines
+(engine-target, SURVEY.md §2.10 family): reproducible subset selection and
+stable shard assignment are the backbone of dataset versioning at 100 TB —
+`df.sample()` is seed-stable only per partitioning, so these use explicit
+key-hash arithmetic that any engine reproduces bit-for-bit.
+
+The inclusion hash is a Knuth multiplicative hash of the record key —
+exact integer arithmetic expressible in both Spark and DuckDB (the oracle
+requirement). A production deployment would swap in `xxhash64(key)` for
+better avalanche at identical plan shape; the arithmetic hash keeps the
+selection ORACLE-CHECKABLE, which engine-specific hashes cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load
+
+# Knuth multiplicative constant; bucket = (key * A) mod 2^32.
+_A = 2654435761
+_MOD = 1 << 32
+
+
+def _bucket(col):
+    return (F.col(col) * _A) % _MOD
+
+
+@register(
+    "llm_sample_deterministic",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE (doc_id * {_A}) % {_MOD} < {_MOD} * 0.1
+    """,
+    tags=("llm", "sampling"),
+)
+def llm_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% reproducible sample: inclusion depends only on the key, so the
+    same rows are selected on any cluster, any partitioning, any engine —
+    and the sample of a superset is a superset of the sample (stable under
+    incremental ingestion). The predicate pushes into the scan."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(_bucket("doc_id") < int(_MOD * 0.1)).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "llm_sample_stratified",
+    oracle=f"""
+    WITH strata AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN strata s ON s.lang = d.lang
+    WHERE (d.doc_id * {_A}) % {_MOD} < {_MOD} * least(1.0, 40.0 / s.n)
+    """,
+    tags=("llm", "sampling"),
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample targeting ~40 docs per language: per-stratum rate =
+    min(1, target/stratum_size), applied through the same deterministic
+    key hash — rare strata are kept whole, dominant strata are downsampled,
+    the class balance of the output is controlled. Stratum sizes are a
+    broadcast 1-row-per-stratum aggregate; the fact side never shuffles."""
+    d = load(spark, sf_dir, "documents")
+    strata = d.groupBy("lang").agg(F.count("*").alias("n"))
+    rate = F.least(F.lit(1.0), F.lit(40.0) / F.col("n"))
+    return (
+        d.join(F.broadcast(strata), on="lang")
+        .filter(_bucket("doc_id") < _MOD * rate)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "llm_shard_assign",
+    oracle=f"""
+    SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS shard_chars
+    FROM (SELECT n_chars, (doc_id * {_A}) % {_MOD} % 64 AS shard FROM documents)
+    GROUP BY shard
+    """,
+    tags=("llm", "sampling", "shard"),
+)
+def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 64-way shard assignment + per-shard volume audit: the shard of
+    a document never changes as the corpus grows (append-only reprocessing
+    touches only new rows). At scale this column becomes the
+    `partitionBy`/`repartition` key for the materialized dataset; the audit
+    aggregate is how you check balance before writing."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("n_chars", (_bucket("doc_id") % 64).alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("shard_chars"))
+    )

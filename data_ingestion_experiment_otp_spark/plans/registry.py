@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extraction,
         multimodal,
         relational,
+        sampling,
         scalars,
         similarity,
         statemachine,

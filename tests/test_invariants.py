@@ -64,6 +64,23 @@ class TestMinHash:
         assert a == b
 
 
+class TestMinHashBanded:
+    def test_recall_vs_exact_inverted_index(self, spark, sf_dir):
+        """The SQL-native MinHash (llm_minhash_banded) verifies candidates
+        on the exact hashed-shingle sets, so false positives are impossible
+        by construction; recall vs the exact inverted-index pass must be
+        high on the fixture's injected near-dups (4 bands of 2 over
+        >=0.6-Jaccard pairs collide with probability ~1-(1-j^2)^4 >= 0.83,
+        and the injected pairs sit near j~0.99)."""
+        from data_ingestion_experiment_otp_spark.operators.dedup import llm_minhash_banded
+
+        exact = {(r["doc_a"], r["doc_b"]) for r in llm_ngram_jaccard(spark, sf_dir).collect()}
+        banded = {(r["doc_a"], r["doc_b"]) for r in llm_minhash_banded(spark, sf_dir).collect()}
+        if exact:
+            recall = len(exact & banded) / len(exact)
+            assert recall >= 0.8, f"banded minhash recall {recall:.2f} over {len(exact)} pairs"
+
+
 class TestSimHash:
     def test_deterministic_and_bounded(self, spark, sf_dir):
         rows = llm_simhash(spark, sf_dir).collect()
