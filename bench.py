@@ -37,6 +37,8 @@ HEADLINE = [
     "agg_stateful_rendezvous",
     "llm_exact_dedup",
     "llm_ngram_jaccard",
+    "llm_minhash_banded",
+    "llm_dedup_clusters",
     "llm_sim_topk",
     "llm_fingerprint",
     "pipeline_otp_ingest",

@@ -85,9 +85,7 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_ngram_jaccard",
-    oracle=f"""
+_NGRAM_JACCARD_ORACLE = f"""
     WITH ws_t AS (
       SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
       FROM documents
@@ -107,7 +105,12 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE n_common / (sa.n + sb.n - n_common) >= {_JACCARD_THRESHOLD}
-    """,
+    """
+
+
+@register(
+    "llm_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_ORACLE,
     tags=("llm", "dedup"),
 )
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,6 +368,76 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard"),
         )
     )
+
+
+@register(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_ORACLE}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+    FROM reach
+    GROUP BY u
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the near-dup
+    pair graph by iterative min-label propagation — the step pairwise dedup
+    methods need before they can act (pairs (A,B), (B,C) must collapse to
+    ONE keeper, which no per-pair rule can decide).
+
+    The Spark side is the standard large-graph CC loop: each iteration
+    joins labels across edges and takes the per-node min, converging in
+    O(component diameter) rounds — near-dup components are tiny and dense,
+    so 2-4 rounds in practice. Each round is one shuffle join + one
+    aggregate; the loop is driver-coordinated with a convergence check,
+    exactly how GraphX/GraphFrames implement CC. The oracle computes the
+    same fixpoint with a recursive CTE (viable for DuckDB at fixture scale;
+    the iterative join IS the scale path)."""
+    pairs = llm_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("u", "v")
+    # localCheckpoint (eager) both materializes and TRUNCATES LINEAGE — the
+    # per-iteration plan would otherwise grow linearly and planning time
+    # would dominate the tiny per-round data.
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        neighbor = (
+            edges.join(labels, edges.v == labels.node)
+            .select(F.col("u").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 @register("llm_simhash", oracle=None, tags=("llm", "dedup", "approx"))
