@@ -167,6 +167,65 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint"))
 
 
+_EMAIL_PAT = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_DIGITS_PAT = r"\d{4,}"
+
+
+@register(
+    "llm_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+             '{_DIGITS_PAT}', '<NUM>', 'g') AS redacted,
+           len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS n_emails,
+           len(regexp_extract_all(text, '{_DIGITS_PAT}')) AS n_long_numbers
+    FROM documents
+    """,
+    tags=("llm", "text", "pii"),
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: replace email addresses and long digit runs with
+    placeholder tokens and count the redactions — the mandatory hygiene
+    stage before corpus text reaches a training set. Pure regexp_replace
+    in codegen; Spark's regexp_replace is global by default, matching
+    DuckDB's 'g' flag."""
+    d = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_PAT, "<EMAIL>"), _DIGITS_PAT, "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_PAT), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_DIGITS_PAT), 0)).alias("n_long_numbers"),
+    )
+
+
+@register(
+    "llm_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,
+           length(text) - length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS chars_removed
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, whitespace collapse, trim)
+    ahead of hashing/dedup — exact dedup is only as good as its
+    normalization, so this stage feeds sha2/shingle stages upstream of
+    llm_exact_dedup / llm_ngram_jaccard."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (F.length("text") - F.length(norm)).alias("chars_removed"),
+    )
+
+
 @register(
     "llm_keyword_extract",
     oracle=f"""
