@@ -60,6 +60,35 @@ def fn_scalar_math_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_scalar_map",
+    oracle="""
+    SELECT event_id,
+           array_to_string(list_sort(map_keys(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)})), ',') AS keys_sorted,
+           MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}['type'][1] AS type_val,
+           cardinality(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS n_entries
+    FROM events
+    WHERE event_id % 25 = 0
+    """,
+    tags=("scalar", "map"),
+)
+def fn_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map built-ins (`create_map`, `map_keys`, `element_at`, `size`) —
+    emitted as sorted-key strings and looked-up values, the type-stable
+    cross-engine projection of a map column."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "type").alias("type_val"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+@register(
     "fn_scalar_array_cond",
     oracle="""
     SELECT l_orderkey,
