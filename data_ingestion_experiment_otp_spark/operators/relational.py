@@ -12,6 +12,8 @@ Reference parity notes are cited per query (paths relative to
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.registry import register
@@ -392,6 +394,64 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice < c.c_acctbal * 20)
     return c.join(o, cond).groupBy("c_custkey").agg(F.count("*").alias("n_small_orders"))
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderkey, count(*) AS n_items, round(sum(l_extendedprice), 2) AS order_total
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderkey
+    """,
+    tags=("join", "bucketing"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via bucketing: both tables are written
+    `bucketBy(8, key)` + `sortBy(key)`, so the join and the follow-up
+    per-key aggregation need NO exchange at read time — at 100 TB this is
+    the standard way to amortize the shuffle of a recurring big-big join
+    into a one-time bucketed materialization (`tests/test_plans.py`
+    asserts the exchange-free plan). Buckets land in a scratch database
+    whose location is off-repo; the one-time write is idempotent per
+    session."""
+    import tempfile
+
+    # the in-memory catalog is per-session but table LOCATIONs persist on
+    # disk — scope the scratch warehouse by application id so a fresh
+    # session never collides with a dead one's files
+    db = "bucketdemo"
+    loc = os.path.join(
+        tempfile.gettempdir(), "diospark_buckets", spark.sparkContext.applicationId
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    sf_tag = "sf" + sf_dir.rstrip("/").split("sf")[-1].replace(".", "_").replace("/", "")
+    ob, lb = f"{db}.orders_b_{sf_tag}", f"{db}.lineitem_b_{sf_tag}"
+    if not spark.catalog.tableExists(ob):
+        (
+            load(spark, sf_dir, "orders")
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable(ob)
+        )
+    if not spark.catalog.tableExists(lb):
+        (
+            load(spark, sf_dir, "lineitem")
+            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").saveAsTable(lb)
+        )
+    # hint forces the sort-merge path the bucketing exists for (at fixture
+    # scale the optimizer would otherwise broadcast and bypass it; on a
+    # real big-big join SMJ is what AQE picks anyway)
+    o = spark.table(ob).filter(F.col("o_totalprice") > 100000).hint("merge")
+    l = spark.table(lb)
+    return (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("order_total"),
+        )
+    )
 
 
 @register(

@@ -64,6 +64,14 @@ class TestJoinStrategies:
         assert "Window" in ops
         assert ops.count("Exchange") == 1, ops  # one shuffle on the key
 
+    def test_bucketed_join_is_exchange_free(self, spark, sf_dir):
+        """Both sides bucketed on the join key: the sort-merge join AND the
+        follow-up per-key aggregation must read the bucket distribution —
+        zero Exchange operators in the whole plan."""
+        ops = ops_of(plan_of(spark, sf_dir, "join_bucketed_colocated"))
+        assert "SortMergeJoin" in ops, ops
+        assert "Exchange" not in ops, ops
+
     def test_stream_static_enrichment_broadcasts_dim(self, spark, sf_dir):
         ops = ops_of(plan_of(spark, sf_dir, "join_stream_static"))
         assert "BroadcastHashJoin" in ops
