@@ -89,52 +89,61 @@ RENDEZVOUS_OUTPUT = "key string, status string, otp string"
 RENDEZVOUS_STATE = "waiting boolean, otp string"
 
 
-def _rendezvous_fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
-    """Two-sided keyed rendezvous (`api/login_workflow.py:117,170-175`):
-    a `request` row arms the key and starts the 300 s processing-time
-    timeout; an `otp` row resolves it (whichever side arrives first waits
-    in state for the other). On timeout the key reports `timeout` — the
-    reference's TimeoutError path."""
-    if state.hasTimedOut:
-        state.remove()
-        yield pd.DataFrame({"key": [key[0]], "status": ["timeout"], "otp": [None]})
-        return
-    waiting, otp = state.get if state.exists else (False, None)
-    rows = []
-    for pdf in pdfs:
-        for _, r in pdf.iterrows():
-            if r["kind"] == "request":
-                if otp is not None:  # signal arrived first — match immediately
-                    rows.append(("matched", otp))
-                    otp = None
-                else:
-                    waiting = True
-            elif r["kind"] == "otp":
-                if waiting:
-                    rows.append(("matched", r["payload"]))
-                    waiting = False
-                else:
-                    otp = r["payload"]  # park the signal for the request
-    if waiting or otp is not None:
-        state.update((waiting, otp))
-        state.setTimeoutDuration(RENDEZVOUS_TIMEOUT_MS)
-    else:
-        state.remove()
-    if rows:
-        yield pd.DataFrame(
-            {
-                "key": [key[0]] * len(rows),
-                "status": [s for s, _ in rows],
-                "otp": [o for _, o in rows],
-            }
-        )
+def _make_rendezvous_fn(timeout_ms: int):
+    def _fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        """Two-sided keyed rendezvous (`api/login_workflow.py:117,170-175`):
+        a `request` row arms the key and starts the processing-time timeout
+        (reference default 300 s); an `otp` row resolves it (whichever side
+        arrives first waits in state for the other). On timeout the key
+        reports `timeout` — the reference's TimeoutError path."""
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"key": [key[0]], "status": ["timeout"], "otp": [None]})
+            return
+        waiting, otp = state.get if state.exists else (False, None)
+        rows = []
+        for pdf in pdfs:
+            for _, r in pdf.iterrows():
+                if r["kind"] == "request":
+                    if otp is not None:  # signal arrived first — match immediately
+                        rows.append(("matched", otp))
+                        otp = None
+                    else:
+                        waiting = True
+                elif r["kind"] == "otp":
+                    if waiting:
+                        rows.append(("matched", r["payload"]))
+                        waiting = False
+                    else:
+                        otp = r["payload"]  # park the signal for the request
+        if waiting or otp is not None:
+            state.update((waiting, otp))
+            state.setTimeoutDuration(timeout_ms)
+        else:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(rows),
+                    "status": [s for s, _ in rows],
+                    "otp": [o for _, o in rows],
+                }
+            )
+
+    return _fn
 
 
-def apply_rendezvous(signals: DataFrame) -> DataFrame:
+# module-level default instance (unit tests drive its timeout branch directly)
+_rendezvous_fn = _make_rendezvous_fn(RENDEZVOUS_TIMEOUT_MS)
+
+
+def apply_rendezvous(signals: DataFrame, timeout_ms: int = RENDEZVOUS_TIMEOUT_MS) -> DataFrame:
     """signals: streaming DF with (key string, kind string in
-    {request, otp}, payload string)."""
+    {request, otp}, payload string). `timeout_ms` is the per-key wait bound
+    (SURVEY §7 hard-item (b): the timeout is a parameter so tests can
+    exercise the real timer without waiting the reference's 300 s)."""
     return signals.groupBy("key").applyInPandasWithState(
-        _rendezvous_fn,
+        _make_rendezvous_fn(timeout_ms),
         RENDEZVOUS_OUTPUT,
         RENDEZVOUS_STATE,
         "update",

@@ -206,6 +206,28 @@ class TestRendezvous:
         # u2 still waiting: no emitted row, state armed with timeout
         assert not any(k == "zepto_u2" for k, _, _ in got)
 
+    def test_real_timer_fires_timeout_row(self, spark, tmp_path):
+        """End-to-end timeout path with a REAL processing-time timer: a
+        lone request arms a 1.5 s timeout; no otp ever arrives; the state
+        store must expire the key and emit the timeout row (timer expiry is
+        delivered inside the post-drain cleanup loop — see
+        streaming/drive.py)."""
+        schema = "key string, kind string, payload string"
+        path = _stage_stream(spark, tmp_path, [("solo", "request", None)], schema)
+        stream = spark.readStream.schema(schema).parquet(path)
+        out = state_machine.apply_rendezvous(stream, timeout_ms=1_500)
+        got: list[tuple] = []
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, bid: got.extend((r.key, r.status) for r in df.collect())
+            )
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drive.drain(q, until=lambda: ("solo", "timeout") in got, timeout=60)
+        assert ("solo", "timeout") in got
+
     def test_otp_before_request_parks_signal(self, spark, tmp_path):
         schema = "key string, kind string, payload string"
         ckpt = str(tmp_path / "ckpt")
