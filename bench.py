@@ -20,7 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from data_ingestion_experiment_otp_spark.plans.registry import queries  # noqa: E402
+from data_ingestion_experiment_otp_spark.plans.registry import all_queries  # noqa: E402
 from data_ingestion_experiment_otp_spark.session import get_spark  # noqa: E402
 
 # Headline set: one representative per operator family, weighted toward the
@@ -47,8 +47,9 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark("bench")
-    q = queries()
+    q = {name: spec.fn for name, spec in all_queries().items()}
 
     # Warmup: JVM + codegen + parquet footer caches.
     q["src_point_lookup_latest"](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -56,7 +57,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):  # min-of-N pins steady state (N=3 default)
             t0 = time.perf_counter()
             q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -182,6 +182,52 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_collect_flatten",
+    oracle="""
+    SELECT 'collect' AS op,
+           lang AS k,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS v,
+           count(*) AS n,
+           count(DISTINCT source) AS nd
+    FROM documents
+    GROUP BY lang
+    UNION ALL
+    SELECT 'flatten' AS op, word AS k, '' AS v, count(*) AS n, CAST(NULL AS BIGINT) AS nd
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    tags=("agg", "explode"),
+)
+def agg_collect_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List/set accumulation and its inverse (SURVEY §2.5 agg_collect +
+    agg_flatten, generalizing the reference's `messages_added.extend(...)`
+    flatten, `api/main.py:292-294`) in one tagged result:
+
+    - 'collect': per-lang collect_set(source) emitted as a sorted joined
+      string, plus the exact count(DISTINCT source) (the agg_distinct
+      primitive, driver-checked here);
+    - 'flatten': explode(split(text)) word counts — the un-nest direction.
+    """
+    d = load(spark, sf_dir, "documents")
+    null_long = F.lit(None).cast("long")
+    collect = d.groupBy("lang").agg(
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("v"),
+        F.count("*").alias("n"),
+        F.countDistinct("source").alias("nd"),
+    ).select(F.lit("collect").alias("op"), F.col("lang").alias("k"), "v", "n", "nd")
+    flatten = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("flatten").alias("op"), F.col("word").alias("k"),
+                F.lit("").alias("v"), "n", null_long.alias("nd"))
+    )
+    return collect.unionByName(flatten)
+
+
+@register(
     "agg_collect",
     oracle="""
     SELECT lang,

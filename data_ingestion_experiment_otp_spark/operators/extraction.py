@@ -35,6 +35,74 @@ def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_parsed_email",
+    oracle=ORACLE_SYNTH_CTE
+    + f"""
+    SELECT doc_id,
+           body_html AS body,
+           'Portal <' || hdr_from_addr || '>' AS hdr_from,
+           body_text,
+           nullif(regexp_extract(body_text, '{FROM_BODY_PATTERN}', 1), '') AS body_from,
+           nullif(regexp_extract(body_text, '{TO_BODY_PATTERN}', 1), '') AS body_to,
+           coalesce(nullif(regexp_extract(body_text, '{FROM_BODY_PATTERN}', 1), ''),
+                    hdr_from_addr) AS from_email,
+           to_addr AS to_email,
+           nullif(regexp_extract(body_text, '{OTP_PATTERN}', 1), '') AS otp,
+           nullif(regexp_extract(body_text, '{OTP_PATTERN}', 1), '') IS NOT NULL AS has_otp,
+           'zepto' AS platform,
+           split_part(to_addr, '@', 1) AS username,
+           'zepto_' || split_part(to_addr, '@', 1) AS signal_key
+    FROM stripped
+    """,
+    tags=("extract", "udf", "regex", "coalesce"),
+)
+def ext_parsed_email(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's entire `parse_email` chain (`api/main.py:89-136`) as
+    ONE wide projection, every intermediate stage a hash-checked column —
+    the canonical driver entry for SURVEY §2.3 + §2.9:
+
+    - `body`, `hdr_from` — MIME parse + multipart walk (udf_mime_walk,
+      `api/main.py:91,100-108`);
+    - `body_text` — HTML→text (`api/main.py:110-111`);
+    - `body_from`/`body_to` — forwarded From/To regex captures
+      (`api/main.py:114-117`);
+    - `from_email` — body-wins/header-fallback coalesce with the RFC
+      address parse (udf_addr_parse, `api/main.py:119-128`);
+    - `otp`/`has_otp` — the payload capture + null gate
+      (`api/main.py:131-132`, `main.py:302`);
+    - `platform` — constant column (`api/main.py:134`);
+    - `username`/`signal_key` — key derivation (`api/main.py:303,182`).
+
+    One scan, one Arrow UDF stage, the rest whole-stage codegen. The
+    single-stage variants (ext_mime_parse … prj_username_from_email) remain
+    registered for pytest parity; this composition is what the hot path
+    actually runs.
+    """
+    p = _parsed(spark, sf_dir)
+    text = html_to_text(F.col("body"))
+    body_from = F.nullif(F.regexp_extract(text, FROM_BODY_PATTERN, 1), F.lit(""))
+    body_to = F.nullif(F.regexp_extract(text, TO_BODY_PATTERN, 1), F.lit(""))
+    otp = F.nullif(F.regexp_extract(text, OTP_PATTERN, 1), F.lit(""))
+    to_email = udf_addr_parse("hdr_to")
+    username = F.substring_index(to_email, "@", 1)
+    return p.select(
+        "doc_id",
+        "body",
+        "hdr_from",
+        text.alias("body_text"),
+        body_from.alias("body_from"),
+        body_to.alias("body_to"),
+        F.coalesce(body_from, udf_addr_parse("hdr_from")).alias("from_email"),
+        to_email.alias("to_email"),
+        otp.alias("otp"),
+        otp.isNotNull().alias("has_otp"),
+        F.lit("zepto").alias("platform"),
+        username.alias("username"),
+        F.concat_ws("_", F.lit("zepto"), username).alias("signal_key"),
+    )
+
+
+@register(
     "ext_mime_parse",
     oracle=ORACLE_SYNTH_CTE
     + """

@@ -268,6 +268,101 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_outer",
+    oracle="""
+    SELECT 'left' AS jtype, c_custkey AS k, count(o_orderkey) AS n1, CAST(NULL AS BIGINT) AS n2
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    UNION ALL
+    SELECT 'right' AS jtype, c_custkey AS k, o_orderkey AS n1, CAST(NULL AS BIGINT) AS n2
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal < 0
+    UNION ALL
+    SELECT 'full' AS jtype,
+           coalesce(cn.nationkey, sn.nationkey) AS k,
+           coalesce(cn.n, 0) AS n1,
+           coalesce(sn.n, 0) AS n2
+    FROM (SELECT c_nationkey AS nationkey, count(*) AS n FROM customer GROUP BY 1) cn
+    FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n FROM supplier GROUP BY 1) sn
+      ON cn.nationkey = sn.nationkey
+    """,
+    tags=("join",),
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join family (SURVEY §2.4 left/right/full) in one tagged result:
+
+    - 'left': customer ⟕ orders — order-less customers kept with count 0;
+    - 'right': orders ⟖ customer (negative balances) — preserved-side rows
+      carry null o_orderkey;
+    - 'full': full outer join of two keyed aggregates, nulls coalesced.
+
+    Each branch is a genuine outer join in the physical plan (three joins,
+    one union); the single-form variants (join_left/right/full) remain
+    registered for pytest parity."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    null_long = F.lit(None).cast("long")
+
+    left = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n1"))
+        .select(F.lit("left").alias("jtype"), F.col("c_custkey").alias("k"), "n1",
+                null_long.alias("n2"))
+    )
+    right = (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.lit("right").alias("jtype"), F.col("c_custkey").alias("k"),
+                F.col("o_orderkey").alias("n1"), null_long.alias("n2"))
+    )
+    cn = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(F.count("*").alias("cn_n"))
+    sn = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(F.count("*").alias("sn_n"))
+    full = (
+        cn.join(sn, on="nationkey", how="full")
+        .select(
+            F.lit("full").alias("jtype"),
+            F.col("nationkey").alias("k"),
+            F.coalesce("cn_n", F.lit(0)).alias("n1"),
+            F.coalesce("sn_n", F.lit(0)).alias("n2"),
+        )
+    )
+    return left.unionByName(right).unionByName(full)
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+    SELECT 'semi' AS jtype, c_custkey, c_nationkey
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'anti' AS jtype, c_custkey, c_nationkey
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence joins (SURVEY §2.4 semi/anti) in one tagged result: the
+    EXISTS and NOT-EXISTS partitions of customer vs orders. The anti branch
+    is also the batch form of the reference's stale-id rejection
+    (`api/main.py:269-273`). Two genuine Left{Semi,Anti} joins in the plan."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("jtype"), "c_custkey", "c_nationkey")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("jtype"), "c_custkey", "c_nationkey")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
     "join_left",
     oracle="""
     SELECT c_custkey, count(o_orderkey) AS n_orders

@@ -28,6 +28,45 @@ def _bucket(col):
 
 
 @register(
+    "llm_sample_shard",
+    oracle=f"""
+    WITH strata AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           (d.doc_id * {_A}) % {_MOD} < {_MOD} * 0.1 AS in_sample10,
+           (d.doc_id * {_A}) % {_MOD} < {_MOD} * least(1.0, 40.0 / s.n) AS in_stratified,
+           (d.doc_id * {_A}) % {_MOD} % 64 AS shard
+    FROM documents d JOIN strata s ON s.lang = d.lang
+    """,
+    tags=("llm", "sampling", "shard"),
+)
+def llm_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling & sharding (SURVEY §2.10 family) in one
+    per-doc projection: the ~10% key-hash sample flag, the stratified
+    flag (per-lang rate = min(1, 40/stratum), strata sizes a broadcast
+    1-row-per-lang aggregate), and the stable 64-way shard assignment —
+    all from the same Knuth multiplicative hash, so selection is
+    reproducible on any engine, any partitioning, and stable under
+    append-only growth. Single-purpose variants (llm_sample_deterministic
+    / llm_sample_stratified / llm_shard_assign) remain for pytest parity."""
+    d = load(spark, sf_dir, "documents")
+    strata = d.groupBy("lang").agg(F.count("*").alias("n"))
+    rate = F.least(F.lit(1.0), F.lit(40.0) / F.col("n"))
+    return (
+        d.join(F.broadcast(strata), on="lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (_bucket("doc_id") < int(_MOD * 0.1)).alias("in_sample10"),
+            (_bucket("doc_id") < _MOD * rate).alias("in_stratified"),
+            (_bucket("doc_id") % 64).alias("shard"),
+        )
+    )
+
+
+@register(
     "llm_sample_deterministic",
     oracle=f"""
     SELECT doc_id, lang, n_chars

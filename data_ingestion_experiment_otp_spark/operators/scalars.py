@@ -23,6 +23,72 @@ from ..sources.catalog import load
 
 
 @register(
+    "fn_scalars",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           round(abs(l_discount - 0.05), 6) AS disc_dev,
+           round(pow(l_quantity, 2), 2) AS qty_sq,
+           round(ln(l_extendedprice), 6) AS log_price,
+           year(l_shipdate) AS ship_year,
+           month(l_shipdate) AS ship_month,
+           dayofweek(l_shipdate) AS ship_dow,
+           date_trunc('month', l_shipdate)::DATE AS ship_month_start,
+           datediff('day', DATE '1992-01-01', l_shipdate) AS days_since_epoch,
+           len(range(1, l_linenumber + 1)) AS seq_len,
+           list_contains(range(1, l_linenumber + 1), 3) AS has_three,
+           list_reduce(list_prepend(0, range(1, l_linenumber + 1)), (s, x) -> s + x) AS seq_sum,
+           list_transform(range(1, l_linenumber + 1), x -> x * 2)[1] AS first_doubled,
+           array_to_string(list_sort(map_keys(MAP {'flag': l_returnflag, 'stat': l_linestatus})), ',') AS map_keys_sorted,
+           MAP {'flag': l_returnflag, 'stat': l_linestatus}['flag'][1] AS map_flag,
+           cardinality(MAP {'flag': l_returnflag, 'stat': l_linestatus}) AS map_n,
+           CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'kept' END AS ret_label,
+           coalesce(nullif(l_linestatus, 'O'), 'open') AS status_label
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+    tags=("scalar", "math", "date", "array", "map", "conditional"),
+)
+def fn_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.8 scalar-function surface — math (`abs`, `pow`, `log`,
+    `round`), date (`year`, `month`, `dayofweek`, `date_trunc`,
+    `datediff`), array higher-order (`sequence`, `size`, `array_contains`,
+    `aggregate`, `transform`, `element_at`), map (`create_map`,
+    `map_keys`, `element_at`, `size`), and conditional (`when/otherwise`,
+    `coalesce`/`nullif`) — in ONE codegen'd projection over the filtered
+    lineitem scan. The per-family variants (fn_scalar_math_date /
+    fn_scalar_map / fn_scalar_array_cond) remain registered for pytest
+    parity."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    seq = F.sequence(F.lit(1), F.col("l_linenumber"))
+    m = F.create_map(
+        F.lit("flag"), F.col("l_returnflag"),
+        F.lit("stat"), F.col("l_linestatus"),
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.round(F.pow("l_quantity", 2), 2).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("log_price"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        (F.dayofweek("l_shipdate") - 1).alias("ship_dow"),
+        F.trunc("l_shipdate", "month").alias("ship_month_start"),
+        F.datediff("l_shipdate", F.lit("1992-01-01").cast("date")).alias("days_since_epoch"),
+        F.size(seq).alias("seq_len"),
+        F.array_contains(seq, 3).alias("has_three"),
+        F.aggregate(seq, F.lit(0), lambda s, x: s + x).alias("seq_sum"),
+        F.element_at(F.transform(seq, lambda x: x * 2), 1).alias("first_doubled"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("map_keys_sorted"),
+        F.element_at(m, "flag").alias("map_flag"),
+        F.size(m).alias("map_n"),
+        F.when(F.col("l_returnflag") == "R", "returned").otherwise("kept").alias("ret_label"),
+        F.coalesce(F.nullif("l_linestatus", F.lit("O")), F.lit("open")).alias("status_label"),
+    )
+
+
+@register(
     "fn_scalar_math_date",
     oracle="""
     SELECT l_orderkey,

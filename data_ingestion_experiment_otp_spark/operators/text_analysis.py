@@ -16,6 +16,9 @@ from ..sources.catalog import load
 
 _STOPWORDS = ("the", "a", "of", "and", "in", "to")
 _KEYWORD_PAT = "join|sort|hash|scan|merge|filter"
+_STOPWORDS_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+_EMAIL_PAT = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_DIGITS_PAT = r"\d{4,}"
 
 
 @register(
@@ -41,6 +44,91 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.round(F.avg(F.size(words)), 4).alias("avg_words"),
         F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "llm_text_profile",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, lang, n_chars,
+             list_filter(string_split(text, ' '), w -> w <> '') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           n_chars,
+           len(words) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+           CASE WHEN text LIKE '%spark%' THEN 'spark-doc'
+                WHEN text LIKE '%query%' AND text LIKE '%join%' THEN 'sql-doc'
+                WHEN text LIKE '%stream%' THEN 'stream-doc'
+                ELSE 'generic' END AS doc_class,
+           round(
+             0.4 * least(1.0, n_chars / 200.0)
+             + 0.3 * (1.0 - len(list_filter(words, w -> w IN {_STOPWORDS_SQL})) / len(words))
+             + 0.3 * (len(list_distinct(words)) / len(words)),
+           6) AS quality,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(words, w -> (ascii(w) * 31 + length(w))::BIGINT)),
+             (h, x) -> (h * 131 + x) % 1000000007) AS fingerprint,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,
+           regexp_replace(
+             regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+             '{_DIGITS_PAT}', '<NUM>', 'g') AS redacted,
+           len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS n_emails,
+           len(regexp_extract_all(text, '{_DIGITS_PAT}')) AS n_long_numbers
+    FROM t
+    """,
+    tags=("llm", "text"),
+)
+def llm_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis profile — the training-data-pipeline
+    per-doc pass (token counting two ways, content classification, quality
+    heuristic, order-sensitive rolling-hash fingerprint, canonical
+    normalization, PII redaction) fused into ONE wide codegen'd projection
+    over a single scan. The per-metric variants (llm_token_count /
+    llm_lang_id / llm_quality_score / llm_fingerprint / llm_text_normalize
+    / llm_pii_redact) remain registered for pytest parity; at 100 TB this
+    fused form is the one you run — every metric amortizes the same scan
+    and the same tokenization."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    t = d.select("doc_id", "text", "n_chars", words.alias("words"))
+    n_words = F.size("words")
+    n_stop = F.size(F.filter("words", lambda w: w.isin(*_STOPWORDS)))
+    n_distinct = F.size(F.array_distinct("words"))
+    quality = (
+        0.4 * F.least(F.lit(1.0), F.col("n_chars") / 200.0)
+        + 0.3 * (1.0 - n_stop / n_words)
+        + 0.3 * (n_distinct / n_words)
+    )
+    token_ints = F.transform("words", lambda w: (F.ascii(w) * 31 + F.length(w)).cast("long"))
+    fp = F.aggregate(
+        token_ints,
+        F.lit(0).cast("long"),
+        lambda h, x: (h * 131 + x) % F.lit(1000000007).cast("long"),
+    )
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_PAT, "<EMAIL>"), _DIGITS_PAT, "<NUM>"
+    )
+    return t.select(
+        "doc_id",
+        "n_chars",
+        F.size("words").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)).alias("re_tokens"),
+        F.when(F.col("text").like("%spark%"), "spark-doc")
+        .when(F.col("text").like("%query%") & F.col("text").like("%join%"), "sql-doc")
+        .when(F.col("text").like("%stream%"), "stream-doc")
+        .otherwise("generic")
+        .alias("doc_class"),
+        F.round(quality, 6).alias("quality"),
+        fp.alias("fingerprint"),
+        norm.alias("norm_text"),
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_PAT), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_DIGITS_PAT), 0)).alias("n_long_numbers"),
     )
 
 
@@ -97,9 +185,6 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("generic")
         .alias("doc_class"),
     )
-
-
-_STOPWORDS_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
 
 
 @register(
@@ -165,10 +250,6 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda h, x: (h * 131 + x) % F.lit(1000000007).cast("long"),
     )
     return d.select("doc_id", fp.alias("fingerprint"))
-
-
-_EMAIL_PAT = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
-_DIGITS_PAT = r"\d{4,}"
 
 
 @register(

@@ -16,6 +16,103 @@ from ..sources.catalog import load
 
 
 @register(
+    "win_funcs",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rk,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           round(sum(o_totalprice) OVER w2, 2) AS rolling_sum
+    FROM orders
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def win_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function surface (SURVEY §2.6 win_rank + win_analytic +
+    win_frame) in one pass over orders: ranking (row_number/rank — the
+    generalized first-matching-part short-circuit, `api/main.py:103-105`),
+    analytic lag/lead, and a 3-row sliding-frame rolling sum. Both window
+    specs share the o_custkey partition, so Spark evaluates all columns
+    with ONE shuffle + sort per spec — the single-form variants
+    (win_rank/win_analytic/win_frame) remain registered for pytest parity."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    w2 = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(w2), 2).alias("rolling_sum"),
+    )
+
+
+@register(
+    "sort_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "topk"),
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global order + top-k (SURVEY §2.6 sort_global + topk; generalizes
+    `maxResults=1`, `api/main.py:149`). Spark plans TakeOrderedAndProject:
+    per-partition heaps + driver merge, no global sort materialization —
+    the shape that keeps top-k viable at 100 TB. The returned top-10 SET is
+    fully order-determined, so the hash check verifies the sort cutoff;
+    the full-sort plan shape (range-partitioned exchange) is pinned by
+    sort_global in tests/test_plans.py."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "set_ops",
+    oracle="""
+    SELECT 'union' AS op, nationkey FROM
+      (SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, nationkey FROM
+      (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, nationkey FROM
+      (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+    tags=("setop",),
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The set-operation family (SURVEY §2.6 set_union + set_intersect /
+    set_except) over the customer/supplier nation-key sets, tagged and
+    union-all'd. The union branch's `.distinct()` is also the canonical
+    `df.distinct()` primitive (§2.5 agg_distinct)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "nationkey")  # noqa: E731
+    return (
+        tag(c.union(s).distinct(), "union")
+        .unionByName(tag(c.intersect(s), "intersect"))
+        .unionByName(tag(c.subtract(s), "except"))
+    )
+
+
+@register(
     "win_rank",
     oracle="""
     SELECT c_custkey, o_orderkey, o_totalprice, rn
@@ -188,6 +285,107 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_event_windows",
+    oracle="""
+    SELECT 'tumbling' AS op,
+           (epoch_us(ts) // 600000000) * 600000000 AS ws_us,
+           event_type AS k,
+           count(*) AS n,
+           round(sum(value), 2) AS measure
+    FROM events
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS op,
+           ((epoch_us(ts) // 300000000) * 300 - off * 300) * 1000000 AS ws_us,
+           '' AS k,
+           count(*) AS n,
+           round(round(sum(value), 2) / count(*), 6) AS measure
+    FROM events, (VALUES (0), (1)) AS offs(off)
+    GROUP BY 2
+    UNION ALL
+    SELECT 'session' AS op, ws_us, k, n, measure FROM (
+      WITH gaps AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+      )
+      SELECT epoch_us(min(ts)) AS ws_us,
+             CAST(user_id AS VARCHAR) AS k,
+             count(*) AS n,
+             round(sum(value), 2) AS measure
+      FROM sessions
+      GROUP BY user_id, session_id
+    )
+    """,
+    tags=("window", "streaming", "session"),
+)
+def st_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The event-time window family (SURVEY §2.7 st_tumbling_window +
+    st_sliding_window + st_session_window) in one tagged result over the
+    event stream — each branch is the genuine Spark operator
+    (`window(ts, size[, slide])`, `session_window(ts, gap)`), union-all'd
+    with window starts emitted as epoch microseconds:
+
+    - 'tumbling': 10-minute epoch-aligned buckets per event_type;
+    - 'sliding': 10-minute windows every 5 minutes (each event in exactly
+      two), grid-rounded avg;
+    - 'session': 30-minute-gap user sessions — Spark's session_window is
+      end-exclusive (an event exactly `gap` after the previous one starts a
+      NEW session), so the oracle's gaps-and-islands uses `>=`, with
+      (ts, event_id) ordering so equal-timestamp ties assign stably.
+
+    The identical groupBys run under readStream with `withWatermark`
+    (streaming/watermark.py); single-form variants stay for pytest parity."""
+    ev = load(spark, sf_dir, "events")
+    tumbling = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("measure"))
+        .select(
+            F.lit("tumbling").alias("op"),
+            F.unix_micros(F.col("w.start")).alias("ws_us"),
+            F.col("event_type").alias("k"),
+            "n",
+            "measure",
+        )
+    )
+    sliding = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.round(F.sum("value"), 2) / F.count("*"), 6).alias("measure"),
+        )
+        .select(
+            F.lit("sliding").alias("op"),
+            F.unix_micros(F.col("w.start")).alias("ws_us"),
+            F.lit("").alias("k"),
+            "n",
+            "measure",
+        )
+    )
+    session = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("measure"))
+        .select(
+            F.lit("session").alias("op"),
+            F.unix_micros(F.col("w.start")).alias("ws_us"),
+            F.col("user_id").cast("string").alias("k"),
+            "n",
+            "measure",
+        )
+    )
+    return tumbling.unionByName(sliding).unionByName(session)
+
+
+@register(
     "st_tumbling_window",
     oracle="""
     SELECT epoch_us(ts) // 600000000 * 600 AS window_start_s,
@@ -252,16 +450,16 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st_session_window",
     oracle="""
     WITH gaps AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM gaps
     )

@@ -35,6 +35,78 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+# The driver harness checks a bounded prefix (~50 entries) of `queries()`.
+# This list IS the driver-facing surface: exactly one canonical entry per
+# SURVEY.md §2 row (composed entries cover several rows each — the mapping
+# is COVERAGE.md), ordered by §2 section. Every registered query NOT listed
+# here stays in `all_queries()` for pytest parity/plan tests and bench, but
+# is not submitted to the driver's budget.
+DRIVER_ORDER: tuple[str, ...] = (
+    # §2.1 sources / sinks
+    "src_push_envelope",
+    "src_incremental_history",
+    "src_point_lookup_latest",
+    "src_parquet",
+    "src_jsonl_csv",
+    "src_argv_json",
+    "snk_state_file",
+    "snk_parquet",
+    # §2.2 filters / projections
+    "flt_freshness",
+    "flt_stale_watermark",
+    "flt_platform_gate",
+    "prj_general",
+    # §2.3 parse / extraction
+    "ext_b64_json",
+    "ext_json_scalar",
+    "ext_parsed_email",
+    # §3.1 flagship pipeline (covers snk_http_signal, flt_has_otp,
+    # prj_username_from_email via composition)
+    "pipeline_otp_ingest",
+    # §2.4 joins
+    "join_inner_equi",
+    "join_broadcast",
+    "join_outer",
+    "join_semi_anti",
+    "join_theta_range",
+    "join_asof",
+    "join_stream_static",
+    # §2.5 aggregations
+    "agg_groupby",
+    "agg_approx_distinct",
+    "agg_grouping_sets",
+    "agg_collect_flatten",
+    # §2.6 windows / sorts / set ops
+    "win_funcs",
+    "sort_topk",
+    "set_ops",
+    # §2.7 stateful (batch forms)
+    "st_watermark_dedup",
+    "agg_stateful_rendezvous",
+    "st_state_machine",
+    "st_event_windows",
+    # §2.8 scalar functions / §2.9 UDF surface
+    "fn_scalars",
+    "udf_cosine",
+    # §2.10 dedup
+    "llm_exact_dedup",
+    "llm_ngram_jaccard",
+    "llm_minhash_banded",
+    "llm_simhash",
+    "llm_embed_cosine_dedup",
+    "llm_dedup_clusters",
+    # §2.10 similarity / multimodal
+    "llm_sim_topk",
+    "llm_sim_lsh_bucketed",
+    "llm_multimodal_cols",
+    "llm_multimodal_features",
+    # §2.10 text analysis / sampling
+    "llm_text_stats",
+    "llm_text_profile",
+    "llm_keyword_extract",
+    "llm_sample_shard",
+)
+
 
 def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
     """Decorator: add a query builder to the registry."""
@@ -72,9 +144,26 @@ def all_queries() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
+def driver_queries() -> dict[str, QuerySpec]:
+    """The driver-facing registry: DRIVER_ORDER entries, in that order.
+
+    Validates the invariants the driver budget depends on: every listed name
+    is registered, no duplicates, and at most 50 entries.
+    """
+    specs = all_queries()
+    missing = [name for name in DRIVER_ORDER if name not in specs]
+    if missing or len(DRIVER_ORDER) > 50 or len(set(DRIVER_ORDER)) != len(DRIVER_ORDER):
+        raise RuntimeError(
+            f"driver registry mismatch: {len(DRIVER_ORDER)} ordered, missing={missing}"
+        )
+    return {name: specs[name] for name in DRIVER_ORDER}
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in all_queries().items()}
+    return {name: spec.fn for name, spec in driver_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in all_queries().items() if spec.oracle is not None}
+    return {
+        name: spec.oracle for name, spec in driver_queries().items() if spec.oracle is not None
+    }

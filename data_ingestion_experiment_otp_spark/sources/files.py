@@ -40,10 +40,45 @@ CUSTOMER_SCHEMA = T.StructType(
 )
 
 
-def _scratch(name: str) -> str:
-    base = os.path.join(tempfile.gettempdir(), "diospark_roundtrip")
+def _scratch(spark: SparkSession, name: str) -> str:
+    # Scoped by applicationId so concurrent runs (driver check + bench) can
+    # never interleave writes/reads of each other's round-trip files.
+    base = os.path.join(
+        tempfile.gettempdir(), "diospark_roundtrip", spark.sparkContext.applicationId
+    )
     os.makedirs(base, exist_ok=True)
     return os.path.join(base, name)
+
+
+@register(
+    "src_jsonl_csv",
+    oracle="""
+    SELECT fmt, doc_id, text, lang, source, n_chars
+    FROM documents CROSS JOIN (VALUES ('jsonl'), ('csv')) AS fmts(fmt)
+    """,
+    tags=("source",),
+)
+def src_jsonl_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured file ingestion (SURVEY §2.1 `src_jsonl`/`src_csv`):
+    the documents table is materialized as BOTH line-delimited JSON and
+    quoted CSV, read back with explicit schemas (never inferred — the
+    reference's validate-at-the-edge stance, SURVEY §1.3), and the two
+    round trips unioned under a format tag. Any loss in either format
+    fails the hash against the oracle reading the original table twice."""
+    d = load(spark, sf_dir, "documents").select([f.name for f in DOCUMENTS_SCHEMA.fields])
+    jpath = _scratch(spark, "documents_jsonl2")
+    cpath = _scratch(spark, "documents_csv2")
+    d.write.mode("overwrite").json(jpath)
+    d.write.mode("overwrite").option("header", "true").csv(cpath)
+    j = spark.read.schema(DOCUMENTS_SCHEMA).json(jpath).withColumn("fmt", F.lit("jsonl"))
+    c = (
+        spark.read.schema(DOCUMENTS_SCHEMA)
+        .option("header", "true")
+        .csv(cpath)
+        .withColumn("fmt", F.lit("csv"))
+    )
+    cols = ["fmt", *[f.name for f in DOCUMENTS_SCHEMA.fields]]
+    return j.select(cols).unionByName(c.select(cols))
 
 
 @register(
@@ -56,7 +91,7 @@ def src_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit schema (no inference). Exercises the reference's JSON decode
     path (`api/main.py:243`) as a file source."""
     d = load(spark, sf_dir, "documents").select([f.name for f in DOCUMENTS_SCHEMA.fields])
-    path = _scratch("documents_jsonl")
+    path = _scratch(spark, "documents_jsonl")
     d.write.mode("overwrite").json(path)
     return spark.read.schema(DOCUMENTS_SCHEMA).json(path)
 
@@ -70,7 +105,7 @@ def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV ingestion with explicit schema and header. Java's shortest-
     round-trip double formatting makes the write→read identity exact."""
     c = load(spark, sf_dir, "customer").select([f.name for f in CUSTOMER_SCHEMA.fields])
-    path = _scratch("customer_csv")
+    path = _scratch(spark, "customer_csv")
     c.write.mode("overwrite").option("header", "true").csv(path)
     return spark.read.schema(CUSTOMER_SCHEMA).option("header", "true").csv(path)
 
@@ -127,7 +162,7 @@ def snk_state_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
 
     cursor = load(spark, sf_dir, "events").agg(F.max("event_id").alias("last_id")).collect()[0]
-    path = _scratch("cursor.json")
+    path = _scratch(spark, "cursor.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"last_id": int(cursor["last_id"])}, f)
@@ -153,7 +188,7 @@ def snk_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-read aggregate benefits from partition pruning — the materialize-
     then-serve pattern of a warehouse sink."""
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 25)
-    path = _scratch("lineitem_parquet")
+    path = _scratch(spark, "lineitem_parquet")
     l.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
     back = spark.read.parquet(path)
     return back.groupBy("l_returnflag").agg(
