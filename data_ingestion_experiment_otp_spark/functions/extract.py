@@ -173,7 +173,8 @@ def udf_addr_parse(header: pd.Series) -> pd.Series:
 def html_to_text(col: Column) -> Column:
     """HTML → visible text (`api/main.py:110-111`): strip tags, unescape the
     common entities, collapse whitespace. Built-in regexp chain — the fast
-    path; a bs4 UDF would only add entity coverage."""
+    path (whole-stage codegen, no Python); for mail carrying arbitrary
+    character references use `udf_html_text_full` below."""
     no_tags = F.regexp_replace(col, "<[^>]+>", " ")
     unescaped = F.replace(
         F.replace(
@@ -183,3 +184,27 @@ def html_to_text(col: Column) -> Column:
         F.lit("&"),
     )
     return F.trim(F.regexp_replace(unescaped, r"\s+", " "))
+
+
+@F.pandas_udf(T.StringType())
+def udf_html_text_full(html: pd.Series) -> pd.Series:
+    """Entity-COMPLETE HTML → text (the BeautifulSoup-`get_text` fidelity
+    grade of `api/main.py:110-111`): strip tags, stdlib `html.unescape`
+    (every named + numeric character reference — `&#39;`, `&nbsp;`,
+    `&quot;`, `&eacute;`, … — not just the three the fast path covers),
+    collapse whitespace (including the U+00A0 that `&nbsp;` unescapes to —
+    Python's `\\s` is Unicode-aware). Arrow-batched pandas UDF: the slow
+    path by policy (§2.9), reached only when the fast chain's entity subset
+    is insufficient."""
+    import html as _html
+    import re
+
+    tag = re.compile(r"<[^>]+>")
+    ws = re.compile(r"\s+")
+
+    def conv(s):
+        if s is None:
+            return None
+        return ws.sub(" ", _html.unescape(tag.sub(" ", s))).strip()
+
+    return html.map(conv)

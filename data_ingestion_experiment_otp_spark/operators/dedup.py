@@ -32,6 +32,9 @@ _COSINE_DEDUP_THRESHOLD = 0.4
 # whose 3-gram Jaccard reaches ~0.99; 0.6 separates them cleanly from the
 # random background (~0.0-0.1).
 _JACCARD_THRESHOLD = 0.6
+# llm_embed_cosine_dedup is exact-quadratic by design (fixture/oracle tier);
+# refuse to run it on a corpus where n² would be a real job.
+_EXACT_PAIR_GUARD = 100_000
 
 # Word-3-gram shingle arrays, Spark-side (0-based ws[i]) and DuckDB-side
 # (1-based ws[i]). Shingling is what makes the inverted-index join sparse:
@@ -143,9 +146,13 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    # No broadcast hint on the sizes joins: `sizes` has corpus cardinality
+    # (one row per doc), so forcing a broadcast would OOM at 100 TB. AQE
+    # broadcasts it when it's actually small (fixture scale) and shuffles
+    # otherwise — both sides of the join are already keyed by doc id.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -161,15 +168,26 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "dedup", "vector"),
 )
-def llm_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_embed_cosine_dedup(
+    spark: SparkSession, sf_dir: str, max_rows: int = _EXACT_PAIR_GUARD
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: exact pairwise cosine over the
     vector column, pure `zip_with`/`aggregate` SQL arithmetic (no UDF).
 
     The fixture table is small enough for the exact quadratic pass; the
     sub-quadratic scale path is `llm_sim_lsh_bucketed` (sign-LSH bucketing)
-    in similarity.py.
+    in similarity.py. A hard row-count guard (`max_rows`) refuses to plan
+    the quadratic join above fixture scale so a scale-up cannot silently
+    run an O(n²) job — callers past the guard must route to the LSH path.
     """
     e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    if n > max_rows:
+        raise ValueError(
+            f"llm_embed_cosine_dedup is an exact O(n²) pass guarded to "
+            f"{max_rows} rows; corpus has {n}. Use llm_sim_lsh_bucketed "
+            "(sign-LSH) or llm_minhash_banded for near-dup at scale."
+        )
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").cast("array<double>").alias("ea"),
@@ -392,7 +410,9 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "dedup", "iterative"),
 )
-def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_dedup_clusters(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Duplicate-cluster resolution: connected components over the near-dup
     pair graph by iterative min-label propagation — the step pairwise dedup
     methods need before they can act (pairs (A,B), (B,C) must collapse to
@@ -405,15 +425,21 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the loop is driver-coordinated with a convergence check,
     exactly how GraphX/GraphFrames implement CC. The oracle computes the
     same fixpoint with a recursive CTE (viable for DuckDB at fixture scale;
-    the iterative join IS the scale path)."""
-    pairs = llm_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    the iterative join IS the scale path).
+
+    ``pairs`` lets a caller hand in an already-computed near-dup pair DF
+    (doc_a, doc_b) — any of the pairwise strategies above — so cluster
+    resolution composes without re-deriving the pair graph."""
+    if pairs is None:
+        pairs = llm_ngram_jaccard(spark, sf_dir)
+    # Materialize the pair graph ONCE before the union doubles the plan:
+    # localCheckpoint (eager) truncates lineage, so the expensive jaccard
+    # derivation is not re-planned per CC iteration (or twice for the two
+    # union branches) — it's the persisted edge list the loop iterates on.
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("u", "v")
-    # localCheckpoint (eager) both materializes and TRUNCATES LINEAGE — the
-    # per-iteration plan would otherwise grow linearly and planning time
-    # would dominate the tiny per-round data.
-    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("u").alias("node"), F.col("u").alias("label"))
         .distinct()

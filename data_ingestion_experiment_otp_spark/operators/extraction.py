@@ -282,3 +282,44 @@ def prj_username_from_email(spark: SparkSession, sf_dir: str) -> DataFrame:
         username.alias("username"),
         F.concat_ws("_", F.lit("zepto"), username).alias("signal_key"),
     )
+
+
+@register(
+    "ext_html_entities",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             '<div>It&#39;s &quot;' || left(text, 40)
+             || '&quot;&nbsp;&amp; more&hellip;</div>' AS html
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(
+               regexp_replace(html, '<[^>]+>', ' ', 'g'),
+               '&#39;', ''''), '&quot;', '"'), '&nbsp;', ' '),
+               '&hellip;', chr(8230)), '&amp;', '&'),
+             '\\s+', ' ', 'g')) AS body_text
+    FROM synth
+    """,
+    tags=("extract", "udf", "html"),
+)
+def ext_html_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-complete HTML→text fidelity path (SURVEY §2.9 `udf_html_text`
+    at the BeautifulSoup-`get_text` grade, reference `api/main.py:110-111`):
+    mail bodies synthesized with the references the regexp fast path does
+    NOT cover (`&#39;`, `&quot;`, `&nbsp;`, `&hellip;`) run through the
+    stdlib-`html.unescape` pandas UDF. The oracle mirrors each reference
+    with an explicit replace chain — so any entity the UDF mishandled would
+    hash-mismatch. Pytest-tier entry (driver budget carries the fast path
+    via ext_parsed_email); tests/test_oracle_parity.py applies the same
+    gate locally."""
+    from ..functions.extract import udf_html_text_full
+
+    d = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<div>It&#39;s &quot;"),
+        F.substring("text", 1, 40),
+        F.lit("&quot;&nbsp;&amp; more&hellip;</div>"),
+    )
+    return d.select("doc_id", udf_html_text_full(html).alias("body_text"))

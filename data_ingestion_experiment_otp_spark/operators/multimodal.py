@@ -25,32 +25,33 @@ FEATURE_SCHEMA = (
 )
 
 
-def _decode_image(blob: bytes) -> list[float]:
-    """Stub codec. A real deployment decodes the blob (PIL/ffmpeg/etc.) and
-    returns model features; neither library ships in this container, so the
-    fallback derives a deterministic fake feature from the bytes — keeping
-    the full Spark-side pipeline testable end-to-end."""
-    try:  # pragma: no cover - exercised only where PIL exists
-        import PIL.Image  # noqa: F401
-
-        raise NotImplementedError("real image decode not wired in this environment")
-    except ImportError:
-        # Deterministic fake: 4 moments of the byte histogram.
-        if not blob:
-            return [0.0, 0.0, 0.0, 0.0]
-        n = float(len(blob))
-        s = float(sum(blob))
-        mx = float(max(blob))
-        mn = float(min(blob))
-        return [s / n, mx, mn, n]
-
-
 def extract_features(media: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over (doc_id, media_type, payload)."""
+    """mapInPandas feature extraction over (doc_id, media_type, payload).
+
+    The codec is defined INSIDE the closure so cloudpickle ships it by
+    value: the Python workers never need this package importable (no
+    --py-files / PYTHONPATH requirement on the cluster)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode_image(blob):
+            """Stub codec. A real deployment decodes the blob
+            (PIL/ffmpeg/etc.) and returns model features; neither library
+            ships in this container, so the fallback derives a
+            deterministic fake feature from the bytes — keeping the full
+            Spark-side pipeline testable end-to-end."""
+            try:  # pragma: no cover - exercised only where PIL exists
+                import PIL.Image  # noqa: F401
+
+                raise NotImplementedError("real image decode not wired in this environment")
+            except ImportError:
+                # Deterministic fake: 4 moments of the byte histogram.
+                if not blob:
+                    return [0.0, 0.0, 0.0, 0.0]
+                n = float(len(blob))
+                return [float(sum(blob)) / n, float(max(blob)), float(min(blob)), n]
+
         for pdf in it:
-            feats = pdf["payload"].map(_decode_image)
+            feats = pdf["payload"].map(decode_image)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -12,12 +12,24 @@ Two tiers:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..plans.registry import register
 from ..sources.catalog import load
 
 _TOP_K = 5
+
+# Query-side contract for the similarity searches: the query set is the
+# vectors with ``vec_id % 100 == 0 AND vec_id < _QUERY_ID_CAP`` — i.e. at
+# most ``_QUERY_ID_CAP / 100`` vectors regardless of corpus size. Similarity
+# search is a small-queries × huge-corpus workload; the cap makes that
+# asymmetry explicit so the query side stays broadcast-safe at 100 TB (the
+# corpus side streams; only the query side is ever collected/broadcast).
+# ``llm_sim_topk`` enforces it with a hard runtime check.
+_QUERY_ID_CAP = 100_000
+_MAX_QUERIES = _QUERY_ID_CAP // 100
 
 
 def _cosine(ea: str, eb: str):
@@ -38,7 +50,7 @@ def _cosine(ea: str, eb: str):
                ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
                         e.vec_id) AS rn
       FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-      WHERE q.vec_id % 100 = 0
+      WHERE q.vec_id % 100 = 0 AND q.vec_id < {_QUERY_ID_CAP}
     )
     WHERE rn <= {_TOP_K}
     """,
@@ -46,10 +58,12 @@ def _cosine(ea: str, eb: str):
 )
 def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k nearest neighbors for a query subset
-    (vec_id % 100 = 0), brute force with the 100 TB-correct physical plan:
+    (vec_id % 100 = 0 and vec_id < _QUERY_ID_CAP), brute force with the
+    100 TB-correct physical plan:
 
-    - query vectors (small by construction, like any top-k search workload)
-      are collected once and broadcast as a dense float64 matrix;
+    - query vectors (≤ _MAX_QUERIES by contract — the id cap bounds the
+      query side independent of corpus size, and a runtime check enforces
+      it) are collected once and broadcast as a dense float64 matrix;
     - the corpus streams through an Arrow-batched mapInPandas stage that
       computes ALL query cosines for a batch as one BLAS matmul
       (`Vn @ Qn.T`) — ~5x faster than the per-pair `zip_with`/`aggregate`
@@ -64,7 +78,17 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = load(spark, sf_dir, "embeddings")
-    qrows = e.filter(F.col("vec_id") % 100 == 0).select("vec_id", "embedding").collect()
+    qrows = (
+        e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP))
+        .select("vec_id", "embedding")
+        .limit(_MAX_QUERIES + 1)  # fetch no more than the contract allows
+        .collect()
+    )
+    if len(qrows) > _MAX_QUERIES:
+        raise ValueError(
+            f"llm_sim_topk query side exceeds the {_MAX_QUERIES}-vector budget; "
+            "tighten the query predicate or batch the query set"
+        )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     bcast = spark.sparkContext.broadcast(
@@ -144,48 +168,98 @@ def udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-table sign-LSH parameters. Each table hashes a vector to an
+# _LSH_BITS-bit bucket from the signs of _LSH_BITS random hyperplanes;
+# a candidate is any (query, vector) pair sharing a bucket in ANY table
+# (union of candidates, deduplicated). More bits → smaller buckets →
+# fewer candidates but lower per-table recall; more tables claw recall
+# back. 8×8 suits fixture-density corpora; at 100 TB (billions of
+# vectors) raise _LSH_BITS to 16 so per-bucket occupancy — and therefore
+# the within-bucket join cost — stays bounded, and add tables to hold
+# recall. _BUCKET_CAP hard-bounds any single bucket (hot buckets arise
+# from near-constant embedding regions), making the worst-case join cost
+# tables × cap × queries instead of quadratic in bucket occupancy.
+_LSH_TABLES = 8
+_LSH_BITS = 8
+_BUCKET_CAP = 4096
+
+
+def _plane_matrix(n_planes: int, dim: int):
+    """Deterministic ±1 hyperplane matrix (n_planes × dim), one blake2b
+    digest per plane — properly mixed bits, unlike a linear-congruence
+    parity which collapses every plane to ±the same hyperplane."""
+    import numpy as np
+
+    rows = []
+    for p in range(n_planes):
+        digest = hashlib.blake2b(f"sign-lsh-plane:{p}".encode(), digest_size=(dim + 7) // 8)
+        bits = np.unpackbits(np.frombuffer(digest.digest(), dtype=np.uint8))[:dim]
+        rows.append(bits.astype(np.float64) * 2.0 - 1.0)
+    return np.stack(rows)
+
+
 @register("llm_sim_lsh_bucketed", oracle=None, tags=("llm", "similarity", "approx"))
 def llm_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via sign-LSH bucketing: an 8-bit signature from the
-    signs of 8 deterministic pseudo-random hyperplanes (each plane is a ±1
-    pattern over the 64 dims derived from the plane index), candidates =
-    same-bucket pairs, then exact cosine re-rank within the bucket.
+    """Approximate top-k via multi-table sign-LSH: _LSH_TABLES independent
+    _LSH_BITS-bit signatures per vector (signs of blake2b-derived random
+    hyperplanes, all tables computed in ONE Arrow-batched matmul), candidates
+    = same-(table, bucket) pairs unioned across tables, then exact cosine
+    scoring and cross-table dedup before the per-query top-k.
 
-    This is the IVF-style scale path: at 100 TB the bucket key becomes the
-    shuffle/partition key and each bucket's candidate set is a tiny fraction
-    of the corpus. Approximate (recall < 1) → rows-only; recall vs the exact
-    top-k is asserted in tests/test_similarity.py.
+    Scale shape (the IVF-style path): the (table, bucket) key is the shuffle
+    key; per-bucket membership is capped at _BUCKET_CAP (deterministic
+    xxhash64 sample) so a hot bucket can never induce a quadratic join; the
+    query side is bounded by the same _QUERY_ID_CAP contract as llm_sim_topk
+    (≤ _MAX_QUERIES × _LSH_TABLES broadcast rows); and the dedup/top-k
+    shuffle carries only (query_id, vec_id, cosine) scalars — vectors never
+    pass a shuffle after candidate generation. Approximate (recall < 1) →
+    rows-only; recall vs exact top-k is asserted in tests/test_invariants.py.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _plane_matrix(_LSH_TABLES * _LSH_BITS, 64)
+
+    def _buckets(v):  # pd.Series[array<double>] -> pd.Series[array<int>]
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (V @ planes.T) > 0  # n × (tables·bits)
+        weights = 1 << np.arange(_LSH_BITS)
+        out = [
+            (bits[:, t * _LSH_BITS : (t + 1) * _LSH_BITS] @ weights).astype(np.int32)
+            for t in range(_LSH_TABLES)
+        ]
+        return pd.Series(list(np.stack(out, axis=1)))
+
+    buckets = pandas_udf(_buckets, "array<int>")
+
     e = load(spark, sf_dir, "embeddings")
     vec = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-
-    # Plane p weight for dim d: +1 if bit (d % 31) of (p*2654435761 + d*40503)
-    # is even — a fixed, engine-independent pseudo-random ±1 pattern.
-    def plane_dot(p: int):
-        return F.aggregate(
-            F.zip_with(
-                "v",
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda x, d: x * (((p * 2654435761 + d * 40503) % 2 == 0).cast("int") * 2 - 1),
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-
-    sig = None
-    for p in range(8):
-        bit = (plane_dot(p) > 0).cast("long") * (1 << p)
-        sig = bit if sig is None else sig + bit
-    bucketed = vec.withColumn("bucket", sig)
-
-    queries = bucketed.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), "bucket"
+    tabled = vec.select(
+        "vec_id", "v", F.posexplode(buckets("v")).alias("tbl", "bucket")
     )
+    # Hot-bucket cap: keep a deterministic pseudo-random _BUCKET_CAP-subset
+    # of each (table, bucket). No-op at fixture scale; bounds the join at 100 TB.
+    cap_w = W.partitionBy("tbl", "bucket").orderBy(F.xxhash64("vec_id"))
+    tabled = (
+        tabled.withColumn("cap_rn", F.row_number().over(cap_w))
+        .filter(F.col("cap_rn") <= _BUCKET_CAP)
+        .drop("cap_rn")
+    )
+    queries = tabled.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
+    ).select("tbl", "bucket", F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
+
     w = W.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
     return (
-        bucketed.join(F.broadcast(queries), on="bucket")
+        tabled.join(F.broadcast(queries), on=["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
+        # score before dedup: cosine is identical for every table a pair
+        # collides in, so max() dedups across tables while the shuffle
+        # carries scalars only
         .withColumn("cosine_raw", _cosine("q", "v"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cosine_raw").alias("cosine_raw"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "vec_id", F.round("cosine_raw", 6).alias("cosine"), "rn")

@@ -51,6 +51,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "src_argv_json",
     "snk_state_file",
     "snk_parquet",
+    "snk_jdbc",
     # §2.2 filters / projections
     "flt_freshness",
     "flt_stale_watermark",
@@ -92,7 +93,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "llm_exact_dedup",
     "llm_ngram_jaccard",
     "llm_minhash_banded",
-    "llm_simhash",
+    # llm_simhash is registered but driver-demoted: it is rows-only by
+    # nature (Murmur3 engine hash), so the driver adds only a row count —
+    # its real verification is the hamming-locality invariant in pytest.
+    # The freed slot carries snk_jdbc's full write→read oracle instead.
     "llm_embed_cosine_dedup",
     "llm_dedup_clusters",
     # §2.10 similarity / multimodal

@@ -173,6 +173,64 @@ def snk_state_file(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snk_jdbc",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("sink", "jdbc"),
+)
+def snk_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC sink round trip (SURVEY §2.1 `snk_jdbc` — the reference declares
+    a Postgres DSN it never uses, `gmail-otp-listener/api/config.py:28-36`;
+    this engine makes the relational publish real): aggregate per-nation
+    order totals, write them to an embedded Derby database over Spark's JDBC
+    writer, read them back over JDBC, and return the read-back relation —
+    the oracle checks the full write→read round trip against the source
+    tables.
+
+    Scale notes: a JDBC sink is for serving-sized RESULTS, not raw data —
+    the write is coalesced to one partition here (dimension-sized output);
+    at larger result sizes set `numPartitions`/`batchsize` on the writer to
+    bound connection count and batch inserts. The embedded Derby engine is
+    the in-container stand-in for the network Postgres DSN; the writer code
+    path (Spark JDBC dialect, type mapping, overwrite semantics) is
+    identical."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    agg = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    url = f"jdbc:derby:{_scratch(spark, 'derby_snk')};create=true"
+    jdbc_opts = {"url": url, "driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    (
+        agg.coalesce(1)
+        .write.format("jdbc")
+        .options(dbtable="nation_order_totals", **jdbc_opts)
+        .mode("overwrite")
+        .save()
+    )
+    return (
+        spark.read.format("jdbc")
+        .options(dbtable="nation_order_totals", **jdbc_opts)
+        .load()
+        .select("nation", "n_orders", F.round("total", 2).alias("total"))
+    )
+
+
+@register(
     "snk_parquet",
     oracle="""
     SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total

@@ -7,7 +7,13 @@ a crash between cursor write and sink loses the batch. The engine inverts
 this to at-least-once + idempotent sink: the checkpoint commits an epoch
 only after `foreachBatch` returns, and the batch write is keyed by batchId
 so a replayed epoch overwrites its own previous (possibly partial) output
-instead of duplicating it — exactly-once end to end.
+instead of duplicating it. Net effect per sink: the parquet write and the
+monotone cursor are effectively exactly-once (replays overwrite
+themselves); the HTTP push is at-least-once — a replayed epoch re-POSTs
+its rows, so the receiver must dedup on the carried identity
+(signal_key, otp, batch_id). True end-to-end exactly-once over HTTP would
+need a transactional/acknowledged receiver, which the reference's webhook
+(fire-and-forget, `api/main.py:180-194`) does not provide.
 """
 
 from __future__ import annotations

@@ -353,3 +353,96 @@ class TestTimeoutLadder:
         assert state.removed
         assert out[0]["status"].tolist() == ["timeout"]
         assert out[0]["otp"].isna().all()
+
+
+from data_ingestion_experiment_otp_spark.streaming.transform_state import (  # noqa: E402
+    transform_with_state_available,
+)
+import pytest  # noqa: E402
+
+
+@pytest.mark.skipif(
+    not transform_with_state_available(),
+    reason="transformWithStateInPandas needs google.protobuf (PySpark TWS "
+    "driver worker) — not shipped in this container; the "
+    "applyInPandasWithState forms above are the tested path here",
+)
+class TestTransformWithState:
+    """transformWithStateInPandas forms must reproduce the
+    applyInPandasWithState results on identical input (same pure core)."""
+
+    def test_state_machine_tws_matches_apply_form(self, spark, tmp_path):
+        from data_ingestion_experiment_otp_spark.streaming import transform_state
+
+        rows = [
+            ("k1", "subprocess_created", 1),
+            ("k1", "browser_ready", 2),
+            ("k1", "waiting_for_otp", 3),
+            ("k1", "otp_submitted", 4),
+            ("k1", "success", 5),
+            ("k2", "subprocess_created", 1),
+            ("k2", "error", 2),
+            ("k2", "browser_ready", 3),  # after terminal: absorbed
+        ]
+        schema = "key string, status string, seq long"
+        path = _stage_stream(spark, tmp_path, rows, schema)
+        stream = spark.readStream.schema(schema).parquet(path)
+        out = transform_state.apply_state_machine_tws(stream)
+        _drive(out, "sm_tws_out", checkpoint=str(tmp_path / "ckpt"))
+        final = {
+            r.key: (r.state, r.n_events)
+            for r in spark.sql("SELECT key, state, n_events FROM sm_tws_out").collect()
+        }
+        assert final["k1"] == ("success", 5)
+        assert final["k2"] == ("error", 3)
+
+    def test_rendezvous_tws_match_and_park(self, spark, tmp_path):
+        from data_ingestion_experiment_otp_spark.streaming import transform_state
+
+        schema = "key string, kind string, payload string"
+        ckpt = str(tmp_path / "ckpt")
+        # otp first: parked, nothing emitted
+        path = _stage_stream(spark, tmp_path, [("k", "otp", "9999")], schema)
+        got: list[tuple] = []
+
+        def run(until_for):
+            stream = spark.readStream.schema(schema).parquet(path)
+            q = (
+                transform_state.apply_rendezvous_tws(stream)
+                .writeStream.foreachBatch(
+                    lambda df, bid: got.extend((r.status, r.otp) for r in df.collect())
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            drive.drain(q, until=until_for(q))
+
+        run(lambda q: lambda: drive.consumed_input(q))
+        assert got == []
+        # request arrives on a NEW query over the same checkpoint: the
+        # parked signal must come back from RocksDB state and match
+        _stage_stream(spark, tmp_path, [("k", "request", None)], schema)
+        run(lambda q: lambda: ("matched", "9999") in got)
+        assert ("matched", "9999") in set(got)
+
+    def test_rendezvous_tws_real_timer_timeout(self, spark, tmp_path):
+        from data_ingestion_experiment_otp_spark.streaming import transform_state
+
+        schema = "key string, kind string, payload string"
+        path = _stage_stream(spark, tmp_path, [("solo", "request", None)], schema)
+        stream = spark.readStream.schema(schema).parquet(path)
+        out = transform_state.apply_rendezvous_tws(stream, timeout_ms=1_500)
+        got: list[tuple] = []
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, bid: got.extend((r.key, r.status) for r in df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drive.drain(q, until=lambda: ("solo", "timeout") in got, timeout=60)
+        assert ("solo", "timeout") in got
