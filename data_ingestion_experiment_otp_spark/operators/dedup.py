@@ -127,7 +127,16 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SHINGLE_HASHES_SPARK) so the shingle strings are never materialized
     and the explode/distinct/shuffle all carry 8-byte longs instead of
     ~40-byte strings — ~35% faster here, and the gap widens with shingle
-    length at scale."""
+    length at scale.
+
+    Shape note (measured, not guessed): carrying |A| through the explode
+    as a column (`size(hs)` beside `explode(hs)`) looks like it should
+    save the separate `sizes` relation, but projection collapse inlines
+    the whole shingle-hash expression into BOTH `size()` and the
+    generator, and the fused generate stage runs ~5x slower than this
+    two-exchange form (11 s vs 2 s at sf0.1). The per-doc `sizes`
+    aggregate is a counts-only shuffle — map-side partial aggregation
+    reduces it to ~one row per doc before it moves."""
     d = load(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     tok = (

@@ -238,13 +238,30 @@ def llm_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tabled = vec.select(
         "vec_id", "v", F.posexplode(buckets("v")).alias("tbl", "bucket")
     )
-    # Hot-bucket cap: keep a deterministic pseudo-random _BUCKET_CAP-subset
-    # of each (table, bucket). No-op at fixture scale; bounds the join at 100 TB.
-    cap_w = W.partitionBy("tbl", "bucket").orderBy(F.xxhash64("vec_id"))
+    # Hot-bucket cap WITHOUT shuffling the corpus: per-bucket counts reduce
+    # map-side to ~distinct-buckets-per-partition rows (the corpus never
+    # moves), the over-cap bucket list broadcasts (≤ n/_BUCKET_CAP entries
+    # by construction), and members of hot buckets are thinned by a
+    # deterministic hash filter to ~_BUCKET_CAP survivors. The corpus side
+    # therefore stays a pure scan pipeline — signature UDF → filter →
+    # broadcast joins — with NO corpus-wide exchange anywhere in the plan
+    # (asserted in tests/test_plans.py). A row_number window would achieve
+    # the same cap but forces an 8×-corpus shuffle on (tbl, bucket).
+    hot = (
+        tabled.groupBy("tbl", "bucket")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > _BUCKET_CAP)
+    )
     tabled = (
-        tabled.withColumn("cap_rn", F.row_number().over(cap_w))
-        .filter(F.col("cap_rn") <= _BUCKET_CAP)
-        .drop("cap_rn")
+        tabled.join(F.broadcast(hot), on=["tbl", "bucket"], how="left")
+        .filter(
+            F.col("bucket_n").isNull()
+            | (
+                F.pmod(F.xxhash64("vec_id", "tbl"), F.col("bucket_n"))
+                < F.lit(_BUCKET_CAP)
+            )
+        )
+        .drop("bucket_n")
     )
     queries = tabled.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)

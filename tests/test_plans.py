@@ -132,3 +132,24 @@ class TestScalarCursorPattern:
         ops = ops_of(plan_of(spark, sf_dir, name))
         assert any("Broadcast" in o for o in ops), ops
         assert "SortMergeJoin" not in ops, ops
+
+
+class TestLshScaleShape:
+    def test_corpus_vectors_never_shuffle(self, spark, sf_dir):
+        """llm_sim_lsh_bucketed's corpus side must stay a scan pipeline:
+        the only shuffle Exchanges carry scalar (query_id, vec_id, cosine)
+        rows — never the embedding arrays. (Broadcast exchanges are exempt:
+        the query side is bounded by the _QUERY_ID_CAP contract and the
+        hot-bucket list is ≤ n/_BUCKET_CAP rows by construction.)"""
+        plan = plan_of(spark, sf_dir, "llm_sim_lsh_bucketed")
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            stripped = line.strip()
+            if re.match(r"^\(\d+\) Exchange", stripped):
+                # the Input [...] line directly follows the node header
+                inputs = next(
+                    (l for l in lines[i + 1 : i + 3] if "Input" in l), ""
+                )
+                assert not re.search(r"[\[ ](v|q)#\d+", inputs), (
+                    f"vector column crosses a shuffle: {stripped} / {inputs}"
+                )
