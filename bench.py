@@ -40,6 +40,8 @@ HEADLINE = [
     "llm_minhash_banded",
     "llm_dedup_clusters",
     "llm_sim_topk",
+    "llm_sim_lsh_bucketed",
+    "llm_chunk_docs",
     "llm_fingerprint",
     "pipeline_otp_ingest",
 ]

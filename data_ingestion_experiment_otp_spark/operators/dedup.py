@@ -500,3 +500,57 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         simhash = bit if simhash is None else simhash + bit
     return agg.select("doc_id", simhash.alias("simhash"))
+
+
+@register(
+    "llm_decontaminate",
+    oracle=f"""
+    WITH ws_t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS w FROM ws_t WHERE len(ws) >= 3
+    ),
+    bench AS (SELECT doc_id, w FROM tok WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, w FROM tok WHERE doc_id % 50 <> 0)
+    SELECT t.doc_id,
+           CAST(count(DISTINCT t.w) AS BIGINT) AS n_shared_ngrams,
+           CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+    FROM train t JOIN bench b ON b.w = t.w
+    GROUP BY t.doc_id
+    """,
+    tags=("llm", "dedup", "decontaminate"),
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination detection — the decontamination pass every
+    benchmark-respecting training pipeline runs before training: flag
+    training documents sharing any 3-gram shingle with a held-out
+    benchmark set (here docs with doc_id % 50 == 0 stand in for the
+    benchmark). Same inverted-index shape as llm_ngram_jaccard — the
+    shingle hash is the shuffle key, so the train×bench comparison never
+    materializes a cross product; the benchmark token side is tiny
+    relative to the corpus (2% here; real benchmark suites are smaller
+    still), so AQE turns the match into a broadcast join and the
+    training corpus streams through a scan→filter→join pipeline. Output:
+    one row per contaminated training doc with distinct shared-shingle
+    and touched-benchmark-doc counts (the drop/keep decision input)."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    tok = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLE_HASHES_SPARK)).alias("w"))
+    )
+    bench = tok.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "w"
+    )
+    train = tok.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(bench, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("w").alias("n_shared_ngrams"),
+            F.countDistinct("bench_doc_id").alias("n_bench_docs"),
+        )
+    )

@@ -326,3 +326,117 @@ def llm_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("keyword")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --- Training-data preparation: chunking / vocabulary / packing ------------
+
+_CHUNK_SIZE = 32  # words per chunk
+_CHUNK_STRIDE = 24  # 8-word overlap between consecutive chunks
+
+
+@register(
+    "llm_chunk_docs",
+    oracle=f"""
+    WITH ws_t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    built AS (
+      SELECT doc_id, len(ws) AS n_ws,
+             [{{'cid': i - 1,
+               'txt': array_to_string(ws[(i-1)*{_CHUNK_STRIDE} + 1 :
+                                         (i-1)*{_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' '),
+               'nt': least({_CHUNK_SIZE}, len(ws) - (i-1)*{_CHUNK_STRIDE})}}
+              for i in range(1, CAST(ceil(greatest(len(ws) - {_CHUNK_SIZE}, 0)
+                                          / {_CHUNK_STRIDE}.0) AS BIGINT) + 2)] AS chunks
+      FROM ws_t WHERE len(ws) > 0
+    ),
+    ex AS (SELECT doc_id, unnest(chunks) AS c FROM built)
+    SELECT doc_id, CAST(c['cid'] AS INT) AS chunk_id, c['txt'] AS chunk_text,
+           CAST(c['nt'] AS INT) AS n_tokens
+    FROM ex
+    """,
+    tags=("llm", "text", "chunk"),
+)
+def llm_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training-data prep: fixed {size}-word windows
+    with a {stride}-word stride ({overlap}-word overlap so no boundary
+    context is lost), the standard pre-tokenization step before packing
+    sequences into context windows. Pure built-ins: one `transform` over
+    the chunk-start sequence, then `posexplode` — the chunk explosion is
+    scan-side (no shuffle at all; the operator is embarrassingly parallel
+    at any scale). Chunk ids are per-document ordinals so downstream
+    packing/shuffling can reconstruct provenance.""".format(
+        size=_CHUNK_SIZE, stride=_CHUNK_STRIDE, overlap=_CHUNK_SIZE - _CHUNK_STRIDE
+    )
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    n_chunks = (
+        F.ceil(F.greatest(F.size("ws") - _CHUNK_SIZE, F.lit(0)) / F.lit(float(_CHUNK_STRIDE)))
+        + 1
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice("ws", i * _CHUNK_STRIDE + 1, _CHUNK_SIZE)),
+    )
+    return (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+        .select("doc_id", F.size("ws").alias("n_ws"), F.posexplode(chunks))
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("chunk_id"),
+            F.col("col").alias("chunk_text"),
+            F.least(F.lit(_CHUNK_SIZE), F.col("n_ws") - F.col("pos") * _CHUNK_STRIDE)
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
+
+
+_VOCAB_K = 50
+
+
+@register(
+    "llm_vocab_topk",
+    oracle=f"""
+    SELECT w, n_total, n_docs, rnk FROM (
+      SELECT w,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             row_number() OVER (ORDER BY count(*) DESC, w) AS rnk
+      FROM (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+        FROM documents
+      )
+      GROUP BY w
+    ) WHERE rnk <= {_VOCAB_K}
+    """,
+    tags=("llm", "text", "vocab"),
+)
+def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-{k} tokens by total frequency with
+    document frequency — the input to tokenizer training / stopword
+    derivation. explode → two-level aggregate (count + count DISTINCT
+    doc_id) → rank. The shuffle key is the token (partial map-side
+    aggregation collapses each partition to its distinct tokens first);
+    the final top-k is a TakeOrdered over the vocabulary relation, never
+    a global row sort.""".format(k=_VOCAB_K)
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    from pyspark.sql import Window as W
+
+    vocab = (
+        d.select("doc_id", F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    rnk = F.row_number().over(W.orderBy(F.col("n_total").desc(), F.col("w")))
+    return (
+        vocab.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= _VOCAB_K)
+        .select("w", "n_total", "n_docs", "rnk")
+    )

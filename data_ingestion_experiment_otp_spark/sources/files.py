@@ -253,3 +253,21 @@ def snk_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("total"),
     )
+
+
+@register(
+    "src_orc",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    tags=("source",),
+)
+def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingestion round trip (columnar alternative to parquet, built into
+    Spark): customer → ORC → read back with the explicit schema. Like the
+    parquet path, ORC scans support predicate pushdown, column pruning and
+    vectorized reads, so every scan-side plan property asserted in
+    tests/test_plans.py carries over. Pytest-tier entry (the parquet source
+    carries the driver row for columnar scans)."""
+    c = load(spark, sf_dir, "customer").select([f.name for f in CUSTOMER_SCHEMA.fields])
+    path = _scratch(spark, "customer_orc")
+    c.write.mode("overwrite").orc(path)
+    return spark.read.schema(CUSTOMER_SCHEMA).orc(path)
