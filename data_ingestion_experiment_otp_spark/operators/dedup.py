@@ -554,3 +554,89 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_doc_id").alias("n_bench_docs"),
         )
     )
+
+
+# Stop-shingle document-frequency cap for the skew-guarded variant: a
+# shingle present in more docs than this is stopword-like — it contributes
+# ~0 discrimination to Jaccard but its token group is the ONLY quadratic
+# term in the inverted-index join.
+_SHINGLE_DF_CAP = 20
+
+
+@register(
+    "llm_ngram_jaccard_capped",
+    oracle=f"""
+    WITH ws_t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS w FROM ws_t WHERE len(ws) >= 3
+    ),
+    kept AS (
+      SELECT t.doc_id, t.w FROM tok t
+      WHERE t.w IN (SELECT w FROM tok GROUP BY w
+                    HAVING count(DISTINCT doc_id) <= {_SHINGLE_DF_CAP})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n + sb.n - n_common) >= {_JACCARD_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "skew"),
+)
+def llm_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-guarded n-gram Jaccard: identical to llm_ngram_jaccard plus a
+    stop-shingle document-frequency cap — shingles appearing in more than
+    {cap} documents are dropped from BOTH the index and the size
+    denominators before pair generation (the oracle applies the same cap,
+    so the check stays exact).
+
+    This closes the one scale caveat of the uncapped pass: the inverted-
+    index join is quadratic PER TOKEN GROUP, so a single stopword-like
+    shingle shared by k docs contributes k² candidate pairs. Capping df
+    bounds every group at {cap}² while leaving discriminative shingles —
+    and therefore real near-dup pairs, whose similarity comes from RARE
+    shared shingles — intact. The df relation is a counts-only aggregate
+    (map-side partial) and the keep-filter is a join on the shingle hash,
+    the same shuffle key the pair join already uses. Pytest-tier variant;
+    the uncapped form keeps the driver slot.""".format(cap=_SHINGLE_DF_CAP)
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    tok = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLE_HASHES_SPARK)).alias("w"))
+    )
+    rare = (
+        tok.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _SHINGLE_DF_CAP)
+        .select("w")
+    )
+    kept = tok.join(rare, "w")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -440,3 +440,72 @@ def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _VOCAB_K)
         .select("w", "n_total", "n_docs", "rnk")
     )
+
+
+_PACK_CAP = 128  # context-window token capacity
+_PACK_SHARDS = 8
+
+
+@register(
+    "llm_pack_sequences",
+    oracle=f"""
+    WITH ws_t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    built AS (
+      SELECT doc_id, len(ws) AS n_ws,
+             [{{'cid': i - 1,
+               'nt': least({_CHUNK_SIZE}, len(ws) - (i-1)*{_CHUNK_STRIDE})}}
+              for i in range(1, CAST(ceil(greatest(len(ws) - {_CHUNK_SIZE}, 0)
+                                          / {_CHUNK_STRIDE}.0) AS BIGINT) + 2)] AS chunks
+      FROM ws_t WHERE len(ws) > 0
+    ),
+    chunked AS (
+      SELECT doc_id, CAST(c['cid'] AS INT) AS chunk_id, CAST(c['nt'] AS INT) AS n_tokens
+      FROM (SELECT doc_id, unnest(chunks) AS c FROM built)
+    ),
+    packed AS (
+      SELECT doc_id % {_PACK_SHARDS} AS shard, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (
+                           PARTITION BY doc_id % {_PACK_SHARDS}
+                           ORDER BY doc_id, chunk_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        / {_PACK_CAP}.0) AS BIGINT) AS pack_id
+      FROM chunked
+    )
+    SELECT shard, pack_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM packed
+    GROUP BY shard, pack_id
+    """,
+    tags=("llm", "text", "pack"),
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the step after chunking in training-data prep:
+    concatenate each shard's chunk stream (deterministic (doc_id, chunk_id)
+    order) and split it at {cap}-token context-window boundaries, so every
+    training sequence is full (chunks may straddle a boundary; that is the
+    standard concat-then-split packing). pack_id is the exclusive running
+    token sum div {cap} — one window function over the shard, one shuffle
+    on the shard key; shard count scales with the cluster, each shard's
+    packing is an independent linear scan. Output is the per-pack manifest
+    (chunk count, token count) a writer would use to emit packed
+    sequences.""".format(cap=_PACK_CAP)
+    from pyspark.sql import Window as W
+
+    chunks = llm_chunk_docs(spark, sf_dir).select(
+        "doc_id", "chunk_id", "n_tokens", (F.col("doc_id") % _PACK_SHARDS).alias("shard")
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    excl_cumsum = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        chunks.withColumn("pack_id", F.floor(excl_cumsum / F.lit(float(_PACK_CAP))))
+        .groupBy("shard", "pack_id")
+        .agg(F.count("*").alias("n_chunks"), F.sum("n_tokens").alias("n_tokens"))
+    )

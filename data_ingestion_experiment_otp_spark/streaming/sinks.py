@@ -71,11 +71,34 @@ def http_signal_sink(
     (`api/main.py:180-194`): POST one signal per row to the keyed endpoint.
     `post` is injected (tests pass a recorder; production passes a real
     HTTP client). Signals are the post-filter trickle (OTP hits), so the
-    driver-side iteration is bounded; a high-volume sink would move the
-    client into `foreachPartition` instead."""
+    driver-side iteration is bounded; the high-volume form is
+    `http_signal_sink_partitioned` below (`foreachPartition`, client per
+    partition, nothing through the driver)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         for r in batch_df.select("signal_key", "otp").toLocalIterator():
             post(r["signal_key"], {"otp": r["otp"], "batch_id": batch_id})
+
+    return write
+
+
+def http_signal_sink_partitioned(
+    post_factory: "Callable[[], Callable[[str, dict], None]]",
+) -> Callable[[DataFrame, int], None]:
+    """High-volume form of the HTTP push sink: the POST loop runs INSIDE the
+    executors via `foreachPartition` — one client per partition, rows never
+    collected to the driver — so throughput scales with the cluster instead
+    of the driver NIC. `post_factory` is called once per partition ON THE
+    EXECUTOR to build the client (a connection/session cannot be pickled;
+    the factory closure can). Delivery semantics match http_signal_sink:
+    at-least-once, receiver dedups on (signal_key, otp, batch_id)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        def send_partition(rows) -> None:
+            post = post_factory()
+            for r in rows:
+                post(r["signal_key"], {"otp": r["otp"], "batch_id": batch_id})
+
+        batch_df.select("signal_key", "otp").foreachPartition(send_partition)
 
     return write

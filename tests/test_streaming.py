@@ -446,3 +446,45 @@ class TestTransformWithState:
         )
         drive.drain(q, until=lambda: ("solo", "timeout") in got, timeout=60)
         assert ("solo", "timeout") in got
+
+
+class TestPartitionedHttpSink:
+    def test_posts_every_row_from_executors(self, spark, tmp_path):
+        """foreachPartition sink: every row is POSTed exactly once per
+        epoch, with the client built executor-side by the factory. The
+        recorder writes through a spill directory because executor-side
+        appends to a driver list are invisible in a real deployment (and
+        only coincidentally visible in local mode)."""
+        import glob
+        import json as _json
+        import os
+        import uuid
+
+        from data_ingestion_experiment_otp_spark.streaming import sinks
+
+        spool = str(tmp_path / "posted")
+        os.makedirs(spool, exist_ok=True)
+
+        def factory():
+            path = os.path.join(spool, f"{uuid.uuid4().hex}.jsonl")
+            f = open(path, "a")
+
+            def post(key, body):
+                f.write(_json.dumps({"key": key, "otp": body["otp"]}) + "\n")
+                f.flush()
+
+            return post
+
+        sink = sinks.http_signal_sink_partitioned(factory)
+        df = spark.createDataFrame(
+            [("zepto_u1", "1234"), ("zepto_u2", "5678"), ("zepto_u3", "9012")],
+            "signal_key string, otp string",
+        ).repartition(3)
+        sink(df, 11)
+        posted = []
+        for p in glob.glob(os.path.join(spool, "*.jsonl")):
+            with open(p) as f:
+                posted.extend((r["key"], r["otp"]) for r in map(_json.loads, f))
+        assert sorted(posted) == [
+            ("zepto_u1", "1234"), ("zepto_u2", "5678"), ("zepto_u3", "9012")
+        ]
