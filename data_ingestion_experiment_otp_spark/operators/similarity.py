@@ -314,3 +314,61 @@ def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_cosine("emb", "emb"), 6).alias("self_cosine"),
         )
     )
+
+
+@register(
+    "llm_embed_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           scale,
+           list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS TINYINT)) AS q8,
+           round(sqrt(list_sum(list_transform(v,
+                 x -> pow(x - floor(x * 127.0 / scale + 0.5) * scale / 127.0, 2)))
+                 / len(v)), 6) AS rmse
+    FROM q
+    """,
+    tags=("llm", "vector", "quantize"),
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — at 100 TB the
+    vector store is usually the LARGEST table, and 8-bit quantization is
+    the standard 4x storage/bandwidth cut before ANN indexing: per-vector
+    scale = max|x| (guarded against all-zero vectors), q8 =
+    floor(x·127/s + 0.5), plus the per-vector reconstruction RMSE so a
+    pipeline can gate on quantization error. Pure built-in array
+    arithmetic (transform / aggregate) — fully codegen'd, scan-side, no
+    shuffle, and the output row is ~4x smaller than the input row, which
+    is the point.
+
+    Determinism notes (cross-engine): `scale` is emitted UNROUNDED — it's
+    a pure max over exactly-representable floats, so both engines hold the
+    identical double and any decimal re-rounding only *introduces*
+    half-boundary divergence; rounding-to-int is `floor(q + 0.5)` on both
+    sides because engine round() half-behaviors differ on exact .5."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    t = e.select("vec_id", v.alias("v"), scale.alias("scale"))
+    qf = lambda x: F.floor(x * 127.0 / F.col("scale") + 0.5)  # noqa: E731
+    q8 = F.transform("v", lambda x: qf(x).cast("tinyint"))
+    err_sq = F.aggregate(
+        F.transform(
+            "v",
+            lambda x: F.pow(x - qf(x) * F.col("scale") / 127.0, F.lit(2.0)),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return t.select(
+        "vec_id",
+        "scale",
+        q8.alias("q8"),
+        F.round(F.sqrt(err_sq / F.size("v")), 6).alias("rmse"),
+    )

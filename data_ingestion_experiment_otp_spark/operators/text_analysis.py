@@ -484,14 +484,15 @@ _PACK_SHARDS = 8
 )
 def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing — the step after chunking in training-data prep:
-    concatenate each shard's chunk stream (deterministic (doc_id, chunk_id)
-    order) and split it at {cap}-token context-window boundaries, so every
-    training sequence is full (chunks may straddle a boundary; that is the
-    standard concat-then-split packing). pack_id is the exclusive running
-    token sum div {cap} — one window function over the shard, one shuffle
-    on the shard key; shard count scales with the cluster, each shard's
-    packing is an independent linear scan. Output is the per-pack manifest
-    (chunk count, token count) a writer would use to emit packed
+    stream each shard's chunks in deterministic (doc_id, chunk_id) order
+    and assign each WHOLE chunk to the {cap}-token context window its
+    first token falls in (pack_id = exclusive running token sum div {cap}),
+    so every non-final pack fills to within one chunk of capacity and
+    nothing is dropped or duplicated (conservation + fill invariants in
+    tests/test_properties.py). One window function over the shard, one
+    shuffle on the shard key; shard count scales with the cluster, each
+    shard's packing is an independent linear scan. Output is the per-pack
+    manifest (chunk count, token count) a writer would use to emit packed
     sequences.""".format(cap=_PACK_CAP)
     from pyspark.sql import Window as W
 

@@ -105,6 +105,22 @@ def dedup_by_id(events: DataFrame, bound: str = FRESHNESS_BOUND) -> DataFrame:
     return with_freshness_watermark(events, bound).dropDuplicates(["event_id"])
 
 
+def dedup_by_content(events: DataFrame, bound: str = FRESHNESS_BOUND) -> DataFrame:
+    """Streaming CONTENT dedup via `dropDuplicatesWithinWatermark`: the key
+    is the sha256 of the payload (the streaming form of llm_exact_dedup),
+    and — unlike `dropDuplicates`, which keeps every seen key's state until
+    its event-time bucket expires — the WithinWatermark variant evicts a
+    key's state as soon as the watermark passes its first-seen timestamp
+    plus the bound. That is the correct knob for redelivery-style dupes
+    (retries arrive within minutes, so state stays bounded by arrival rate,
+    not key cardinality — at 100 TB-stream scale the difference is the
+    state store fitting in memory or not)."""
+    keyed = events.withColumn("content_hash", F.sha2("props", 256))
+    return with_freshness_watermark(keyed, bound).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def windowed_counts(events: DataFrame, window: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling-window aggregate in append mode: a window closes
     (emits) only once the watermark passes its end — late rows inside the

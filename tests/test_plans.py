@@ -153,3 +153,14 @@ class TestLshScaleShape:
                 assert not re.search(r"[\[ ](v|q)#\d+", inputs), (
                     f"vector column crosses a shuffle: {stripped} / {inputs}"
                 )
+
+
+class TestScanSideOperators:
+    @pytest.mark.parametrize("name", ["llm_chunk_docs", "llm_embed_quantize"])
+    def test_no_shuffle_at_all(self, spark, sf_dir, name):
+        """Chunking and quantization are pure per-row transforms: their
+        plans must contain NO exchange of any kind — the whole operator
+        rides the scan, so it parallelizes with input splits at any
+        scale."""
+        ops = ops_of(plan_of(spark, sf_dir, name))
+        assert not any("Exchange" in op for op in ops), ops

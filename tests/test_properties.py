@@ -79,3 +79,35 @@ class TestSamplingHashProperties:
         half = set(list(keys)[: len(keys) // 2])
         half_sample = {k for k in half if (k * _A) % _MOD < rate}
         assert half_sample == sample & half
+
+
+class TestPackingConservation:
+    def test_packs_conserve_tokens_and_fill_windows(self, spark, sf_dir):
+        """Sequence packing must conserve the chunk token stream exactly
+        (nothing dropped or duplicated by the window arithmetic), and every
+        pack except possibly each shard's last must reach the window
+        capacity (concat-split packing leaves no internal fragmentation)."""
+        from pyspark.sql import functions as F
+
+        from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+            _CHUNK_SIZE,
+            _PACK_CAP,
+            llm_chunk_docs,
+            llm_pack_sequences,
+        )
+
+        total_chunk_tokens = (
+            llm_chunk_docs(spark, sf_dir).agg(F.sum("n_tokens")).collect()[0][0]
+        )
+        packs = llm_pack_sequences(spark, sf_dir).collect()
+        assert sum(r.n_tokens for r in packs) == total_chunk_tokens
+        last_per_shard = {}
+        for r in packs:
+            last_per_shard[r.shard] = max(last_per_shard.get(r.shard, -1), r.pack_id)
+        for r in packs:
+            if r.pack_id < last_per_shard[r.shard]:
+                # whole chunks assign by start offset, so a non-final pack
+                # fills to within one chunk of capacity on either side
+                assert _PACK_CAP - _CHUNK_SIZE < r.n_tokens < _PACK_CAP + _CHUNK_SIZE, (
+                    r.shard, r.pack_id, r.n_tokens
+                )

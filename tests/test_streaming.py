@@ -488,3 +488,28 @@ class TestPartitionedHttpSink:
         assert sorted(posted) == [
             ("zepto_u1", "1234"), ("zepto_u2", "5678"), ("zepto_u3", "9012")
         ]
+
+
+class TestContentDedupWithinWatermark:
+    def test_drops_same_content_distinct_ids(self, spark, tmp_path):
+        """Redelivered payloads get fresh event_ids (the reference's Pub/Sub
+        redelivery shape), so id-dedup misses them; content dedup must keep
+        exactly one row per distinct payload and the WithinWatermark state
+        bound must not drop the later DISTINCT payload."""
+        rows = [
+            (1, 1_000_000_000_000, 1, "signup", 1.0, '{"k": "a"}'),
+            (2, 1_000_060_000_000, 1, "signup", 1.0, '{"k": "a"}'),  # redelivery, new id
+            (3, 1_000_120_000_000, 1, "signup", 1.0, '{"k": "b"}'),
+        ]
+        schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+        path = _stage_stream(spark, tmp_path, rows, schema)
+        stream = (
+            spark.readStream.schema(watermark.EVENTS_RAW_SCHEMA)
+            .parquet(path)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        deduped = watermark.dedup_by_content(stream)
+        _drive(deduped, "content_dedup_out", output_mode="append",
+               checkpoint=str(tmp_path / "ckpt"))
+        out = spark.sql("SELECT props FROM content_dedup_out").collect()
+        assert sorted(r.props for r in out) == ['{"k": "a"}', '{"k": "b"}']
