@@ -269,3 +269,118 @@ def agg_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o,
+           round(sum(l_extendedprice) FILTER (WHERE l_linestatus = 'F'), 2) AS total_f,
+           round(sum(l_extendedprice) FILTER (WHERE l_linestatus = 'O'), 2) AS total_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: rotate l_linestatus values into columns with count + sum
+    measures per cell. The pivot values are DECLARED (`pivot(col, [F, O])`),
+    not discovered — at 100 TB value discovery is an extra full pass and a
+    driver-side collect; declaring them keeps the plan a single partial-agg
+    shuffle exactly like a plain groupBy (each pivot cell is a conditional
+    aggregate). The oracle states the same query as FILTERed aggregates,
+    which is precisely the physical form Spark lowers pivot to."""
+    l = load(spark, sf_dir, "lineitem")
+    p = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # count(*) is rejected inside pivot
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+        F.col("F_total").alias("total_f"),
+        F.col("O_total").alias("total_o"),
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT c_custkey, measure, value FROM (
+      SELECT c_custkey, 'acctbal' AS measure, c_acctbal AS value FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    )
+    """,
+    tags=("agg", "unpivot"),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide measure columns to (key, measure, value) rows —
+    the inverse rotation, used to normalize metric tables before union or
+    windowing. Spark's native `unpivot` is a scan-side generate (no
+    shuffle); the oracle is the equivalent UNION ALL."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "measure", "value")
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (median/p90/p99) via Spark's `percentile`
+    — both engines use linear interpolation on the sorted group, so the
+    values hash-match exactly. Exact percentiles buffer each group; at
+    100 TB switch to `approx_percentile` (t-digest sketch, mergeable
+    map-side) and accept the documented error bound — the exact form here
+    is the oracle-checkable tier."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_extendedprice) / 1e6, 6) AS var_price_m,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 9) AS cov_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: sample stddev/variance, Pearson
+    correlation, sample covariance per group. All are single-pass
+    mergeable moment sketches (sum, sum-of-squares, co-moments) — they
+    partial-aggregate map-side like any sum, so the shuffle carries one
+    moment tuple per (group, partition) regardless of row count."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice") / 1e6, 6).alias("var_price_m"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 9).alias("cov_qty_disc"),
+    )

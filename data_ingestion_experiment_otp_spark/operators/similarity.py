@@ -372,3 +372,67 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         q8.alias("q8"),
         F.round(F.sqrt(err_sq / F.size("v")), 6).alias("rmse"),
     )
+
+
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+@register("llm_sim_ivf", oracle=None, tags=("llm", "similarity", "approx"))
+def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN — the coarse-quantizer family beside sign-LSH: a
+    seeded spark.ml KMeans partitions the corpus into _IVF_CELLS cells
+    (the inverted file), each query probes its _IVF_NPROBE nearest
+    centroids, and exact cosine re-ranks only the probed cells.
+
+    Scale shape: centroids are a tiny model (cells × dim floats) that
+    broadcasts with the predict UDF; cell assignment is scan-side; the
+    probe join's key is the cell id, so the per-query candidate set is
+    nprobe/cells of the corpus, tunable independently of recall via
+    (cells, nprobe) exactly as in FAISS-style IVF. Query side is bounded
+    by the same _QUERY_ID_CAP contract. KMeans centroids are
+    engine-specific → rows-only; recall vs exact top-k is asserted in
+    tests/test_invariants.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings")
+    vec = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=_IVF_CELLS, seed=42, maxIter=10, featuresCol="features")
+    model = km.fit(vec.select("features"))
+    assigned = model.transform(vec).select(
+        "vec_id", "v", F.col(model.getPredictionCol()).alias("cell")
+    )
+
+    # Query side: nprobe nearest centroids per query by cosine (centroids
+    # are a driver-side list of _IVF_CELLS vectors — a model, not data).
+    import numpy as np
+
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    cn = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+    qrows = (
+        assigned.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP))
+        .select("vec_id", "v")
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        q = np.asarray(r["v"])
+        sims = cn @ (q / max(np.linalg.norm(q), 1e-12))
+        for cell in np.argsort(-sims)[:_IVF_NPROBE]:
+            probe_rows.append((r["vec_id"], [float(x) for x in q], int(cell)))
+    probes = spark.createDataFrame(probe_rows, "query_id long, q array<double>, cell int")
+
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        assigned.join(F.broadcast(probes), on="cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine_raw", _cosine("q", "v"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id", F.round("cosine_raw", 6).alias("cosine"), "rn")
+    )

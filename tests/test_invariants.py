@@ -175,3 +175,28 @@ class TestMultimodal:
         a = sorted(map(tuple, llm_multimodal_features(spark, sf_dir).collect()))
         b = sorted(map(tuple, llm_multimodal_features(spark, sf_dir).collect()))
         assert a == b
+
+
+class TestIvfTopK:
+    def test_reported_cosines_exact_and_recall(self, spark, sf_dir):
+        """IVF ANN re-ranks with the exact cosine (agreement check), and
+        probing 4/16 cells must recover a solid share of true top-k —
+        measured 0.72 at sf0.001 / 0.64 at sf0.01 with the seeded KMeans;
+        assert a floor well under the measurement but far above the LSH
+        floor, since coarse-quantizer locality beats random hyperplanes at
+        this corpus density."""
+        from data_ingestion_experiment_otp_spark.operators.similarity import llm_sim_ivf
+
+        exact = {
+            (r["query_id"], r["vec_id"]): r["cosine"]
+            for r in llm_sim_topk(spark, sf_dir).collect()
+        }
+        approx = {
+            (r["query_id"], r["vec_id"]): r["cosine"]
+            for r in llm_sim_ivf(spark, sf_dir).collect()
+        }
+        for key, cos in approx.items():
+            if key in exact:
+                assert abs(cos - exact[key]) < 1e-6
+        recall = len(set(approx) & set(exact)) / len(exact)
+        assert recall >= 0.4, f"IVF recall {recall:.2f} over {len(exact)} exact pairs"
