@@ -485,3 +485,79 @@ def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_RESAMPLE_STEP_S = 21600  # 6-hour grid
+_RESAMPLE_USERS = 8
+
+
+@register(
+    "ts_resample_ffill",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS es, value
+      FROM events WHERE user_id < {_RESAMPLE_USERS}
+    ),
+    obs AS (
+      SELECT user_id, (es // {_RESAMPLE_STEP_S}) * {_RESAMPLE_STEP_S} AS bucket_s,
+             round(sum(value), 2) / count(*) AS v_avg
+      FROM ev GROUP BY user_id, (es // {_RESAMPLE_STEP_S}) * {_RESAMPLE_STEP_S}
+    ),
+    bounds AS (SELECT user_id, min(bucket_s) AS b0, max(bucket_s) AS b1 FROM obs GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(range(b0, b1 + 1, {_RESAMPLE_STEP_S})) AS bucket_s FROM bounds
+    )
+    SELECT g.user_id, g.bucket_s,
+           last_value(o.v_avg IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket_s
+             ROWS UNBOUNDED PRECEDING) AS value_ffill,
+           o.v_avg IS NULL AS is_gap
+    FROM grid g LEFT JOIN obs o
+      ON o.user_id = g.user_id AND o.bucket_s = g.bucket_s
+    """,
+    tags=("window", "timeseries", "resample"),
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill — the hypertable-style rollup: per
+    key, bucket observations to a fixed grid (6-hour epochs), materialize
+    the COMPLETE grid between each key's first and last bucket
+    (`sequence` + explode — generated, not stored), left-join the
+    observations, and forward-fill gaps with `last(value, ignorenulls)`
+    over the ordered grid. `is_gap` marks interpolated rows.
+
+    Scale shape: one aggregate shuffle on (key, bucket), a per-key bounds
+    aggregate (tiny), scan-side grid generation, and one window per key —
+    everything partitions by the series key, so a million independent
+    series parallelize perfectly; the grid never materializes outside its
+    key's partition. The per-bucket average is computed as
+    round(sum, 2)/count (the measure's decimal grid), which makes the
+    double arithmetic engine-exact; the forward-filled value is emitted
+    unrounded because both engines then hold bit-identical doubles."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < _RESAMPLE_USERS)
+    bucket = (
+        F.floor(F.unix_seconds("ts") / _RESAMPLE_STEP_S) * _RESAMPLE_STEP_S
+    ).alias("bucket_s")
+    obs = ev.groupBy("user_id", bucket).agg(
+        (F.round(F.sum("value"), 2) / F.count("*")).alias("v_avg")
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.min("bucket_s").alias("b0"), F.max("bucket_s").alias("b1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("b0", "b1", F.lit(_RESAMPLE_STEP_S))).alias("bucket_s"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "bucket_s"], "left")
+        .select(
+            "user_id",
+            "bucket_s",
+            F.last("v_avg", ignorenulls=True).over(w).alias("value_ffill"),
+            F.col("v_avg").isNull().alias("is_gap"),
+        )
+    )

@@ -136,3 +136,31 @@ def windowed_counts(events: DataFrame, window: str = "10 minutes") -> DataFrame:
             "total_value",
         )
     )
+
+
+def stream_stream_rendezvous_join(
+    requests: DataFrame, otps: DataFrame, within: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join — the stateless-API form of the OTP
+    rendezvous (`api/login_workflow.py:117,170-175`): a request row matches
+    an otp row with the same key arriving within `within` AFTER it. Both
+    sides carry watermarks, so the join state for a key is evicted once the
+    watermark passes its interval — bounded state without any custom
+    stateful operator. Use this form when the matching rule is a pure
+    time-interval predicate; the applyInPandasWithState /
+    transformWithState forms (state_machine.py, transform_state.py) add
+    what this cannot express: explicit timeout rows on non-arrival and
+    first-arrival-wins parking semantics."""
+    r = requests.withWatermark("ts", within).alias("r")
+    o = otps.withWatermark("ts", within).alias("o")
+    return r.join(
+        o,
+        F.expr(
+            f"r.key = o.key AND o.ts >= r.ts AND o.ts <= r.ts + interval {within}"
+        ),
+    ).select(
+        F.col("r.key").alias("key"),
+        F.col("o.payload").alias("otp"),
+        F.unix_seconds(F.col("r.ts")).alias("request_ts_s"),
+        F.unix_seconds(F.col("o.ts")).alias("otp_ts_s"),
+    )

@@ -513,3 +513,36 @@ class TestContentDedupWithinWatermark:
                checkpoint=str(tmp_path / "ckpt"))
         out = spark.sql("SELECT props FROM content_dedup_out").collect()
         assert sorted(r.props for r in out) == ['{"k": "a"}', '{"k": "b"}']
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_matches_within_window_only(self, spark, tmp_path):
+        """Stream-stream interval join: same-key otp within the interval
+        matches; an otp outside the interval and a request with no otp
+        produce nothing (inner join); join state is watermark-bounded."""
+        t0 = 1_700_000_000
+        req_rows = [("k1", t0 * 1_000_000), ("k2", t0 * 1_000_000)]
+        otp_rows = [
+            ("k1", "1234", (t0 + 120) * 1_000_000),     # within 10 min -> match
+            ("k2", "9999", (t0 + 3_600) * 1_000_000),   # 1 h later -> no match
+        ]
+        rp = str(tmp_path / "req")
+        op = str(tmp_path / "otp")
+        spark.createDataFrame(req_rows, "key string, ts_us long").coalesce(1).write.parquet(rp)
+        spark.createDataFrame(otp_rows, "key string, payload string, ts_us long").coalesce(
+            1
+        ).write.parquet(op)
+        req = (
+            spark.readStream.schema("key string, ts_us long")
+            .parquet(rp)
+            .withColumn("ts", F.expr("timestamp_micros(ts_us)"))
+        )
+        otp = (
+            spark.readStream.schema("key string, payload string, ts_us long")
+            .parquet(op)
+            .withColumn("ts", F.expr("timestamp_micros(ts_us)"))
+        )
+        joined = watermark.stream_stream_rendezvous_join(req, otp)
+        _drive(joined, "ssj_out", output_mode="append", checkpoint=str(tmp_path / "ckpt"))
+        out = [(r.key, r.otp) for r in spark.sql("SELECT key, otp FROM ssj_out").collect()]
+        assert out == [("k1", "1234")]
