@@ -188,3 +188,37 @@ def fn_scalar_array_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("l_returnflag") == "R", "returned").otherwise("kept").alias("ret_label"),
         F.coalesce(F.nullif("l_linestatus", F.lit("O")), F.lit("open")).alias("status_label"),
     )
+
+
+@register(
+    "fn_strings",
+    oracle="""
+    SELECT doc_id,
+           levenshtein(left(text, 15), 'the quick brown') AS lev,
+           reverse(lang) AS rlang,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded,
+           split_part(source, '_', 1) AS src_head,
+           strpos(text, 'spark') AS spark_pos,
+           repeat(lang, 2) AS lang2
+    FROM documents
+    """,
+    tags=("scalar", "string"),
+)
+def fn_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface beyond the regex/extract chain: levenshtein
+    edit distance (the fuzzy-match primitive — join-key normalization and
+    near-dup candidate scoring both reduce to it), reverse, pad, delimiter
+    split, substring position, repeat. All JVM built-ins in one codegen'd
+    projection; levenshtein is O(len²) per row, so at scale cap operand
+    length (done here: 15 chars) or pre-filter with a cheap length/prefix
+    gate before paying it."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.levenshtein(F.substring("text", 1, 15), F.lit("the quick brown")).alias("lev"),
+        F.reverse("lang").alias("rlang"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded"),
+        F.substring_index("source", "_", 1).alias("src_head"),
+        F.instr("text", "spark").alias("spark_pos"),
+        F.repeat("lang", 2).alias("lang2"),
+    )

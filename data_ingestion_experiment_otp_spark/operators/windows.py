@@ -561,3 +561,31 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v_avg").isNull().alias("is_gap"),
         )
     )
+
+
+@register(
+    "win_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "distribution"),
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — quartile assignment (ntile),
+    percent_rank and cume_dist per market segment, tie-broken by key for
+    determinism. Same single-shuffle shape as any partitioned window: one
+    exchange on the partition key, one sort within."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
