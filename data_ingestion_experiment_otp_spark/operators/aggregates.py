@@ -384,3 +384,25 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 9).alias("cov_qty_disc"),
     )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # sketch internals are engine-specific; rank-error bound is pytest-asserted
+    tags=("agg", "percentile", "approx"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: `approx_percentile` (Greenwald-Khanna
+    sketch, accuracy 10000 → rank error <= 0.01%). Unlike the exact
+    `percentile` (which buffers every group value), the sketch is a fixed
+    few-KB state that partial-aggregates map-side and merges in the
+    shuffle — per-group memory is O(accuracy), not O(rows). Engine-private
+    sketch => no cross-engine oracle; tests/test_invariants.py asserts
+    each reported quantile's true rank is within the documented bound of
+    its target and that p50<=p90<=p99."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90"),
+        F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("p99"),
+    )

@@ -640,3 +640,119 @@ def llm_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+_INCR_ORACLE = f"""
+    WITH corpus AS (
+      SELECT * FROM documents WHERE doc_id % 10 < 8
+    ),
+    batch AS (
+      SELECT * FROM documents WHERE doc_id % 10 >= 8
+      UNION ALL
+      SELECT * FROM documents WHERE doc_id % 10 < 8 AND doc_id % 50 = 0
+    ),
+    exact AS (
+      SELECT DISTINCT b.doc_id
+      FROM batch b JOIN corpus c ON sha256(b.text) = sha256(c.text)
+    ),
+    btok AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS w
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM batch) WHERE len(ws) >= 3
+    ),
+    ctok AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS w
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM corpus) WHERE len(ws) >= 3
+    ),
+    bsz AS (SELECT doc_id, count(*) AS n FROM btok GROUP BY doc_id),
+    csz AS (SELECT doc_id, count(*) AS n FROM ctok GROUP BY doc_id),
+    near AS (
+      SELECT DISTINCT i.doc_b AS doc_id
+      FROM (SELECT b.doc_id AS doc_b, c.doc_id AS doc_c, count(*) AS n_common
+            FROM btok b JOIN ctok c ON b.w = c.w AND b.doc_id <> c.doc_id
+            GROUP BY b.doc_id, c.doc_id) i
+      JOIN bsz ON bsz.doc_id = i.doc_b
+      JOIN csz ON csz.doc_id = i.doc_c
+      WHERE i.n_common / (bsz.n + csz.n - i.n_common) >= {_JACCARD_THRESHOLD}
+    )
+    SELECT b.doc_id,
+           b.doc_id IN (SELECT doc_id FROM exact) AS is_exact_dup,
+           b.doc_id IN (SELECT doc_id FROM near) AS is_near_dup
+    FROM batch b
+    """
+
+
+@register(
+    "llm_incremental_dedup",
+    oracle=_INCR_ORACLE,
+    tags=("llm", "dedup", "incremental"),
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: screen an incoming BATCH against the
+    already-ingested CORPUS without reprocessing the corpus pairwise.
+    The batch here is the doc_id%10>=8 slice plus a re-delivered corpus
+    slice (doc_id%50==0) — the re-crawl-unchanged-pages case. Two screens,
+    each an inverted lookup keyed so only batch-sized state moves per run:
+
+    - exact: semi-join on sha256(text) — at scale the corpus side is a
+      pre-materialized hash index (bucketed by hash), so the batch probes
+      it without the corpus rescanning;
+    - near: 3-gram-shingle inverted index, batch shingles joined to corpus
+      shingles (self-pairs excluded so a re-delivered doc is caught by the
+      exact screen, not by matching itself), Jaccard >= threshold.
+
+    Append-only growth keeps both screens incremental: each run indexes
+    only the accepted batch and unions it into the corpus index."""
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 < 8)
+    batch = d.filter(F.col("doc_id") % 10 >= 8).unionByName(
+        d.filter((F.col("doc_id") % 10 < 8) & (F.col("doc_id") % 50 == 0))
+    )
+
+    exact = (
+        batch.select("doc_id", F.sha2("text", 256).alias("h"))
+        .join(corpus.select(F.sha2("text", 256).alias("h")), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    def toks(df):
+        ws = F.filter(F.split("text", " "), lambda w: w != "")
+        return (
+            df.select("doc_id", ws.alias("ws"))
+            .filter(F.size("ws") >= 3)
+            .select("doc_id", F.explode(F.expr(_SHINGLE_HASHES_SPARK)).alias("w"))
+        )
+
+    btok, ctok = toks(batch), toks(corpus)
+    bsz = btok.groupBy("doc_id").agg(F.count("*").alias("nb"))
+    csz = ctok.groupBy("doc_id").agg(F.count("*").alias("nc"))
+    inter = (
+        btok.alias("b")
+        .join(
+            ctok.alias("c"),
+            (F.col("b.w") == F.col("c.w")) & (F.col("b.doc_id") != F.col("c.doc_id")),
+        )
+        .groupBy(F.col("b.doc_id").alias("doc_b"), F.col("c.doc_id").alias("doc_c"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("nb") + F.col("nc") - F.col("n_common"))
+    near = (
+        inter.join(bsz.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .join(csz.withColumnRenamed("doc_id", "doc_c"), "doc_c")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+    return (
+        batch.select("doc_id")
+        .join(exact.withColumn("is_exact_dup", F.lit(True)), "doc_id", "left")
+        .join(near.withColumn("is_near_dup", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_exact_dup", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
+        )
+    )

@@ -574,3 +574,40 @@ def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "sql_correlated_subquery",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_below,
+           round(sum(l_extendedprice), 2) AS below_avg_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_brand
+    """,
+    tags=("sql", "subquery"),
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface: a correlated scalar subquery (TPC-H Q17 shape —
+    lineitems below half the per-part average quantity, revenue by brand),
+    submitted as literal SQL over registered temp views. Catalyst
+    decorrelates the subquery into a per-part aggregate + join, so the
+    plan is two scans + one agg + two joins — no per-row re-execution,
+    which is what makes the construct usable at 100 TB. The avg is
+    deterministic cross-engine because l_quantity is whole-number-valued
+    (integer-exact double sum / count)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               count(*) AS n_below,
+               round(sum(l_extendedprice), 2) AS below_avg_revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand
+        """
+    )

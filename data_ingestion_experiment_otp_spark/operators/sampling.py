@@ -133,3 +133,47 @@ def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shard")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("shard_chars"))
     )
+
+
+@register(
+    "llm_dataset_mix",
+    oracle=f"""
+    WITH strata AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    biggest AS (SELECT max(n) AS n_max FROM strata)
+    SELECT d.doc_id, d.source,
+           round(least(1.0, 0.2 * sqrt(n_max / s.n)), 9) AS mix_rate,
+           (d.doc_id * {_A}) % {_MOD}
+             < {_MOD} * least(1.0, 0.2 * sqrt(n_max / s.n)) AS in_mix
+    FROM documents d
+    JOIN strata s ON s.source = d.source
+    CROSS JOIN biggest
+    """,
+    tags=("llm", "sampling", "mixture"),
+)
+def llm_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting (temperature-style, alpha = 0.5): each
+    source's keep-rate is `min(1, base * sqrt(n_max / n_s))`, so dominant
+    sources are downsampled toward the square-root of their share while
+    rare sources are kept whole — the standard multinomial-temperature
+    trick for balancing web-scale corpora. Selection goes through the
+    deterministic key hash (reproducible on any engine/partitioning);
+    per-source rates come from a broadcast one-row-per-source aggregate,
+    so the corpus never shuffles. Every arithmetic step (bigint divide,
+    sqrt, one multiply) is an IEEE correctly-rounded op — bit-identical
+    across engines, safe for boundary comparisons."""
+    d = load(spark, sf_dir, "documents")
+    strata = d.groupBy("source").agg(F.count("*").alias("n"))
+    n_max = strata.agg(F.max("n").alias("n_max"))
+    rate = F.least(F.lit(1.0), F.lit(0.2) * F.sqrt(F.col("n_max") / F.col("n")))
+    return (
+        d.join(F.broadcast(strata), on="source")
+        .crossJoin(F.broadcast(n_max))
+        .select(
+            "doc_id",
+            "source",
+            F.round(rate, 9).alias("mix_rate"),
+            (_bucket("doc_id") < _MOD * rate).alias("in_mix"),
+        )
+    )

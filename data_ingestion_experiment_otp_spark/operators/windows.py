@@ -589,3 +589,43 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@register(
+    "sort_global_index",
+    oracle="""
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS global_idx
+    FROM documents
+    """,
+    tags=("sort", "index"),
+)
+def sort_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dense global ordinal (training-sample ids) WITHOUT a
+    single-partition global window. `row_number() OVER (ORDER BY ...)`
+    with no PARTITION BY funnels every row through one task — the classic
+    100 TB cliff. Instead, the two-phase partition-offset pattern:
+
+    1. range-repartition by the sort key (the same exchange a global sort
+       uses — each partition then holds a contiguous, non-overlapping key
+       range, so partition order IS key order);
+    2. per-partition counts (few-hundred-row aggregate, collected and
+       prefix-summed on the driver — bounded by the partition count, not
+       the data);
+    3. broadcast the offsets back; final index = partition offset +
+       (row_number within the partition) — a perfectly parallel window.
+
+    The oracle is the naive global row_number, so the check proves the
+    distributed form computes the identical total order."""
+    d = load(spark, sf_dir, "documents").repartitionByRange(8, "doc_id")
+    part = d.select("doc_id", F.spark_partition_id().alias("pid"))
+    counts = part.groupBy("pid").agg(F.count("*").alias("n")).orderBy("pid").collect()
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["pid"]] = acc
+        acc += r["n"]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = W.partitionBy("pid").orderBy("doc_id")
+    return part.select(
+        "doc_id",
+        (off[F.col("pid")] + F.row_number().over(w) - 1).alias("global_idx"),
+    )

@@ -271,3 +271,50 @@ def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(spark, "customer_orc")
     c.write.mode("overwrite").orc(path)
     return spark.read.schema(CUSTOMER_SCHEMA).orc(path)
+
+
+@register(
+    "snk_compacted_parquet",
+    oracle="""
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM documents GROUP BY source
+    """,
+    tags=("sink", "compaction"),
+)
+def snk_compacted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every 100 TB parquet lake
+    needs: a fragmented dataset (here deliberately written as 64 splinter
+    files, the streaming-micro-batch failure mode) is rewritten into few
+    large files, clustered with `sortWithinPartitions(source, doc_id)` so
+    row groups stay contiguous per source and min/max column statistics
+    become selective (scan pruning on `source`/`doc_id` hits whole-file
+    ranges instead of shotgunned rows). The compacted-side partition count
+    comes from `repartition(source)` — at scale you'd target
+    file-size-based AQE coalescing (`spark.sql.files.maxRecordsPerFile`)
+    instead of a fixed N. The oracle aggregates the ORIGINAL table; the
+    query aggregates the READ-BACK compacted copy, so content loss or
+    duplication in either rewrite fails the hash gate. The splinter→
+    compacted file-count drop is asserted in pytest (test_sinks)."""
+    d = load(spark, sf_dir, "documents").select([f.name for f in DOCUMENTS_SCHEMA.fields])
+    frag = _scratch(spark, "docs_fragmented")
+    compact = _scratch(spark, "docs_compacted")
+    d.repartition(64).write.mode("overwrite").parquet(frag)
+    (
+        spark.read.schema(DOCUMENTS_SCHEMA).parquet(frag)
+        .repartition("source")
+        .sortWithinPartitions("source", "doc_id")
+        .write.mode("overwrite")
+        .parquet(compact)
+    )
+    return (
+        spark.read.schema(DOCUMENTS_SCHEMA)
+        .parquet(compact)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.max("doc_id").cast("long").alias("max_id"),
+        )
+    )

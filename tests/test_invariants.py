@@ -200,3 +200,57 @@ class TestIvfTopK:
                 assert abs(cos - exact[key]) < 1e-6
         recall = len(set(approx) & set(exact)) / len(exact)
         assert recall >= 0.4, f"IVF recall {recall:.2f} over {len(exact)} exact pairs"
+
+
+class TestApproxPercentile:
+    def test_rank_error_within_bound(self, spark, sf_dir):
+        """approx_percentile(accuracy=10000) guarantees rank error <=
+        n/10000 per group. Verify each reported quantile against the
+        group's sorted values: its true rank must be within the bound of
+        the target rank, and the quantiles must be monotone."""
+        from data_ingestion_experiment_otp_spark.operators.aggregates import (
+            agg_approx_percentile,
+        )
+        from data_ingestion_experiment_otp_spark.sources.catalog import load
+
+        rows = {r["l_returnflag"]: r for r in agg_approx_percentile(spark, sf_dir).collect()}
+        vals = (
+            load(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_extendedprice")
+            .collect()
+        )
+        by_flag = {}
+        for r in vals:
+            by_flag.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+        import bisect
+
+        for flag, xs in by_flag.items():
+            xs.sort()
+            n = len(xs)
+            r = rows[flag]
+            assert r["p50"] <= r["p90"] <= r["p99"]
+            for q, v in ((0.5, r["p50"]), (0.9, r["p90"]), (0.99, r["p99"])):
+                lo = bisect.bisect_left(xs, v)
+                hi = bisect.bisect_right(xs, v)
+                target = q * n
+                slack = n / 10000 + 1
+                assert lo - slack <= target <= hi + slack, (flag, q, v, lo, hi, n)
+
+
+class TestCompaction:
+    def test_file_count_collapses(self, spark, sf_dir):
+        """The compaction rewrite must actually de-fragment: 64 splinter
+        files in, a handful out (AQE coalesces the 20 source partitions
+        to fill-size targets; at fixture scale that's 1-4 files)."""
+        import glob
+
+        from data_ingestion_experiment_otp_spark.sources.files import (
+            _scratch,
+            snk_compacted_parquet,
+        )
+
+        snk_compacted_parquet(spark, sf_dir).collect()
+        nfrag = len(glob.glob(_scratch(spark, "docs_fragmented") + "/*.parquet"))
+        ncomp = len(glob.glob(_scratch(spark, "docs_compacted") + "/*.parquet"))
+        assert nfrag == 64
+        assert 1 <= ncomp <= 8

@@ -164,3 +164,16 @@ class TestScanSideOperators:
         scale."""
         ops = ops_of(plan_of(spark, sf_dir, name))
         assert not any("Exchange" in op for op in ops), ops
+
+
+class TestDecorrelation:
+    def test_correlated_subquery_becomes_agg_join(self, spark, sf_dir):
+        """Catalyst must decorrelate the scalar subquery into a per-part
+        aggregate + join — never a per-outer-row re-execution (the plan
+        would carry a Subquery/ScalarSubquery node). Viability at 100 TB
+        depends on this rewrite."""
+        plan = plan_of(spark, sf_dir, "sql_correlated_subquery")
+        assert "Subquery" not in plan, "subquery not decorrelated"
+        ops = ops_of(plan)
+        assert any("HashAggregate" in op for op in ops)
+        assert any("Join" in op for op in ops)
