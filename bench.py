@@ -43,6 +43,8 @@ HEADLINE = [
     "llm_sim_lsh_bucketed",
     "llm_chunk_docs",
     "llm_fingerprint",
+    "llm_incremental_dedup",
+    "sql_correlated_subquery",
     "pipeline_otp_ingest",
 ]
 

@@ -611,3 +611,43 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_brand
         """
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str, n_salts: int = 16) -> DataFrame:
+    """Hand-salted skew join — the manual form of what AQE's skew-join
+    split does at runtime, for engines/paths where AQE can't see the skew
+    (e.g. a skewed key feeding a sort-merge join mid-pipeline): the fact
+    side gets a deterministic salt `pmod(event_id, N)`, the dimension side
+    is exploded N ways, and the join key becomes (key, salt) — a hot key's
+    rows now land on N reducers instead of one. The dimension inflates N×
+    (bounded: dims are small), the fact side never duplicates, and the
+    join RESULT is identical to the unsalted join — which is exactly what
+    the oracle checks. Salt from the row id, not rand(): deterministic
+    under retries/replays, so speculative re-execution can't double-count."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod("event_id", F.lit(n_salts)).cast("int")
+    )
+    c = load(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    # hint("merge") forces the sort-merge path the salting exists for; a
+    # broadcast join would make salting pointless (no reducer hot spot).
+    return (
+        ev.join(c.hint("merge"), (ev.user_id == c.c_custkey) & (ev.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

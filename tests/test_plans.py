@@ -177,3 +177,19 @@ class TestDecorrelation:
         ops = ops_of(plan)
         assert any("HashAggregate" in op for op in ops)
         assert any("Join" in op for op in ops)
+
+
+class TestSaltedJoin:
+    def test_salt_reaches_smj_keys(self, spark, sf_dir):
+        """The salted join must actually sort-merge on (key, salt) — if the
+        optimizer collapsed it to a broadcast join or dropped the salt from
+        the keys, the skew-spreading property is gone."""
+        plan = plan_of(spark, sf_dir, "join_salted_skew")
+        ops = ops_of(plan)
+        assert any("SortMergeJoin" in op for op in ops), ops
+        lines = plan.splitlines()
+        smj_idx = next(
+            i for i, l in enumerate(lines) if re.match(r"^\(\d+\) SortMergeJoin", l.strip())
+        )
+        keys = "\n".join(lines[smj_idx : smj_idx + 4])
+        assert "Left keys [2]" in keys and "salt" in keys, keys
