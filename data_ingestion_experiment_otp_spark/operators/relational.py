@@ -651,3 +651,63 @@ def join_salted_skew(spark: SparkSession, sf_dir: str, n_salts: int = 16) -> Dat
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+_INCIDENT_THRESHOLD = 300.0
+_RANGE_WINDOW_US = 300_000_000  # ±5 minutes, in microseconds
+
+
+@register(
+    "join_range_binned",
+    oracle=f"""
+    WITH i AS (
+      SELECT event_id, ts FROM events WHERE value >= {_INCIDENT_THRESHOLD}
+    )
+    SELECT i.event_id AS incident_id,
+           count(e.event_id) AS n_nearby
+    FROM i LEFT JOIN events e
+      ON e.event_id <> i.event_id
+     AND abs(epoch_us(e.ts) - epoch_us(i.ts)) <= {_RANGE_WINDOW_US}
+    GROUP BY i.event_id
+    """,
+    tags=("join", "range"),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key) made sub-quadratic by binning — the
+    trick Spark lacks as a native optimization: "events within ±5 min of
+    each incident" has no shared key, so the naive plan is a nested-loop
+    over points × incidents. Instead both sides are bucketed into
+    window-sized time bins; a point can only be within the window of an
+    incident in its own or an adjacent bin, so the incident side explodes
+    to [bin-1, bin, bin+1] and the join becomes an EQUI join on the bin
+    (hash-partitionable, AQE-skew-splittable) with the exact range
+    predicate as a residual filter. Each point holds exactly one bin, so
+    a pair can match at most once — no dedup pass. The 3× explode is on
+    the small (filtered) side; cost scales with points + 3·incidents +
+    true matches, never points × incidents."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    binned = ev.withColumn("bin", F.floor(F.col("ts_us") / _RANGE_WINDOW_US))
+    incidents = (
+        binned.filter(F.col("value") >= _INCIDENT_THRESHOLD)
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts_us").alias("i_ts_us"),
+            F.explode(
+                F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+            ).alias("bin"),
+        )
+    )
+    points = binned.select("event_id", "ts_us", "bin")
+    return (
+        incidents.join(
+            points,
+            (incidents.bin == points.bin)
+            & (F.col("event_id") != F.col("incident_id"))
+            & (F.abs(F.col("ts_us") - F.col("i_ts_us")) <= _RANGE_WINDOW_US),
+            "left",
+        )
+        .groupBy("incident_id")
+        .agg(F.count("event_id").alias("n_nearby"))
+    )

@@ -1,0 +1,86 @@
+"""Streaming incremental corpus dedup: the ingestion-time form of
+operators/dedup.py::llm_incremental_dedup.
+
+Each micro-batch of incoming documents is screened against a persistent
+CORPUS INDEX (a parquet table of content hashes, partitioned by the epoch
+that admitted them) and only first-seen content is accepted. The index is
+the streaming analog of the reference's processed-set bookkeeping (the
+cursor file, `api/main.py:258-290`) generalized from a scalar high-water
+mark to a content-addressed set.
+
+Replay safety (the part naive implementations get wrong): on epoch replay
+the index already contains the epoch's own hashes, so screening against
+the whole index would reject the entire replayed batch. Both the screen
+and the index write are therefore batchId-scoped:
+
+- the screen reads only index partitions with ``src_batch < batch_id``
+  (partition pruning makes this a metadata filter, not a scan+filter);
+- the index write goes to the epoch's own ``src_batch=N`` partition with
+  dynamic partition overwrite, so a replay overwrites its previous
+  (possibly partial) index contribution instead of appending to it;
+- accepted documents land in a batchId-keyed directory exactly like
+  sinks.idempotent_parquet_sink.
+
+Net: at-least-once delivery + this sink = effectively-exactly-once
+acceptance, same contract as the other sinks in this package.
+
+At 100 TB the index table is big but narrow (32-byte hash + epoch); the
+anti-join shuffles only hashes, and bucketing the index by hash would
+co-locate the probe. The near-dup (shingle) screen composes the same way
+— see llm_incremental_dedup for the batch form of that screen.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("src_batch", T.LongType()),
+    ]
+)
+
+
+def corpus_dedup_sink(
+    index_dir: str, accepted_dir: str, text_col: str = "text"
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: accept only documents whose content hash is
+    not already in the corpus index, then admit their hashes. Within a
+    batch, first occurrence wins (dropDuplicates on the hash)."""
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+        hashed = batch_df.withColumn("content_hash", F.sha2(text_col, 256)).dropDuplicates(
+            ["content_hash"]
+        )
+        if os.path.isdir(index_dir) and any(
+            e.startswith("src_batch=") for e in os.listdir(index_dir)
+        ):
+            seen = (
+                spark.read.schema(INDEX_SCHEMA)
+                .option("basePath", index_dir)
+                .parquet(index_dir)
+                .filter(F.col("src_batch") < batch_id)  # replay: ignore own epoch
+                .select("content_hash")
+            )
+            fresh = hashed.join(seen, "content_hash", "left_anti")
+        else:
+            fresh = hashed
+
+        fresh.drop("content_hash").write.mode("overwrite").parquet(
+            os.path.join(accepted_dir, f"batch_id={batch_id}")
+        )
+        (
+            fresh.select("content_hash", F.lit(batch_id).alias("src_batch"))
+            .write.mode("overwrite")
+            .partitionBy("src_batch")
+            .parquet(index_dir)
+        )
+
+    return screen

@@ -193,3 +193,14 @@ class TestSaltedJoin:
         )
         keys = "\n".join(lines[smj_idx : smj_idx + 4])
         assert "Left keys [2]" in keys and "salt" in keys, keys
+
+
+class TestRangeBinnedJoin:
+    def test_no_nested_loop(self, spark, sf_dir):
+        """The binned range join must plan as an equi join on the time bin
+        — a BroadcastNestedLoopJoin or CartesianProduct means the binning
+        rewrite regressed to the quadratic plan."""
+        plan = plan_of(spark, sf_dir, "join_range_binned")
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+        ops = ops_of(plan)
+        assert any("Join" in op for op in ops)

@@ -546,3 +546,69 @@ class TestStreamStreamJoin:
         _drive(joined, "ssj_out", output_mode="append", checkpoint=str(tmp_path / "ckpt"))
         out = [(r.key, r.otp) for r in spark.sql("SELECT key, otp FROM ssj_out").collect()]
         assert out == [("k1", "1234")]
+
+
+class TestCorpusIndexDedup:
+    DOC_SCHEMA = "doc_id long, text string"
+
+    @staticmethod
+    def _accepted(spark, accepted_dir):
+        import glob
+
+        rows = []
+        for d in sorted(glob.glob(os.path.join(accepted_dir, "batch_id=*"))):
+            bid = int(d.rsplit("=", 1)[1])
+            for r in spark.read.parquet(d).collect():
+                rows.append((bid, r["doc_id"], r["text"]))
+        return rows
+
+    def test_cross_batch_content_screen_and_replay(self, spark, tmp_path):
+        """Three micro-batches with cross-batch redelivered content (fresh
+        doc_ids, same text — the re-crawl shape): only first-seen content
+        is accepted; a replayed epoch (same batch_id) must be absorbed,
+        not re-admit or double-index its rows."""
+        import time
+
+        from data_ingestion_experiment_otp_spark.streaming import drive
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            corpus_dedup_sink,
+        )
+
+        in_dir = str(tmp_path / "docs_in")
+        batches = [
+            [(1, "alpha text"), (2, "beta text")],
+            [(3, "alpha text"), (4, "gamma text")],  # 3 = redelivery of 1
+            [(5, "beta text"), (6, "alpha text"), (7, "delta text")],
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, self.DOC_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+            time.sleep(0.05)  # distinct mtimes -> stable admission order
+
+        index_dir = str(tmp_path / "index")
+        accepted_dir = str(tmp_path / "accepted")
+        sink = corpus_dedup_sink(index_dir, accepted_dir)
+        q = (
+            spark.readStream.schema(self.DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drive.drain(q)
+
+        got = self._accepted(spark, accepted_dir)
+        assert [(d, t) for _, d, t in got] == [
+            (1, "alpha text"), (2, "beta text"), (4, "gamma text"), (7, "delta text"),
+        ], got
+
+        # replay the last epoch verbatim: accepted set and index unchanged
+        last_bid = max(b for b, _, _ in got)
+        replay_df = spark.createDataFrame(batches[2], self.DOC_SCHEMA)
+        sink(replay_df, last_bid)
+        assert self._accepted(spark, accepted_dir) == got
+        idx = spark.read.parquet(index_dir)
+        assert idx.count() == idx.select("content_hash").distinct().count() == 4
