@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.registry import register
-from ..sources.catalog import load
+from ..sources.catalog import load, load_split
 
 # Random embeddings in the fixture peak at cosine ~0.51, so 0.4 yields a
 # small, non-empty near-dup pair set.
@@ -137,7 +137,7 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-exchange form (11 s vs 2 s at sf0.1). The per-doc `sizes`
     aggregate is a counts-only shuffle — map-side partial aggregation
     reduces it to ~one row per doc before it moves."""
-    d = load(spark, sf_dir, "documents")
+    d = load_split(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     tok = (
         d.select("doc_id", ws.alias("ws"))
@@ -315,7 +315,7 @@ def llm_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB only stage 4's candidate join scales with near-dup density;
     stages 1-3 are a single scan-side projection per document."""
-    d = load(spark, sf_dir, "documents")
+    d = load_split(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     hs_t = (
         d.select("doc_id", ws.alias("ws"))
@@ -376,7 +376,7 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = load(spark, sf_dir, "documents")
+    d = load_split(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     docs = (
         d.select("doc_id", ws.alias("ws"))
@@ -487,7 +487,7 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific → rows-only; invariants (determinism, hamming locality)
     are pytest-checked in tests/test_dedup.py.
     """
-    d = load(spark, sf_dir, "documents")
+    d = load_split(spark, sf_dir, "documents")
     words = F.filter(F.split("text", " "), lambda w: w != "")
     tok = d.select("doc_id", F.explode(words).alias("w")).withColumn("h", F.hash("w"))
     bit_sums = [
@@ -535,7 +535,7 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     training corpus streams through a scan→filter→join pipeline. Output:
     one row per contaminated training doc with distinct shared-shingle
     and touched-benchmark-doc counts (the drop/keep decision input)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_split(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     tok = (
         d.select("doc_id", ws.alias("ws"))
@@ -609,7 +609,7 @@ def llm_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side partial) and the keep-filter is a join on the shingle hash,
     the same shuffle key the pair join already uses. Pytest-tier variant;
     the uncapped form keeps the driver slot.""".format(cap=_SHINGLE_DF_CAP)
-    d = load(spark, sf_dir, "documents")
+    d = load_split(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     tok = (
         d.select("doc_id", ws.alias("ws"))
@@ -704,7 +704,7 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Append-only growth keeps both screens incremental: each run indexes
     only the accepted batch and unions it into the corpus index."""
-    d = load(spark, sf_dir, "documents")
+    d = load_split(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 10 < 8)
     batch = d.filter(F.col("doc_id") % 10 >= 8).unionByName(
         d.filter((F.col("doc_id") % 10 < 8) & (F.col("doc_id") % 50 == 0))

@@ -78,3 +78,57 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
     )
     return extract_features(media)
+
+
+_FRAME_BYTES = 32
+_FRAME_STRIDE = 4  # keep every 4th frame
+
+
+@register(
+    "llm_frame_sample",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id, hex(encode(text)) AS payload_hex,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT doc_id, i AS frame_idx,
+           substring(payload_hex, i * {2 * _FRAME_BYTES} + 1, {2 * _FRAME_BYTES}) AS frame_hex
+    FROM media, unnest(range(0, n_bytes // {_FRAME_BYTES}, {_FRAME_STRIDE})) AS t(i)
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque binary media column — the decode-free
+    multimodal op: treat the payload as fixed-size frames (a raw video
+    buffer shape), keep every Nth whole frame with its index. Pure
+    byte-slicing built-ins (sequence → explode → substring → hex), so
+    unlike the codec-gated feature stage this one is exactly
+    cross-engine-checkable; the explode rides the scan (no shuffle), and
+    frames are emitted as hex so the comparison is representation-stable.
+    At scale this is the standard keyframe-ish downsample before an
+    expensive decode stage — output volume is input/(frame·stride),
+    controlled at the source."""
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.hex(F.encode("text", "utf-8")).alias("payload_hex"),
+        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+    )
+    nf = (F.col("n_bytes") / _FRAME_BYTES).cast("long")
+    hex_w = 2 * _FRAME_BYTES
+    return (
+        media.filter(nf > 0)
+        .select(
+            "doc_id",
+            "payload_hex",
+            F.explode(F.sequence(F.lit(0), nf - 1, F.lit(_FRAME_STRIDE))).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.expr(f"substring(payload_hex, frame_idx * {hex_w} + 1, {hex_w})").alias(
+                "frame_hex"
+            ),
+        )
+    )

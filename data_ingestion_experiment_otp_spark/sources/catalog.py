@@ -47,3 +47,21 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register fixture tables as temp views for SQL-form queries."""
     for name in tables:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_split(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`load`, plus input-parallelism repair for expensive scan-side
+    derivations (shingling, signature projection): a small or single-
+    row-group parquet input yields fewer scan splits than cores, so a
+    CPU-heavy derivation chained on the scan runs near-serially. When the
+    scan has fewer splits than a quarter of the cluster's parallelism,
+    spread it with a round-robin repartition BEFORE the heavy projection —
+    the shuffle moves the raw rows once (cheap: the input is small by
+    construction in this branch, that's why it had few splits) and every
+    core works afterward. At production scale the scan arrives already
+    split into hundreds of tasks and this is a no-op."""
+    df = load(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 4):
+        df = df.repartition(target)
+    return df
