@@ -629,3 +629,33 @@ def sort_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (off[F.col("pid")] + F.row_number().over(w) - 1).alias("global_idx"),
     )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (the QUALIFY pattern): row_number per segment,
+    filtered to rank <= 3. Spark's WindowGroupLimit optimization pushes
+    the limit BELOW the window sort — each task keeps a k-row heap per
+    group on the map side, so the shuffle and the final sort see at most
+    k rows per (group, input partition) instead of the whole table. That
+    rewrite is what makes per-group top-k viable at 100 TB and it is
+    pinned in test_plans (a plan without WindowGroupLimit re-sorts every
+    group in full)."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )

@@ -204,3 +204,12 @@ class TestRangeBinnedJoin:
         assert "NestedLoop" not in plan and "Cartesian" not in plan
         ops = ops_of(plan)
         assert any("Join" in op for op in ops)
+
+
+class TestTopKPerGroup:
+    def test_window_group_limit_pushed(self, spark, sf_dir):
+        """The rank<=k filter must trigger WindowGroupLimit (map-side
+        per-group heap before the window sort) — without it every group
+        is fully sorted and shuffled."""
+        ops = ops_of(plan_of(spark, sf_dir, "topk_per_group"))
+        assert any("WindowGroupLimit" in op for op in ops), ops
