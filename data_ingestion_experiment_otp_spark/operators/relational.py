@@ -614,6 +614,49 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_exists_anti",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+      AND NOT EXISTS (SELECT 1 FROM events e
+                      WHERE e.user_id = c.c_custkey AND e.event_type = 'error')
+    GROUP BY c_mktsegment
+    """,
+    tags=("sql", "subquery"),
+)
+def sql_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface: correlated EXISTS / NOT EXISTS predicates ("big
+    spenders with no error events"), submitted as literal SQL. Catalyst
+    decorrelates both into joins — EXISTS becomes a left-semi join,
+    NOT EXISTS a left-anti join (pinned in test_plans) — so each subquery
+    costs one hash join over a de-duplicated key set instead of per-row
+    re-execution; both are shuffle-partitioned on the customer key and
+    AQE-eligible at scale. Semi/anti join probes also never duplicate the
+    probe side, so the aggregate sees each customer at most once — the
+    semantics NOT IN can't give safely under NULLs."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+          AND NOT EXISTS (SELECT 1 FROM events e
+                          WHERE e.user_id = c.c_custkey AND e.event_type = 'error')
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
     "join_salted_skew",
     oracle="""
     SELECT c_mktsegment,

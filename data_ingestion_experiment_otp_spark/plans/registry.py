@@ -131,6 +131,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from ..operators import (  # noqa: F401
         aggregates,
         asof,
+        cdc,
         dedup,
         extraction,
         multimodal,

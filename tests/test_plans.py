@@ -213,3 +213,56 @@ class TestTopKPerGroup:
         is fully sorted and shuffled."""
         ops = ops_of(plan_of(spark, sf_dir, "topk_per_group"))
         assert any("WindowGroupLimit" in op for op in ops), ops
+
+
+class TestExistsDecorrelation:
+    def test_exists_becomes_semi_and_anti_join(self, spark, sf_dir):
+        """Correlated EXISTS / NOT EXISTS must decorrelate to left-semi /
+        left-anti joins — a plan that re-executes the subquery per row
+        (or falls back to a nested loop) is unusable at scale."""
+        plan = plan_of(spark, sf_dir, "sql_exists_anti")
+        assert "LeftSemi" in plan, plan
+        assert "LeftAnti" in plan, plan
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+class TestPartitionPruning:
+    def test_partition_filter_prunes_partitioned_read(self, spark, sf_dir, tmp_path):
+        """A filter on a parquet partition column must land in the scan's
+        PartitionFilters (directory-level pruning — no file of other
+        partitions is even listed), not as a post-scan data filter."""
+        import contextlib
+        import io
+
+        from pyspark.sql import functions as F
+
+        from data_ingestion_experiment_otp_spark.sources.catalog import load
+
+        path = str(tmp_path / "lineitem_by_flag")
+        load(spark, sf_dir, "lineitem").write.mode("overwrite").partitionBy(
+            "l_returnflag"
+        ).parquet(path)
+        df = (
+            spark.read.parquet(path)
+            .filter(F.col("l_returnflag") == "R")
+            .select("l_orderkey", "l_quantity")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        part_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+        assert "l_returnflag" in part_line and "= R" in part_line, part_line
+
+
+class TestCdcPlans:
+    def test_merge_is_single_join_no_cartesian(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "cdc_merge_upsert")
+        ops = ops_of(plan)
+        assert sum(1 for op in ops if "Join" in op) == 1, ops
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+    def test_scd2_is_one_shuffle_one_window(self, spark, sf_dir):
+        ops = ops_of(plan_of(spark, sf_dir, "cdc_scd2_history"))
+        assert ops.count("Exchange") == 1, ops
+        assert ops.count("Window") == 1, ops
