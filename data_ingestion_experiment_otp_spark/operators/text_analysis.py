@@ -510,3 +510,51 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shard", "pack_id")
         .agg(F.count("*").alias("n_chunks"), F.sum("n_tokens").alias("n_tokens"))
     )
+
+
+@register(
+    "udtf_tokenize",
+    oracle="""
+    WITH ws_t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    ex AS (
+      SELECT doc_id, unnest([{'p': i - 1, 't': ws[i]} for i in range(1, len(ws) + 1)]) AS u
+      FROM ws_t
+    )
+    SELECT doc_id, CAST(u['p'] AS INT) AS pos, u['t'] AS token FROM ex
+    """,
+    tags=("llm", "text", "udtf"),
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 user-defined *table* function, lateral-
+    joined in SQL): a positional tokenizer emitting one (pos, token) row
+    per word. The tokenization itself is deliberately built-in-expressible
+    (posexplode(split()) — and the DuckDB oracle proves value parity), so
+    what this entry pins is the EXTENSION POINT: the row→rows imperative
+    expansion path users need when the real logic is a genuine Python
+    tokenizer (BPE/sentencepiece) that no built-in expresses. Arrow-batched
+    (`useArrow=True`) so batches cross the JVM↔Python boundary columnar,
+    the same transport discipline as the pandas-UDF extractors; the lateral
+    join stays scan-side — no shuffle, embarrassingly parallel at any
+    scale. The doc_id%25 gate bounds fixture output; at 100 TB you would
+    run it unfiltered and the plan shape is identical."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string", useArrow=True)
+    class _Tokenize:
+        def eval(self, text: str):
+            if text:
+                for pos, tok in enumerate(text.split()):
+                    yield pos, tok
+
+    spark.udtf.register("tokenize_udtf", _Tokenize)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM documents d, LATERAL tokenize_udtf(d.text) t
+        WHERE d.doc_id % 25 = 0
+        """
+    )

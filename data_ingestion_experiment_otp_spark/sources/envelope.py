@@ -139,3 +139,39 @@ def ext_json_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.select("event_id", k.alias("k_val")).filter(F.col("k_val") >= 50)
+
+
+@register(
+    "ext_variant_json",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("extract", "json", "variant"),
+)
+def ext_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4): `props`
+    is parsed once into the binary variant encoding (`parse_json`), then
+    fields are read with typed `variant_get` paths. Against stringly JSON
+    this is the scale path for repeated access — the open-format binary
+    encoding is parsed once per row instead of re-tokenizing the JSON text
+    per extraction, and shredded variant columns admit pushdown in newer
+    parquet readers. Semantics pinned against the string-path oracle
+    (`json_extract_string`), so both access styles must agree exactly.
+    Generalizes the envelope field access of `api/main.py:245-246` the
+    same way as `ext_json_scalar`, which keeps the string fast path."""
+    ev = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )
