@@ -754,3 +754,98 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("incident_id")
         .agg(F.count("event_id").alias("n_nearby"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (engine addition)
+# ---------------------------------------------------------------------------
+
+# Engine-built bloom filter: m bits packed into m/64 longs, k probes.
+# Sized for the fixture build side (~3k keys -> ~4.5% fill, FP ~1e-4);
+# at scale m grows with the build-side NDV (keep fill under ~30%).
+_BLOOM_BITS = 1 << 16
+_BLOOM_K = 3
+
+
+def _bloom_probes(key_sql: str, k: int = _BLOOM_K) -> list[tuple[F.Column, F.Column]]:
+    """k (word-index, bit-mask) column pairs for a key expression: xxhash64
+    seeded by probe number, reduced mod m; identical arithmetic on build and
+    probe sides. SQL-string expressions because `shiftleft` takes only a
+    literal shift through the Python column API."""
+    pairs = []
+    for i in range(k):
+        pos = f"pmod(xxhash64({i}, {key_sql}), {_BLOOM_BITS})"
+        word = F.expr(f"cast(shiftright({pos}, 6) as int)")
+        mask = F.expr(f"shiftleft(1L, cast({pos} % 64 as int))")
+        pairs.append((word, mask))
+    return pairs
+
+
+def _bloom_of(keys: DataFrame, key_col: str = "k") -> DataFrame:
+    """Single-row DataFrame holding the bloom bit array of `keys` as a
+    word-index -> 64-bit-word map: one partial-aggregated pass (per-word
+    bit_or), <= 8 KB however many keys went in."""
+    entries = [
+        F.struct(w.alias("w"), m.alias("m")) for w, m in _bloom_probes(key_col)
+    ]
+    return (
+        keys.select(F.explode(F.array(*entries)).alias("p"))
+        .groupBy(F.col("p.w").alias("w"))
+        .agg(F.bit_or(F.col("p.m")).alias("word"))
+        .groupBy()
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bloom"))
+    )
+
+
+def _bloom_prune(df: DataFrame, bloom: DataFrame, key_sql: str) -> DataFrame:
+    """Filter `df` to rows whose key passes every bloom probe. The bloom is
+    broadcast (single row); no-FN guaranteed, FPs possible."""
+    cond = None
+    for w, m in _bloom_probes(key_sql):
+        hit = F.coalesce(F.element_at(F.col("bloom"), w), F.lit(0)).bitwiseAND(m) != 0
+        cond = hit if cond is None else (cond & hit)
+    return df.crossJoin(F.broadcast(bloom)).filter(cond).drop("bloom")
+
+
+@register(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT o.o_orderkey, li.n_items, li.sum_qty
+    FROM (SELECT l_orderkey, count(*) AS n_items,
+                 round(sum(l_quantity), 2) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey) li
+    JOIN orders o ON o.o_orderkey = li.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+    tags=("join", "scale"),
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via an explicit bloom filter — the 100 TB shuffle
+    cutter: when the dimension side is too big to broadcast raw, broadcast
+    a fixed-size bit array of its (filtered) keys instead and prune the
+    fact side BEFORE its aggregation shuffle. The bloom collapses to one
+    map row (<= 8 KB) and rides a broadcast to every scan task; the final
+    exact inner join removes false positives, so the result is
+    byte-identical to the unpruned plan — the bloom only shrinks the rows
+    entering the exchange (~5x here). The prune sits below the per-key
+    aggregate, which no pushdown rule can cross, so Catalyst cannot
+    reorder the exact join back under it (a bare bloom+semi-join
+    composition gets rewritten by PushDownLeftSemiAntiJoin into
+    join-then-bloom — shape pinned in tests/test_plans.py). This is the
+    hand-rolled form of Spark's runtime row-level filtering, also pinned
+    natively there; owning it makes the pattern available where the
+    optimizer's thresholds decline to inject it."""
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    pruned = _bloom_prune(li, _bloom_of(urgent), "l_orderkey")
+    per_order = pruned.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+    return per_order.join(
+        urgent, per_order.l_orderkey == urgent.k
+    ).select(F.col("k").alias("o_orderkey"), "n_items", "sum_qty")

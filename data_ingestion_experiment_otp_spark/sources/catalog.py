@@ -3,9 +3,12 @@
 Loads the driver-generated tables at ``/root/testdata/sf*/``. All reads are
 plain ``spark.read.parquet`` so Catalyst gets predicate pushdown, column
 pruning, and partition pruning for free; the only special case is
-``events.ts`` (parquet TIMESTAMP(NANOS)), read as long ns via the legacy
-flag and truncated to microseconds — exactly the truncation DuckDB applies
-on read, so both engines see identical values.
+``events.ts``, normalized to a UTC microsecond TIMESTAMP whatever the
+physical type a given testdata generation used: parquet TIMESTAMP(NANOS)
+(read as long ns via the legacy flag, truncated to us — the truncation
+DuckDB applies), naive TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ;
+reinterpreted as UTC, which is exactly how DuckDB reads it), or an
+already-UTC TIMESTAMP (passed through).
 
 Reference parity: the reference has no file sources (it reads the Gmail API,
 `main.py:139-177`); this catalog is the engine-target generalization.
@@ -38,8 +41,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # didn't have the flag at build time.
         spark.conf.set(NANOS_AS_LONG, "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # ns -> us truncation matches DuckDB's TIMESTAMP(NANOS) read.
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) via nanosAsLong: ns -> us truncation matches
+            # DuckDB's TIMESTAMP(NANOS) read.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Naive us timestamps: session tz is pinned to UTC, so the cast
+            # reinterprets the wall-clock as UTC instants — identical micros
+            # to DuckDB's naive TIMESTAMP read.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -20,13 +20,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from ..session import NANOS_AS_LONG
-
-# Schema of events.parquet as read with nanosAsLong (ts arrives as long ns).
+# Schema of a staged events directory (written by `stage_events_dir` from
+# the catalog-normalized fixture, so ts is a UTC us TIMESTAMP).
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -52,12 +51,15 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, target_dir: str, n_files:
     semantics, useless fixture.)"""
     import time
 
-    spark.conf.set(NANOS_AS_LONG, "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..sources import catalog
+
+    ev = catalog.load(spark, sf_dir, "events")
     if n_files > 1:
         pcts = ", ".join(str((k + 1) / n_files) for k in range(n_files - 1))
         bounds = list(
-            ev.selectExpr(f"percentile_approx(ts, array({pcts}), 10000) AS b").collect()[0]["b"]
+            ev.selectExpr(
+                f"percentile_approx(unix_micros(ts), array({pcts}), 10000) AS b"
+            ).collect()[0]["b"]
         )
     else:
         bounds = []
@@ -66,9 +68,9 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, target_dir: str, n_files:
         hi = bounds[k] if k < len(bounds) else None
         sl = ev
         if lo is not None:
-            sl = sl.filter(F.col("ts") > lo)
+            sl = sl.filter(F.expr(f"unix_micros(ts) > {lo}"))
         if hi is not None:
-            sl = sl.filter(F.col("ts") <= hi)
+            sl = sl.filter(F.expr(f"unix_micros(ts) <= {hi}"))
         sl.coalesce(1).write.mode("append").parquet(target_dir)
         time.sleep(0.05)  # guarantee distinct ms-resolution mtimes
         lo = hi
@@ -81,13 +83,11 @@ def stream_events(spark: SparkSession, events_dir: str, max_files_per_trigger: i
     `history.list(startHistoryId=…)` (`api/main.py:278-287`) with the
     checkpoint playing the cursor role. Use `stage_events_dir` to build the
     directory from the single-file fixture."""
-    spark.conf.set(NANOS_AS_LONG, "true")
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def with_freshness_watermark(events: DataFrame, bound: str = FRESHNESS_BOUND) -> DataFrame:

@@ -266,3 +266,90 @@ class TestCdcPlans:
         ops = ops_of(plan_of(spark, sf_dir, "cdc_scd2_history"))
         assert ops.count("Exchange") == 1, ops
         assert ops.count("Window") == 1, ops
+
+
+class TestBloomSemiJoinReduction:
+    def test_engine_bloom_prunes_below_agg_exchange(self, spark, sf_dir):
+        """The hand-built bloom filter must sit BELOW the per-key aggregate's
+        exchange (prune-before-shuffle), with the bloom map itself arriving
+        by broadcast. The optimized logical plan makes the ordering
+        explicit: the element_at filter's Join Cross must be UNDER the
+        Aggregate, and the exact inner join above it."""
+        from data_ingestion_experiment_otp_spark.plans.registry import all_queries
+
+        df = all_queries()["join_bloom_pruned"].fn(spark, sf_dir)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        lines = logical.splitlines()
+        bloom_line = next(i for i, l in enumerate(lines) if "element_at" in l)
+        agg_line = next(
+            i for i, l in enumerate(lines) if "Aggregate [l_orderkey" in l
+        )
+        # deeper in the tree = later line: the bloom prune is under the agg
+        assert bloom_line > agg_line, logical[:1500]
+        p = plan_of(spark, sf_dir, "join_bloom_pruned")
+        assert "map_from_entries" in p, "bloom map never built"
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+    def test_engine_bloom_actually_prunes(self, spark, sf_dir):
+        """Bloom-only pass keeps every true match (no false negatives) and
+        prunes most non-matching rows (FP rate bounded)."""
+        from pyspark.sql import functions as F
+
+        from data_ingestion_experiment_otp_spark.operators.relational import (
+            _bloom_of,
+            _bloom_prune,
+        )
+        from data_ingestion_experiment_otp_spark.sources.catalog import load
+
+        urgent = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_orderkey").alias("k"))
+        )
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+        kept = _bloom_prune(li, _bloom_of(urgent), "l_orderkey")
+        n_li = li.count()
+        n_kept = kept.count()
+        n_true = li.join(urgent, li.l_orderkey == urgent.k, "left_semi").count()
+        assert n_kept >= n_true, "bloom dropped a true match (false negative)"
+        # urgent is ~1/5 of orders; with FP ~1e-4 the kept fraction must stay
+        # well under double the true fraction
+        assert n_kept <= max(n_true * 1.5, n_true + 100), (n_li, n_kept, n_true)
+
+    def test_native_runtime_bloom_filter_injects(self, spark, sf_dir):
+        """Spark's own runtime row-level filtering produces the same shape
+        when thresholds allow: with the application-side threshold dropped
+        and broadcast disabled, the optimizer injects might_contain on the
+        probe side of the shuffle join. Conf-scoped: saved and restored."""
+        from pyspark.sql import functions as F
+
+        from data_ingestion_experiment_otp_spark.sources.catalog import load
+
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {}
+        for k, v in confs.items():
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, v)
+        try:
+            li = load(spark, sf_dir, "lineitem")
+            o = load(spark, sf_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            j = li.join(o, li.l_orderkey == o.o_orderkey)
+            plan = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "might_contain" in plan, plan[:2000]
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)

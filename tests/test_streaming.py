@@ -42,16 +42,21 @@ def _stage_stream(spark, tmp_path, rows, schema, subdir="in"):
     return path
 
 
+# Synthetic-stream staging schema: tests stage long-ns event times and
+# convert on read (the fixture-staged path carries real timestamps instead).
+EVENTS_NS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
 class TestWatermarkDedup:
     def test_stream_dedup_drops_redelivery(self, spark, tmp_path):
         rows = [(1, 1_000_000_000, 1, "signup", 1.0, "{}")] * 3 + [
             (2, 2_000_000_000, 1, "purchase", 2.0, "{}")
         ]
-        path = _stage_stream(
-            spark, tmp_path, rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
-        )
+        path = _stage_stream(spark, tmp_path, rows, EVENTS_NS_SCHEMA)
         stream = (
-            spark.readStream.schema(watermark.EVENTS_RAW_SCHEMA)
+            spark.readStream.schema(EVENTS_NS_SCHEMA)
             .parquet(path)
             .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         )
@@ -86,15 +91,19 @@ class TestWatermarkDedup:
 
         run()
         seen_after_run1 = len(got)
-        head = spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts").alias("m")).collect()[0].m
-        schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+        head = (
+            spark.read.parquet(events_dir).agg(F.max("ts").alias("m")).collect()[0].m
+        )
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
         # Two far-future arrivals, one per extra run: a batch's own max event
         # time only becomes the watermark at the NEXT batch, so run 2 flushes
         # windows up to run 1's head and run 3 flushes the rest.
+        from datetime import timedelta
+
         for i, hours in enumerate((1, 2), start=1):
             _stage_stream(
                 spark, tmp_path,
-                [(10**9 + i, int(head) + hours * 3_600_000_000_000, 1, "signup", 0.0, "{}")],
+                [(10**9 + i, head + timedelta(hours=hours), 1, "signup", 0.0, "{}")],
                 schema,
                 subdir="events_dir",
             )
@@ -104,9 +113,7 @@ class TestWatermarkDedup:
         # windows can still be open
         batch_windows = (
             watermark.windowed_counts(
-                spark.read.parquet(events_dir)
-                .filter(F.col("event_id") < 10**9)
-                .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+                spark.read.parquet(events_dir).filter(F.col("event_id") < 10**9)
             ).count()
         )
         assert len(got) >= batch_windows
@@ -501,10 +508,9 @@ class TestContentDedupWithinWatermark:
             (2, 1_000_060_000_000, 1, "signup", 1.0, '{"k": "a"}'),  # redelivery, new id
             (3, 1_000_120_000_000, 1, "signup", 1.0, '{"k": "b"}'),
         ]
-        schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-        path = _stage_stream(spark, tmp_path, rows, schema)
+        path = _stage_stream(spark, tmp_path, rows, EVENTS_NS_SCHEMA)
         stream = (
-            spark.readStream.schema(watermark.EVENTS_RAW_SCHEMA)
+            spark.readStream.schema(EVENTS_NS_SCHEMA)
             .parquet(path)
             .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         )
