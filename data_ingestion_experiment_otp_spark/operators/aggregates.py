@@ -406,3 +406,47 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90"),
         F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("p99"),
     )
+
+
+@register(
+    "udaf_geo_mean",
+    oracle="""
+    SELECT lang, source,
+           round(exp(avg(ln(n_chars))), 6) AS geo_chars,
+           count(*) AS n_docs
+    FROM documents WHERE n_chars > 0
+    GROUP BY lang, source
+    """,
+    tags=("agg", "udaf"),
+)
+def udaf_geo_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-aggregate surface (SURVEY §2.9 `udaf_*`): a grouped-agg
+    pandas_udf computing the geometric mean of document lengths per
+    (lang, source) — the Arrow-batched way to run aggregation logic Spark
+    has no built-in for. Scale caveat, by design: pandas grouped aggs get
+    NO partial aggregation (each whole group's column ships to one task),
+    so at 100 TB prefer an algebraic decomposition into built-ins when one
+    exists — here exp(avg(ln(x))), which partial-aggregates map-side like
+    any avg; tests/test_invariants.py asserts the two forms agree to 1e-6,
+    making the UDAF the semantic spec and the built-in chain the scale
+    path."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's string-ized annotations (PEP 563)
+    # are not resolvable by the hint sniffer for locally-imported pd
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo(v):
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    # count as a pandas agg too: Spark refuses to mix grouped-agg pandas
+    # UDFs with JVM aggregate functions in one agg()
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return d.groupBy("lang", "source").agg(
+        F.round(geo("n_chars"), 6).alias("geo_chars"),
+        n_rows("n_chars").alias("n_docs"),
+    )

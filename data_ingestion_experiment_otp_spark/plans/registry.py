@@ -134,6 +134,7 @@ def all_queries() -> dict[str, QuerySpec]:
         cdc,
         dedup,
         extraction,
+        layout,
         multimodal,
         relational,
         sampling,

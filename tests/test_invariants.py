@@ -254,3 +254,31 @@ class TestCompaction:
         ncomp = len(glob.glob(_scratch(spark, "docs_compacted") + "/*.parquet"))
         assert nfrag == 64
         assert 1 <= ncomp <= 8
+
+
+class TestUdafGeoMean:
+    def test_udaf_agrees_with_algebraic_builtin_form(self, spark, sf_dir):
+        """The grouped-agg pandas UDAF (semantic spec) and the
+        partial-agg-friendly built-in chain exp(avg(ln(x))) (scale path)
+        must agree per group to float tolerance."""
+        from pyspark.sql import functions as F
+
+        from data_ingestion_experiment_otp_spark.plans.registry import all_queries
+        from data_ingestion_experiment_otp_spark.sources.catalog import load
+
+        udaf = {
+            (r.lang, r.source): r.geo_chars
+            for r in all_queries()["udaf_geo_mean"].fn(spark, sf_dir).collect()
+        }
+        builtin = {
+            (r.lang, r.source): r.geo_chars
+            for r in (
+                load(spark, sf_dir, "documents")
+                .filter(F.col("n_chars") > 0)
+                .groupBy("lang", "source")
+                .agg(F.exp(F.avg(F.log("n_chars"))).alias("geo_chars"))
+            ).collect()
+        }
+        assert udaf.keys() == builtin.keys()
+        for k in udaf:
+            assert abs(udaf[k] - builtin[k]) < 1e-6, (k, udaf[k], builtin[k])

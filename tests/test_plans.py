@@ -353,3 +353,84 @@ class TestBloomSemiJoinReduction:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestZorderLayout:
+    @staticmethod
+    def _avg_envelope(d, col):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        ws = []
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.read_metadata(f)
+            i = md.schema.names.index(col)
+            mn, mx = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            ws.append(mx - mn)
+        return sum(ws) / len(ws)
+
+    def test_zorder_tightens_both_dimensions(self, spark, sf_dir, tmp_path):
+        """Per-file min/max envelopes (what parquet scan pruning keys on)
+        must tighten on BOTH interleaved dimensions, vs a linear sort that
+        leaves the non-sort dimension spanning its full domain."""
+        from data_ingestion_experiment_otp_spark.operators.layout import (
+            write_zordered,
+        )
+        from data_ingestion_experiment_otp_spark.sources.catalog import load
+
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+        )
+        zdir = str(tmp_path / "z")
+        ldir = str(tmp_path / "lin")
+        write_zordered(li, zdir, "l_partkey", "l_suppkey")
+        (
+            li.repartitionByRange(16, "l_partkey")
+            .sortWithinPartitions("l_partkey")
+            .write.parquet(ldir)
+        )
+        lo_p, hi_p, lo_s, hi_s = li.selectExpr(
+            "min(l_partkey)", "max(l_partkey)", "min(l_suppkey)", "max(l_suppkey)"
+        ).collect()[0]
+        dom_p, dom_s = hi_p - lo_p, hi_s - lo_s
+        z_part = self._avg_envelope(zdir, "l_partkey")
+        z_supp = self._avg_envelope(zdir, "l_suppkey")
+        lin_supp = self._avg_envelope(ldir, "l_suppkey")
+        # z-order: both dims materially tighter than their domain
+        assert z_part <= 0.6 * dom_p, (z_part, dom_p)
+        assert z_supp <= 0.5 * dom_s, (z_supp, dom_s)
+        # linear sort leaves the non-sort dim ~unclustered; z-order must
+        # beat it by at least 2x
+        assert z_supp <= 0.5 * lin_supp, (z_supp, lin_supp)
+
+    def test_zorder_write_is_one_range_exchange(self, spark, sf_dir):
+        """The layout pass plan: a single range exchange (the
+        repartitionByRange) + in-partition sort — no extra shuffles, and
+        the bounds aggregate rides a broadcast."""
+        from data_ingestion_experiment_otp_spark.operators.layout import (
+            with_zorder_code,
+        )
+        from data_ingestion_experiment_otp_spark.sources.catalog import load
+
+        li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+        staged = (
+            with_zorder_code(li, "l_partkey", "l_suppkey")
+            .repartitionByRange(16, "zcode")
+            .sortWithinPartitions("zcode")
+        )
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            staged.explain("formatted")
+        p = buf.getvalue()
+        ops = ops_of(p)
+        assert ops.count("Exchange") == 2, ops  # bounds agg + range partition
+        assert "BroadcastNestedLoopJoin" in ops or "BroadcastExchange" in p
+        assert "rangepartitioning" in p
