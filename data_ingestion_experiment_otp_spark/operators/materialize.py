@@ -1,0 +1,100 @@
+"""Incremental materialized-view maintenance (engine addition).
+
+The 100 TB pattern for "don't rescan history to refresh an aggregate": the
+MV is stored as PARTIAL aggregate states partitioned by (grain, batch) —
+each ingestion run aggregates ONLY its own batch and dynamic-partition-
+overwrites its own (day, batch) partitions, so a replayed run rewrites
+byte-identical partitions instead of double-counting (the same replay
+contract as streaming/corpus_index.py, applied to aggregates). Readers do
+the cheap final merge over partials; periodic compaction (see
+`snk_compacted_parquet`) folds old batches back to one partial per grain.
+
+Contrast with read-merge-write maintenance (read current MV + merge +
+overwrite): that needs snapshot isolation (a table format like
+Delta/Iceberg) to be safe against concurrent readers and replays, and
+Spark cannot overwrite a parquet path it is reading in the same job at
+all. Partial-state storage sidesteps both, at the cost of the read-side
+merge — which is exactly the trade a log-structured 100 TB system makes.
+
+Works because count/sum are algebraic: partials merge by re-summation.
+Non-algebraic measures (distinct counts, percentiles) store mergeable
+sketch partials instead (HLL / GK — see agg_approx_distinct,
+agg_approx_percentile).
+
+Reference parity: the reference keeps no aggregate state (its only
+materialization is the scalar cursor, `api/main.py:258-265`); this is
+engine-target surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load
+from ..sources.files import _scratch
+
+_N_BATCHES = 4
+
+
+def refresh_batch(events: DataFrame, mv_dir: str, batch_id: int) -> None:
+    """One incremental maintenance run: partial-aggregate this batch's rows
+    and overwrite ONLY this batch's (day, batch) partitions. Replay-safe:
+    the batch slice is deterministic, so a re-run writes identical bytes
+    into the same partitions."""
+    spark = events.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    part = (
+        events.filter(F.col("event_id") % _N_BATCHES == batch_id)
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value_raw"),
+        )
+        .withColumn("batch", F.lit(batch_id))
+    )
+    (
+        part.write.mode("overwrite")
+        .partitionBy("day", "batch")
+        .parquet(mv_dir)
+    )
+
+
+def read_rollup(spark: SparkSession, mv_dir: str) -> DataFrame:
+    """Reader-side final merge over the stored partial states."""
+    mv = spark.read.parquet(mv_dir)
+    return mv.groupBy("day", "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("sum_value_raw"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "mv_incremental_rollup",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "incremental", "scale"),
+)
+def mv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily (day, event_type) rollup of events maintained across four
+    incremental runs — batch k touches only event_id % 4 == k rows — with
+    the LAST RUN DELIBERATELY REPLAYED: the oracle (one full recompute in
+    DuckDB) matching proves both the partial-state merge and the replay
+    absorption, in the same hash check."""
+    ev = load(spark, sf_dir, "events")
+    mv_dir = _scratch(spark, "events_rollup_mv")
+    for k in range(_N_BATCHES):
+        refresh_batch(ev, mv_dir, k)
+    refresh_batch(ev, mv_dir, _N_BATCHES - 1)  # replayed epoch
+    out = read_rollup(spark, mv_dir)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )

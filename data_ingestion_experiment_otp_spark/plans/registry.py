@@ -135,6 +135,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         extraction,
         layout,
+        materialize,
         multimodal,
         relational,
         sampling,

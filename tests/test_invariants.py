@@ -282,3 +282,26 @@ class TestUdafGeoMean:
         assert udaf.keys() == builtin.keys()
         for k in udaf:
             assert abs(udaf[k] - builtin[k]) < 1e-6, (k, udaf[k], builtin[k])
+
+
+class TestIncrementalRollupReplay:
+    def test_replayed_refresh_changes_nothing(self, spark, sf_dir, tmp_path):
+        """Any maintenance run may be replayed at any later point without
+        changing the rollup: each run owns its (day, batch) partitions and
+        rewrites them byte-identically."""
+        from data_ingestion_experiment_otp_spark.operators.materialize import (
+            _N_BATCHES,
+            read_rollup,
+            refresh_batch,
+        )
+        from data_ingestion_experiment_otp_spark.sources.catalog import load
+
+        ev = load(spark, sf_dir, "events")
+        mv = str(tmp_path / "mv")
+        for k in range(_N_BATCHES):
+            refresh_batch(ev, mv, k)
+        before = sorted(map(tuple, read_rollup(spark, mv).collect()))
+        for k in (0, _N_BATCHES - 1, 1):  # replay out of order, twice over
+            refresh_batch(ev, mv, k)
+        after = sorted(map(tuple, read_rollup(spark, mv).collect()))
+        assert before == after
