@@ -449,31 +449,35 @@ def llm_dedup_clusters(
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("u", "v")
+    # Fused first round: initialize each node's label to min(self, min
+    # neighbor) straight off the edge list — one aggregate, no join —
+    # which the self-init variant would spend its whole first join round
+    # computing.
     labels = (
-        edges.select(F.col("u").alias("node"), F.col("u").alias("label"))
-        .distinct()
+        edges.select(F.col("u").alias("node"), F.least("u", "v").alias("label"))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
         .localCheckpoint(eager=True)
     )
+    # Convergence by checksum: labels only ever decrease, so sum(label) is
+    # strictly monotone until the fixpoint — an O(|V|) aggregate per round
+    # instead of a join-with-previous + count.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     while True:
         neighbor = (
             edges.join(labels, edges.v == labels.node)
             .select(F.col("u").alias("node"), "label")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        label_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
