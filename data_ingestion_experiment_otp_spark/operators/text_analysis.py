@@ -558,3 +558,32 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id % 25 = 0
         """
     )
+
+
+@register(
+    "llm_vocab_topk_approx",
+    oracle=None,  # sketch internals are engine-specific; exactness-at-capacity + recall are pytest-asserted
+    tags=("llm", "text", "vocab", "approx"),
+)
+def llm_vocab_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-path vocabulary head: `approx_top_k` keeps a fixed-capacity
+    item sketch that partial-aggregates map-side and merges in the shuffle
+    — per-executor state is O(capacity), not O(|vocabulary|), which is the
+    difference between fitting and not fitting a 100 TB corpus's token
+    space in memory (the exact `llm_vocab_topk` must shuffle every distinct
+    token). At fixture scale the tracked capacity exceeds the whole
+    vocabulary, so the sketch is provably exact — pinned in
+    tests/test_invariants.py against the exact head; at scale, capacity <
+    |vocab| trades bounded count error for the fixed footprint."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    exploded = d.select(F.explode(words).alias("w"))
+    sk = exploded.agg(F.expr(f"approx_top_k(w, {_VOCAB_K}, 100000)").alias("top"))
+    return (
+        sk.select(F.posexplode("top").alias("rnk0", "e"))
+        .select(
+            F.col("e.item").alias("w"),
+            F.col("e.count").alias("n_total"),
+            (F.col("rnk0") + 1).alias("rnk"),
+        )
+    )

@@ -175,3 +175,47 @@ def ext_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@register(
+    "ext_variant_nested",
+    oracle="""
+    SELECT event_id,
+           event_type AS t,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           round(value * 2, 2) AS v2
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+    tags=("extract", "json", "variant"),
+)
+def ext_variant_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-path companion to `ext_variant_json`: build a nested JSON
+    document per event, `parse_json` it ONCE into variant's typed binary
+    encoding, then pull typed paths out with `variant_get` — an object
+    path, a top-level scalar, and an array index (`$.meta.vals[1]`).
+    However many paths the query reads, the parse happens once per row —
+    the re-parse-per-path cost of `get_json_object` is what this kills at
+    100 TB. The oracle recomputes every extracted value from the base
+    columns, so the whole construct→parse→extract round trip is
+    hash-verified."""
+    ev = load(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+            ).alias("meta"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+    v = ev.withColumn("vdoc", F.parse_json(doc))
+    return (
+        v.select(
+            "event_id",
+            F.expr("variant_get(vdoc, '$.meta.type', 'string')").alias("t"),
+            F.expr("variant_get(vdoc, '$.k', 'bigint')").alias("k_val"),
+            F.expr("round(variant_get(vdoc, '$.meta.vals[1]', 'double'), 2)").alias("v2"),
+        )
+        .filter(F.col("k_val").isNotNull())
+    )

@@ -305,3 +305,35 @@ class TestIncrementalRollupReplay:
             refresh_batch(ev, mv, k)
         after = sorted(map(tuple, read_rollup(spark, mv).collect()))
         assert before == after
+
+
+class TestApproxVocabTopK:
+    def test_sketch_exact_at_capacity_and_head_complete(self, spark, sf_dir):
+        """With tracked capacity >= |vocabulary| the approx_top_k sketch is
+        exact: every reported count equals the true count, and every token
+        whose true count strictly exceeds the k-th head count is present."""
+        from pyspark.sql import functions as F
+
+        from data_ingestion_experiment_otp_spark.plans.registry import all_queries
+        from data_ingestion_experiment_otp_spark.sources.catalog import load
+
+        approx = {
+            r.w: r.n_total
+            for r in all_queries()["llm_vocab_topk_approx"].fn(spark, sf_dir).collect()
+        }
+        words = F.filter(F.split("text", " "), lambda w: w != "")
+        exact = {
+            r.w: r.n
+            for r in (
+                load(spark, sf_dir, "documents")
+                .select(F.explode(words).alias("w"))
+                .groupBy("w")
+                .agg(F.count("*").alias("n"))
+            ).collect()
+        }
+        assert len(exact) <= 100_000, "fixture vocabulary outgrew sketch capacity"
+        for w, n in approx.items():
+            assert exact[w] == n, (w, n, exact[w])
+        kth = min(approx.values())
+        missing = {w for w, n in exact.items() if n > kth} - approx.keys()
+        assert not missing, missing
