@@ -146,7 +146,7 @@ def all_queries() -> dict[str, QuerySpec]:
         windows,
     )
     from ..plans import flagship  # noqa: F401
-    from ..sources import envelope, files  # noqa: F401
+    from ..sources import envelope, files, pushsource  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -1,0 +1,105 @@
+"""Custom Python DataSource (Spark 4 extension surface, SURVEY.md §2.1).
+
+The reference's input is not a file — it is a push channel (Pub/Sub webhook
+deliveries, `api/main.py:236-256`). The Python DataSource API is how such a
+channel becomes a FIRST-CLASS Spark scan: the source declares a schema and
+a partition list, executors pull each partition independently, and
+everything downstream (pushdown of later filters, AQE, the whole DataFrame
+surface) composes as if it were parquet. At 100 TB the partition list maps
+to the channel's real sharding (one `InputPartition` per Pub/Sub
+lite-partition / Kafka partition / ledger offset range), which is exactly
+the contract the API encodes.
+
+Here the channel is a deterministic simulator: every row is a pure
+function of its global index (split-mix style mixing, plain BIGINT
+arithmetic), so the whole scan is reproducible across engines and the
+DuckDB oracle can regenerate the identical stream with `generate_series` —
+a custom source whose output is hash-verified, not just smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+
+# Simulator parameters: global row index i in [0, ROWS); fields derive by
+# modular mixing. Constants small enough that i * MIX stays in BIGINT for
+# both engines.
+_ROWS = 2000
+_PARTS = 8
+_MIX = 2654435761  # Knuth multiplicative-hash constant
+_HISTORY_MOD = 100_000
+_USERS = 50
+_REDELIVERY_EVERY = 7
+
+
+def _row(i: int) -> tuple:
+    return (
+        i,
+        (i * _MIX) % _HISTORY_MOD,
+        f"user{i % _USERS}@example.com",
+        i % _REDELIVERY_EVERY == 0,
+    )
+
+
+def register_push_source(spark: SparkSession) -> None:
+    """Register the `otp_webhook` format; idempotent per session."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class OtpWebhookReader(DataSourceReader):
+        def __init__(self, options):
+            self.rows = int(options.get("rows", _ROWS))
+            self.parts = int(options.get("partitions", _PARTS))
+
+        def partitions(self):
+            # one InputPartition per channel shard; executors pull shards
+            # independently — no driver-side row generation
+            return [InputPartition(p) for p in range(self.parts)]
+
+        def read(self, partition):
+            per = self.rows // self.parts
+            lo = partition.value * per
+            hi = self.rows if partition.value == self.parts - 1 else lo + per
+            for i in range(lo, hi):
+                yield _row(i)
+
+    class OtpWebhookDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "otp_webhook"
+
+        def schema(self):
+            return (
+                "delivery_id bigint, history_id bigint, "
+                "email string, redelivery boolean"
+            )
+
+        def reader(self, schema):
+            return OtpWebhookReader(self.options)
+
+    try:
+        spark.dataSource.register(OtpWebhookDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+@register(
+    "src_push_datasource",
+    oracle=f"""
+    SELECT i AS delivery_id,
+           (i * {_MIX}) % {_HISTORY_MOD} AS history_id,
+           'user' || CAST(i % {_USERS} AS VARCHAR) || '@example.com' AS email,
+           (i % {_REDELIVERY_EVERY} = 0) AS redelivery
+    FROM generate_series(0, {_ROWS - 1}) AS t(i)
+    WHERE (i * {_MIX}) % {_HISTORY_MOD} >= 50000
+    """,
+    tags=("source", "datasource"),
+)
+def src_push_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the custom push-channel source and filter on a derived field —
+    the filter composes on top of the Python source exactly as over
+    parquet. Hash-verified against DuckDB regenerating the same stream."""
+    register_push_source(spark)
+    df = spark.read.format("otp_webhook").load()
+    return df.filter(F.col("history_id") >= _HISTORY_MOD // 2)

@@ -337,3 +337,17 @@ class TestApproxVocabTopK:
         kth = min(approx.values())
         missing = {w for w, n in exact.items() if n > kth} - approx.keys()
         assert not missing, missing
+
+
+class TestPushDataSource:
+    def test_scan_parallelism_matches_channel_shards(self, spark):
+        """The custom source's InputPartitions must become real scan tasks:
+        one per declared channel shard, none generated on the driver."""
+        from data_ingestion_experiment_otp_spark.sources.pushsource import (
+            _PARTS,
+            register_push_source,
+        )
+
+        register_push_source(spark)
+        df = spark.read.format("otp_webhook").load()
+        assert df.rdd.getNumPartitions() == _PARTS
