@@ -98,3 +98,29 @@ def mv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+def rollup_sink(mv_dir: str):
+    """Streaming form: a foreachBatch sink maintaining the same
+    partial-state MV continuously — each epoch partial-aggregates its
+    micro-batch and dynamic-overwrites its OWN (day, batch) partitions,
+    so Structured Streaming's at-least-once epoch replay rewrites
+    identical bytes instead of double-counting (the aggregate analog of
+    streaming/corpus_index.py's index write). Readers use
+    :func:`read_rollup` concurrently; they never see a torn epoch because
+    overwrite commits partition-atomically per batch directory."""
+
+    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        part = (
+            batch_df.groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("sum_value_raw"),
+            )
+            .withColumn("batch", F.lit(batch_id))
+        )
+        part.write.mode("overwrite").partitionBy("day", "batch").parquet(mv_dir)
+
+    return write_partials

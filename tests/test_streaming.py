@@ -618,3 +618,57 @@ class TestCorpusIndexDedup:
         assert self._accepted(spark, accepted_dir) == got
         idx = spark.read.parquet(index_dir)
         assert idx.count() == idx.select("content_hash").distinct().count() == 4
+
+
+class TestStreamingRollupSink:
+    def test_stream_maintains_rollup_and_absorbs_replay(self, spark, sf_dir, tmp_path):
+        """Four file-stream epochs maintain the daily rollup; the merged MV
+        must equal a direct batch aggregate of the same fixture, and
+        re-invoking an epoch's write (simulated replay) changes nothing."""
+        from data_ingestion_experiment_otp_spark.operators.materialize import (
+            read_rollup,
+            rollup_sink,
+        )
+        from data_ingestion_experiment_otp_spark.sources.catalog import load
+
+        events_dir = watermark.stage_events_dir(
+            spark, sf_dir, str(tmp_path / "events_dir")
+        )
+        mv = str(tmp_path / "mv")
+        q = (
+            watermark.stream_events(spark, events_dir)
+            .writeStream.foreachBatch(rollup_sink(mv))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drive.drain(q)
+
+        def snapshot():
+            return sorted(map(tuple, read_rollup(spark, mv).collect()))
+
+        got = snapshot()
+        want = sorted(
+            map(
+                tuple,
+                load(spark, sf_dir, "events")
+                .groupBy(F.to_date("ts").alias("day"), "event_type")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.round(F.sum("value"), 2).alias("sum_value"),
+                )
+                .collect(),
+            )
+        )
+        assert got == want
+        # replay epoch 0: re-run its write with the same micro-batch. The
+        # file source admits files in mtime order (stage_events_dir writes
+        # slices sequentially), so epoch 0 is the oldest file, not the
+        # alphabetically first.
+        first_file = min(
+            (f for f in os.listdir(events_dir) if f.endswith(".parquet")),
+            key=lambda f: os.path.getmtime(os.path.join(events_dir, f)),
+        )
+        epoch0 = spark.read.parquet(os.path.join(events_dir, first_file))
+        rollup_sink(mv)(epoch0, 0)
+        assert snapshot() == got
