@@ -318,3 +318,83 @@ def snk_compacted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("max_id"),
         )
     )
+
+
+@register(
+    "src_jsonl_corrupt",
+    oracle="""
+    WITH lines AS (
+      SELECT event_id,
+             CASE WHEN event_id % 10 = 3 THEN 'not json at all'
+                  WHEN event_id % 10 = 7 THEN '{"event_id": 42, '
+                  ELSE NULL END AS broken
+      FROM events WHERE event_id < 1000
+    )
+    SELECT mode,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+    FROM (
+      SELECT 'permissive' AS mode, (broken IS NULL) AS ok FROM lines
+      UNION ALL
+      SELECT 'dropmalformed', true FROM lines WHERE broken IS NULL
+    )
+    GROUP BY mode
+    """,
+    tags=("source", "robustness"),
+)
+def src_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling at the ingestion edge: a JSONL file where a
+    deterministic subset of lines is broken (unparseable text, or a type
+    that violates the declared schema) is read in Spark's two production
+    postures — PERMISSIVE (keep every line, quarantine the broken ones in
+    `_corrupt_record` for a dead-letter flow) and DROPMALFORMED (admit
+    clean rows only). The result is the per-mode admission count: what a
+    100 TB crawl pipeline actually monitors. The oracle recomputes which
+    lines were broken from the same generation rule — so the parser's
+    accept/reject decisions themselves are hash-verified. The reference
+    crashes its handler on malformed payloads (`api/main.py:241-249`
+    try/except returns 200 OK to stop redelivery — i.e. data loss); this
+    is the engine-target upgrade documented in SURVEY §3.1."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 1000)
+        .select("event_id", "value")
+    )
+    # both corrupt shapes are PARSE failures (freeform text, truncated
+    # JSON) — deliberately not type mismatches, whose DROPMALFORMED
+    # verdict flips with the json partial-results behavior
+    line = F.when(
+        F.col("event_id") % 10 == 3, F.lit("not json at all")
+    ).when(
+        F.col("event_id") % 10 == 7,
+        F.lit('{"event_id": 42, '),
+    ).otherwise(F.to_json(F.struct("event_id", "value")))
+    path = _scratch(spark, "events_jsonl_corrupt")
+    ev.select(line.alias("value")).coalesce(4).write.mode("overwrite").text(path)
+
+    schema = "event_id long, value double, _corrupt_record string"
+    # cached: Spark refuses plans whose referenced columns are ONLY the
+    # corrupt-record column (the documented workaround is to materialize)
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    p_counts = permissive.agg(
+        F.lit("permissive").alias("mode"),
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)).alias("n_ok"),
+    )
+    dropped = (
+        spark.read.schema("event_id long, value double")
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+    )
+    d_counts = dropped.agg(
+        F.lit("dropmalformed").alias("mode"),
+        F.count("*").alias("n"),
+        F.count("*").alias("n_ok"),
+    )
+    return p_counts.unionByName(d_counts)
