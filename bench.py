@@ -45,6 +45,8 @@ HEADLINE = [
     "llm_fingerprint",
     "llm_incremental_dedup",
     "sql_correlated_subquery",
+    "join_bloom_pruned",
+    "mv_incremental_rollup",
     "pipeline_otp_ingest",
 ]
 
