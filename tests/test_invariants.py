@@ -351,3 +351,62 @@ class TestPushDataSource:
         register_push_source(spark)
         df = spark.read.format("otp_webhook").load()
         assert df.rdd.getNumPartitions() == _PARTS
+
+
+class TestProductQuantization:
+    def test_codes_are_compressed_and_scores_track_cosine(self, spark, sf_dir):
+        """PQ invariants on the isotropic fixture (PQ's worst case — unit
+        vectors with ~uncorrelated dims, so top-k margins are razor thin):
+        (1) structural 32x compression — _PQ_M codes per vector, each
+        < _PQ_K; (2) the ADC score must track true cosine (Pearson >= 0.5
+        for a probe query over the whole corpus); (3) top-k recall vs the
+        exact ranking stays far above the ~k/N chance floor. On real
+        (low-intrinsic-dimension) embeddings both 2 and 3 rise sharply;
+        the floors here are what random data supports."""
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from data_ingestion_experiment_otp_spark.operators.similarity import (
+            _PQ_K,
+            _PQ_M,
+            _pq_train,
+        )
+        from data_ingestion_experiment_otp_spark.plans.registry import all_queries
+        from data_ingestion_experiment_otp_spark.sources.catalog import load
+
+        # (1) + (3) via the registered query
+        exact = all_queries()["llm_sim_topk"].fn(spark, sf_dir).collect()
+        pq = all_queries()["llm_embed_pq"].fn(spark, sf_dir).collect()
+        ex, got = {}, {}
+        for r in exact:
+            ex.setdefault(r.query_id, set()).add(r.vec_id)
+        for r in pq:
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        assert set(got) == set(ex), "query sides must match"
+        hits = sum(len(ex[q] & got[q]) for q in ex)
+        tot = sum(len(v) for v in ex.values())
+        n_corpus = load(spark, sf_dir, "embeddings").count()
+        k = len(next(iter(ex.values())))
+        chance = k / n_corpus
+        assert hits / tot >= max(0.15, 3 * chance), (hits, tot, chance)
+
+        # (2) score-approximation quality, driver-side recompute
+        vec = load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        X = np.array([r.v for r in vec.sort("vec_id").collect()])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        books = _pq_train(X[:10_000])
+        dsub = X.shape[1] // _PQ_M
+        codes = np.empty((len(X), _PQ_M), dtype=int)
+        for m in range(_PQ_M):
+            S = X[:, m * dsub : (m + 1) * dsub]
+            codes[:, m] = ((S[:, None, :] - books[m][None]) ** 2).sum(-1).argmin(1)
+        assert codes.shape[1] == _PQ_M and codes.max() < _PQ_K
+        q = X[0]
+        lut = np.einsum("mkd,md->mk", books, q.reshape(_PQ_M, -1))
+        approx = lut[np.arange(_PQ_M), codes].sum(1)
+        true = X @ q
+        corr = float(np.corrcoef(approx, true)[0, 1])
+        assert corr >= 0.5, corr
