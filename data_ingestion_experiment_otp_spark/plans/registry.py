@@ -145,7 +145,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text_analysis,
         windows,
     )
-    from ..plans import flagship  # noqa: F401
+    from ..plans import dataprep, flagship  # noqa: F401
     from ..sources import envelope, files, pushsource  # noqa: F401
 
     return dict(_REGISTRY)

@@ -434,3 +434,22 @@ class TestZorderLayout:
         assert ops.count("Exchange") == 2, ops  # bounds agg + range partition
         assert "BroadcastNestedLoopJoin" in ops or "BroadcastExchange" in p
         assert "rangepartitioning" in p
+
+
+class TestDataprepPipeline:
+    def test_composition_stays_joins_not_products(self, spark, sf_dir):
+        """The composed dataprep pipeline must remain hash/semi/anti joins
+        end to end — no nested-loop or cartesian fallback anywhere, and no
+        document text crossing an exchange (the dedup stage shuffles
+        sha256, the decontamination stage shuffles shingle hashes)."""
+        p = plan_of(spark, sf_dir, "pipeline_llm_dataprep")
+        ops = ops_of(p)
+        assert "CartesianProduct" not in ops, ops
+        assert "BroadcastNestedLoopJoin" not in ops, ops
+        lines = p.splitlines()
+        for i, line in enumerate(lines):
+            if "Arguments: hashpartitioning" in line:
+                prev = next(
+                    (l for l in lines[:i][::-1] if l.strip().startswith("Input")), ""
+                )
+                assert "text#" not in prev, f"text crosses a shuffle: {prev}"
