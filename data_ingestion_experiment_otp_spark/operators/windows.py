@@ -659,3 +659,70 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
     )
+
+
+_FUNNEL_WINDOW_US = 7 * 24 * 3_600_000_000  # 7-day conversion window
+
+
+@register(
+    "win_funnel_conversion",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS signup_us
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT p.user_id, p.signup_us,
+             min(CASE WHEN epoch_us(e.ts) > p.signup_us
+                       AND e.event_type = 'purchase'
+                      THEN epoch_us(e.ts) END) AS purchase_us
+      FROM per_user p JOIN events e ON e.user_id = p.user_id
+      WHERE p.signup_us IS NOT NULL
+      GROUP BY p.user_id, p.signup_us
+    )
+    SELECT user_id, signup_us, purchase_us,
+           coalesce(purchase_us - signup_us <= {_FUNNEL_WINDOW_US}, false) AS converted
+    FROM conv
+    """,
+    tags=("window", "funnel"),
+)
+def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over the event stream (the
+    MATCH_RECOGNIZE-shaped funnel workload): per user, the FIRST signup
+    and the first purchase strictly after it; converted = within the
+     7-day window. One shuffle on user_id and two conditional min
+    aggregates — the first-A-then-first-B pattern compiles to algebraic
+    aggregation, never a self-join of the event stream against itself
+    (the naive formulation) and never a per-user sort. At 100 TB the
+    per-user aggregate partial-combines map-side like any min; longer
+    patterns (A→B→C) chain the same conditional-min trick through one
+    extra aggregate per step."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias("signup_us")
+    )
+    conv = (
+        ev.join(per_user.filter(F.col("signup_us").isNotNull()), "user_id")
+        .groupBy("user_id", "signup_us")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") > F.col("signup_us")),
+                    F.col("us"),
+                )
+            ).alias("purchase_us")
+        )
+    )
+    return conv.select(
+        "user_id",
+        "signup_us",
+        "purchase_us",
+        F.coalesce(
+            F.col("purchase_us") - F.col("signup_us") <= _FUNNEL_WINDOW_US,
+            F.lit(False),
+        ).alias("converted"),
+    )
