@@ -137,6 +137,7 @@ def all_queries() -> dict[str, QuerySpec]:
         layout,
         materialize,
         multimodal,
+        profile,
         relational,
         sampling,
         scalars,

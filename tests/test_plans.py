@@ -453,3 +453,15 @@ class TestDataprepPipeline:
                     (l for l in lines[:i][::-1] if l.strip().startswith("Input")), ""
                 )
                 assert "text#" not in prev, f"text crosses a shuffle: {prev}"
+
+
+class TestProfileAudit:
+    def test_one_scan_per_table(self, spark, sf_dir):
+        """The whole multi-metric audit must read each table exactly once —
+        9 metrics x N columns as one wide aggregate, never per-column
+        rescans."""
+        ops = ops_of(plan_of(spark, sf_dir, "meta_profile_tables"))
+        assert ops.count("Scan parquet") == 2, ops
+        # multi-column count(DISTINCT) compiles to Expand over the single
+        # scan — the rewrite that keeps it one pass
+        assert "Expand" in ops
