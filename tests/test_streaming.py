@@ -672,3 +672,119 @@ class TestStreamingRollupSink:
         epoch0 = spark.read.parquet(os.path.join(events_dir, first_file))
         rollup_sink(mv)(epoch0, 0)
         assert snapshot() == got
+
+
+class TestStreamingFunnel:
+    def test_conversion_flag_updates_across_epochs(self, spark, tmp_path):
+        """The funnel's conditional-min aggregation runs unchanged as a
+        streaming update-mode query: after epoch 1 (signup only) the user
+        is unconverted; once epoch 2 delivers the purchase, the updated
+        per-user row must flip to converted. Same plan as the batch
+        win_funnel_conversion — conditional mins are just aggregates to
+        the engine."""
+        from data_ingestion_experiment_otp_spark.operators.windows import (
+            _FUNNEL_WINDOW_US,
+        )
+
+        t0 = 1_700_000_000_000_000  # us
+        path = str(tmp_path / "funnel_in")
+        schema = "user_id long, event_type string, us long"
+
+        def stage(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+
+        stage([(1, "signup", t0), (2, "signup", t0)])
+        stream = spark.readStream.schema(schema).parquet(path)
+        per_user = (
+            stream.groupBy("user_id")
+            .agg(
+                F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias(
+                    "signup_us"
+                ),
+                F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias(
+                    "purchase_us"
+                ),
+            )
+            .select(
+                "user_id",
+                F.coalesce(
+                    (F.col("purchase_us") > F.col("signup_us"))
+                    & (
+                        F.col("purchase_us") - F.col("signup_us")
+                        <= _FUNNEL_WINDOW_US
+                    ),
+                    F.lit(False),
+                ).alias("converted"),
+            )
+        )
+        ckpt = str(tmp_path / "ckpt")
+        _drive(per_user, "funnel_out", output_mode="complete", checkpoint=ckpt)
+        got1 = {
+            r.user_id: r.converted
+            for r in spark.sql("SELECT * FROM funnel_out").collect()
+        }
+        assert got1 == {1: False, 2: False}
+
+        stage([(1, "purchase", t0 + 3_600_000_000)])  # 1 h later: converts
+        _drive(per_user, "funnel_out2", output_mode="complete", checkpoint=ckpt)
+        got2 = {
+            r.user_id: r.converted
+            for r in spark.sql("SELECT * FROM funnel_out2").collect()
+        }
+        assert got2 == {1: True, 2: False}
+
+
+class TestStreamStaticRefresh:
+    def test_static_side_refreshes_on_query_restart(self, spark, tmp_path):
+        """Operational contract of stream-static joins: the STATIC side's
+        file listing is resolved when the query (plan) is built — an
+        in-place overwrite under a RUNNING plan throws
+        FAILED_READ_FILE.FILE_NOT_EXIST from the stale listing (verified
+        while writing this test). The supported refresh path is a query
+        restart (redeploy) from the same checkpoint: the restarted query
+        must resume the stream cursor AND see the new dimension rows."""
+        dim_path = str(tmp_path / "dim")
+        in_path = str(tmp_path / "stream_in")
+        spark.createDataFrame(
+            [(1, "bronze")], "user_id long, tier string"
+        ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+        spark.createDataFrame([(100, 1)], "event_id long, user_id long").coalesce(
+            1
+        ).write.mode("append").parquet(in_path)
+        ckpt = str(tmp_path / "ckpt")
+
+        got: list[tuple] = []
+
+        def run():
+            # plan rebuilt per run — the restart re-resolves the dim listing
+            stream = spark.readStream.schema(
+                "event_id long, user_id long"
+            ).parquet(in_path)
+            dim = spark.read.parquet(dim_path)
+            joined = stream.join(dim, "user_id").select("event_id", "tier")
+            q = (
+                joined.writeStream.foreachBatch(
+                    lambda df, bid: got.extend(map(tuple, df.collect()))
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            drive.drain(q)
+
+        run()
+        assert got == [(100, "bronze")], got
+        got.clear()
+
+        # dimension updated + a new event arrives; restarted query must
+        # enrich ONLY the new event (checkpoint resume) with the NEW tier
+        spark.createDataFrame(
+            [(1, "gold")], "user_id long, tier string"
+        ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+        spark.createDataFrame([(101, 1)], "event_id long, user_id long").coalesce(
+            1
+        ).write.mode("append").parquet(in_path)
+        run()
+        assert got == [(101, "gold")], got
