@@ -587,3 +587,64 @@ def llm_vocab_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rnk0") + 1).alias("rnk"),
         )
     )
+
+
+_BPE_TOP = 40
+
+
+@register(
+    "llm_bpe_pair_counts",
+    oracle=f"""
+    SELECT w1, w2, n_pairs, rnk FROM (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pairs,
+             row_number() OVER (ORDER BY count(*) DESC, w1, w2) AS rnk
+      FROM (
+        SELECT string_split(p, chr(30))[1] AS w1,
+               string_split(p, chr(30))[2] AS w2
+        FROM (
+          SELECT unnest([ws[i] || chr(30) || ws[i + 1]
+                         for i in range(1, len(ws))]) AS p
+          FROM (
+            SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM documents
+          )
+          WHERE len(ws) >= 2
+        )
+      )
+      GROUP BY w1, w2
+    ) WHERE rnk <= {_BPE_TOP}
+    """,
+    tags=("llm", "text", "vocab"),
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair frequency over the token stream — the inner loop of
+    BPE/WordPiece tokenizer training (each merge round picks the most
+    frequent adjacent pair). Pairs are generated scan-side by zipping
+    each token list with its own tail (`arrays_zip(slice, slice)` — one
+    explode, no self-join of positions), counted with map-side partial
+    aggregation on the pair key, and ranked to the merge-candidate head
+    via TakeOrdered. A full BPE trainer is this query iterated with a
+    merge-apply step between rounds; the heavy lifting (the corpus-wide
+    pair count) is exactly this shape every round."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    t = d.select(ws.alias("ws")).filter(F.size("ws") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("ws", 1, F.size("ws") - 1).alias("w1"),
+                F.slice("ws", 2, F.size("ws") - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    from pyspark.sql import Window as W
+
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pairs"))
+    rnk = F.row_number().over(
+        W.orderBy(F.col("n_pairs").desc(), F.col("w1"), F.col("w2"))
+    )
+    return (
+        counts.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= _BPE_TOP)
+        .select("w1", "w2", "n_pairs", "rnk")
+    )

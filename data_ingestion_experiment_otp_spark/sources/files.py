@@ -398,3 +398,44 @@ def src_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_ok"),
     )
     return p_counts.unionByName(d_counts)
+
+
+@register(
+    "src_parquet_evolved",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN doc_id >= 250 THEN source END AS source,
+           (doc_id >= 250) AS has_v2_schema
+    FROM documents
+    """,
+    tags=("source", "schema-evolution"),
+)
+def src_parquet_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift at the ingestion edge: generation v1 files lack the
+    `source` column, generation v2 files carry it. A `mergeSchema` read
+    unions the physical schemas — v1 rows surface `source` as NULL, v2
+    rows keep theirs, and per-file provenance stays derivable. This is
+    the append-only schema-evolution contract a years-long 100 TB corpus
+    lives by (columns are only ever ADDED; readers of any vintage see a
+    superset schema with NULL backfill). mergeSchema costs a footer read
+    per file at planning — fine for a generation boundary, wrong as a
+    steady-state default; production pins the merged schema explicitly
+    once known, exactly like the explicit-schema reads elsewhere in this
+    module. The oracle recomputes the expected NULL backfill from the
+    generation rule."""
+    d = load(spark, sf_dir, "documents")
+    path = _scratch(spark, "documents_evolved")
+    v1 = d.filter(F.col("doc_id") < 250).select("doc_id", "lang", "n_chars")
+    v2 = d.filter(F.col("doc_id") >= 250).select("doc_id", "lang", "n_chars", "source")
+    v1.coalesce(2).write.mode("overwrite").parquet(os.path.join(path, "g=1"))
+    v2.coalesce(2).write.mode("overwrite").parquet(os.path.join(path, "g=2"))
+    back = spark.read.option("mergeSchema", "true").option(
+        "basePath", path
+    ).parquet(os.path.join(path, "g=1"), os.path.join(path, "g=2"))
+    return back.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "source",
+        F.col("source").isNotNull().alias("has_v2_schema"),
+    )
