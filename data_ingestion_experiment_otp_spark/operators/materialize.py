@@ -124,3 +124,51 @@ def rollup_sink(mv_dir: str):
         part.write.mode("overwrite").partitionBy("day", "batch").parquet(mv_dir)
 
     return write_partials
+
+
+def refresh_distinct_batch(events: DataFrame, mv_dir: str, batch_id: int) -> None:
+    """Non-algebraic measure maintenance: per (day, batch), an HLL SKETCH
+    of the batch's user ids (Datasketches `hll_sketch_agg`) instead of a
+    scalar — sketches are the mergeable partial state that makes
+    count(DISTINCT) incrementally maintainable, which no sum/count
+    arithmetic can. Same replay contract as :func:`refresh_batch`."""
+    spark = events.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    part = (
+        events.filter(F.col("event_id") % _N_BATCHES == batch_id)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("user_sketch"))
+        .withColumn("batch", F.lit(batch_id))
+    )
+    part.write.mode("overwrite").partitionBy("day", "batch").parquet(mv_dir)
+
+
+def read_distinct_rollup(spark: SparkSession, mv_dir: str) -> DataFrame:
+    """Reader-side merge: union the per-batch sketches per day, estimate."""
+    mv = spark.read.parquet(mv_dir)
+    return mv.groupBy("day").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(user_sketch))").alias("n_users")
+    )
+
+
+@register(
+    "mv_rollup_distinct_hll",
+    oracle=None,  # sketch binaries are engine-private; accuracy + replay invariants in pytest
+    tags=("agg", "incremental", "approx", "scale"),
+)
+def mv_rollup_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct-user rollup maintained incrementally through HLL
+    sketch partials — the companion to `mv_incremental_rollup` for the
+    measure class (distinct counts) where scalar partials cannot merge.
+    Four maintenance runs plus a replayed epoch, then the reader-side
+    sketch union; tests/test_invariants.py pins the estimate within 5% of
+    the exact per-day distinct count and replay immutability."""
+    ev = load(spark, sf_dir, "events")
+    mv_dir = _scratch(spark, "events_distinct_hll_mv")
+    for k in range(_N_BATCHES):
+        refresh_distinct_batch(ev, mv_dir, k)
+    refresh_distinct_batch(ev, mv_dir, _N_BATCHES - 1)  # replayed epoch
+    out = read_distinct_rollup(spark, mv_dir)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n_users"
+    )

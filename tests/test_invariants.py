@@ -410,3 +410,36 @@ class TestProductQuantization:
         true = X @ q
         corr = float(np.corrcoef(approx, true)[0, 1])
         assert corr >= 0.5, corr
+
+
+class TestHllDistinctRollup:
+    def test_sketch_union_tracks_exact_and_absorbs_replay(self, spark, sf_dir, tmp_path):
+        """The incrementally-maintained HLL distinct rollup must estimate
+        each day's distinct users within 5% of exact, and replaying any
+        epoch must leave every estimate bit-identical."""
+        from pyspark.sql import functions as F
+
+        from data_ingestion_experiment_otp_spark.operators.materialize import (
+            _N_BATCHES,
+            read_distinct_rollup,
+            refresh_distinct_batch,
+        )
+        from data_ingestion_experiment_otp_spark.sources.catalog import load
+
+        ev = load(spark, sf_dir, "events")
+        mv = str(tmp_path / "hll_mv")
+        for k in range(_N_BATCHES):
+            refresh_distinct_batch(ev, mv, k)
+        est = {r.day: r.n_users for r in read_distinct_rollup(spark, mv).collect()}
+        exact = {
+            r.day: r.n
+            for r in ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert est.keys() == exact.keys()
+        for day, n in exact.items():
+            assert abs(est[day] - n) <= max(1, 0.05 * n), (day, est[day], n)
+        refresh_distinct_batch(ev, mv, 0)  # replay
+        after = {r.day: r.n_users for r in read_distinct_rollup(spark, mv).collect()}
+        assert after == est
