@@ -726,3 +726,47 @@ def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("converted"),
     )
+
+
+_TRAIL_RANGE_US = 3_600_000_000  # trailing 1-hour value window
+
+
+@register(
+    "win_time_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_TRAIL_RANGE_US} PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_1h_value,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_TRAIL_RANGE_US} PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_1h_events
+    FROM events
+    """,
+    tags=("window", "range-frame"),
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frame — the time-based complement of
+    `win_funcs`' ROWS frame: per user, the trailing one-hour value sum
+    and event count at every event. RANGE frames bound by the ORDER
+    VALUE, not a row offset, so the frame width adapts to event density
+    — the shape behind rate limiting, rolling spend, and burst
+    detection. One shuffle on the key, one ordered pass; at equal
+    timestamps all peers enter the frame together (RANGE semantics,
+    identical in both engines)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_TRAIL_RANGE_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("trailing_1h_value"),
+        F.count("*").over(w).alias("trailing_1h_events"),
+    )
