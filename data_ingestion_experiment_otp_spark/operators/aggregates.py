@@ -450,3 +450,46 @@ def udaf_geo_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geo("n_chars"), 6).alias("geo_chars"),
         n_rows("n_chars").alias("n_docs"),
     )
+
+
+@register(
+    "agg_outlier_flags",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 2) AS value,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE abs(e.value - s.mu) > 3 * s.sigma
+    """,
+    tags=("agg", "audit"),
+)
+def agg_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier audit: events more than 3 sample standard
+    deviations from their type's mean, with the z-score. The per-type
+    stats are a tiny broadcast aggregate (partial-combined map-side);
+    the flagging pass is scan-side arithmetic against the broadcast row
+    — the fact table is read once and never shuffles. The 3-sigma
+    threshold compares UNROUNDED doubles in both engines; only the
+    reported z-score is grid-rounded."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
+                "zscore"
+            ),
+        )
+    )

@@ -192,3 +192,39 @@ def flt_empty_shortcircuit(spark: SparkSession, sf_dir: str) -> DataFrame:
     its 0-row count."""
     ev = load(spark, sf_dir, "events")
     return ev.filter(F.col("event_type") == "no_such_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "flt_sequence_gaps",
+    oracle="""
+    SELECT user_id, prev_id, event_id, gap FROM (
+      SELECT user_id, event_id,
+             lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_id,
+             event_id - lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+      FROM events
+    )
+    WHERE gap > 2000
+    """,
+    tags=("filter", "audit"),
+)
+def flt_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-completeness audit — the generalization of the reference's
+    monotone-cursor assumption (`api/main.py:278-287` trusts that history
+    ids arrive without holes): per user, flag consecutive event-id pairs
+    whose id distance exceeds the expected stride (dropped/undelivered
+    messages show up as abnormal gaps). One lag window per key, the same
+    single-shuffle shape as win_funcs; the gap threshold is relative to
+    the fixture's id-interleaving density."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    gapped = ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        (F.col("event_id") - F.lag("event_id").over(w)).alias("gap"),
+    )
+    return gapped.filter(F.col("gap") > 2000).select(
+        "user_id", "prev_id", "event_id", "gap"
+    )
