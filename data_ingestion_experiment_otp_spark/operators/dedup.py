@@ -258,9 +258,7 @@ _HS_DUCK = (
 _WHS_DUCK = "list_transform(ws, w -> " + _WH_DUCK.format(w="w") + ")"
 
 
-@register(
-    "llm_minhash_banded",
-    oracle=f"""
+_BANDED_ORACLE = f"""
     WITH ws_t AS (
       SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
       FROM documents
@@ -292,7 +290,12 @@ _WHS_DUCK = "list_transform(ws, w -> " + _WH_DUCK.format(w="w") + ")"
     JOIN sig sb ON sb.doc_id = doc_b
     WHERE len(list_intersect(sa.hs, sb.hs))
           / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= {_JACCARD_THRESHOLD}
-    """,
+    """
+
+
+@register(
+    "llm_minhash_banded",
+    oracle=_BANDED_ORACLE,
     tags=("llm", "dedup", "minhash"),
 )
 def llm_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,4 +767,53 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_exact_dup", F.lit(False)).alias("is_exact_dup"),
             F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
         )
+    )
+
+
+@register(
+    "llm_dedup_strategy_eval",
+    oracle=f"""
+    WITH truth AS ({_NGRAM_JACCARD_ORACLE}),
+    banded AS ({_BANDED_ORACLE}),
+    joined AS (
+      SELECT coalesce(t.doc_a, b.doc_a) AS doc_a,
+             t.doc_a IS NOT NULL AS in_truth,
+             b.doc_a IS NOT NULL AS in_banded
+      FROM truth t FULL OUTER JOIN banded b
+        ON t.doc_a = b.doc_a AND t.doc_b = b.doc_b
+    )
+    SELECT CASE WHEN in_truth AND in_banded THEN 'both'
+                WHEN in_truth THEN 'lsh_false_negative'
+                ELSE 'lsh_extra' END AS status,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM joined
+    GROUP BY 1
+    """,
+    tags=("llm", "dedup", "eval"),
+)
+def llm_dedup_strategy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy evaluation as a query — the methodology a pipeline owner
+    uses to TUNE the LSH knobs before trusting them at scale: full-outer
+    join the banded MinHash-LSH pair set against the exact inverted-index
+    ground truth and count agreement classes. 'lsh_false_negative' rows
+    are pairs the banding missed (the probabilistic miss rate the
+    band/row trade controls); 'lsh_extra' stays empty because the banded
+    pipeline verifies candidates exactly before emitting. Because BOTH
+    strategies carry exact cross-engine oracles, the evaluation itself is
+    hash-verified — the measured recall is a number the driver checks,
+    not a claim."""
+    truth = llm_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    banded = llm_minhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    t = truth.withColumn("in_truth", F.lit(True))
+    b = banded.withColumn("in_banded", F.lit(True))
+    joined = t.join(b, ["doc_a", "doc_b"], "full_outer")
+    status = (
+        F.when(F.col("in_truth").isNotNull() & F.col("in_banded").isNotNull(), "both")
+        .when(F.col("in_truth").isNotNull(), "lsh_false_negative")
+        .otherwise("lsh_extra")
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_pairs"))
     )
