@@ -5,8 +5,10 @@ onto Structured Streaming primitives:
 
 - offsets/cursor        → the checkpoint (engine-owned, replaces
                           `last_history_id.txt`)
-- duplicate delivery    → `withWatermark(...).dropDuplicates(["event_id"])`
-                          with bounded state eviction
+- duplicate delivery    → `withWatermark(...).dropDuplicatesWithinWatermark(
+                          ["event_id"])` with REAL bounded state eviction
+                          (plain dropDuplicates on the id alone never
+                          evicts — see dedup_by_id)
 - 2-min freshness bound → `withWatermark("ts", "2 minutes")` ahead of the
                           stateful ops (`api/main.py:94-97`)
 - windowed aggregation  → watermarked tumbling window in append mode
@@ -101,8 +103,17 @@ def dedup_by_id(events: DataFrame, bound: str = FRESHNESS_BOUND) -> DataFrame:
     """Exactly-once-ish delivery (`api/main.py:269-273`): duplicates and
     replays within the watermark horizon are dropped on the message id; the
     watermark bounds the dedup state store so it cannot grow unboundedly —
-    the 100 TB-stream analog of the reference's scalar cursor."""
-    return with_freshness_watermark(events, bound).dropDuplicates(["event_id"])
+    the 100 TB-stream analog of the reference's scalar cursor.
+
+    `dropDuplicatesWithinWatermark`, NOT plain `dropDuplicates`: with the
+    event-time column absent from the key subset, plain dropDuplicates
+    keeps every key's state forever — watermark or no watermark (measured:
+    8 day-spaced epochs retained 399/400 state rows, zero evictions; the
+    eviction-is-real form is pinned in
+    tests/test_streaming.py::TestWatermarkStateBound)."""
+    return with_freshness_watermark(events, bound).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def dedup_by_content(events: DataFrame, bound: str = FRESHNESS_BOUND) -> DataFrame:

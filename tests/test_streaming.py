@@ -788,3 +788,50 @@ class TestStreamStaticRefresh:
         ).write.mode("append").parquet(in_path)
         run()
         assert got == [(101, "gold")], got
+
+
+class TestWatermarkStateBound:
+    def test_dedup_state_evicted_below_input_volume(self, spark, tmp_path):
+        """The claim behind every watermark in this package, asserted from
+        the engine's own state-store metrics: dedup state is EVICTED as
+        the watermark passes, so the retained row count stays a fraction
+        of the events ingested — not one state row per event forever.
+        Events arrive in time order across many epochs spanning days,
+        with a 2-minute lateness bound."""
+        n_epochs, per_epoch = 8, 50
+        path = str(tmp_path / "in")
+        day_us = 24 * 3_600_000_000_000  # ns per day
+        for e in range(n_epochs):
+            rows = [
+                (e * per_epoch + i, e * day_us + i * 1_000_000_000, 1, "signup", 0.0, "{}")
+                for i in range(per_epoch)
+            ]
+            _stage_stream(spark, tmp_path, rows, EVENTS_NS_SCHEMA, subdir="in")
+            import time as _t
+
+            _t.sleep(0.05)
+        stream = (
+            spark.readStream.schema(EVENTS_NS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        deduped = watermark.dedup_by_id(stream)
+        q = (
+            deduped.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drive.drain(q)
+        progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+        assert progresses, "no state-operator progress captured"
+        last_state = progresses[-1]["stateOperators"][0]
+        total_in = n_epochs * per_epoch
+        retained = last_state["numRowsTotal"]
+        # each epoch is a day ahead of the last: by the final batch the
+        # watermark has passed every earlier day, so all but ~the last
+        # two epochs' rows must have been evicted from the dedup state.
+        # (plain dropDuplicates on the id alone retains ALL 400 forever —
+        # the bug this test exists to prevent)
+        assert retained <= 2 * per_epoch, (retained, total_in)
