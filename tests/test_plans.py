@@ -465,3 +465,19 @@ class TestProfileAudit:
         # multi-column count(DISTINCT) compiles to Expand over the single
         # scan — the rewrite that keeps it one pass
         assert "Expand" in ops
+
+
+class TestCodegenFusion:
+    def test_scan_filter_project_one_codegen_span(self, spark, sf_dir):
+        """Whole-stage codegen must fuse the scan-side pipeline into ONE
+        generated function: ColumnarToRow, Filter, and Project all carry
+        the same codegen id. A split here (e.g. a non-codegen expression
+        sneaking into the hot path) doubles per-row dispatch cost at
+        scale. (Lambda higher-order functions are interpreted by design —
+        text_analysis documents that trade; this pins the pure-builtin
+        path.)"""
+        p = plan_of(spark, sf_dir, "src_parquet")
+        ids = set(re.findall(r"\[codegen id : (\d+)\]", p))
+        assert ids == {"1"}, ids
+        for op in ("ColumnarToRow", "Filter", "Project"):
+            assert re.search(rf"\(\d+\) {op} \[codegen id : 1\]", p), op
