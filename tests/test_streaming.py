@@ -835,3 +835,60 @@ class TestWatermarkStateBound:
         # (plain dropDuplicates on the id alone retains ALL 400 forever —
         # the bug this test exists to prevent)
         assert retained <= 2 * per_epoch, (retained, total_in)
+
+
+class TestStreamStreamStateBound:
+    def test_interval_join_state_plateaus(self, spark, tmp_path):
+        """The interval join's state must PLATEAU (steady-state rows with
+        per-batch removals) as day-spaced epochs stream through — not
+        accumulate one row per event forever. Asserted from the engine's
+        state-operator metrics, the same way the dedup bound is."""
+        import time as _t
+
+        rp, op = str(tmp_path / "req"), str(tmp_path / "otp")
+        day_us = 24 * 3_600_000_000
+        n_epochs, per_epoch = 6, 30
+        for e in range(n_epochs):
+            t = 1_700_000_000_000_000 + e * day_us
+            spark.createDataFrame(
+                [(f"k{e}_{i}", t + i * 1_000_000) for i in range(per_epoch)],
+                "key string, ts_us long",
+            ).coalesce(1).write.mode("append").parquet(rp)
+            spark.createDataFrame(
+                [
+                    (f"k{e}_{i}", "1234", t + i * 1_000_000 + 60_000_000)
+                    for i in range(per_epoch)
+                ],
+                "key string, payload string, ts_us long",
+            ).coalesce(1).write.mode("append").parquet(op)
+            _t.sleep(0.06)
+        req = (
+            spark.readStream.schema("key string, ts_us long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(rp)
+            .withColumn("ts", F.expr("timestamp_micros(ts_us)"))
+        )
+        otp = (
+            spark.readStream.schema("key string, payload string, ts_us long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(op)
+            .withColumn("ts", F.expr("timestamp_micros(ts_us)"))
+        )
+        j = watermark.stream_stream_rendezvous_join(req, otp)
+        q = (
+            j.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drive.drain(q)
+        progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+        assert progresses
+        total_in = 2 * n_epochs * per_epoch
+        peak = max(p["stateOperators"][0]["numRowsTotal"] for p in progresses)
+        removed = sum(
+            p["stateOperators"][0].get("numRowsRemoved", 0) for p in progresses
+        )
+        # steady state: at most ~2 epochs of both sides live at once
+        assert peak <= 4 * per_epoch, (peak, total_in)
+        assert removed >= total_in - 4 * per_epoch, (removed, total_in)
