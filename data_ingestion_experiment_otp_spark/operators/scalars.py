@@ -222,3 +222,66 @@ def fn_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("text", "spark").alias("spark_pos"),
         F.repeat("lang", 2).alias("lang2"),
     )
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value = 0 THEN NULL ELSE round(100.0 / value, 6) END AS per_unit,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_or_null,
+           CASE WHEN value >= 0 THEN round(sqrt(value), 6) END AS root
+    FROM events
+    WHERE event_id < 2000
+    """,
+    tags=("scalar", "robustness"),
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface (ANSI mode's production posture):
+    `try_divide` / `try_cast` / guarded math return NULL instead of
+    failing the 100 TB job on the one malformed row in partition 9473.
+    The reference's equivalent is its bare try/except returning 200 OK
+    (`api/main.py:241-249`) — data loss; NULL-and-continue keeps the row
+    auditable. Oracle recomputes each NULL case explicitly."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.round(F.try_divide(F.lit(100.0), F.col("value")), 6).alias("per_unit"),
+        F.expr(
+            "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+        ).alias("k_or_null"),
+        F.round(
+            F.when(F.col("value") >= 0, F.sqrt("value")), 6
+        ).alias("root"),
+    )
+
+
+@register(
+    "fn_collation",
+    oracle="""
+    SELECT lower(source) AS source_ci,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS source
+          FROM documents)
+    GROUP BY lower(source)
+    """,
+    tags=("scalar", "collation"),
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): group case-mangled
+    source labels under the UTF8_LCASE collation — the engine-native way
+    to make comparisons/grouping case-insensitive WITHOUT rewriting every
+    expression in lower() (and, unlike lower(), collation survives into
+    joins, ORDER BY, and DISTINCT with the same declaration). The output
+    key is lowercased for the cross-engine hash only; the grouping itself
+    runs on the collated column."""
+    d = load(spark, sf_dir, "documents")
+    mangled = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("source")
+    )
+    collated = mangled.select(F.expr("collate(source, 'UTF8_LCASE')").alias("source"))
+    return collated.groupBy("source").agg(F.count("*").alias("n")).select(
+        F.lower("source").alias("source_ci"), "n"
+    )
