@@ -128,3 +128,76 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("valid_from_us"),
         F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                WHEN b.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           round(b.o_totalprice, 2) AS new_totalprice
+    FROM v1 a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL
+       OR b.o_orderkey IS NULL
+       OR round(a.o_totalprice, 6) <> round(b.o_totalprice, 6)
+       OR a.o_orderstatus <> b.o_orderstatus
+    """,
+    tags=("cdc", "diff"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of `cdc_merge_upsert`: derive the CHANGESET between two
+    table snapshots (what a vendor re-delivery or a recomputed upstream
+    gives you instead of a change log) — one full-outer join on the key,
+    rows classified insert/delete/update, unchanged rows dropped so the
+    output is O(churn) not O(table). Feed the result to the merge or
+    SCD-2 operators to maintain downstream state; at 100 TB the same
+    bucketing note as the merge applies, and comparing a content hash of
+    the value columns (sha2 of a canonical struct) replaces the
+    column-by-column predicate when tables are wide."""
+    o = load(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = (
+        o.filter(F.col("o_orderkey") % 7 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    a = v1.alias("a")
+    b = v2.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    op = (
+        F.when(F.col("a.o_orderkey").isNull(), "insert")
+        .when(F.col("b.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+    )
+    changed = (
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.round(F.col("a.o_totalprice"), 6) != F.round(F.col("b.o_totalprice"), 6))
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+    )
+    return joined.filter(changed).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        op.alias("op"),
+        F.round(F.col("b.o_totalprice"), 2).alias("new_totalprice"),
+    )
