@@ -60,9 +60,16 @@ def refresh_batch(events: DataFrame, mv_dir: str, batch_id: int) -> None:
     )
 
 
+_ROLLUP_SCHEMA = (
+    "event_type string, n_events bigint, sum_value_raw double, "
+    "day date, batch int"
+)
+
+
 def read_rollup(spark: SparkSession, mv_dir: str) -> DataFrame:
-    """Reader-side final merge over the stored partial states."""
-    mv = spark.read.parquet(mv_dir)
+    """Reader-side final merge over the stored partial states. Explicit
+    schema: a zero-row maintenance run leaves no footers to infer from."""
+    mv = spark.read.schema(_ROLLUP_SCHEMA).parquet(mv_dir)
     return mv.groupBy("day", "event_type").agg(
         F.sum("n_events").alias("n_events"),
         F.round(F.sum("sum_value_raw"), 2).alias("sum_value"),
@@ -143,9 +150,13 @@ def refresh_distinct_batch(events: DataFrame, mv_dir: str, batch_id: int) -> Non
     part.write.mode("overwrite").partitionBy("day", "batch").parquet(mv_dir)
 
 
+_HLL_SCHEMA = "user_sketch binary, day date, batch int"
+
+
 def read_distinct_rollup(spark: SparkSession, mv_dir: str) -> DataFrame:
-    """Reader-side merge: union the per-batch sketches per day, estimate."""
-    mv = spark.read.parquet(mv_dir)
+    """Reader-side merge: union the per-batch sketches per day, estimate.
+    Explicit schema for the zero-row-run case, like read_rollup."""
+    mv = spark.read.schema(_HLL_SCHEMA).parquet(mv_dir)
     return mv.groupBy("day").agg(
         F.expr("hll_sketch_estimate(hll_union_agg(user_sketch))").alias("n_users")
     )

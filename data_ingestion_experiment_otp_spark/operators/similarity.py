@@ -89,6 +89,11 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"llm_sim_topk query side exceeds the {_MAX_QUERIES}-vector budget; "
             "tighten the query predicate or batch the query set"
         )
+    if not qrows:
+        # empty corpus / empty query set: schema-correct empty result
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rn int"
+        )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     bcast = spark.sparkContext.broadcast(
@@ -402,6 +407,11 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v"),
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
+    if not vec.take(1):
+        # nothing to cluster: schema-correct empty result
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rn int"
+        )
     km = KMeans(k=_IVF_CELLS, seed=42, maxIter=10, featuresCol="features")
     model = km.fit(vec.select("features"))
     assigned = model.transform(vec).select(
@@ -513,6 +523,11 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["v"]
         for r in vec.sort("vec_id").limit(_PQ_TRAIN_CAP).collect()
     ]
+    if not sample:
+        # nothing to train codebooks on: schema-correct empty result
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rn int"
+        )
     sample = np.asarray(sample, dtype=np.float64)
     sample = sample / np.maximum(
         np.linalg.norm(sample, axis=1, keepdims=True), 1e-12

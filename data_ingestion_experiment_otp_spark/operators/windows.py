@@ -623,6 +623,8 @@ def sort_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in counts:
         offsets[r["pid"]] = acc
         acc += r["n"]
+    if not offsets:
+        offsets = {-1: 0}  # empty corpus: dummy entry, nothing to index
     off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = W.partitionBy("pid").orderBy("doc_id")
     return part.select(

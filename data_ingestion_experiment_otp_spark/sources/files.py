@@ -165,11 +165,17 @@ def snk_state_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(spark, "cursor.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"last_id": int(cursor["last_id"])}, f)
+        # empty corpus -> NULL cursor persisted as null, matching the
+        # oracle's max() over zero rows
+        last = cursor["last_id"]
+        json.dump({"last_id": int(last) if last is not None else None}, f)
     os.replace(tmp, path)
     with open(path) as f:
         persisted = json.load(f)
-    return spark.createDataFrame([(int(persisted["last_id"]),)], "last_id long")
+    read_back = persisted["last_id"]
+    return spark.createDataFrame(
+        [(int(read_back) if read_back is not None else None,)], "last_id long"
+    )
 
 
 @register(
@@ -248,7 +254,8 @@ def snk_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 25)
     path = _scratch(spark, "lineitem_parquet")
     l.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
-    back = spark.read.parquet(path)
+    # explicit schema: a zero-row write leaves no footers to infer from
+    back = spark.read.schema(l.schema).parquet(path)
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("total"),
