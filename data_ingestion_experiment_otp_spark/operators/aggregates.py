@@ -493,3 +493,35 @@ def agg_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT event_type,
+             least(9, greatest(0, CAST(floor(value / 10.0) AS INT))) AS bucket
+      FROM events
+    )
+    GROUP BY event_type, bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of value per event type (10-unit buckets,
+    clamped to [0, 9]) — the distribution profile behind threshold tuning
+    and drift monitoring. Bucket assignment is scan-side integer
+    arithmetic, so the shuffle carries (type, bucket) pairs pre-combined
+    map-side: the full histogram costs one partial-aggregated exchange
+    however many rows feed it."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.least(
+        F.lit(9), F.greatest(F.lit(0), F.floor(F.col("value") / 10.0).cast("int"))
+    )
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
