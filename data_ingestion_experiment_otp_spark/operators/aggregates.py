@@ -381,7 +381,16 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.round(F.var_samp("l_extendedprice") / 1e6, 6).alias("var_price_m"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        # corr as try_divide(covar, sd*sd): identical value, but a
+        # zero-variance group yields NULL (as DuckDB's corr does) instead
+        # of an ANSI divide-by-zero failure
+        F.round(
+            F.try_divide(
+                F.covar_samp("l_quantity", "l_extendedprice"),
+                F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+            ),
+            6,
+        ).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 9).alias("cov_qty_disc"),
     )
 

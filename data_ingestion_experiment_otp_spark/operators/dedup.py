@@ -40,11 +40,15 @@ _EXACT_PAIR_GUARD = 100_000
 # (1-based ws[i]). Shingling is what makes the inverted-index join sparse:
 # shingles are near-unique across unrelated docs, so candidate pairs are
 # ~linear in corpus size instead of quadratic.
-# Callers must pre-filter size(ws) >= 3: Spark's sequence(a, b) runs
-# DESCENDING when b < a, and DuckDB's range is end-exclusive.
+# TOTAL expressions (safe on any row): Spark's sequence(a, b) runs
+# DESCENDING when b < a, so short docs would index ws[-1] — the if()
+# guard makes the expression itself safe even when an optimizer rewrite
+# re-evaluates it past a size(ws) >= 3 prefilter (observed live:
+# approxSimilarityJoin's plan did exactly that). Callers still prefilter
+# for economy; correctness no longer depends on it.
 _SHINGLES_SPARK = (
-    "array_distinct(transform(sequence(0, size(ws) - 3),"
-    " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"
+    "if(size(ws) >= 3, array_distinct(transform(sequence(0, size(ws) - 3),"
+    " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))), array())"
 )
 # Same shingle set, 8-byte compressed at construction: hash the 3 words
 # directly instead of building the shingle string first — the explode, the
@@ -52,8 +56,8 @@ _SHINGLES_SPARK = (
 # perturb a pair count with probability ~n_tokens^2/2^64 (negligible; and
 # at real scale MinHash-LSH replaces the exact pass anyway).
 _SHINGLE_HASHES_SPARK = (
-    "array_distinct(transform(sequence(0, size(ws) - 3),"
-    " i -> xxhash64(ws[i], ws[i+1], ws[i+2])))"
+    "if(size(ws) >= 3, array_distinct(transform(sequence(0, size(ws) - 3),"
+    " i -> xxhash64(ws[i], ws[i+1], ws[i+2]))), array())"
 )
 _SHINGLES_DUCK = (
     "list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
@@ -207,7 +211,9 @@ def llm_embed_cosine_dedup(
     )
     dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     sq = lambda c: F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)  # noqa: E731
-    cosine = dot / (F.sqrt(sq("ea")) * F.sqrt(sq("eb")))
+    # nullif: zero-norm vectors yield NULL cosine (filtered out below)
+    # instead of an ANSI divide-by-zero failure
+    cosine = dot / F.nullif(F.sqrt(sq("ea")) * F.sqrt(sq("eb")), F.lit(0.0))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine_raw", cosine)
@@ -247,8 +253,8 @@ _WH_DUCK = (
 # per shingle, this drops the string-function count 3x (scan-side cost
 # dominates this operator).
 _HS_SPARK = (
-    f"array_distinct(transform(sequence(0, size(whs) - 3), i -> "
-    f"((whs[i] * 131 + whs[i+1]) * 131 + whs[i+2]) % {_P}))"
+    f"if(size(whs) >= 3, array_distinct(transform(sequence(0, size(whs) - 3), i -> "
+    f"((whs[i] * 131 + whs[i+1]) * 131 + whs[i+2]) % {_P})), array())"
 )
 _WHS_SPARK = "transform(ws, w -> " + _WH_SPARK.format(w="w") + ")"
 _HS_DUCK = (
@@ -388,7 +394,11 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("tokens") > 0)
     )
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
-    feat = tf.transform(docs)
+    # cached: fit AND the similarity join both consume feat, and the cache
+    # boundary stops approxSimilarityJoin's plan from re-evaluating the
+    # token pipeline past the nonzero filter (observed: the LSH transform
+    # reached a zero-entry vector that the filter had excluded)
+    feat = tf.transform(docs).cache()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feat)
     pairs = model.approxSimilarityJoin(feat, feat, 1.0 - _JACCARD_THRESHOLD, distCol="jaccard_dist")

@@ -94,7 +94,11 @@ def mv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB) matching proves both the partial-state merge and the replay
     absorption, in the same hash check."""
     ev = load(spark, sf_dir, "events")
-    mv_dir = _scratch(spark, "events_rollup_mv")
+    # scratch scoped by corpus: dynamic partition overwrite ACCUMULATES
+    # day partitions, so two corpora sharing one MV dir would leak each
+    # other's days into the read-side merge (bit us in the test suite,
+    # where the degenerate-corpus sweep ran before the parity check)
+    mv_dir = _scratch(spark, "events_rollup_mv_" + sf_dir.replace("/", "_"))
     for k in range(_N_BATCHES):
         refresh_batch(ev, mv_dir, k)
     refresh_batch(ev, mv_dir, _N_BATCHES - 1)  # replayed epoch
@@ -175,7 +179,7 @@ def mv_rollup_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch union; tests/test_invariants.py pins the estimate within 5% of
     the exact per-day distinct count and replay immutability."""
     ev = load(spark, sf_dir, "events")
-    mv_dir = _scratch(spark, "events_distinct_hll_mv")
+    mv_dir = _scratch(spark, "events_distinct_hll_mv_" + sf_dir.replace("/", "_"))
     for k in range(_N_BATCHES):
         refresh_distinct_batch(ev, mv_dir, k)
     refresh_distinct_batch(ev, mv_dir, _N_BATCHES - 1)  # replayed epoch

@@ -35,7 +35,9 @@ _MAX_QUERIES = _QUERY_ID_CAP // 100
 def _cosine(ea: str, eb: str):
     dot = F.aggregate(F.zip_with(ea, eb, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     sq = lambda c: F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)  # noqa: E731
-    return dot / (F.sqrt(sq(ea)) * F.sqrt(sq(eb)))
+    # nullif: a zero-norm vector yields NULL cosine (never passes a
+    # threshold) instead of an ANSI divide-by-zero failure
+    return dot / F.nullif(F.sqrt(sq(ea)) * F.sqrt(sq(eb)), F.lit(0.0))
 
 
 @register(
@@ -412,17 +414,27 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cosine double, rn int"
         )
-    km = KMeans(k=_IVF_CELLS, seed=42, maxIter=10, featuresCol="features")
-    model = km.fit(vec.select("features"))
-    assigned = model.transform(vec).select(
-        "vec_id", "v", F.col(model.getPredictionCol()).alias("cell")
-    )
-
-    # Query side: nprobe nearest centroids per query by cosine (centroids
-    # are a driver-side list of _IVF_CELLS vectors — a model, not data).
+    # clamp cells to the DISTINCT corpus size: spark.ml KMeans fails
+    # internally when k exceeds the number of distinct points, and
+    # refuses k=1 outright — a (near-)constant corpus degenerates to a
+    # single cell with no clustering step at all
     import numpy as np
 
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    n_distinct = vec.select("v").distinct().count()
+    n_cells = min(_IVF_CELLS, n_distinct)
+    if n_cells < 2:
+        assigned = vec.select("vec_id", "v", F.lit(0).alias("cell"))
+        centers = np.asarray([vec.select("v").head()[0]], dtype=np.float64)
+        n_cells = 1
+    else:
+        km = KMeans(k=n_cells, seed=42, maxIter=10, featuresCol="features")
+        model = km.fit(vec.select("features"))
+        assigned = model.transform(vec).select(
+            "vec_id", "v", F.col(model.getPredictionCol()).alias("cell")
+        )
+        # Query side: nprobe nearest centroids per query by cosine
+        # (centroids are a driver-side list — a model, not data).
+        centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
     cn = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
     qrows = (
         assigned.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP))
@@ -433,7 +445,7 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in qrows:
         q = np.asarray(r["v"])
         sims = cn @ (q / max(np.linalg.norm(q), 1e-12))
-        for cell in np.argsort(-sims)[:_IVF_NPROBE]:
+        for cell in np.argsort(-sims)[: min(_IVF_NPROBE, n_cells)]:
             probe_rows.append((r["vec_id"], [float(x) for x in q], int(cell)))
     probes = spark.createDataFrame(probe_rows, "query_id long, q array<double>, cell int")
 
@@ -475,7 +487,9 @@ def _pq_train(sample, seed: int = 42):
     books = []
     for m in range(_PQ_M):
         S = X[:, m * dsub : (m + 1) * dsub]
-        C = S[rng.choice(n, _PQ_K, replace=False)]
+        # tiny corpora: sample with replacement when n < K (duplicate
+        # centroids are then re-seeded by the empty-cluster guard)
+        C = S[rng.choice(n, _PQ_K, replace=n < _PQ_K)]
         for _ in range(_PQ_ITERS):
             d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
             a = d2.argmin(1)
@@ -486,7 +500,8 @@ def _pq_train(sample, seed: int = 42):
                 if mask.any():
                     C[k] = S[mask].mean(0)
                 else:
-                    C[k] = S[far[fi]]
+                    # more dead clusters than points: wrap the reseed list
+                    C[k] = S[far[fi % len(far)]]
                     fi += 1
         books.append(C)
     return np.stack(books)  # (M, K, dsub)

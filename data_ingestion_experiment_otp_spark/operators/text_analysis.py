@@ -63,11 +63,11 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN text LIKE '%query%' AND text LIKE '%join%' THEN 'sql-doc'
                 WHEN text LIKE '%stream%' THEN 'stream-doc'
                 ELSE 'generic' END AS doc_class,
-           round(
+           CASE WHEN len(words) = 0 THEN 0.0 ELSE round(
              0.4 * least(1.0, n_chars / 200.0)
              + 0.3 * (1.0 - len(list_filter(words, w -> w IN {_STOPWORDS_SQL})) / len(words))
              + 0.3 * (len(list_distinct(words)) / len(words)),
-           6) AS quality,
+           6) END AS quality,
            list_reduce(
              list_prepend(0::BIGINT,
                list_transform(words, w -> (ascii(w) * 31 + length(w))::BIGINT)),
@@ -123,7 +123,7 @@ def llm_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("text").like("%stream%"), "stream-doc")
         .otherwise("generic")
         .alias("doc_class"),
-        F.round(quality, 6).alias("quality"),
+        F.when(n_words > 0, F.round(quality, 6)).otherwise(F.lit(0.0)).alias("quality"),
         fp.alias("fingerprint"),
         norm.alias("norm_text"),
         redacted.alias("redacted"),
@@ -196,11 +196,11 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           round(
+           CASE WHEN len(words) = 0 THEN 0.0 ELSE round(
              0.4 * least(1.0, n_chars / 200.0)
              + 0.3 * (1.0 - len(list_filter(words, w -> w IN {_STOPWORDS_SQL})) / len(words))
              + 0.3 * (len(list_distinct(words)) / len(words)),
-           6) AS quality
+           6) END AS quality
     FROM t
     """,
     tags=("llm", "text"),
@@ -220,7 +220,9 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * (1.0 - n_stop / n_words)
         + 0.3 * (n_distinct / n_words)
     )
-    return t.select("doc_id", F.round(quality, 6).alias("quality"))
+    # wordless documents score 0.0 by definition (the ratios are 0/0)
+    guarded = F.when(n_words > 0, F.round(quality, 6)).otherwise(F.lit(0.0))
+    return t.select("doc_id", guarded.alias("quality"))
 
 
 @register(

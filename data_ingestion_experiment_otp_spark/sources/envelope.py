@@ -165,7 +165,9 @@ def ext_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     Generalizes the envelope field access of `api/main.py:245-246` the
     same way as `ext_json_scalar`, which keeps the string fast path."""
     ev = load(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    # try_parse_json: a malformed props row becomes a NULL variant (and
+    # NULL extractions) instead of failing the whole job
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "long")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

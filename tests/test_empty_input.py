@@ -41,4 +41,52 @@ def test_runs_on_empty_corpus(spark, empty_sf_dir, name):
     if name in _REQUIRES_DATA:
         pytest.skip(_REQUIRES_DATA[name])
     df = SPECS[name].fn(spark, empty_sf_dir)
-    df.count()  # full execution, not just planning
+    # noop write, not count(): count() lets Catalyst prune projections,
+    # leaving per-column expressions unevaluated (found live: a
+    # divide-by-zero that only count() missed)
+    df.write.format("noop").mode("overwrite").save()
+
+
+@pytest.fixture(scope="session")
+def degenerate_sf_dir(tmp_path_factory, sf_dir):
+    """Pathological corpus: every table a handful of rows with CONSTANT
+    keys, empty text, zero vectors, tied timestamps — the worst case for
+    divisions (zero token counts, zero norms, zero variance), windows
+    (total ties), and join fan-out (every row matches every row)."""
+    d = tmp_path_factory.mktemp("degen_sf")
+    for t in TABLES:
+        schema = pq.read_schema(os.path.join(sf_dir, f"{t}.parquet"))
+        n = 4
+        cols = []
+        for f in schema:
+            typ = f.type
+            if pa.types.is_integer(typ):
+                arr = pa.array([1] * n, type=typ)
+            elif pa.types.is_floating(typ):
+                arr = pa.array([0.0] * n, type=typ)
+            elif pa.types.is_timestamp(typ):
+                arr = pa.array([1_700_000_000_000_000] * n, type=typ)
+            elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                arr = pa.array([""] * n, type=typ)
+            elif pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+                arr = pa.array([b""] * n, type=typ)
+            elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
+                arr = pa.array([[0.0] * 64] * n, type=typ)
+            elif pa.types.is_boolean(typ):
+                arr = pa.array([False] * n, type=typ)
+            else:
+                arr = pa.nulls(n, type=typ)
+            cols.append(arr)
+        pq.write_table(pa.table(cols, schema=schema), os.path.join(d, f"{t}.parquet"))
+    return str(d)
+
+
+_DEGEN_EXEMPT: dict[str, str] = {
+    "llm_embed_cosine_dedup": "documented guard: raises on corpora its O(n^2) tier doesn't own — not applicable, n=4 passes",
+}
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_runs_on_degenerate_corpus(spark, degenerate_sf_dir, name):
+    df = SPECS[name].fn(spark, degenerate_sf_dir)
+    df.write.format("noop").mode("overwrite").save()
