@@ -193,7 +193,9 @@ def llm_embed_cosine_dedup(
     the quadratic join above fixture scale so a scale-up cannot silently
     run an O(n²) job — callers past the guard must route to the LSH path.
     """
-    e = load(spark, sf_dir, "embeddings")
+    from .similarity import load_vectors
+
+    e = load_vectors(spark, sf_dir)
     n = e.count()
     if n > max_rows:
         raise ValueError(

@@ -30,7 +30,12 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     The codec is defined INSIDE the closure so cloudpickle ships it by
     value: the Python workers never need this package importable (no
-    --py-files / PYTHONPATH requirement on the cluster)."""
+    --py-files / PYTHONPATH requirement on the cluster).
+
+    NULL payloads are dropped at the scan — a missing blob has nothing to
+    decode, and letting it reach the codec crashes the Arrow batch; the
+    skip volume is auditable upstream (meta_profile_tables)."""
+    media = media.filter(F.col("payload").isNotNull())
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def decode_image(blob):

@@ -32,6 +32,14 @@ _QUERY_ID_CAP = 100_000
 _MAX_QUERIES = _QUERY_ID_CAP // 100
 
 
+def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table with NULL vectors dropped at the scan: a null
+    embedding carries no geometry — every vector operator skips it rather
+    than crashing numpy/KMeans/signature arithmetic on it. Null-payload
+    volume is auditable via meta_profile_tables."""
+    return load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+
+
 def _cosine(ea: str, eb: str):
     dot = F.aggregate(F.zip_with(ea, eb, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     sq = lambda c: F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)  # noqa: E731
@@ -79,7 +87,7 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     qrows = (
         e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP))
         .select("vec_id", "embedding")
@@ -164,7 +172,7 @@ def udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cosine = pandas_udf(_cos, "double")
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     a = e.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )
@@ -240,7 +248,7 @@ def llm_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     buckets = pandas_udf(_buckets, "array<int>")
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     vec = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     tabled = vec.select(
         "vec_id", "v", F.posexplode(buckets("v")).alias("tbl", "bucket")
@@ -309,7 +317,7 @@ def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     image/audio blob; decode/feature-extraction over such columns is in
     operators/multimodal.py (mapInPandas plumbing with a stubbed codec)."""
     d = load(spark, sf_dir, "documents")
-    e = load(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label")
     return (
         d.join(ed, d.doc_id == ed.vec_id)
@@ -357,7 +365,7 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical double and any decimal re-rounding only *introduces*
     half-boundary divergence; rounding-to-int is `floor(q + 0.5)` on both
     sides because engine round() half-behaviors differ on exact .5."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
     scale = F.greatest(
         F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
@@ -403,7 +411,7 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     vec = e.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
@@ -531,7 +539,7 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     vec = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
     sample = [

@@ -90,3 +90,36 @@ _DEGEN_EXEMPT: dict[str, str] = {
 def test_runs_on_degenerate_corpus(spark, degenerate_sf_dir, name):
     df = SPECS[name].fn(spark, degenerate_sf_dir)
     df.write.format("noop").mode("overwrite").save()
+
+
+@pytest.fixture(scope="session")
+def nullish_sf_dir(tmp_path_factory, sf_dir):
+    """Dirty-data corpus: key/id columns valid and distinct, every other
+    nullable column NULL — the shape of a half-broken upstream delivery.
+    Operators must either process or skip null payloads; never crash."""
+    d = tmp_path_factory.mktemp("null_sf")
+    for t in TABLES:
+        schema = pq.read_schema(os.path.join(sf_dir, f"{t}.parquet"))
+        n = 4
+        cols = []
+        for i, f in enumerate(schema):
+            typ = f.type
+            is_key = f.name.endswith(("key", "_id", "Id")) or f.name in ("event_id",)
+            if is_key and pa.types.is_integer(typ):
+                cols.append(pa.array(list(range(1, n + 1)), type=typ))
+            elif pa.types.is_timestamp(typ):
+                # event time non-null: null event time is rejected at the
+                # edge by any real pipeline (watermarks are undefined on it)
+                cols.append(
+                    pa.array([1_700_000_000_000_000 + k for k in range(n)], type=typ)
+                )
+            else:
+                cols.append(pa.nulls(n, type=typ))
+        pq.write_table(pa.table(cols, schema=schema), os.path.join(d, f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_runs_on_nullish_corpus(spark, nullish_sf_dir, name):
+    df = SPECS[name].fn(spark, nullish_sf_dir)
+    df.write.format("noop").mode("overwrite").save()
