@@ -177,3 +177,45 @@ def llm_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_bucket("doc_id") < _MOD * rate).alias("in_mix"),
         )
     )
+
+
+@register(
+    "llm_dataset_manifest",
+    oracle=f"""
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS shard_chars,
+           CAST(sum(
+             CAST(('0x' || substring(sha256(text), 1, 15)) AS BIGINT)
+           ) % 9007199254740993 AS BIGINT) AS content_checksum
+    FROM (SELECT text, n_chars, (doc_id * {_A}) % {_MOD} % 64 AS shard FROM documents)
+    GROUP BY shard
+    """,
+    tags=("llm", "sampling", "manifest"),
+)
+def llm_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset version manifest — the reproducibility contract a training
+    run records before reading a shard set: per shard, the doc count,
+    byte volume, and an ORDER-INSENSITIVE content checksum (sum of
+    60-bit sha256 prefixes mod a large prime), so any later re-read —
+    different partitioning, different engine — can verify it is
+    consuming byte-identical content. Order-insensitivity matters:
+    shuffle/split order is not reproducible at scale, content is. The
+    checksum arithmetic is pure SQL in both engines, so the manifest
+    itself is hash-verified cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    prefix60 = F.conv(F.substring(F.sha2("text", 256), 1, 15), 16, 10).cast("long")
+    return (
+        d.select(
+            "text",
+            "n_chars",
+            (_bucket("doc_id") % 64).alias("shard"),
+            prefix60.alias("h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("shard_chars"),
+            (F.sum("h") % F.lit(9007199254740993)).cast("long").alias("content_checksum"),
+        )
+    )
