@@ -892,3 +892,49 @@ class TestStreamStreamStateBound:
         # steady state: at most ~2 epochs of both sides live at once
         assert peak <= 4 * per_epoch, (peak, total_in)
         assert removed >= total_in - 4 * per_epoch, (removed, total_in)
+
+
+class TestWindowAggStateBound:
+    def test_windowed_counts_state_plateaus(self, spark, tmp_path):
+        """Completes the bounded-state trilogy (dedup, interval join, and
+        now windowed aggregation): closed windows must leave the state
+        store as the watermark passes them, so day-spaced epochs hold
+        only the open tail of windows — never every window ever seen."""
+        import time as _t
+
+        n_epochs, per_epoch = 8, 50
+        path = str(tmp_path / "in")
+        day_us = 24 * 3_600_000_000_000
+        for e in range(n_epochs):
+            rows = [
+                (e * per_epoch + i, e * day_us + i * 60_000_000_000, 1, "signup", 0.0, "{}")
+                for i in range(per_epoch)
+            ]
+            _stage_stream(spark, tmp_path, rows, EVENTS_NS_SCHEMA, subdir="in")
+            _t.sleep(0.05)
+        stream = (
+            spark.readStream.schema(EVENTS_NS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        agg = watermark.windowed_counts(stream)
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drive.drain(q)
+        progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+        assert progresses
+        peak = max(p["stateOperators"][0]["numRowsTotal"] for p in progresses)
+        removed = sum(
+            p["stateOperators"][0].get("numRowsRemoved", 0) for p in progresses
+        )
+        # one epoch = 50 events at 1-min spacing = ~50 min = at most 6
+        # ten-minute windows; live state may hold ~2 epochs of windows,
+        # never the ~48 a no-eviction run would accumulate
+        assert peak <= 2 * 6, (peak,)
+        assert removed > 0, "no window state was ever evicted"
