@@ -196,13 +196,16 @@ def llm_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset version manifest — the reproducibility contract a training
     run records before reading a shard set: per shard, the doc count,
-    byte volume, and an ORDER-INSENSITIVE content checksum (sum of
-    60-bit sha256 prefixes mod a large prime), so any later re-read —
+    byte volume, and an ORDER-INSENSITIVE content checksum (exact sum of
+    60-bit sha256 prefixes reduced mod 2^53+1), so any later re-read —
     different partitioning, different engine — can verify it is
     consuming byte-identical content. Order-insensitivity matters:
     shuffle/split order is not reproducible at scale, content is. The
     checksum arithmetic is pure SQL in both engines, so the manifest
-    itself is hash-verified cross-engine."""
+    itself is hash-verified cross-engine. The sum runs in decimal(38,0)
+    (DuckDB: HUGEINT) because a shard of more than ~16 docs overflows a
+    64-bit sum of 60-bit prefixes; only the reduced residue is cast back
+    to long."""
     d = load(spark, sf_dir, "documents")
     prefix60 = F.conv(F.substring(F.sha2("text", 256), 1, 15), 16, 10).cast("long")
     return (
@@ -216,6 +219,8 @@ def llm_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("shard_chars"),
-            (F.sum("h") % F.lit(9007199254740993)).cast("long").alias("content_checksum"),
+            (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(9007199254740993))
+            .cast("long")
+            .alias("content_checksum"),
         )
     )
