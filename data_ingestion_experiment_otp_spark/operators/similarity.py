@@ -425,11 +425,15 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clamp cells to the DISTINCT corpus size: spark.ml KMeans fails
     # internally when k exceeds the number of distinct points, and
     # refuses k=1 outright — a (near-)constant corpus degenerates to a
-    # single cell with no clustering step at all
+    # single cell with no clustering step at all. The clamp only needs
+    # to know whether distinct >= _IVF_CELLS, so probe with a bounded
+    # take(cells+1) over the deduped view — Spark's incremental-limit
+    # execution stops as soon as cells+1 distinct vectors surface,
+    # instead of shuffling the whole embedding corpus to count a scalar
     import numpy as np
 
-    n_distinct = vec.select("v").distinct().count()
-    n_cells = min(_IVF_CELLS, n_distinct)
+    probe = vec.select("v").dropDuplicates().take(_IVF_CELLS + 1)
+    n_cells = min(_IVF_CELLS, len(probe))
     if n_cells < 2:
         assigned = vec.select("vec_id", "v", F.lit(0).alias("cell"))
         centers = np.asarray([vec.select("v").head()[0]], dtype=np.float64)
@@ -609,13 +613,26 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             out[i] = L[int(qid)][marange, C[i]].sum()
         return pd.Series(out)
 
+    # Rank on SCALARS only: the corpus×queries rows that cross the rank
+    # exchange carry (query_id, vec_id, score) — neither the 64-dim `v`
+    # nor `q` arrays ride the shuffle (the codes and vectors are dropped
+    # before the window and the plan's WindowGroupLimit already caps each
+    # map partition at k rows per query). Vectors rejoin only for the
+    # queries×k survivors, as a broadcast.
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
-    return (
-        coded.crossJoin(F.broadcast(qdf))
+    survivors = (
+        coded.select("vec_id", "codes")
+        .crossJoin(F.broadcast(qdf.select("query_id")))
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("score", adc("query_id", "codes"))
+        .select("query_id", "vec_id", "score")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id", "rn")
+    )
+    return (
+        vec.join(F.broadcast(survivors), on="vec_id")
+        .join(F.broadcast(qdf), on="query_id")
         .withColumn("cosine_raw", _cosine("q", "v"))
         .select(
             "query_id",

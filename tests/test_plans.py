@@ -155,6 +155,38 @@ class TestLshScaleShape:
                 )
 
 
+class TestPqScaleShape:
+    def test_rank_shuffle_carries_scalars_with_partial_limit(self, spark, sf_dir):
+        """llm_embed_pq's corpus×queries rank must shuffle only
+        (query_id, vec_id, score) scalars — the 64-dim v/q arrays and the
+        codes must be projected away before the exchange — and the plan
+        must place a Partial WindowGroupLimit BELOW that exchange so each
+        map partition emits at most k rows per query. Together these make
+        the rank shuffle batches×queries×k scalars instead of
+        corpus×queries wide rows."""
+        plan = plan_of(spark, sf_dir, "llm_embed_pq")
+        lines = plan.splitlines()
+        saw_rank_exchange = False
+        for i, line in enumerate(lines):
+            stripped = line.strip()
+            if re.match(r"^\(\d+\) Exchange", stripped):
+                inputs = next((l for l in lines[i + 1 : i + 3] if "Input" in l), "")
+                assert not re.search(r"[\[ ](v|q|codes)#\d+", inputs), (
+                    f"wide column crosses a shuffle: {stripped} / {inputs}"
+                )
+                saw_rank_exchange = True
+        assert saw_rank_exchange, "expected a rank exchange in the plan"
+        # map-side top-k: one Partial WindowGroupLimit below the exchange,
+        # one Final above it (modes live in the Arguments detail section)
+        n_wgl = sum(1 for l in lines if re.match(r"^\(\d+\) WindowGroupLimit", l.strip()))
+        assert n_wgl == 2, f"expected partial+final WindowGroupLimit pair, saw {n_wgl}"
+        wgl_args = [
+            l for l in lines if "Arguments" in l and "row_number" in l
+        ]
+        assert any("Partial" in l for l in wgl_args), wgl_args
+        assert any("Final" in l for l in wgl_args), wgl_args
+
+
 class TestScanSideOperators:
     @pytest.mark.parametrize("name", ["llm_chunk_docs", "llm_embed_quantize"])
     def test_no_shuffle_at_all(self, spark, sf_dir, name):
