@@ -54,7 +54,6 @@ def corpus_dedup_sink(
 
     def screen(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
         hashed = batch_df.withColumn("content_hash", F.sha2(text_col, 256)).dropDuplicates(
             ["content_hash"]
@@ -76,9 +75,14 @@ def corpus_dedup_sink(
         fresh.drop("content_hash").write.mode("overwrite").parquet(
             os.path.join(accepted_dir, f"batch_id={batch_id}")
         )
+        # dynamic overwrite scoped to THIS writer: replaying epoch k must
+        # rewrite only its own src_batch=k partition, but leaking the mode
+        # into the shared session conf would flip every later partitioned
+        # overwrite from truncate to accumulate
         (
             fresh.select("content_hash", F.lit(batch_id).alias("src_batch"))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("src_batch")
             .parquet(index_dir)
         )

@@ -298,11 +298,15 @@ class TestIncrementalRollupReplay:
 
         ev = load(spark, sf_dir, "events")
         mv = str(tmp_path / "mv")
+
+        def batch(k):  # the pre-sliced input contract
+            return ev.filter(F.col("event_id") % _N_BATCHES == k)
+
         for k in range(_N_BATCHES):
-            refresh_batch(ev, mv, k)
+            refresh_batch(batch(k), mv, k)
         before = sorted(map(tuple, read_rollup(spark, mv).collect()))
         for k in (0, _N_BATCHES - 1, 1):  # replay out of order, twice over
-            refresh_batch(ev, mv, k)
+            refresh_batch(batch(k), mv, k)
         after = sorted(map(tuple, read_rollup(spark, mv).collect()))
         assert before == after
 
@@ -428,8 +432,12 @@ class TestHllDistinctRollup:
 
         ev = load(spark, sf_dir, "events")
         mv = str(tmp_path / "hll_mv")
+
+        def batch(k):  # the pre-sliced input contract
+            return ev.filter(F.col("event_id") % _N_BATCHES == k)
+
         for k in range(_N_BATCHES):
-            refresh_distinct_batch(ev, mv, k)
+            refresh_distinct_batch(batch(k), mv, k)
         est = {r.day: r.n_users for r in read_distinct_rollup(spark, mv).collect()}
         exact = {
             r.day: r.n
@@ -440,6 +448,6 @@ class TestHllDistinctRollup:
         assert est.keys() == exact.keys()
         for day, n in exact.items():
             assert abs(est[day] - n) <= max(1, 0.05 * n), (day, est[day], n)
-        refresh_distinct_batch(ev, mv, 0)  # replay
+        refresh_distinct_batch(batch(0), mv, 0)  # replay
         after = {r.day: r.n_users for r in read_distinct_rollup(spark, mv).collect()}
         assert after == est
