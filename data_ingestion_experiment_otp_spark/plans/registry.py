@@ -48,8 +48,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "src_point_lookup_latest",
     "src_parquet",
     "src_jsonl_csv",
-    "src_argv_json",
-    "snk_state_file",
+    # src_argv_json and snk_state_file (1-row config/cursor demos) are
+    # driver-demoted in favor of higher-information entries below; both
+    # stay registered with exact oracles in tests/test_oracle_parity.py.
     "snk_parquet",
     "snk_jdbc",
     # §2.2 filters / projections
@@ -72,6 +73,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_theta_range",
     "join_asof",
     "join_stream_static",
+    "join_bloom_pruned",
     # §2.5 aggregations
     "agg_groupby",
     "agg_approx_distinct",
@@ -99,16 +101,23 @@ DRIVER_ORDER: tuple[str, ...] = (
     # The freed slot carries snk_jdbc's full write→read oracle instead.
     "llm_embed_cosine_dedup",
     "llm_dedup_clusters",
+    "llm_incremental_dedup",
     # §2.10 similarity / multimodal
     "llm_sim_topk",
     "llm_sim_lsh_bucketed",
     "llm_multimodal_cols",
-    "llm_multimodal_features",
+    # llm_multimodal_features is driver-demoted: rows-only by nature (the
+    # codec is env-stubbed), so its slot carried no hash check; the
+    # multimodal §2.10 row's oracle entry is llm_multimodal_cols, and the
+    # feature plumbing stays invariant-tested in pytest.
     # §2.10 text analysis / sampling
     "llm_text_stats",
     "llm_text_profile",
     "llm_keyword_extract",
     "llm_sample_shard",
+    # composed capstone: the end-to-end LLM dataprep pipeline (dedup →
+    # quality gate → chunk → shard), hash-checked against one DuckDB query
+    "pipeline_llm_dataprep",
 )
 
 
