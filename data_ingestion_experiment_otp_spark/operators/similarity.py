@@ -213,19 +213,45 @@ def _plane_matrix(n_planes: int, dim: int):
     return np.stack(rows)
 
 
-@register("llm_sim_lsh_bucketed", oracle=None, tags=("llm", "similarity", "approx"))
-def llm_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via multi-table sign-LSH: _LSH_TABLES independent
-    _LSH_BITS-bit signatures per vector (signs of blake2b-derived random
+def sim_lsh_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: int = _LSH_TABLES,
+    bits: int = _LSH_BITS,
+    bucket_cap: int = _BUCKET_CAP,
+) -> DataFrame:
+    """Load the embeddings table and run :func:`sim_lsh_topk` over it —
+    see that docstring for the algorithm, knob contract, and scale shape."""
+    e = load_vectors(spark, sf_dir)
+    vec = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return sim_lsh_topk(spark, vec, tables=tables, bits=bits, bucket_cap=bucket_cap)
+
+
+def sim_lsh_topk(
+    spark: SparkSession,
+    vec: DataFrame,
+    tables: int = _LSH_TABLES,
+    bits: int = _LSH_BITS,
+    bucket_cap: int = _BUCKET_CAP,
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH over a (vec_id, v)
+    frame: ``tables`` independent
+    ``bits``-bit signatures per vector (signs of blake2b-derived random
     hyperplanes, all tables computed in ONE Arrow-batched matmul), candidates
     = same-(table, bucket) pairs unioned across tables, then exact cosine
     scoring and cross-table dedup before the per-query top-k.
 
+    (tables, bits, bucket_cap) is the deployment knob: bits sets bucket
+    granularity (occupancy halves per bit), tables buy recall back. The
+    registered query runs the fixture-density default; the documented
+    100 TB setting (16-bit, more tables) is exercised by the same builder
+    in tests/test_invariants.py so the knob is proven, not just claimed.
+
     Scale shape (the IVF-style path): the (table, bucket) key is the shuffle
-    key; per-bucket membership is capped at _BUCKET_CAP (deterministic
+    key; per-bucket membership is capped at ``bucket_cap`` (deterministic
     xxhash64 sample) so a hot bucket can never induce a quadratic join; the
     query side is bounded by the same _QUERY_ID_CAP contract as llm_sim_topk
-    (≤ _MAX_QUERIES × _LSH_TABLES broadcast rows); and the dedup/top-k
+    (≤ _MAX_QUERIES × tables broadcast rows); and the dedup/top-k
     shuffle carries only (query_id, vec_id, cosine) scalars — vectors never
     pass a shuffle after candidate generation. Approximate (recall < 1) →
     rows-only; recall vs exact top-k is asserted in tests/test_invariants.py.
@@ -234,22 +260,20 @@ def llm_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    planes = _plane_matrix(_LSH_TABLES * _LSH_BITS, 64)
+    planes = _plane_matrix(tables * bits, 64)
 
     def _buckets(v):  # pd.Series[array<double>] -> pd.Series[array<int>]
         V = np.stack(v.to_numpy()).astype(np.float64)
-        bits = (V @ planes.T) > 0  # n × (tables·bits)
-        weights = 1 << np.arange(_LSH_BITS)
+        sig = (V @ planes.T) > 0  # n × (tables·bits)
+        weights = 1 << np.arange(bits)
         out = [
-            (bits[:, t * _LSH_BITS : (t + 1) * _LSH_BITS] @ weights).astype(np.int32)
-            for t in range(_LSH_TABLES)
+            (sig[:, t * bits : (t + 1) * bits] @ weights).astype(np.int32)
+            for t in range(tables)
         ]
         return pd.Series(list(np.stack(out, axis=1)))
 
     buckets = pandas_udf(_buckets, "array<int>")
 
-    e = load_vectors(spark, sf_dir)
-    vec = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     tabled = vec.select(
         "vec_id", "v", F.posexplode(buckets("v")).alias("tbl", "bucket")
     )
@@ -265,7 +289,7 @@ def llm_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = (
         tabled.groupBy("tbl", "bucket")
         .agg(F.count("*").alias("bucket_n"))
-        .filter(F.col("bucket_n") > _BUCKET_CAP)
+        .filter(F.col("bucket_n") > bucket_cap)
     )
     tabled = (
         tabled.join(F.broadcast(hot), on=["tbl", "bucket"], how="left")
@@ -273,7 +297,7 @@ def llm_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bucket_n").isNull()
             | (
                 F.pmod(F.xxhash64("vec_id", "tbl"), F.col("bucket_n"))
-                < F.lit(_BUCKET_CAP)
+                < F.lit(bucket_cap)
             )
         )
         .drop("bucket_n")
@@ -296,6 +320,13 @@ def llm_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "vec_id", F.round("cosine_raw", 6).alias("cosine"), "rn")
     )
+
+
+@register("llm_sim_lsh_bucketed", oracle=None, tags=("llm", "similarity", "approx"))
+def llm_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered fixture-density configuration of :func:`sim_lsh_bucketed`
+    (see its docstring for the full scale story and the knob contract)."""
+    return sim_lsh_bucketed(spark, sf_dir)
 
 
 @register(
