@@ -179,6 +179,84 @@ def rollup_sink(mv_dir: str):
     return write_partials
 
 
+def compact_rollup(spark: SparkSession, mv_dir: str, out_dir: str) -> None:
+    """Periodic compaction fold: every batch's partials collapse to ONE
+    partial per (day, event_type) grain, written as a NEW generation
+    (Spark cannot overwrite a path it is reading; real lakes roll a
+    generation and swap a manifest pointer the same way — the file-level
+    sibling of this fold is `snk_compacted_parquet`). Only batches older
+    than the replay horizon may be folded — a replay of a folded epoch
+    would re-add partials the fold already absorbed — which is why this
+    is a separate maintenance job and not part of the refresh path.
+    Content is untouched by construction: partials merge by the same
+    re-summation the reader does, so read_rollup over the compacted
+    generation hash-matches the uncompacted one (pinned in pytest)."""
+    mv = spark.read.schema(_ROLLUP_SCHEMA).parquet(mv_dir)
+    folded = (
+        mv.groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_raw").alias("sum_value_raw"),
+        )
+        .withColumn("batch", F.lit(0))
+    )
+    (
+        folded.write.mode("overwrite")
+        .partitionBy("day", "batch")
+        .parquet(out_dir)
+    )
+
+
+@register(
+    "mv_compacted_rollup",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "incremental", "compaction", "scale"),
+)
+def mv_compacted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction protocol end-to-end, oracle-hashed: four
+    STREAMING-SHAPED epochs (row-id sliced, so every epoch touches every
+    day — the layout rollup_sink accumulates, days×epochs partials)
+    land in generation 1; compact_rollup folds them into one partial
+    per grain in generation 2; the returned frame reads GENERATION 2.
+    Hash-matching the full-recompute oracle proves the fold preserved
+    content exactly; the layout collapse itself is pinned in
+    tests/test_invariants.py."""
+    ev = load(spark, sf_dir, "events")
+    tag = sf_dir.replace("/", "_")
+    gen1 = _scratch(spark, "events_rollup_gen1_" + tag)
+    gen2 = _scratch(spark, "events_rollup_gen2_" + tag)
+    sliced = ev.select(
+        "ts", "event_type", "value",
+        F.pmod(F.col("event_id"), _N_BATCHES).cast("int").alias("batch"),
+    ).persist()
+    try:
+        sliced.count()
+        sink = rollup_sink(gen1)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run(k: int) -> None:
+            sink(sliced.filter(F.col("batch") == k).drop("batch"), k)
+
+        with ThreadPoolExecutor(max_workers=_N_BATCHES) as pool:
+            list(pool.map(run, range(_N_BATCHES)))
+    finally:
+        sliced.unpersist()
+    compact_rollup(spark, gen1, gen2)
+    out = read_rollup(spark, gen2)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def refresh_distinct_batch(batch: DataFrame, mv_dir: str, batch_id: int) -> None:
     """Non-algebraic measure maintenance: per (day, batch), an HLL SKETCH
     of the batch's user ids (Datasketches `hll_sketch_agg`) instead of a

@@ -361,6 +361,44 @@ class TestIncrementalRollupReplay:
         assert before == after
 
 
+class TestMvCompaction:
+    def test_fold_preserves_content_and_collapses_layout(self, spark, sf_dir, tmp_path):
+        """Compacting the partial-state MV must change LAYOUT only: the
+        reader-side merge returns identical rows before and after, and
+        the (day, batch) leaf-partition count collapses from days×epochs
+        to days (streaming epochs are row-sliced, so every epoch touches
+        every day — the accumulation compaction exists to undo)."""
+        import os
+
+        from data_ingestion_experiment_otp_spark.operators.materialize import (
+            compact_rollup,
+            read_rollup,
+            rollup_sink,
+        )
+        from data_ingestion_experiment_otp_spark.sources.catalog import load
+
+        ev = load(spark, sf_dir, "events")
+        gen1 = str(tmp_path / "gen1")
+        gen2 = str(tmp_path / "gen2")
+        sink = rollup_sink(gen1)
+        for k in range(3):
+            sink(ev.filter(F.col("event_id") % 3 == k), k)
+        before = sorted(map(tuple, read_rollup(spark, gen1).collect()))
+        compact_rollup(spark, gen1, gen2)
+        after = sorted(map(tuple, read_rollup(spark, gen2).collect()))
+        assert before == after and before
+
+        def leaf_partitions(root):
+            return sum(
+                1 for d, _, files in os.walk(root)
+                if "batch=" in d and any(f.endswith(".parquet") for f in files)
+            )
+
+        n_days = len({r[0] for r in before})
+        assert leaf_partitions(gen2) == n_days
+        assert leaf_partitions(gen1) > leaf_partitions(gen2)
+
+
 class TestApproxVocabTopK:
     def test_sketch_exact_at_capacity_and_head_complete(self, spark, sf_dir):
         """With tracked capacity >= |vocabulary| the approx_top_k sketch is
