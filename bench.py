@@ -61,13 +61,21 @@ def main() -> None:
     q["src_point_lookup_latest"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
+        runs = []
         for _ in range(reps):  # min-of-N pins steady state (N=3 default)
             t0 = time.perf_counter()
             q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        # rep-to-rep spread OVER THE WARM RUNS (the first rep carries this
+        # query's plan compilation and is absorbed by min-of-N, not a
+        # stability signal): cells whose spread exceeds a round-over-round
+        # delta mean the delta is noise, not a regression
+        # (BENCH_HISTORY.md discipline)
+        warm = runs[1:] if len(runs) > 1 else runs
+        spread[name] = round((max(warm) / min(warm) - 1.0) * 100, 1)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -77,6 +85,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread_pct": spread,
+                "reps": reps,
                 "sf": sf_dir,
             }
         )

@@ -81,13 +81,10 @@ def degenerate_sf_dir(tmp_path_factory, sf_dir):
     return str(d)
 
 
-_DEGEN_EXEMPT: dict[str, str] = {
-    "llm_embed_cosine_dedup": "documented guard: raises on corpora its O(n^2) tier doesn't own — not applicable, n=4 passes",
-}
-
-
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_runs_on_degenerate_corpus(spark, degenerate_sf_dir, name):
+    # no exemption list on purpose: every registered query, including the
+    # guarded O(n²) tiers, must fully execute at degenerate n=4 scale
     df = SPECS[name].fn(spark, degenerate_sf_dir)
     df.write.format("noop").mode("overwrite").save()
 
