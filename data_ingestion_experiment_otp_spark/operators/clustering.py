@@ -1,0 +1,294 @@
+"""Semantic-curation operators: repetition filtering and embedding
+clustering for training-data pipelines (SURVEY.md §2.10 target surface).
+
+Three additions a 100 TB curation run needs beyond dedup/similarity:
+
+- ``llm_repetition_signals``: Gopher-style within-document repetition
+  metrics (duplicate-word fraction, top bigram/trigram fraction) with a
+  keep/drop gate. Pure scan-side projection — zero shuffle; every metric
+  is whole-stage-codegen'd array arithmetic over one tokenization.
+- ``llm_cluster_assign``: nearest-centroid assignment over the embedding
+  column against a small fixed centroid set. The centroid set is driver-
+  bounded (k rows via TakeOrderedAndProject) and baked into the plan as
+  literals, so assignment is an embarrassingly parallel map — zero
+  shuffle, no join, no cross-corpus exchange. This is the production
+  shape for semantic bucketing: centroids come from a trained model
+  (small by construction); the corpus is only scanned.
+- ``llm_cluster_balance``: per-cluster capped downsampling by a
+  deterministic Lehmer hash — the "balance the mixture" step after
+  assignment. The only shuffle carries (vec_id, cluster_id, hash)
+  scalars, never the vectors.
+
+All three have exact DuckDB oracles: the arithmetic is engine-neutral
+(identical fold orders, identical tie-breaks, doubles rounded before any
+comparison that feeds a rank or a threshold).
+
+Reference parity: the reference has no vector or corpus-curation surface
+(it is a Gmail-OTP pipeline, `main.py`); these are engine-target rows
+mandated by the driver's LLM-pipeline brief, same tier as dedup.py /
+similarity.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load
+from .similarity import load_vectors
+
+# Repetition gate thresholds (on values rounded to 6 on both engines, so
+# the comparisons are cross-engine exact). Tuned to split the fixture
+# corpus non-trivially: dup_word_frac sits at mean 0.50 / p90 0.68,
+# top_bigram_frac at median 0.066 / p90 0.133.
+_DUP_WORD_MAX = 0.6
+_TOP_BIGRAM_MAX = 0.12
+_TOP_TRIGRAM_MAX = 0.10
+
+_K_CLUSTERS = 8
+_BALANCE_CAP = 40
+# Lehmer / Park-Miller generator constants: a full-period multiplicative
+# hash that both engines evaluate identically in int64 (the pre-mod keeps
+# the product below 2^63 for ANY vec_id, unlike hashing the raw id).
+_HASH_MOD = 2147483647
+_HASH_MULT = 48271
+
+
+def _words(col: str = "text"):
+    return F.filter(F.split(col, " "), lambda w: w != "")
+
+
+def _max_ngram_count(grams):
+    """Highest occurrence count of any element in the `grams` array —
+    scan-side O(distinct x n) per document, no shuffle. For corpora with
+    very long documents prefer the explode + partial-agg formulation
+    (llm_vocab_topk's shape); for typical web-document lengths this stays
+    cheaper than a shuffle."""
+    return F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(grams), lambda g: F.size(F.filter(grams, lambda x: x == g))
+            )
+        ),
+        F.lit(0),
+    )
+
+
+@register(
+    "llm_repetition_signals",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+      FROM documents
+    ), g AS (
+      SELECT doc_id, words,
+             list_transform(range(1, len(words)),
+                            i -> words[i] || ' ' || words[i+1]) AS bg,
+             list_transform(range(1, len(words) - 1),
+                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS tg
+      FROM t
+    ), m AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             CASE WHEN len(words) = 0 THEN 0.0
+                  ELSE round(1.0 - len(list_distinct(words)) * 1.0 / len(words), 6)
+             END AS dup_word_frac,
+             CASE WHEN len(words) = 0 OR coalesce(list_max(list_transform(list_distinct(bg),
+                         x -> len(list_filter(bg, y -> y = x)))), 0) < 2 THEN 0.0
+                  ELSE round(2.0 * list_max(list_transform(list_distinct(bg),
+                         x -> len(list_filter(bg, y -> y = x)))) / len(words), 6)
+             END AS top_bigram_frac,
+             CASE WHEN len(words) = 0 OR coalesce(list_max(list_transform(list_distinct(tg),
+                         x -> len(list_filter(tg, y -> y = x)))), 0) < 2 THEN 0.0
+                  ELSE round(3.0 * list_max(list_transform(list_distinct(tg),
+                         x -> len(list_filter(tg, y -> y = x)))) / len(words), 6)
+             END AS top_trigram_frac
+      FROM g
+    )
+    SELECT doc_id, n_words, dup_word_frac, top_bigram_frac, top_trigram_frac,
+           (dup_word_frac <= {_DUP_WORD_MAX}
+            AND top_bigram_frac <= {_TOP_BIGRAM_MAX}
+            AND top_trigram_frac <= {_TOP_TRIGRAM_MAX}) AS keep
+    FROM m
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals (Rae et al. 2021 §A1.1): the
+    duplicate-word fraction and the fraction of words covered by the most
+    frequent word bigram / trigram, plus the keep/drop gate over all three.
+    Repetitive documents (boilerplate, keyword stuffing, degenerate
+    generations) are the classic pre-training poison that length/stopword
+    quality scores miss. One scan, one tokenization, zero shuffle."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", _words().alias("words"))
+    nw = F.size("words")
+
+    def grams(n: int):
+        # words is 1-indexed via element_at; sequence guarded because
+        # Spark's sequence(1, 0) counts DOWN rather than yielding [].
+        parts = lambda i: [F.element_at(F.col("words"), i + j) for j in range(n)]  # noqa: E731
+        return F.when(
+            nw >= n, F.transform(F.sequence(F.lit(1), nw - (n - 1)), lambda i: F.concat_ws(" ", *parts(i)))
+        ).otherwise(F.array().cast("array<string>"))
+
+    g = t.select("doc_id", "words", grams(2).alias("bg"), grams(3).alias("tg"))
+    nw2 = F.size("words")
+    dup = F.when(nw2 > 0, F.round(1.0 - F.size(F.array_distinct("words")) / nw2, 6)).otherwise(0.0)
+    # A gram that occurs once is not repetition — the signal fires only
+    # when the top n-gram actually repeats (otherwise every short document
+    # scores 2/n_words and the gate degenerates into a length filter).
+    mbg, mtg = _max_ngram_count(F.col("bg")), _max_ngram_count(F.col("tg"))
+    bgf = F.when((nw2 > 0) & (mbg >= 2), F.round(2.0 * mbg / nw2, 6)).otherwise(0.0)
+    tgf = F.when((nw2 > 0) & (mtg >= 2), F.round(3.0 * mtg / nw2, 6)).otherwise(0.0)
+    m = g.select(
+        "doc_id",
+        nw2.alias("n_words"),
+        dup.alias("dup_word_frac"),
+        bgf.alias("top_bigram_frac"),
+        tgf.alias("top_trigram_frac"),
+    )
+    return m.withColumn(
+        "keep",
+        (F.col("dup_word_frac") <= _DUP_WORD_MAX)
+        & (F.col("top_bigram_frac") <= _TOP_BIGRAM_MAX)
+        & (F.col("top_trigram_frac") <= _TOP_TRIGRAM_MAX),
+    )
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> list:
+    """The fixed centroid set: embeddings of the k smallest vec_ids.
+    Deterministic (so the oracle can reproduce it) and driver-bounded —
+    TakeOrderedAndProject ships exactly k rows to the driver, never the
+    corpus. In production the centroid set arrives from model training and
+    is small for the same reason: it must broadcast."""
+    vec = load_vectors(spark, sf_dir)
+    return vec.orderBy("vec_id").limit(_K_CLUSTERS).select("vec_id", "embedding").collect()
+
+
+def _assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id, sim): nearest centroid by cosine, computed as a
+    pure scan-side map. Per row: k dot products against literal centroid
+    arrays, argmax over the rounded sims (ties -> lowest centroid id,
+    because array_position takes the FIRST max and the literals are in
+    centroid-id order). Zero-norm vectors rank every centroid at the -2.0
+    sentinel (below any real cosine) and surface sim=NULL."""
+    vec = load_vectors(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+    if not cents:
+        return spark.createDataFrame([], "vec_id long, cluster_id long, sim double")
+
+    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm_e = F.sqrt(F.aggregate(F.transform(ev, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+
+    sim_cols = []
+    for r in cents:
+        cv = [float(x) for x in r.embedding]
+        cn = math.sqrt(math.fsum(x * x for x in cv))  # exact double sum of the literal values
+        cl = F.array(*[F.lit(x) for x in cv])
+        dot = F.aggregate(F.zip_with(ev, cl, lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v)
+        sim_cols.append(F.round(dot / F.nullif(norm_e * F.lit(cn), F.lit(0.0)), 6))
+
+    sims = F.array(*[F.coalesce(c, F.lit(-2.0)) for c in sim_cols])
+    idx = F.array_position(sims, F.array_max(sims))  # 1-based, first occurrence
+    ids = F.array(*[F.lit(int(r.vec_id)) for r in cents])
+    out_sims = F.array(*sim_cols)  # nullable (zero-norm rows keep NULL sim)
+    return vec.select(
+        "vec_id",
+        F.element_at(ids, idx.cast("int")).alias("cluster_id"),
+        F.element_at(out_sims, idx.cast("int")).alias("sim"),
+    )
+
+
+# fsum in _centroids/_assignment vs DuckDB's list_cosine_similarity: both
+# engines compute in double from the same float32 inputs; empirically exact
+# at round-6 across the whole fixture (same contract llm_sim_topk /
+# udf_cosine already rely on). Ranking happens on the ROUNDED sims on both
+# sides, so argmax ties are broken identically (lowest centroid id).
+_ORACLE_CENTROIDS = f"""
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE embedding IS NOT NULL
+      ORDER BY vec_id LIMIT {_K_CLUSTERS}
+"""
+
+_ORACLE_ASSIGN = f"""
+    WITH c AS ({_ORACLE_CENTROIDS}),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), s AS (
+      SELECT v.vec_id, c.cid,
+             round(list_cosine_similarity(v.ev, c.cv), 6) AS sim
+      FROM v CROSS JOIN c
+    ), r AS (
+      SELECT vec_id, cid, sim,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY coalesce(sim, -2.0) DESC, cid) AS rn
+      FROM s
+    )
+    SELECT vec_id, cid AS cluster_id, sim FROM r WHERE rn = 1
+"""
+
+
+@register(
+    "llm_cluster_assign",
+    oracle=_ORACLE_ASSIGN,
+    tags=("llm", "vector", "clustering"),
+)
+def llm_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid semantic bucketing over the embedding column: every
+    vector is assigned to the closest of k fixed centroids by cosine. The
+    corpus is scanned exactly once and never shuffled — the centroids ride
+    into the plan as literals, the k sims and the argmax are one codegen'd
+    projection. IVF (llm_sim_ivf) uses the same assignment geometry for
+    search; this is the curation-side use: domain bucketing ahead of
+    mixture balancing."""
+    return _assignment(spark, sf_dir)
+
+
+@register(
+    "llm_cluster_balance",
+    oracle=f"""
+    WITH a AS ({_ORACLE_ASSIGN}),
+    h AS (
+      SELECT vec_id, cluster_id,
+             ((vec_id % {_HASH_MOD}) * {_HASH_MULT}) % {_HASH_MOD} AS shuffle_key
+      FROM a
+    ), r AS (
+      SELECT vec_id, cluster_id, shuffle_key,
+             row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY shuffle_key, vec_id) AS rk
+      FROM h
+    )
+    SELECT vec_id, cluster_id, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_BALANCE_CAP}
+    """,
+    tags=("llm", "vector", "clustering", "sampling"),
+)
+def llm_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing: cap every semantic cluster at _BALANCE_CAP docs,
+    chosen by a deterministic Lehmer hash of the id (an unbiased, seedless
+    per-cluster shuffle both engines compute identically). The shuffle that
+    feeds the per-cluster rank carries only (vec_id, cluster_id, hash)
+    scalars — the embeddings never leave the scan stage. At 100 TB this is
+    the standard down-sample-the-majority-domain step; the cap generalizes
+    to per-cluster target fractions by replacing the constant with a
+    broadcast-joined quota column."""
+    a = _assignment(spark, sf_dir)
+    from pyspark.sql import Window
+
+    h = a.select(
+        "vec_id",
+        "cluster_id",
+        ((F.col("vec_id") % _HASH_MOD) * _HASH_MULT % _HASH_MOD).alias("shuffle_key"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy("shuffle_key", "vec_id")
+    return (
+        h.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _BALANCE_CAP)
+        .select("vec_id", "cluster_id", "rk")
+    )

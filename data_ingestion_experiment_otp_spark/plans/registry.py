@@ -141,6 +141,7 @@ def all_queries() -> dict[str, QuerySpec]:
         aggregates,
         asof,
         cdc,
+        clustering,
         dedup,
         extraction,
         layout,

@@ -539,3 +539,96 @@ class TestHllDistinctRollup:
         refresh_distinct_batch(batch(0), mv, 0)  # replay
         after = {r.day: r.n_users for r in read_distinct_rollup(spark, mv).collect()}
         assert after == est
+
+
+class TestClustering:
+    def test_balance_caps_every_cluster_and_respects_assignment(self, spark, sf_dir):
+        """llm_cluster_balance must (a) never exceed the per-cluster cap,
+        (b) keep ranks dense 1..n_kept within each cluster, and (c) agree
+        with llm_cluster_assign on every kept row's cluster."""
+        from data_ingestion_experiment_otp_spark.operators.clustering import (
+            _BALANCE_CAP,
+            _K_CLUSTERS,
+            llm_cluster_assign,
+            llm_cluster_balance,
+        )
+
+        assign = {r["vec_id"]: r["cluster_id"] for r in llm_cluster_assign(spark, sf_dir).collect()}
+        kept = llm_cluster_balance(spark, sf_dir).collect()
+        assert len({r["cluster_id"] for r in kept}) <= _K_CLUSTERS
+        by_cluster: dict = {}
+        for r in kept:
+            assert assign[r["vec_id"]] == r["cluster_id"]
+            by_cluster.setdefault(r["cluster_id"], []).append(r["rk"])
+        assert by_cluster, "balance kept nothing on a non-empty corpus"
+        for cid, rks in by_cluster.items():
+            assert len(rks) <= _BALANCE_CAP, (cid, len(rks))
+            assert sorted(rks) == list(range(1, len(rks) + 1)), cid
+
+    def test_assignment_is_nearest_centroid(self, spark, sf_dir):
+        """Spot-check the argmax against numpy on a sample: the assigned
+        centroid's cosine must be >= every other centroid's cosine (to
+        rounding), with ties broken toward the lower centroid id."""
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.operators.clustering import (
+            _centroids,
+            llm_cluster_assign,
+        )
+        from data_ingestion_experiment_otp_spark.operators.similarity import load_vectors
+
+        cents = _centroids(spark, sf_dir)
+        C = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cents])
+        cids = np.array([r.vec_id for r in cents])
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        sample = load_vectors(spark, sf_dir).orderBy("vec_id").limit(50).collect()
+        got = {r["vec_id"]: r["cluster_id"] for r in llm_cluster_assign(spark, sf_dir).collect()}
+        for r in sample:
+            v = np.asarray(r.embedding, dtype=np.float64)
+            sims = np.round(Cn @ (v / np.linalg.norm(v)), 6)
+            best = cids[np.lexsort((cids, -sims))[0]]
+            assert got[r.vec_id] == best, (r.vec_id, got[r.vec_id], best)
+
+
+class TestRepetitionSignals:
+    def test_signals_bounded_and_gate_consistent(self, spark, sf_dir):
+        from data_ingestion_experiment_otp_spark.operators.clustering import (
+            _DUP_WORD_MAX,
+            _TOP_BIGRAM_MAX,
+            _TOP_TRIGRAM_MAX,
+            llm_repetition_signals,
+        )
+
+        rows = llm_repetition_signals(spark, sf_dir).collect()
+        assert rows
+        n_keep = 0
+        for r in rows:
+            assert 0.0 <= r["dup_word_frac"] < 1.0
+            assert 0.0 <= r["top_bigram_frac"] <= 2.0
+            assert 0.0 <= r["top_trigram_frac"] <= 3.0
+            expect = (
+                r["dup_word_frac"] <= _DUP_WORD_MAX
+                and r["top_bigram_frac"] <= _TOP_BIGRAM_MAX
+                and r["top_trigram_frac"] <= _TOP_TRIGRAM_MAX
+            )
+            assert r["keep"] == expect, r
+            n_keep += bool(r["keep"])
+        # The gate must actually split the corpus, not rubber-stamp it.
+        assert 0 < n_keep < len(rows)
+
+    def test_planted_repetitive_doc_is_dropped(self, spark):
+        """A degenerate '(word) * N' document must trip every signal."""
+        from data_ingestion_experiment_otp_spark.operators import clustering as cl
+
+        d = spark.createDataFrame(
+            [(1, "spam " * 50 + "spam"), (2, "one two three four five six seven eight nine ten")],
+            "doc_id long, text string",
+        )
+        orig = cl.load
+        try:
+            cl.load = lambda spark, sf_dir, name: d  # noqa: ARG005
+            rows = {r["doc_id"]: r for r in cl.llm_repetition_signals(spark, "ignored").collect()}
+        finally:
+            cl.load = orig
+        assert rows[1]["dup_word_frac"] > 0.9 and not rows[1]["keep"]
+        assert rows[2]["dup_word_frac"] == 0.0 and rows[2]["keep"]

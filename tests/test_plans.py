@@ -513,3 +513,32 @@ class TestCodegenFusion:
         assert ids == {"1"}, ids
         for op in ("ColumnarToRow", "Filter", "Project"):
             assert re.search(rf"\(\d+\) {op} \[codegen id : 1\]", p), op
+
+
+class TestClusteringPlans:
+    def test_cluster_assign_is_pure_map_zero_exchange(self, spark, sf_dir):
+        """Nearest-centroid assignment must be embarrassingly parallel: the
+        centroids ride in as literals, so the whole query is scan + project
+        — ZERO Exchange operators. At 100 TB this is the difference between
+        a map over the corpus and a corpus-wide join."""
+        ops = ops_of(plan_of(spark, sf_dir, "llm_cluster_assign"))
+        assert not any("Exchange" in op for op in ops), ops
+        assert ops.count("Scan parquet") == 1, ops
+
+    def test_cluster_balance_single_scalar_shuffle(self, spark, sf_dir):
+        """The per-cluster rank is the only shuffle, and the rows crossing
+        it carry (vec_id, cluster_id, shuffle_key) scalars — the embedding
+        arrays are projected away below the Exchange."""
+        p = plan_of(spark, sf_dir, "llm_cluster_balance")
+        ops = ops_of(p)
+        assert sum(1 for op in ops if "Exchange" in op) == 1, ops
+        # Arguments section: the Exchange input attribute set must not
+        # include the embedding column.
+        m = re.search(r"\(\d+\) Exchange\n(?:.+\n)*?Arguments: [^\n]*", p)
+        exch_args = m.group(0) if m else ""
+        assert "embedding" not in exch_args, exch_args
+
+    def test_repetition_signals_zero_exchange(self, spark, sf_dir):
+        ops = ops_of(plan_of(spark, sf_dir, "llm_repetition_signals"))
+        assert not any("Exchange" in op for op in ops), ops
+        assert ops.count("Scan parquet") == 1, ops
