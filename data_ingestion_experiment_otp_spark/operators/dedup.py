@@ -185,14 +185,27 @@ def llm_embed_cosine_dedup(
     spark: SparkSession, sf_dir: str, max_rows: int = _EXACT_PAIR_GUARD
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: exact pairwise cosine over the
-    vector column, pure `zip_with`/`aggregate` SQL arithmetic (no UDF).
+    vector column, as one BLAS matmul per Arrow batch.
+
+    The guarded corpus (≤ `max_rows`, so ≤ ~50 MB of float64 at 64 dims) is
+    broadcast once as a normalized matrix; the same corpus then streams
+    through a mapInPandas stage where each batch computes every pairwise
+    cosine against the broadcast side in a single `Vn @ Mn.T` and emits only
+    the (vec_a < vec_b, cosine ≥ τ) survivors — no pair ever materializes in
+    a join, and nothing shuffles (the old theta-join + interpreted
+    `zip_with` fold was ~10x slower at the identical result; same trade
+    llm_sim_topk documents). Zero-norm vectors produce NaN cosines and are
+    excluded, matching the oracle's NULL-cosine exclusion.
 
     The fixture table is small enough for the exact quadratic pass; the
     sub-quadratic scale path is `llm_sim_lsh_bucketed` (sign-LSH bucketing)
     in similarity.py. A hard row-count guard (`max_rows`) refuses to plan
-    the quadratic join above fixture scale so a scale-up cannot silently
+    the quadratic pass above fixture scale so a scale-up cannot silently
     run an O(n²) job — callers past the guard must route to the LSH path.
     """
+    import numpy as np
+    import pandas as pd
+
     from .similarity import load_vectors
 
     e = load_vectors(spark, sf_dir)
@@ -203,25 +216,36 @@ def llm_embed_cosine_dedup(
             f"{max_rows} rows; corpus has {n}. Use llm_sim_lsh_bucketed "
             "(sign-LSH) or llm_minhash_banded for near-dup at scale."
         )
-    a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").cast("array<double>").alias("ea"),
+    rows = e.select("vec_id", "embedding").collect()  # bounded by the guard
+    if not rows:
+        return spark.createDataFrame([], "vec_a long, vec_b long, cosine double")
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    bcast = spark.sparkContext.broadcast((ids, Mn))
+
+    def batches(it):
+        b_ids, B = bcast.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a_ids = pdf["vec_id"].to_numpy()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = (V / np.linalg.norm(V, axis=1, keepdims=True)) @ B.T
+            # NaN (zero-norm) compares False on both conditions
+            with np.errstate(invalid="ignore"):
+                hit = (C >= _COSINE_DEDUP_THRESHOLD) & (a_ids[:, None] < b_ids[None, :])
+            ai, bj = np.nonzero(hit)
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ai], "vec_b": b_ids[bj], "cosine_raw": C[ai, bj]}
+            )
+
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        batches, "vec_a long, vec_b long, cosine_raw double"
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").cast("array<double>").alias("eb"),
-    )
-    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-    sq = lambda c: F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)  # noqa: E731
-    # nullif: zero-norm vectors yield NULL cosine (filtered out below)
-    # instead of an ANSI divide-by-zero failure
-    cosine = dot / F.nullif(F.sqrt(sq("ea")) * F.sqrt(sq("eb")), F.lit(0.0))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine_raw", cosine)
-        .filter(F.col("cosine_raw") >= _COSINE_DEDUP_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
-    )
+    return cand.select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
 
 
 # --- Oracle-checkable MinHash (llm_minhash_banded) -------------------------
