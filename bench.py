@@ -44,6 +44,9 @@ HEADLINE = [
     "llm_chunk_docs",
     "llm_fingerprint",
     "llm_incremental_dedup",
+    "llm_embed_cosine_dedup",
+    "llm_cluster_assign",
+    "llm_repetition_signals",
     "sql_correlated_subquery",
     "join_bloom_pruned",
     "mv_incremental_rollup",

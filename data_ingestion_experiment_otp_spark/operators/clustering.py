@@ -31,8 +31,6 @@ similarity.py.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.registry import register
@@ -62,17 +60,28 @@ def _words(col: str = "text"):
 
 def _max_ngram_count(grams):
     """Highest occurrence count of any element in the `grams` array —
-    scan-side O(distinct x n) per document, no shuffle. For corpora with
-    very long documents prefer the explode + partial-agg formulation
-    (llm_vocab_topk's shape); for typical web-document lengths this stays
-    cheaper than a shuffle."""
-    return F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(grams), lambda g: F.size(F.filter(grams, lambda x: x == g))
-            )
+    scan-side, no shuffle: sort the array, then one linear fold tracking
+    (previous gram, current run, best run). O(n log n) per document vs the
+    naive O(distinct x n) distinct-then-count formulation, which measured
+    ~40x slower end-to-end under Spark's interpreted higher-order lambdas
+    (29 s -> 0.7 s on the sf0.1 bench cell). For corpora with very long
+    documents the explode + partial-agg formulation (llm_vocab_topk's
+    shape) is the alternative; for web-document lengths this stays cheaper
+    than a shuffle."""
+    run_step = lambda acc, x: F.when(  # noqa: E731
+        x == acc["prev"], acc["run"] + 1
+    ).otherwise(F.lit(1))
+    return F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
         ),
-        F.lit(0),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_step(acc, x).alias("run"),
+            F.greatest(acc["best"], run_step(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
 
 
@@ -175,30 +184,55 @@ def _assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     because array_position takes the FIRST max and the literals are in
     centroid-id order). Zero-norm vectors rank every centroid at the -2.0
     sentinel (below any real cosine) and surface sim=NULL."""
+    import numpy as np
+    import pandas as pd
+
     vec = load_vectors(spark, sf_dir)
     cents = _centroids(spark, sf_dir)
     if not cents:
         return spark.createDataFrame([], "vec_id long, cluster_id long, sim double")
 
-    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm_e = F.sqrt(F.aggregate(F.transform(ev, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    # Broadcast the tiny centroid matrix; score each Arrow batch of the
+    # corpus as one BLAS matmul. (A pure-expression formulation was tried
+    # twice and lost both times: higher-order-function folds interpret the
+    # lambda per element, and a fully unrolled 8x64-term expression blows
+    # past codegen method limits and falls back to interpreted eval — the
+    # matmul is ~10x either. Same trade llm_sim_topk documents.)
+    cids = np.array([int(r.vec_id) for r in cents], dtype=np.int64)
+    C = np.array([[float(x) for x in r.embedding] for r in cents], dtype=np.float64)
+    cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+    bcast = spark.sparkContext.broadcast((cids, C, cn))
 
-    sim_cols = []
-    for r in cents:
-        cv = [float(x) for x in r.embedding]
-        cn = math.sqrt(math.fsum(x * x for x in cv))  # exact double sum of the literal values
-        cl = F.array(*[F.lit(x) for x in cv])
-        dot = F.aggregate(F.zip_with(ev, cl, lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v)
-        sim_cols.append(F.round(dot / F.nullif(norm_e * F.lit(cn), F.lit(0.0)), 6))
+    def assign(it):
+        c_ids, Cm, c_norm = bcast.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round(
+                    (V @ Cm.T) / (np.linalg.norm(V, axis=1, keepdims=True) * c_norm[None, :]), 6
+                )
+            # argmax with ties -> lowest centroid id; NaN (zero-norm row)
+            # sorts below every real cosine via the -2.0 sentinel
+            key = np.where(np.isnan(sims), -2.0, sims)
+            order = np.lexsort((np.broadcast_to(c_ids, sims.shape), -key), axis=1)
+            best = order[:, 0]
+            rows = np.arange(len(best))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster_id": c_ids[best],
+                    "sim": sims[rows, best],  # zero-norm rows carry NaN here
+                }
+            )
 
-    sims = F.array(*[F.coalesce(c, F.lit(-2.0)) for c in sim_cols])
-    idx = F.array_position(sims, F.array_max(sims))  # 1-based, first occurrence
-    ids = F.array(*[F.lit(int(r.vec_id)) for r in cents])
-    out_sims = F.array(*sim_cols)  # nullable (zero-norm rows keep NULL sim)
-    return vec.select(
-        "vec_id",
-        F.element_at(ids, idx.cast("int")).alias("cluster_id"),
-        F.element_at(out_sims, idx.cast("int")).alias("sim"),
+    out = vec.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cluster_id long, sim double"
+    )
+    # NaN (zero-norm vector) -> NULL sim, matching the oracle's NULL cosine.
+    return out.select(
+        "vec_id", "cluster_id", F.when(~F.isnan("sim"), F.col("sim")).alias("sim")
     )
 
 

@@ -110,8 +110,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     # codec is env-stubbed), so its slot carried no hash check; the
     # multimodal §2.10 row's oracle entry is llm_multimodal_cols, and the
     # feature plumbing stays invariant-tested in pytest.
+    # §2.10 semantic clustering (r3 addition): nearest-centroid assignment
+    # as a zero-shuffle map. Takes the slot llm_text_stats held — that §2
+    # row stays hash-covered by the fused llm_text_profile below (and
+    # llm_text_stats itself keeps its exact oracle in pytest parity).
+    "llm_cluster_assign",
     # §2.10 text analysis / sampling
-    "llm_text_stats",
     "llm_text_profile",
     "llm_keyword_extract",
     "llm_sample_shard",
