@@ -47,6 +47,7 @@ HEADLINE = [
     "llm_embed_cosine_dedup",
     "llm_cluster_assign",
     "llm_repetition_signals",
+    "pipeline_semantic_curation",
     "sql_correlated_subquery",
     "join_bloom_pruned",
     "mv_incremental_rollup",

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..plans.registry import register
 from ..sources.catalog import load
 from .similarity import load_vectors
+from .text_analysis import QUALITY_SQL_CTE, quality_expr
 
 # Repetition gate thresholds (on values rounded to 6 on both engines, so
 # the comparisons are cross-engine exact). Tuned to split the fixture
@@ -85,21 +86,11 @@ def _max_ngram_count(grams):
     )
 
 
-@register(
-    "llm_repetition_signals",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
-      FROM documents
-    ), g AS (
-      SELECT doc_id, words,
-             list_transform(range(1, len(words)),
-                            i -> words[i] || ' ' || words[i+1]) AS bg,
-             list_transform(range(1, len(words) - 1),
-                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS tg
-      FROM t
-    ), m AS (
-      SELECT doc_id,
+# Shared oracle fragment: per-doc repetition signals with source carried
+# along. llm_repetition_signals projects source away; the curation capstone
+# joins on it.
+_REP_CORE_SQL = """
+      SELECT doc_id, source,
              len(words) AS n_words,
              CASE WHEN len(words) = 0 THEN 0.0
                   ELSE round(1.0 - len(list_distinct(words)) * 1.0 / len(words), 6)
@@ -114,13 +105,29 @@ def _max_ngram_count(grams):
                   ELSE round(3.0 * list_max(list_transform(list_distinct(tg),
                          x -> len(list_filter(tg, y -> y = x)))) / len(words), 6)
              END AS top_trigram_frac
-      FROM g
-    )
-    SELECT doc_id, n_words, dup_word_frac, top_bigram_frac, top_trigram_frac,
-           (dup_word_frac <= {_DUP_WORD_MAX}
+      FROM (
+        SELECT doc_id, source, words,
+               list_transform(range(1, len(words)),
+                              i -> words[i] || ' ' || words[i+1]) AS bg,
+               list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS tg
+        FROM (SELECT doc_id, source,
+                     list_filter(string_split(text, ' '), w -> w <> '') AS words
+              FROM documents)
+      )
+"""
+
+_REP_KEEP_SQL = f"""(dup_word_frac <= {_DUP_WORD_MAX}
             AND top_bigram_frac <= {_TOP_BIGRAM_MAX}
-            AND top_trigram_frac <= {_TOP_TRIGRAM_MAX}) AS keep
-    FROM m
+            AND top_trigram_frac <= {_TOP_TRIGRAM_MAX})"""
+
+
+@register(
+    "llm_repetition_signals",
+    oracle=f"""
+    SELECT doc_id, n_words, dup_word_frac, top_bigram_frac, top_trigram_frac,
+           {_REP_KEEP_SQL} AS keep
+    FROM ({_REP_CORE_SQL})
     """,
     tags=("llm", "text", "quality"),
 )
@@ -133,37 +140,53 @@ def llm_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality scores miss. One scan, one tokenization, zero shuffle."""
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", _words().alias("words"))
+    m = _signal_frame(t)
+    return m.select(
+        "doc_id", "n_words", "dup_word_frac", "top_bigram_frac", "top_trigram_frac",
+        _rep_keep().alias("keep"),
+    )
+
+
+def _gram_array(n: int):
+    """Adjacent word n-grams of the `words` array column, scan-side.
+    words is 1-indexed via element_at; sequence is guarded because Spark's
+    sequence(1, 0) counts DOWN rather than yielding []."""
     nw = F.size("words")
+    parts = lambda i: [F.element_at(F.col("words"), i + j) for j in range(n)]  # noqa: E731
+    return F.when(
+        nw >= n, F.transform(F.sequence(F.lit(1), nw - (n - 1)), lambda i: F.concat_ws(" ", *parts(i)))
+    ).otherwise(F.array().cast("array<string>"))
 
-    def grams(n: int):
-        # words is 1-indexed via element_at; sequence guarded because
-        # Spark's sequence(1, 0) counts DOWN rather than yielding [].
-        parts = lambda i: [F.element_at(F.col("words"), i + j) for j in range(n)]  # noqa: E731
-        return F.when(
-            nw >= n, F.transform(F.sequence(F.lit(1), nw - (n - 1)), lambda i: F.concat_ws(" ", *parts(i)))
-        ).otherwise(F.array().cast("array<string>"))
 
-    g = t.select("doc_id", "words", grams(2).alias("bg"), grams(3).alias("tg"))
-    nw2 = F.size("words")
-    dup = F.when(nw2 > 0, F.round(1.0 - F.size(F.array_distinct("words")) / nw2, 6)).otherwise(0.0)
+def _signal_frame(t: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Repetition signals over a frame carrying (doc_id, words, *extra):
+    one projection building the gram arrays, one computing the fractions.
+    `extra` columns pass through untouched (the curation capstone carries
+    source and quality alongside)."""
+    g = t.select("doc_id", *extra, "words", _gram_array(2).alias("bg"), _gram_array(3).alias("tg"))
+    nw = F.size("words")
+    dup = F.when(nw > 0, F.round(1.0 - F.size(F.array_distinct("words")) / nw, 6)).otherwise(0.0)
     # A gram that occurs once is not repetition — the signal fires only
     # when the top n-gram actually repeats (otherwise every short document
     # scores 2/n_words and the gate degenerates into a length filter).
     mbg, mtg = _max_ngram_count(F.col("bg")), _max_ngram_count(F.col("tg"))
-    bgf = F.when((nw2 > 0) & (mbg >= 2), F.round(2.0 * mbg / nw2, 6)).otherwise(0.0)
-    tgf = F.when((nw2 > 0) & (mtg >= 2), F.round(3.0 * mtg / nw2, 6)).otherwise(0.0)
-    m = g.select(
+    bgf = F.when((nw > 0) & (mbg >= 2), F.round(2.0 * mbg / nw, 6)).otherwise(0.0)
+    tgf = F.when((nw > 0) & (mtg >= 2), F.round(3.0 * mtg / nw, 6)).otherwise(0.0)
+    return g.select(
         "doc_id",
-        nw2.alias("n_words"),
+        *extra,
+        nw.alias("n_words"),
         dup.alias("dup_word_frac"),
         bgf.alias("top_bigram_frac"),
         tgf.alias("top_trigram_frac"),
     )
-    return m.withColumn(
-        "keep",
+
+
+def _rep_keep():
+    return (
         (F.col("dup_word_frac") <= _DUP_WORD_MAX)
         & (F.col("top_bigram_frac") <= _TOP_BIGRAM_MAX)
-        & (F.col("top_trigram_frac") <= _TOP_TRIGRAM_MAX),
+        & (F.col("top_trigram_frac") <= _TOP_TRIGRAM_MAX)
     )
 
 
@@ -326,3 +349,87 @@ def llm_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _BALANCE_CAP)
         .select("vec_id", "cluster_id", "rk")
     )
+
+
+_CURATION_CAP = 10
+_CURATION_PCT = 0.5
+
+_CURATION_ORACLE = f"""
+    WITH rep AS ({_REP_CORE_SQL}),
+    q AS ({QUALITY_SQL_CTE}),
+    kept AS (
+      SELECT r.doc_id, r.source, q.quality
+      FROM rep r JOIN q ON q.doc_id = r.doc_id
+      WHERE {_REP_KEEP_SQL}
+    ),
+    gated AS (
+      SELECT doc_id, source, quality,
+             percent_rank() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id) AS q_pct
+      FROM kept
+    ),
+    a AS ({_ORACLE_ASSIGN}),
+    joined AS (
+      SELECT g.doc_id, g.source, a.cluster_id, g.quality
+      FROM gated g JOIN a ON a.vec_id = g.doc_id
+      WHERE g.q_pct <= {_CURATION_PCT}
+    ),
+    r AS (
+      SELECT doc_id, source, cluster_id, quality,
+             row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY ((doc_id % {_HASH_MOD}) * {_HASH_MULT}) % {_HASH_MOD}, doc_id) AS rk
+      FROM joined
+    )
+    SELECT doc_id, source, cluster_id, quality, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_CURATION_CAP}
+    """
+
+
+@register(
+    "pipeline_semantic_curation",
+    oracle=_CURATION_ORACLE,
+    tags=("llm", "pipeline", "clustering", "quality"),
+)
+def pipeline_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic curation capstone: repetition gate → per-source
+    quality-percentile gate → nearest-centroid cluster assignment →
+    per-cluster cap. The document side is ONE scan (repetition signals and
+    the quality score share the same tokenization in a single fused
+    projection); the embedding side is one scan through the broadcast-
+    centroid matmul. Everything that shuffles afterwards — the per-source
+    rank, the doc↔vector join, the per-cluster cap — carries only scalar
+    columns; neither text nor vectors ever cross an Exchange (plan-pinned).
+    This is the curation funnel a pre-training data pipeline runs end to
+    end: drop boilerplate, keep each domain's best half, bucket by
+    semantics, cap any bucket from dominating the mixture."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", "n_chars", _words().alias("words"))
+    # quality rides through the signal projection as a precomputed extra
+    q = t.select("doc_id", "source", quality_expr().alias("quality"), "words")
+    sig = _signal_frame(q, extra=("source", "quality"))
+    kept = sig.filter(_rep_keep()).select("doc_id", "source", "quality")
+
+    wq = W.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    gated = (
+        kept.withColumn("q_pct", F.percent_rank().over(wq))
+        .filter(F.col("q_pct") <= _CURATION_PCT)
+        .select("doc_id", "source", "quality")
+    )
+
+    a = _assignment(spark, sf_dir).select("vec_id", "cluster_id")
+    joined = gated.join(a, gated["doc_id"] == a["vec_id"]).select(
+        "doc_id", "source", "cluster_id", "quality"
+    )
+
+    wc = W.partitionBy("cluster_id").orderBy(
+        (F.col("doc_id") % _HASH_MOD) * _HASH_MULT % _HASH_MOD, "doc_id"
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(wc).cast("long"))
+        .filter(F.col("rk") <= _CURATION_CAP)
+        .select("doc_id", "source", "cluster_id", "quality", "rk")
+    )
+

@@ -21,6 +21,22 @@ _EMAIL_PAT = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 _DIGITS_PAT = r"\d{4,}"
 
 
+def quality_expr():
+    """The 0.4/0.3/0.3 quality heuristic over a `words` array column plus
+    `n_chars` — shared by llm_quality_score, the stratified gate, and the
+    curation capstone so every consumer scores identically. Wordless
+    documents score 0.0 by definition (the ratios are 0/0)."""
+    n_words = F.size("words")
+    n_stop = F.size(F.filter("words", lambda w: w.isin(*_STOPWORDS)))
+    n_distinct = F.size(F.array_distinct("words"))
+    quality = (
+        0.4 * F.least(F.lit(1.0), F.col("n_chars") / 200.0)
+        + 0.3 * (1.0 - n_stop / n_words)
+        + 0.3 * (n_distinct / n_words)
+    )
+    return F.when(n_words > 0, F.round(quality, 6)).otherwise(F.lit(0.0))
+
+
 @register(
     "llm_text_stats",
     oracle="""
@@ -212,17 +228,7 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     words = F.filter(F.split("text", " "), lambda w: w != "")
     t = d.select("doc_id", "n_chars", words.alias("words"))
-    n_words = F.size("words")
-    n_stop = F.size(F.filter("words", lambda w: w.isin(*_STOPWORDS)))
-    n_distinct = F.size(F.array_distinct("words"))
-    quality = (
-        0.4 * F.least(F.lit(1.0), F.col("n_chars") / 200.0)
-        + 0.3 * (1.0 - n_stop / n_words)
-        + 0.3 * (n_distinct / n_words)
-    )
-    # wordless documents score 0.0 by definition (the ratios are 0/0)
-    guarded = F.when(n_words > 0, F.round(quality, 6)).otherwise(F.lit(0.0))
-    return t.select("doc_id", guarded.alias("quality"))
+    return t.select("doc_id", quality_expr().alias("quality"))
 
 
 @register(
@@ -649,4 +655,65 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", rnk)
         .filter(F.col("rnk") <= _BPE_TOP)
         .select("w1", "w2", "n_pairs", "rnk")
+    )
+
+
+# Shared oracle fragment: per-doc quality with source carried along, the
+# exact SQL twin of `quality_expr()`. Consumed by the stratified gate below
+# and by pipeline_semantic_curation's spliced oracle (clustering.py).
+QUALITY_SQL_CTE = f"""
+      SELECT doc_id, source,
+             CASE WHEN len(words) = 0 THEN 0.0 ELSE round(
+               0.4 * least(1.0, n_chars / 200.0)
+               + 0.3 * (1.0 - len(list_filter(words, w -> w IN {_STOPWORDS_SQL})) / len(words))
+               + 0.3 * (len(list_distinct(words)) / len(words)),
+             6) END AS quality
+      FROM (SELECT doc_id, source, n_chars,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS words
+            FROM documents)
+"""
+
+_QUALITY_GATE_PCT = 0.5
+
+
+@register(
+    "llm_quality_gate_stratified",
+    oracle=f"""
+    WITH q AS ({QUALITY_SQL_CTE})
+    SELECT doc_id, source, quality,
+           round(percent_rank() OVER (
+             PARTITION BY source ORDER BY quality DESC, doc_id), 6) AS q_pct,
+           (percent_rank() OVER (
+             PARTITION BY source ORDER BY quality DESC, doc_id)
+            <= {_QUALITY_GATE_PCT}) AS keep
+    FROM q
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_quality_gate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality percentile gate: keep the top half of every
+    source stratum by quality rather than applying one absolute cutoff —
+    an absolute threshold silently drops whole domains whose score
+    distribution sits lower (the classic way a web-scale corpus loses its
+    code or forum slice). percent_rank is exact small-rational arithmetic
+    ((rank-1)/(n-1)) so both engines agree bit-for-bit; ties are broken by
+    doc_id. The rank shuffle carries (doc_id, source, quality) scalars —
+    text never leaves the scan stage. At 100 TB, replace the full
+    per-stratum sort with an approx-quantile threshold join
+    (percentile_approx per source, broadcast back) — same gate, one pass,
+    no global sort; the exact form here doubles as that variant's oracle."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    t = d.select("doc_id", "source", "n_chars", words.alias("words"))
+    q = t.select("doc_id", "source", quality_expr().alias("quality"))
+    w = W.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    pct = F.percent_rank().over(w)
+    return q.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round(pct, 6).alias("q_pct"),
+        (pct <= _QUALITY_GATE_PCT).alias("keep"),
     )

@@ -542,3 +542,18 @@ class TestClusteringPlans:
         ops = ops_of(plan_of(spark, sf_dir, "llm_repetition_signals"))
         assert not any("Exchange" in op for op in ops), ops
         assert ops.count("Scan parquet") == 1, ops
+
+
+class TestSemanticCurationPlan:
+    def test_scalar_only_shuffles_one_scan_per_table(self, spark, sf_dir):
+        """The curation funnel reads documents once and embeddings once
+        (the centroid fetch is a separate bounded job), and every Exchange
+        carries only scalar columns — neither the text/words arrays nor the
+        embedding vectors may cross a shuffle."""
+        p = plan_of(spark, sf_dir, "pipeline_semantic_curation")
+        ops = ops_of(p)
+        assert ops.count("Scan parquet") == 2, ops
+        for m in re.finditer(r"\(\d+\) Exchange\n(?:[^\n]*\n)*?Arguments: [^\n]*", p):
+            block = m.group(0)
+            for heavy in ("embedding", "words#", "text#", "bg#", "tg#"):
+                assert heavy not in block, block
