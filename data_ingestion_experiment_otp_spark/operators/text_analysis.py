@@ -717,3 +717,40 @@ def llm_quality_gate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pct, 6).alias("q_pct"),
         (pct <= _QUALITY_GATE_PCT).alias("keep"),
     )
+
+
+@register(
+    "llm_quality_gate_approx",
+    # No cross-engine oracle by nature: percentile_approx is an engine-
+    # private sketch. Bounded instead by the pytest invariant comparing its
+    # keep set against llm_quality_gate_stratified's exact percent_rank
+    # (tests/test_invariants.py::TestApproxQualityGate).
+    oracle=None,
+    tags=("llm", "text", "quality", "approx"),
+)
+def llm_quality_gate_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the stratified quality gate: instead of a full
+    per-stratum sort (percent_rank over every document), compute each
+    source's median quality with percentile_approx — one partial-aggregable
+    pass, sketch state O(1/accuracy) per stratum — broadcast the per-source
+    thresholds back, and gate with a scan-side comparison. Two scans, no
+    global sort, no wide shuffle: the aggregation shuffle carries one
+    sketch per source, and the threshold join is a broadcast. The exact
+    percent_rank twin (llm_quality_gate_stratified) doubles as this
+    query's accuracy oracle in pytest."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    t = d.select("doc_id", "source", "n_chars", words.alias("words"))
+    q = t.select("doc_id", "source", quality_expr().alias("quality"))
+    thresholds = q.groupBy("source").agg(
+        F.percentile_approx("quality", 0.5, 10_000).alias("q_median")
+    )
+    return (
+        q.join(F.broadcast(thresholds), "source")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            (F.col("quality") >= F.col("q_median")).alias("keep"),
+        )
+    )

@@ -632,3 +632,42 @@ class TestRepetitionSignals:
             cl.load = orig
         assert rows[1]["dup_word_frac"] > 0.9 and not rows[1]["keep"]
         assert rows[2]["dup_word_frac"] == 0.0 and rows[2]["keep"]
+
+
+class TestApproxQualityGate:
+    def test_approx_gate_tracks_exact_percentile_gate(self, spark, sf_dir):
+        """The percentile_approx-thresholded gate must agree with the exact
+        percent_rank gate on (almost) every document: with accuracy 10000 on
+        fixture-sized strata the sketch is exact, so the only legitimate
+        disagreements are boundary ties (quality == median), which the two
+        formulations may split differently. Everything strictly inside the
+        halves must match."""
+        from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+            llm_quality_gate_approx,
+            llm_quality_gate_stratified,
+        )
+
+        exact = {
+            r["doc_id"]: (r["keep"], r["quality"], r["source"])
+            for r in llm_quality_gate_stratified(spark, sf_dir).collect()
+        }
+        approx_rows = llm_quality_gate_approx(spark, sf_dir).collect()
+        assert len(approx_rows) == len(exact)
+        disagree = [
+            r
+            for r in approx_rows
+            if r["keep"] != exact[r["doc_id"]][0]
+        ]
+        # any disagreement must sit exactly on its stratum's cut boundary:
+        # the doc's quality equals the min kept / max dropped quality of
+        # the other gate's decision for that source
+        by_source: dict = {}
+        for did, (k, qual, src) in exact.items():
+            by_source.setdefault(src, []).append((qual, k))
+        for r in disagree:
+            quals = sorted(q for q, k in by_source[r["source"]] if k)
+            min_kept_exact = quals[0] if quals else None
+            assert r["quality"] == min_kept_exact, (
+                f"non-boundary disagreement: {r} vs exact min-kept {min_kept_exact}"
+            )
+        assert len(disagree) <= 0.05 * len(approx_rows)
