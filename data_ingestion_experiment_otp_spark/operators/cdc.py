@@ -147,7 +147,7 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN a.o_orderkey IS NULL THEN 'insert'
                 WHEN b.o_orderkey IS NULL THEN 'delete'
                 ELSE 'update' END AS op,
-           round(b.o_totalprice, 2) AS new_totalprice
+           round(b.o_totalprice, 3) AS new_totalprice
     FROM v1 a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey
     WHERE a.o_orderkey IS NULL
        OR b.o_orderkey IS NULL
@@ -199,5 +199,11 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(changed).select(
         F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
         op.alias("op"),
-        F.round(F.col("b.o_totalprice"), 2).alias("new_totalprice"),
+        # round at 3, not 2: the v2 snapshot's x*1.1 perturbation turns
+        # 2-decimal money into EXACT 3-decimal values, so ~10% of updates
+        # sit precisely on a half-cent — where Spark (exact-BigDecimal
+        # HALF_UP) and DuckDB (scaled-double rounding) legitimately
+        # disagree (found live at sf0.1). At 3 decimals the values are on
+        # grid points, a half-ulp from nothing.
+        F.round(F.col("b.o_totalprice"), 3).alias("new_totalprice"),
     )

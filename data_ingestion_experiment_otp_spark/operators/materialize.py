@@ -70,7 +70,7 @@ def refresh_batch(batch: DataFrame, mv_dir: str, batch_id: int) -> None:
         batch.groupBy(F.to_date("ts").alias("day"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value_raw"),
+            F.sum(F.round("value", 2)).alias("sum_value_raw"),
         )
         .withColumn("batch", F.lit(batch_id))
     )
@@ -103,7 +103,7 @@ def read_rollup(spark: SparkSession, mv_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(sum(round(value, 2)), 2) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -165,7 +165,7 @@ def rollup_sink(mv_dir: str):
             batch_df.groupBy(F.to_date("ts").alias("day"), "event_type")
             .agg(
                 F.count("*").alias("n_events"),
-                F.sum("value").alias("sum_value_raw"),
+                F.sum(F.round("value", 2)).alias("sum_value_raw"),
             )
             .withColumn("batch", F.lit(batch_id))
         )
@@ -212,7 +212,7 @@ def compact_rollup(spark: SparkSession, mv_dir: str, out_dir: str) -> None:
     oracle="""
     SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(sum(round(value, 2)), 2) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,

@@ -554,7 +554,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(sum(round(value, 2)), 2) AS total_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -571,7 +571,7 @@ def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.round("value", 2)), 2).alias("total_value"),
         )
     )
 
@@ -661,7 +661,7 @@ def sql_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(sum(round(value, 2)), 2) AS total_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -691,7 +691,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str, n_salts: int = 16) -> Dat
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.round("value", 2)), 2).alias("total_value"),
         )
     )
 

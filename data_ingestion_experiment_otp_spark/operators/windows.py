@@ -291,7 +291,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            (epoch_us(ts) // 600000000) * 600000000 AS ws_us,
            event_type AS k,
            count(*) AS n,
-           round(sum(value), 2) AS measure
+           round(sum(round(value, 2)), 2) AS measure
     FROM events
     GROUP BY 2, 3
     UNION ALL
@@ -299,7 +299,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            ((epoch_us(ts) // 300000000) * 300 - off * 300) * 1000000 AS ws_us,
            '' AS k,
            count(*) AS n,
-           round(round(sum(value), 2) / count(*), 6) AS measure
+           round(sum(round(value, 2)), 2) AS measure
     FROM events, (VALUES (0), (1)) AS offs(off)
     GROUP BY 2
     UNION ALL
@@ -321,7 +321,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT epoch_us(min(ts)) AS ws_us,
              CAST(user_id AS VARCHAR) AS k,
              count(*) AS n,
-             round(sum(value), 2) AS measure
+             round(sum(round(value, 2)), 2) AS measure
       FROM sessions
       GROUP BY user_id, session_id
     )
@@ -337,7 +337,10 @@ def st_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - 'tumbling': 10-minute epoch-aligned buckets per event_type;
     - 'sliding': 10-minute windows every 5 minutes (each event in exactly
-      two), grid-rounded avg;
+      two), cent-grid windowed sum (n makes the avg derivable; a
+      divide-then-round measure sits exactly on round-6 half boundaries
+      for power-of-two counts and flips between engines — found live at
+      sf0.1);
     - 'session': 30-minute-gap user sessions — Spark's session_window is
       end-exclusive (an event exactly `gap` after the previous one starts a
       NEW session), so the oracle's gaps-and-islands uses `>=`, with
@@ -348,7 +351,7 @@ def st_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     tumbling = (
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("measure"))
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.round("value", 2)), 2).alias("measure"))
         .select(
             F.lit("tumbling").alias("op"),
             F.unix_micros(F.col("w.start")).alias("ws_us"),
@@ -361,7 +364,7 @@ def st_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.round(F.sum("value"), 2) / F.count("*"), 6).alias("measure"),
+            F.round(F.sum(F.round("value", 2)), 2).alias("measure"),
         )
         .select(
             F.lit("sliding").alias("op"),
@@ -373,7 +376,7 @@ def st_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     session = (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("measure"))
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.round("value", 2)), 2).alias("measure"))
         .select(
             F.lit("session").alias("op"),
             F.unix_micros(F.col("w.start")).alias("ws_us"),
@@ -391,7 +394,7 @@ def st_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT epoch_us(ts) // 600000000 * 600 AS window_start_s,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           round(sum(round(value, 2)), 2) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -404,7 +407,7 @@ def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.round("value", 2)), 2).alias("total_value"))
         .select(
             F.unix_seconds(F.col("w.start")).alias("window_start_s"),
             "event_type",
@@ -419,7 +422,7 @@ def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT (epoch_us(ts) // 300000000) * 300 - off * 300 AS window_start_s,
            count(*) AS n,
-           round(round(sum(value), 2) / count(*), 6) AS avg_value
+           round(sum(round(value, 2)), 2) AS total_value
     FROM events, (VALUES (0), (1)) AS offs(off)
     GROUP BY 1
     """,
@@ -430,18 +433,23 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     two windows. The oracle enumerates the two per-row window starts with the
     same epoch-aligned arithmetic Spark's `window(ts, size, slide)` uses."""
     ev = load(spark, sf_dir, "events")
-    # avg via grid-rounded sum / count — see aggregates.agg_groupby for the
-    # cross-engine float-determinism rationale.
+    # measure = cent-grid windowed sum: value is snapped to its 2-decimal
+    # grid at the scan so parallel summation order cannot move the rounded
+    # aggregate off a grid point (raw double sums landed within 1 ulp of a
+    # half-cent at sf0.1 and flipped between engines); the count column
+    # makes the average derivable without a divide-then-round, whose
+    # quotients sit exactly on round-6 half boundaries for power-of-two
+    # window counts.
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.round(F.sum("value"), 2) / F.count("*"), 6).alias("avg_value"),
+            F.round(F.sum(F.round("value", 2)), 2).alias("total_value"),
         )
         .select(
             F.unix_seconds(F.col("w.start")).alias("window_start_s"),
             "n",
-            "avg_value",
+            "total_value",
         )
     )
 
@@ -500,7 +508,7 @@ _RESAMPLE_USERS = 8
     ),
     obs AS (
       SELECT user_id, (es // {_RESAMPLE_STEP_S}) * {_RESAMPLE_STEP_S} AS bucket_s,
-             round(sum(value), 2) / count(*) AS v_avg
+             round(sum(round(value, 2)), 2) / count(*) AS v_avg
       FROM ev GROUP BY user_id, (es // {_RESAMPLE_STEP_S}) * {_RESAMPLE_STEP_S}
     ),
     bounds AS (SELECT user_id, min(bucket_s) AS b0, max(bucket_s) AS b1 FROM obs GROUP BY user_id),
@@ -538,7 +546,7 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_seconds("ts") / _RESAMPLE_STEP_S) * _RESAMPLE_STEP_S
     ).alias("bucket_s")
     obs = ev.groupBy("user_id", bucket).agg(
-        (F.round(F.sum("value"), 2) / F.count("*")).alias("v_avg")
+        (F.round(F.sum(F.round("value", 2)), 2) / F.count("*")).alias("v_avg")
     )
     bounds = obs.groupBy("user_id").agg(
         F.min("bucket_s").alias("b0"), F.max("bucket_s").alias("b1")
@@ -615,16 +623,31 @@ def sort_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
        (row_number within the partition) — a perfectly parallel window.
 
     The oracle is the naive global row_number, so the check proves the
-    distributed form computes the identical total order."""
-    d = load(spark, sf_dir, "documents").repartitionByRange(8, "doc_id")
-    part = d.select("doc_id", F.spark_partition_id().alias("pid"))
+    distributed form computes the identical total order.
+
+    The range bins are computed EXPLICITLY from a min/max aggregate rather
+    than with `repartitionByRange`: the range partitioner derives its
+    boundaries by sampling with a per-RDD seed, so the offsets job and the
+    final job can land on DIFFERENT boundaries — the offsets then belong
+    to a partitioning that no longer exists and the index silently shifts
+    (found live at sf0.1). In production the same rule applies: compute or
+    persist the boundaries once, then share them across every job that
+    depends on the partitioning."""
+    n_bins = 8
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    bounds = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    if bounds["lo"] is None:
+        return spark.createDataFrame([], "doc_id long, global_idx long")
+    lo, span = int(bounds["lo"]), int(bounds["hi"]) - int(bounds["lo"]) + 1
+    pid = F.least(
+        F.lit(n_bins - 1), ((F.col("doc_id") - lo) * n_bins / span).cast("int")
+    ).alias("pid")
+    part = d.select("doc_id", pid)
     counts = part.groupBy("pid").agg(F.count("*").alias("n")).orderBy("pid").collect()
     offsets, acc = {}, 0
     for r in counts:
         offsets[r["pid"]] = acc
         acc += r["n"]
-    if not offsets:
-        offsets = {-1: 0}  # empty corpus: dummy entry, nothing to index
     off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = W.partitionBy("pid").orderBy("doc_id")
     return part.select(
@@ -737,7 +760,7 @@ _TRAIL_RANGE_US = 3_600_000_000  # trailing 1-hour value window
     "win_time_range_frame",
     oracle=f"""
     SELECT event_id, user_id,
-           round(sum(value) OVER (
+           round(sum(round(value, 2)) OVER (
              PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN {_TRAIL_RANGE_US} PRECEDING AND CURRENT ROW
            ), 2) AS trailing_1h_value,
@@ -769,6 +792,6 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 2).alias("trailing_1h_value"),
+        F.round(F.sum(F.round("value", 2)).over(w), 2).alias("trailing_1h_value"),
         F.count("*").over(w).alias("trailing_1h_events"),
     )
