@@ -5,15 +5,16 @@ Three additions a 100 TB curation run needs beyond dedup/similarity:
 
 - ``llm_repetition_signals``: Gopher-style within-document repetition
   metrics (duplicate-word fraction, top bigram/trigram fraction) with a
-  keep/drop gate. Pure scan-side projection — zero shuffle; every metric
-  is whole-stage-codegen'd array arithmetic over one tokenization.
+  keep/drop gate. One Arrow-batched scan-side pass, zero shuffle — see
+  _signal_frame for why Python beats every expression formulation here.
 - ``llm_cluster_assign``: nearest-centroid assignment over the embedding
   column against a small fixed centroid set. The centroid set is driver-
-  bounded (k rows via TakeOrderedAndProject) and baked into the plan as
-  literals, so assignment is an embarrassingly parallel map — zero
-  shuffle, no join, no cross-corpus exchange. This is the production
-  shape for semantic bucketing: centroids come from a trained model
-  (small by construction); the corpus is only scanned.
+  bounded (k rows via TakeOrderedAndProject) and broadcast as a dense
+  matrix; each Arrow batch scores against it in one BLAS matmul — an
+  embarrassingly parallel map, zero shuffle, no join, no cross-corpus
+  exchange. This is the production shape for semantic bucketing:
+  centroids come from a trained model (small by construction); the
+  corpus is only scanned.
 - ``llm_cluster_balance``: per-cluster capped downsampling by a
   deterministic Lehmer hash — the "balance the mixture" step after
   assignment. The only shuffle carries (vec_id, cluster_id, hash)
@@ -57,33 +58,6 @@ _HASH_MULT = 48271
 
 def _words(col: str = "text"):
     return F.filter(F.split(col, " "), lambda w: w != "")
-
-
-def _max_ngram_count(grams):
-    """Highest occurrence count of any element in the `grams` array —
-    scan-side, no shuffle: sort the array, then one linear fold tracking
-    (previous gram, current run, best run). O(n log n) per document vs the
-    naive O(distinct x n) distinct-then-count formulation, which measured
-    ~40x slower end-to-end under Spark's interpreted higher-order lambdas
-    (29 s -> 0.7 s on the sf0.1 bench cell). For corpora with very long
-    documents the explode + partial-agg formulation (llm_vocab_topk's
-    shape) is the alternative; for web-document lengths this stays cheaper
-    than a shuffle."""
-    run_step = lambda acc, x: F.when(  # noqa: E731
-        x == acc["prev"], acc["run"] + 1
-    ).otherwise(F.lit(1))
-    return F.aggregate(
-        F.array_sort(grams),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            run_step(acc, x).alias("run"),
-            F.greatest(acc["best"], run_step(acc, x)).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
 
 
 # Shared oracle fragment: per-doc repetition signals with source carried
@@ -137,49 +111,90 @@ def llm_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent word bigram / trigram, plus the keep/drop gate over all three.
     Repetitive documents (boilerplate, keyword stuffing, degenerate
     generations) are the classic pre-training poison that length/stopword
-    quality scores miss. One scan, one tokenization, zero shuffle."""
+    quality scores miss. One scan, one tokenization, zero shuffle
+    (plan-pinned); compute shape rationale in _signal_frame."""
     d = load(spark, sf_dir, "documents")
-    t = d.select("doc_id", _words().alias("words"))
-    m = _signal_frame(t)
+    m = _signal_frame(d.select("doc_id", "text"))
     return m.select(
         "doc_id", "n_words", "dup_word_frac", "top_bigram_frac", "top_trigram_frac",
         _rep_keep().alias("keep"),
     )
 
 
-def _gram_array(n: int):
-    """Adjacent word n-grams of the `words` array column, scan-side.
-    words is 1-indexed via element_at; sequence is guarded because Spark's
-    sequence(1, 0) counts DOWN rather than yielding []."""
-    nw = F.size("words")
-    parts = lambda i: [F.element_at(F.col("words"), i + j) for j in range(n)]  # noqa: E731
-    return F.when(
-        nw >= n, F.transform(F.sequence(F.lit(1), nw - (n - 1)), lambda i: F.concat_ws(" ", *parts(i)))
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def _signal_frame(t: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
-    """Repetition signals over a frame carrying (doc_id, words, *extra):
-    one projection building the gram arrays, one computing the fractions.
-    `extra` columns pass through untouched (the curation capstone carries
-    source and quality alongside)."""
-    g = t.select("doc_id", *extra, "words", _gram_array(2).alias("bg"), _gram_array(3).alias("tg"))
-    nw = F.size("words")
-    dup = F.when(nw > 0, F.round(1.0 - F.size(F.array_distinct("words")) / nw, 6)).otherwise(0.0)
-    # A gram that occurs once is not repetition — the signal fires only
-    # when the top n-gram actually repeats (otherwise every short document
-    # scores 2/n_words and the gate degenerates into a length filter).
-    mbg, mtg = _max_ngram_count(F.col("bg")), _max_ngram_count(F.col("tg"))
-    bgf = F.when((nw > 0) & (mbg >= 2), F.round(2.0 * mbg / nw, 6)).otherwise(0.0)
-    tgf = F.when((nw > 0) & (mtg >= 2), F.round(3.0 * mtg / nw, 6)).otherwise(0.0)
-    return g.select(
-        "doc_id",
-        *extra,
-        nw.alias("n_words"),
-        dup.alias("dup_word_frac"),
-        bgf.alias("top_bigram_frac"),
-        tgf.alias("top_trigram_frac"),
+    """Repetition signals over a frame carrying (doc_id, text, *extra):
+    one Arrow-batched Python pass tokenizes each document ONCE and counts
+    n-gram runs with a hash map. `extra` columns pass through untouched
+    (the curation capstone carries source and quality alongside).
+
+    Why Python and not expressions: every SQL formulation was A/B'd and
+    lost — higher-order-function lambdas are CodegenFallback, so the whole
+    Filter/Project evaluates interpreted WITHOUT common-subexpression
+    elimination, and Catalyst's CollapseProject + filter pushdown inline
+    the `words` alias into every consumer (26 tokenizations per row in the
+    measured plan; 4.5 s for the gate at sf0.1 vs ~0.3 s here). The
+    explode + partial-agg form was worse still (10 s: the gram-building
+    transform re-evaluates per branch). mapInPandas is also a hard
+    optimizer barrier, so downstream filters on the signal columns cannot
+    re-inline the derivation. Zero shuffle either way.
+
+    Cross-engine parity: ratios are computed in double with the same
+    association order as the SQL oracle, and rounded with
+    decimal.Decimal(ROUND_HALF_UP) — bit-identical to Spark's
+    BigDecimal.setScale(HALF_UP) and to the DuckDB values the oracle
+    produces (proven at sf0.001/0.01/0.1)."""
+    import pandas as pd
+
+    schema = ", ".join(
+        ["doc_id long"]
+        + [f"{c} {t.schema[c].dataType.simpleString()}" for c in extra]
+        + [
+            "n_words int",
+            "dup_word_frac double",
+            "top_bigram_frac double",
+            "top_trigram_frac double",
+        ]
     )
+
+    def signals(it):
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            return float(Decimal(x).quantize(q6, rounding=ROUND_HALF_UP))
+
+        for pdf in it:
+            out = {
+                "doc_id": pdf["doc_id"],
+                **{c: pdf[c] for c in extra},
+                "n_words": [],
+                "dup_word_frac": [],
+                "top_bigram_frac": [],
+                "top_trigram_frac": [],
+            }
+            for text in pdf["text"]:
+                ws = [w for w in (text or "").split(" ") if w]
+                n = len(ws)
+                out["n_words"].append(n)
+                if n == 0:
+                    out["dup_word_frac"].append(0.0)
+                    out["top_bigram_frac"].append(0.0)
+                    out["top_trigram_frac"].append(0.0)
+                    continue
+                out["dup_word_frac"].append(r6(1.0 - len(set(ws)) / n))
+                # a gram that occurs once is not repetition — the signal
+                # fires only when the top n-gram actually repeats
+                # (otherwise every short document scores 2/n_words and the
+                # gate degenerates into a length filter)
+                mb = max(Counter(zip(ws, ws[1:])).values(), default=0)
+                mt = max(Counter(zip(ws, ws[1:], ws[2:])).values(), default=0)
+                out["top_bigram_frac"].append(r6(2.0 * mb / n) if mb >= 2 else 0.0)
+                out["top_trigram_frac"].append(r6(3.0 * mt / n) if mt >= 2 else 0.0)
+            yield pd.DataFrame(out)
+
+    return t.select("doc_id", *extra, "text").mapInPandas(signals, schema)
 
 
 def _rep_keep():
@@ -406,9 +421,11 @@ def pipeline_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents")
-    t = d.select("doc_id", "source", "n_chars", _words().alias("words"))
-    # quality rides through the signal projection as a precomputed extra
-    q = t.select("doc_id", "source", quality_expr().alias("quality"), "words")
+    t = d.select("doc_id", "source", "n_chars", _words().alias("words"), "text")
+    # quality rides through the signal stage as a precomputed extra; the
+    # mapInPandas barrier means the keep-filter below reads the signal
+    # COLUMNS instead of re-inlining their derivation (see _signal_frame)
+    q = t.select("doc_id", "source", quality_expr().alias("quality"), "text")
     sig = _signal_frame(q, extra=("source", "quality"))
     kept = sig.filter(_rep_keep()).select("doc_id", "source", "quality")
 
