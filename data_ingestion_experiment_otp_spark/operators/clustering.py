@@ -194,7 +194,10 @@ def _signal_frame(t: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
                 out["top_trigram_frac"].append(r6(3.0 * mt / n) if mt >= 2 else 0.0)
             yield pd.DataFrame(out)
 
-    return t.select("doc_id", *extra, "text").mapInPandas(signals, schema)
+    # text may itself be a pass-through extra (the streaming sink keeps it
+    # for the curated output); don't select it twice
+    cols = ["doc_id", *extra] + ([] if "text" in extra else ["text"])
+    return t.select(*cols).mapInPandas(signals, schema)
 
 
 def _rep_keep():
@@ -216,26 +219,35 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list:
 
 
 def _assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cluster_id, sim): nearest centroid by cosine, computed as a
-    pure scan-side map. Per row: k dot products against literal centroid
-    arrays, argmax over the rounded sims (ties -> lowest centroid id,
-    because array_position takes the FIRST max and the literals are in
-    centroid-id order). Zero-norm vectors rank every centroid at the -2.0
-    sentinel (below any real cosine) and surface sim=NULL."""
-    import numpy as np
-    import pandas as pd
-
+    """(vec_id, cluster_id, sim) over the fixture corpus — see
+    assign_to_centroids for the mechanism."""
     vec = load_vectors(spark, sf_dir)
     cents = _centroids(spark, sf_dir)
     if not cents:
         return spark.createDataFrame([], "vec_id long, cluster_id long, sim double")
+    return assign_to_centroids(vec, cents)
 
-    # Broadcast the tiny centroid matrix; score each Arrow batch of the
-    # corpus as one BLAS matmul. (A pure-expression formulation was tried
-    # twice and lost both times: higher-order-function folds interpret the
-    # lambda per element, and a fully unrolled 8x64-term expression blows
-    # past codegen method limits and falls back to interpreted eval — the
-    # matmul is ~10x either. Same trade llm_sim_topk documents.)
+
+def assign_to_centroids(vec: DataFrame, cents: list) -> DataFrame:
+    """(vec_id, cluster_id, sim): nearest centroid by cosine for every row
+    of `vec` (vec_id, embedding), against the given centroid rows. Argmax
+    over the rounded sims, ties -> lowest centroid id. Zero-norm vectors
+    rank every centroid at the -2.0 sentinel (below any real cosine) and
+    surface sim=NULL.
+
+    Broadcasts the tiny centroid matrix; scores each Arrow batch of the
+    corpus as one BLAS matmul. (A pure-expression formulation was tried
+    twice and lost both times: higher-order-function folds interpret the
+    lambda per element, and a fully unrolled 8x64-term expression blows
+    past codegen method limits and falls back to interpreted eval — the
+    matmul is ~10x either. Same trade llm_sim_topk documents.)
+
+    Reused by the streaming curation sink (streaming/curation.py), where
+    `vec` is a micro-batch and `cents` the calibrated centroid set."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vec.sparkSession
     cids = np.array([int(r.vec_id) for r in cents], dtype=np.int64)
     C = np.array([[float(x) for x in r.embedding] for r in cents], dtype=np.float64)
     cn = np.sqrt(np.einsum("ij,ij->i", C, C))

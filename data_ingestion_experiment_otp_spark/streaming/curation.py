@@ -1,0 +1,90 @@
+"""Streaming semantic curation: the ingestion-time form of
+operators/plans pipeline_semantic_curation.
+
+Each micro-batch of multimodal documents (text + embedding) passes the
+same funnel the batch capstone runs — repetition gate, quality gate,
+nearest-centroid cluster assignment — and the survivors land in a curated
+corpus laid out by semantic cluster. Differences from the batch form are
+exactly the ones a continuous pipeline forces:
+
+- **Calibrate once, apply per batch.** The per-source quality percentile
+  and the centroid set need global context a micro-batch doesn't have, so
+  both arrive as parameters: per-source quality thresholds (the
+  llm_quality_gate_approx output shape — a dict, broadcastable) and the
+  trained centroid rows. Recalibration is a control-plane action (swap the
+  sink), not a per-batch computation — the same contract as the batch
+  approx gate's docstring.
+- **Idempotent, batchId-keyed writes.** Survivors write under
+  ``batch_id=N/cluster_id=K`` so an epoch replay overwrites its own
+  directory byte-for-byte (same contract as sinks.idempotent_parquet_sink
+  and corpus_index.corpus_dedup_sink). The cluster_id partitioning is the
+  semantic layout: downstream mixture sampling reads whole clusters by
+  partition pruning, never by scanning text.
+
+At 100 TB nothing here accumulates state: the gates are scan-side per
+batch, the assignment is a broadcast matmul, and the only per-epoch
+artifact is the curated partition itself.
+
+Reference parity: generalizes the reference's accept/reject-then-persist
+hot path (`api/main.py:269-293` — watermark gate then cursor write) from
+a scalar gate to content-quality gates with a semantic layout.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.clustering import _rep_keep, _signal_frame, _words, assign_to_centroids
+from ..operators.text_analysis import quality_expr
+
+
+def curation_sink(
+    curated_dir: str,
+    centroids: list,
+    quality_min: dict[str, float],
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: gate each micro-batch on repetition and
+    calibrated per-source quality, assign survivors to the nearest
+    centroid, and write them cluster-partitioned under the epoch's own
+    directory. `centroids` are rows with (vec_id, embedding); `quality_min`
+    maps source -> minimum quality (unknown sources fall back to the
+    global '*' entry, else 0.0 = accept)."""
+    default_min = float(quality_min.get("*", 0.0))
+
+    def curate(batch_df: DataFrame, batch_id: int) -> None:
+        w = batch_df.select(
+            "doc_id", "source", "n_chars", "text", "embedding", _words().alias("words")
+        )
+        t = w.select(
+            "doc_id", "source", quality_expr().alias("quality"), "text", "embedding"
+        )
+        sig = _signal_frame(t, extra=("source", "quality", "text", "embedding"))
+        thresh = F.create_map(
+            *[F.lit(x) for kv in quality_min.items() if kv[0] != "*" for x in kv]
+        )
+        kept = sig.filter(_rep_keep()).filter(
+            F.col("quality") >= F.coalesce(thresh[F.col("source")], F.lit(default_min))
+        )
+        vec = kept.select(F.col("doc_id").alias("vec_id"), "embedding")
+        assigned = assign_to_centroids(vec, centroids).select(
+            F.col("vec_id").alias("doc_id"), "cluster_id"
+        )
+        out = kept.select("doc_id", "source", "quality", "text").join(
+            assigned, "doc_id"
+        )
+        (
+            out.write.mode("overwrite")
+            .partitionBy("cluster_id")
+            .parquet(os.path.join(curated_dir, f"batch_id={batch_id}"))
+        )
+
+    return curate
+
+
+def read_curated(spark, curated_dir: str) -> DataFrame:
+    """The curated corpus across all epochs (latest write per epoch wins by
+    construction — replays overwrite their own batch_id directory)."""
+    return spark.read.option("basePath", curated_dir).parquet(curated_dir)

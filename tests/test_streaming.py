@@ -938,3 +938,100 @@ class TestWindowAggStateBound:
         # never the ~48 a no-eviction run would accumulate
         assert peak <= 2 * 6, (peak,)
         assert removed > 0, "no window state was ever evicted"
+
+
+class TestStreamingCurationSink:
+    MM_SCHEMA = (
+        "doc_id long, source string, n_chars long, text string, embedding array<float>"
+    )
+
+    @staticmethod
+    def _doc(i, source, text, vec):
+        return (i, source, len(text), text, vec)
+
+    def test_curation_funnel_and_replay(self, spark, tmp_path):
+        """Three micro-batches run the repetition + calibrated-quality +
+        cluster-assignment funnel; the curated corpus must equal the batch
+        capstone's logic applied per epoch, land cluster-partitioned, and
+        absorb an epoch replay byte-for-byte."""
+        import time
+
+        from data_ingestion_experiment_otp_spark.streaming import drive
+        from data_ingestion_experiment_otp_spark.streaming.curation import (
+            curation_sink,
+            read_curated,
+        )
+
+        good = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+        spammy = "spam " * 40 + "spam"
+        vec_a = [1.0] + [0.0] * 63
+        vec_b = [0.0, 1.0] + [0.0] * 62
+        batches = [
+            [
+                self._doc(1, "web", good, vec_a),
+                self._doc(2, "web", spammy, vec_a),  # repetition-dropped
+            ],
+            [
+                self._doc(3, "forum", good + " extra words here", vec_b),
+                # stopword-heavy -> quality ~0.33, under forum's 0.6 floor
+                self._doc(4, "forum", "the a of and in to", vec_b),
+            ],
+            [
+                self._doc(5, "web", good + " more distinct tokens now", vec_b),
+            ],
+        ]
+        in_dir = str(tmp_path / "mm_in")
+        for rows in batches:
+            spark.createDataFrame(rows, self.MM_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+            time.sleep(0.05)
+
+        cents = (
+            spark.createDataFrame(
+                [(0, vec_a), (1, vec_b)], "vec_id long, embedding array<float>"
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+        curated = str(tmp_path / "curated")
+        sink = curation_sink(curated, cents, {"web": 0.5, "forum": 0.6, "*": 0.7})
+        q = (
+            spark.readStream.schema(self.MM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drive.drain(q)
+
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["source"])
+            for r in read_curated(spark, curated).collect()
+        }
+        # 2 drops on repetition, 4 drops on forum quality floor only if
+        # its quality < 0.6 — doc 3/5 are long distinct-word docs, kept
+        assert set(got) == {1, 3, 5}, got
+        assert got[1][0] == 0  # vec_a -> centroid 0
+        assert got[3][0] == 1 and got[5][0] == 1  # vec_b -> centroid 1
+
+        # replay the last epoch verbatim: curated corpus unchanged
+        before = sorted(
+            map(tuple, read_curated(spark, curated).drop("batch_id").collect())
+        )
+        last_bid = max(
+            r["batch_id"] for r in read_curated(spark, curated).select("batch_id").collect()
+        )
+        sink(spark.createDataFrame(batches[2], self.MM_SCHEMA), last_bid)
+        after = sorted(
+            map(tuple, read_curated(spark, curated).drop("batch_id").collect())
+        )
+        assert after == before
+
+        # semantic layout: cluster_id partition dirs exist under each epoch
+        import os as _os
+
+        epoch_dir = _os.path.join(curated, f"batch_id={last_bid}")
+        assert any(e.startswith("cluster_id=") for e in _os.listdir(epoch_dir))
