@@ -7,7 +7,10 @@ registry to the driver harness; tests run the same comparison locally.
 Conventions enforced here (they ARE the correctness gate):
 - every computed column is aliased identically in Spark and oracle SQL;
 - double-typed aggregates are rounded on both sides (engines may differ in
-  summation order at the ~1e-12 level);
+  summation order at the ~1e-12 level), and full-precision measures are
+  snapped to their decimal grid BEFORE the sum — grid-point sums cannot be
+  moved across a rounding boundary by summation order, raw-double sums can
+  (found live at sf0.1, commit c94bf59);
 - timestamps in outputs are emitted as epoch seconds/microseconds (bigint)
   or formatted strings — never raw timestamp columns — to dodge ns/us and
   tz-representation mismatches;
