@@ -157,14 +157,6 @@ def _signal_frame(t: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     )
 
     def signals(it):
-        from collections import Counter
-        from decimal import ROUND_HALF_UP, Decimal
-
-        q6 = Decimal("0.000001")
-
-        def r6(x: float) -> float:
-            return float(Decimal(x).quantize(q6, rounding=ROUND_HALF_UP))
-
         for pdf in it:
             out = {
                 "doc_id": pdf["doc_id"],
@@ -175,29 +167,52 @@ def _signal_frame(t: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
                 "top_trigram_frac": [],
             }
             for text in pdf["text"]:
-                ws = [w for w in (text or "").split(" ") if w]
-                n = len(ws)
+                n, dup, bgf, tgf = doc_signals(text)
                 out["n_words"].append(n)
-                if n == 0:
-                    out["dup_word_frac"].append(0.0)
-                    out["top_bigram_frac"].append(0.0)
-                    out["top_trigram_frac"].append(0.0)
-                    continue
-                out["dup_word_frac"].append(r6(1.0 - len(set(ws)) / n))
-                # a gram that occurs once is not repetition — the signal
-                # fires only when the top n-gram actually repeats
-                # (otherwise every short document scores 2/n_words and the
-                # gate degenerates into a length filter)
-                mb = max(Counter(zip(ws, ws[1:])).values(), default=0)
-                mt = max(Counter(zip(ws, ws[1:], ws[2:])).values(), default=0)
-                out["top_bigram_frac"].append(r6(2.0 * mb / n) if mb >= 2 else 0.0)
-                out["top_trigram_frac"].append(r6(3.0 * mt / n) if mt >= 2 else 0.0)
+                out["dup_word_frac"].append(dup)
+                out["top_bigram_frac"].append(bgf)
+                out["top_trigram_frac"].append(tgf)
             yield pd.DataFrame(out)
 
     # text may itself be a pass-through extra (the streaming sink keeps it
     # for the curated output); don't select it twice
     cols = ["doc_id", *extra] + ([] if "text" in extra else ["text"])
     return t.select(*cols).mapInPandas(signals, schema)
+
+
+def doc_signals(text: str | None) -> tuple[int, float, float, float]:
+    """Pure per-document signal kernel: (n_words, dup_word_frac,
+    top_bigram_frac, top_trigram_frac). Shared by the _signal_frame Arrow
+    stage and by the hypothesis property tests, which check it against
+    closed-form values on constructed documents.
+
+    Rounding uses decimal.Decimal(ROUND_HALF_UP) on the double — bit-
+    identical to Spark's BigDecimal.setScale(HALF_UP) and to DuckDB's
+    round(), so the values hash-match the SQL oracle. A gram that occurs
+    once is not repetition: the n-gram signals fire only when the top gram
+    actually repeats (otherwise every short document scores 2/n_words and
+    the gate degenerates into a length filter)."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+
+    def r6(x: float) -> float:
+        return float(Decimal(x).quantize(q6, rounding=ROUND_HALF_UP))
+
+    ws = [w for w in (text or "").split(" ") if w]
+    n = len(ws)
+    if n == 0:
+        return 0, 0.0, 0.0, 0.0
+    dup = r6(1.0 - len(set(ws)) / n)
+    mb = max(Counter(zip(ws, ws[1:])).values(), default=0)
+    mt = max(Counter(zip(ws, ws[1:], ws[2:])).values(), default=0)
+    return (
+        n,
+        dup,
+        r6(2.0 * mb / n) if mb >= 2 else 0.0,
+        r6(3.0 * mt / n) if mt >= 2 else 0.0,
+    )
 
 
 def _rep_keep():

@@ -194,3 +194,62 @@ class TestBloomProperties:
                 words[w] = words.get(w, 0) | m
         for k in keys:
             assert all((words.get(w, 0) & m) != 0 for w, m in probes(k))
+
+
+class TestRepetitionSignalProperties:
+    """Property tests for the pure per-document signal kernel
+    (operators/clustering.py::doc_signals) — the same function the Arrow
+    stage runs, checked against closed-form values."""
+
+    words = st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=5), min_size=0, max_size=40
+    )
+
+    @given(words)
+    def test_bounds_and_determinism(self, ws):
+        from data_ingestion_experiment_otp_spark.operators.clustering import doc_signals
+
+        text = " ".join(ws)
+        got = doc_signals(text)
+        assert got == doc_signals(text)
+        n, dup, bgf, tgf = got
+        assert n == len(ws)
+        assert 0.0 <= dup < 1.0 or (n == 0 and dup == 0.0)
+        assert 0.0 <= bgf <= 2.0 and 0.0 <= tgf <= 3.0
+
+    @given(st.integers(min_value=3, max_value=200))
+    def test_pure_repetition_closed_form(self, n):
+        """'w w w ... w' (n copies): dup = 1 - 1/n, the single bigram
+        occurs n-1 times -> bgf = 2(n-1)/n, trigram n-2 times ->
+        tgf = 3(n-2)/n (both past the >=2 occurrence floor for n >= 3,
+        except the trigram at exactly n=3)."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from data_ingestion_experiment_otp_spark.operators.clustering import doc_signals
+
+        r6 = lambda x: float(  # noqa: E731
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+        n_out, dup, bgf, tgf = doc_signals(" ".join(["w"] * n))
+        assert n_out == n
+        assert dup == r6(1.0 - 1.0 / n)
+        assert bgf == r6(2.0 * (n - 1) / n)
+        assert tgf == (r6(3.0 * (n - 2) / n) if n - 2 >= 2 else 0.0)
+
+    @given(words)
+    def test_all_distinct_words_score_zero(self, ws):
+        from data_ingestion_experiment_otp_spark.operators.clustering import doc_signals
+
+        distinct = [f"{w}{i}" for i, w in enumerate(ws)]  # force uniqueness
+        _, dup, bgf, tgf = doc_signals(" ".join(distinct))
+        assert dup == 0.0 and bgf == 0.0 and tgf == 0.0
+
+    @given(words, st.integers(min_value=2, max_value=5))
+    def test_duplicating_the_document_raises_dup_fraction(self, ws, k):
+        from data_ingestion_experiment_otp_spark.operators.clustering import doc_signals
+
+        if not ws:
+            return
+        _, dup1, _, _ = doc_signals(" ".join(ws))
+        _, dupk, _, _ = doc_signals(" ".join(ws * k))
+        assert dupk >= dup1  # repetition can only raise the duplicate share
