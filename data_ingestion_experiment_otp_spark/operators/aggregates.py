@@ -21,8 +21,8 @@ from ..sources.catalog import load
            l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))::DOUBLE AS sum_disc_price,
+           sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6)))::DOUBLE AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
            round(round(sum(l_extendedprice), 2) / count(*), 6) AS avg_price,
            round(round(sum(l_discount), 2) / count(*), 6) AS avg_disc,
@@ -38,17 +38,25 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     `api/main.py:292-294`)."""
     l = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # Rounding discipline (cross-engine float determinism): a double SUM is
-    # rounded at the measure's decimal-grid resolution (price 2, disc_price
-    # 4, charge 6) — fp error ~1e-9 can never cross a half-grid boundary
-    # there. An AVG of a non-grid-exact measure is computed as
-    # grid-rounded-sum / count, so both engines divide bit-identical inputs.
-    # avg(l_quantity) is exact (integer-valued doubles sum exactly).
+    # Rounding discipline (cross-engine float determinism): a double SUM of
+    # grid-valued measures is rounded at the grid (price 2) — at these
+    # magnitudes fp accumulation error (~1e-4 over 1e5 rows summing to
+    # ~5e9) stays far inside the half-cent. The FINE-grained product
+    # measures (disc_price grid 4, charge grid 6) are different: the same
+    # ~1e-4 error exceeds their half-grids, and the double sums only
+    # matched DuckDB while both engines happened to sum in file order —
+    # repartition(7) moved sum_charge by ~1e-4 (measured). Each product is
+    # an EXACT 4-/6-decimal rational, so casting the double product to
+    # DECIMAL recovers the exact value (the product sits ~1e-11 from its
+    # grid point) and the decimal SUM is order-independent on any cluster.
+    # An AVG of a non-grid-exact measure is computed as grid-rounded-sum /
+    # count, so both engines divide bit-identical inputs. avg(l_quantity)
+    # is exact (integer-valued doubles sum exactly).
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+        F.sum(disc_price.cast("decimal(28,4)")).cast("double").alias("sum_disc_price"),
+        F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(28,6)")).cast("double").alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.round(F.sum("l_extendedprice"), 2) / F.count("*"), 6).alias("avg_price"),
         F.round(F.round(F.sum("l_discount"), 2) / F.count("*"), 6).alias("avg_disc"),
@@ -99,7 +107,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     oracle="""
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))::DOUBLE AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -122,7 +130,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            # exact decimal sum: the ROLLUP grand-total row sums the whole
+            # fact table, where double-sum order error exceeds the 4-dec
+            # half-grid (see agg_groupby)
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )

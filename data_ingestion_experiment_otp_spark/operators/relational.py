@@ -235,7 +235,7 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast",
     oracle="""
     SELECT r_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))::DOUBLE AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -259,9 +259,10 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            # round at the 4-decimal grid of price*(1-disc) — see
-            # aggregates.agg_groupby for the float-determinism rationale.
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            # exact decimal sum of the 4-decimal product — double-sum
+            # order error exceeds the 4-dec half-grid at fact-table group
+            # sizes; see aggregates.agg_groupby.
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )

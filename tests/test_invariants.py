@@ -671,3 +671,39 @@ class TestApproxQualityGate:
                 f"non-boundary disagreement: {r} vs exact min-kept {min_kept_exact}"
             )
         assert len(disagree) <= 0.05 * len(approx_rows)
+
+
+class TestSumOrderIndependence:
+    def test_fine_grid_measures_survive_repartition(self, spark, sf_dir):
+        """The 4-/6-decimal product measures must be identical under ANY
+        partitioning — on a cluster, summation order is arbitrary. The
+        double-sum formulation silently depended on file order: both
+        engines matched only because both summed in sequence, and a
+        repartition(7) moved sum_charge by ~1e-4 (>> its 5e-7 half-grid).
+        The decimal-sum formulation is order-exact; this pins it."""
+        from pyspark.sql import functions as F
+
+        from data_ingestion_experiment_otp_spark.sources.catalog import load
+
+        li = load(spark, sf_dir, "lineitem")
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+        def measures(df):
+            rows = (
+                df.groupBy("l_returnflag", "l_linestatus")
+                .agg(
+                    F.sum(disc.cast("decimal(28,4)")).cast("double").alias("sum_disc_price"),
+                    F.sum((disc * (1 + F.col("l_tax"))).cast("decimal(28,6)"))
+                    .cast("double")
+                    .alias("sum_charge"),
+                )
+                .collect()
+            )
+            return {
+                (r["l_returnflag"], r["l_linestatus"]): (r["sum_disc_price"], r["sum_charge"])
+                for r in rows
+            }
+
+        base = measures(li)
+        for n_parts in (1, 7, 32):
+            assert measures(li.repartition(n_parts)) == base, n_parts
