@@ -707,3 +707,61 @@ class TestSumOrderIndependence:
         base = measures(li)
         for n_parts in (1, 7, 32):
             assert measures(li.repartition(n_parts)) == base, n_parts
+
+
+class TestOrderIndependenceSweep:
+    # Representative order-sensitive shapes: multi-measure aggregation,
+    # rollup, windows (rank/frame/session), sorts and global index, dedup
+    # pair generation, CC clustering, CDC diff, MV maintenance read, the
+    # capstones. The full-registry sweep (every query, plain vs
+    # repartition(7), identical multisets — 164/164 green at sf0.001 and
+    # sf0.1) is a session audit; this keeps the canary in-tree.
+    NAMES = (
+        "agg_groupby",
+        "agg_grouping_sets",
+        "join_broadcast",
+        "win_funcs",
+        "sort_topk",
+        "sort_global_index",
+        "st_event_windows",
+        "cdc_snapshot_diff",
+        "llm_exact_dedup",
+        "llm_ngram_jaccard",
+        "llm_dedup_clusters",
+        "llm_cluster_balance",
+        "pipeline_semantic_curation",
+    )
+
+    def test_results_identical_under_repartition(self, spark, sf_dir):
+        """A query's result may not depend on input partitioning — on a
+        cluster, partitioning is arbitrary. Catches order-dependent sums,
+        rank ties without total order, and sampled partition boundaries
+        (all three occurred: commits c94bf59, 99621a3)."""
+        import math
+        from collections import Counter
+
+        from data_ingestion_experiment_otp_spark.plans.registry import all_queries
+        from data_ingestion_experiment_otp_spark.sources import catalog
+
+        def canon(v):
+            if isinstance(v, float):
+                return "NaN" if math.isnan(v) else round(v, 9)
+            if isinstance(v, (list, tuple)):
+                return tuple(canon(x) for x in v)
+            return v
+
+        specs = all_queries()
+        orig = catalog.load
+        try:
+            for name in self.NAMES:
+                catalog.load = orig
+                plain = Counter(
+                    tuple(canon(v) for v in r) for r in specs[name].fn(spark, sf_dir).collect()
+                )
+                catalog.load = lambda sp, d, t: orig(sp, d, t).repartition(7)
+                repart = Counter(
+                    tuple(canon(v) for v in r) for r in specs[name].fn(spark, sf_dir).collect()
+                )
+                assert plain == repart, f"{name} is partition-order dependent"
+        finally:
+            catalog.load = orig
