@@ -1,7 +1,11 @@
 """Semantic-curation operators: repetition filtering and embedding
-clustering for training-data pipelines (SURVEY.md §2.10 target surface).
+clustering for training-data pipelines (SURVEY.md §2.10 target surface),
+plus the composed end-to-end curation capstone
+(``pipeline_semantic_curation``: repetition gate → per-source quality
+percentile → nearest-centroid assignment → per-cluster cap; streaming
+form in streaming/curation.py).
 
-Three additions a 100 TB curation run needs beyond dedup/similarity:
+The core additions a 100 TB curation run needs beyond dedup/similarity:
 
 - ``llm_repetition_signals``: Gopher-style within-document repetition
   metrics (duplicate-word fraction, top bigram/trigram fraction) with a
