@@ -213,6 +213,32 @@ def _plane_matrix(n_planes: int, dim: int):
     return np.stack(rows)
 
 
+def bucket_udf(tables: int, bits: int, dim: int = 64):
+    """Arrow-batched sign-LSH signature UDF: array<double> vector ->
+    array<int> of one ``bits``-bit bucket per table, all tables computed in
+    a single matmul against the deterministic plane matrix. Shared by the
+    batch ANN (sim_lsh_topk) and the streaming incremental vector index
+    (streaming/vector_index.py) — both sides MUST hash with identical
+    planes or index lookups silently miss."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _plane_matrix(tables * bits, dim)
+
+    def _buckets(v):  # pd.Series[array<double>] -> pd.Series[array<int>]
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        sig = (V @ planes.T) > 0  # n × (tables·bits)
+        weights = 1 << np.arange(bits)
+        out = [
+            (sig[:, t * bits : (t + 1) * bits] @ weights).astype(np.int32)
+            for t in range(tables)
+        ]
+        return pd.Series(list(np.stack(out, axis=1)))
+
+    return pandas_udf(_buckets, "array<int>")
+
+
 def sim_lsh_bucketed(
     spark: SparkSession,
     sf_dir: str,
@@ -256,23 +282,7 @@ def sim_lsh_topk(
     pass a shuffle after candidate generation. Approximate (recall < 1) →
     rows-only; recall vs exact top-k is asserted in tests/test_invariants.py.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    planes = _plane_matrix(tables * bits, 64)
-
-    def _buckets(v):  # pd.Series[array<double>] -> pd.Series[array<int>]
-        V = np.stack(v.to_numpy()).astype(np.float64)
-        sig = (V @ planes.T) > 0  # n × (tables·bits)
-        weights = 1 << np.arange(bits)
-        out = [
-            (sig[:, t * bits : (t + 1) * bits] @ weights).astype(np.int32)
-            for t in range(tables)
-        ]
-        return pd.Series(list(np.stack(out, axis=1)))
-
-    buckets = pandas_udf(_buckets, "array<int>")
+    buckets = bucket_udf(tables, bits)
 
     tabled = vec.select(
         "vec_id", "v", F.posexplode(buckets("v")).alias("tbl", "bucket")
