@@ -149,6 +149,15 @@ def _signal_frame(t: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     produces (proven at sf0.001/0.01/0.1)."""
     import pandas as pd
 
+    from ..shipping import ship_by_value
+
+    # The kernel stays module-level so the hypothesis property tests import
+    # the exact shipped code, but it must CROSS the wire by value — the
+    # driver's sys.path does not reach the Python workers (found live: a
+    # vanilla driver session from a foreign cwd failed this stage with
+    # ModuleNotFoundError; see shipping.py).
+    kernel = ship_by_value(doc_signals)
+
     schema = ", ".join(
         ["doc_id long"]
         + [f"{c} {t.schema[c].dataType.simpleString()}" for c in extra]
@@ -171,7 +180,7 @@ def _signal_frame(t: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
                 "top_trigram_frac": [],
             }
             for text in pdf["text"]:
-                n, dup, bgf, tgf = doc_signals(text)
+                n, dup, bgf, tgf = kernel(text)
                 out["n_words"].append(n)
                 out["dup_word_frac"].append(dup)
                 out["top_bigram_frac"].append(bgf)
@@ -344,11 +353,13 @@ _ORACLE_ASSIGN = f"""
 def llm_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid semantic bucketing over the embedding column: every
     vector is assigned to the closest of k fixed centroids by cosine. The
-    corpus is scanned exactly once and never shuffled — the centroids ride
-    into the plan as literals, the k sims and the argmax are one codegen'd
-    projection. IVF (llm_sim_ivf) uses the same assignment geometry for
-    search; this is the curation-side use: domain bucketing ahead of
-    mixture balancing."""
+    corpus is scanned exactly once and never shuffled — the centroid matrix
+    is a broadcast variable and each Arrow batch computes all k sims and
+    the argmax in one BLAS matmul inside mapInPandas (assign_to_centroids;
+    the literal/codegen expression form was tried and rejected as ~8x
+    slower — see that function's docstring for the measured ladder). IVF
+    (llm_sim_ivf) uses the same assignment geometry for search; this is
+    the curation-side use: domain bucketing ahead of mixture balancing."""
     return _assignment(spark, sf_dir)
 
 

@@ -177,7 +177,8 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {_COSINE_DEDUP_THRESHOLD}
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+          >= {_COSINE_DEDUP_THRESHOLD}
     """,
     tags=("llm", "dedup", "vector"),
 )
@@ -234,9 +235,18 @@ def llm_embed_cosine_dedup(
             a_ids = pdf["vec_id"].to_numpy()
             with np.errstate(divide="ignore", invalid="ignore"):
                 C = (V / np.linalg.norm(V, axis=1, keepdims=True)) @ B.T
-            # NaN (zero-norm) compares False on both conditions
+            # NaN (zero-norm) compares False on both conditions. Inclusion
+            # is decided on the ROUNDED 6-decimal grid (floor(x*1e6+0.5) ==
+            # half-up for the positive threshold region — the exact grid
+            # both engines emit), so a cosine within an ulp of the
+            # threshold cannot flip between engines whose float
+            # associations differ (Vn@Mn.T here vs dot/(|a||b|) in the
+            # oracle); the oracle filters on the same rounded value.
             with np.errstate(invalid="ignore"):
-                hit = (C >= _COSINE_DEDUP_THRESHOLD) & (a_ids[:, None] < b_ids[None, :])
+                on_grid = np.floor(C * 1e6 + 0.5)
+                hit = (on_grid >= _COSINE_DEDUP_THRESHOLD * 1e6) & (
+                    a_ids[:, None] < b_ids[None, :]
+                )
             ai, bj = np.nonzero(hit)
             yield pd.DataFrame(
                 {"vec_a": a_ids[ai], "vec_b": b_ids[bj], "cosine_raw": C[ai, bj]}

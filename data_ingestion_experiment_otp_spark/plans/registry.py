@@ -60,7 +60,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "flt_freshness",
     "flt_stale_watermark",
     "flt_platform_gate",
-    "prj_general",
+    # prj_general is driver-demoted (r4): a bare column-pruning projection
+    # whose §2.2 row is hash-covered by composition in nearly every other
+    # entry (any query that selects computed columns exercises it; the
+    # dedicated entry keeps its exact oracle in tests/test_oracle_parity).
+    # Its slot carries pipeline_semantic_curation below, which buys driver
+    # hash evidence for five r3 §2.10 rows at once.
     # §2.3 parse / extraction
     "ext_b64_json",
     "ext_json_scalar",
@@ -125,6 +130,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     # composed capstone: the end-to-end LLM dataprep pipeline (dedup →
     # quality gate → chunk → shard), hash-checked against one DuckDB query
     "pipeline_llm_dataprep",
+    # composed capstone (r4 promotion): the semantic-curation funnel —
+    # repetition gate → per-source quality gate → nearest-centroid
+    # assignment → per-cluster cap. One driver slot hash-covers the five
+    # r3 §2.10 rows it composes (llm_repetition_signals, both quality
+    # gates, llm_cluster_assign, llm_cluster_balance; see COVERAGE.md).
+    "pipeline_semantic_curation",
 )
 
 

@@ -55,6 +55,14 @@ def curation_sink(
     default_min = float(quality_min.get("*", 0.0))
 
     def curate(batch_df: DataFrame, batch_id: int) -> None:
+        # Null-embedding docs are DROPPED at the gate (explicit policy:
+        # a doc that cannot be cluster-assigned has no place in a
+        # cluster-partitioned layout, and letting a null reach the
+        # np.stack inside assign_to_centroids poisons the whole Arrow
+        # batch and fails the epoch). Same filter the batch path
+        # (similarity.load_vectors) and vector_index_sink apply; the drop
+        # volume is auditable upstream via meta_profile_tables.
+        batch_df = batch_df.filter(F.col("embedding").isNotNull())
         w = batch_df.select(
             "doc_id", "source", "n_chars", "text", "embedding", _words().alias("words")
         )
