@@ -434,60 +434,104 @@ _IVF_CELLS = 16
 _IVF_NPROBE = 4
 
 
+_IVF_TRAIN_CAP = 2048
+_IVF_ITERS = 10
+
+
+def _ivf_train(X, k: int, seed: int = 42):
+    """Seeded Lloyd k-means over a numpy sample (full-dim twin of
+    _pq_train's per-subspace loop, same empty-cluster guard). Determinism
+    is the point: the input sample arrives in a canonical order, so the
+    centroids are a pure function of the DATA — unlike spark.ml's
+    kmeans||, whose per-partition seeded sampling made the model (and
+    therefore every downstream result) depend on how the input happened
+    to be partitioned (caught live by the repartition(7) registry audit
+    once its loader seam actually fired, r4)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    C = X[rng.choice(n, k, replace=n < k)].copy()
+    for _ in range(_IVF_ITERS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        far = d2.min(1).argsort()[::-1]
+        fi = 0
+        for j in range(k):
+            mask = a == j
+            if mask.any():
+                C[j] = X[mask].mean(0)
+            else:
+                C[j] = X[far[fi % len(far)]]
+                fi += 1
+    return C
+
+
 @register("llm_sim_ivf", oracle=None, tags=("llm", "similarity", "approx"))
 def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN — the coarse-quantizer family beside sign-LSH: a
-    seeded spark.ml KMeans partitions the corpus into _IVF_CELLS cells
-    (the inverted file), each query probes its _IVF_NPROBE nearest
-    centroids, and exact cosine re-ranks only the probed cells.
+    seeded Lloyd k-means over a bounded id-ordered sample partitions the
+    corpus into _IVF_CELLS cells (the inverted file), each query probes
+    its _IVF_NPROBE nearest centroids, and exact cosine re-ranks only the
+    probed cells.
 
-    Scale shape: centroids are a tiny model (cells × dim floats) that
-    broadcasts with the predict UDF; cell assignment is scan-side; the
-    probe join's key is the cell id, so the per-query candidate set is
-    nprobe/cells of the corpus, tunable independently of recall via
-    (cells, nprobe) exactly as in FAISS-style IVF. Query side is bounded
-    by the same _QUERY_ID_CAP contract. KMeans centroids are
-    engine-specific → rows-only; recall vs exact top-k is asserted in
+    Scale shape: the coarse quantizer is trained driver-side on
+    min(corpus, _IVF_TRAIN_CAP) rows fetched by TakeOrderedAndProject —
+    the standard sample-trained IVF contract (FAISS trains on a sample
+    for the same reason), and the id-ordering makes the model a pure
+    function of the data, independent of input partitioning (spark.ml
+    KMeans was not: its kmeans|| init samples per partition, so
+    repartition(7) moved the centroids and the results — caught by the
+    registry-wide order-independence audit, r4). Centroids broadcast
+    with the assignment kernel; cell assignment is a scan-side Arrow
+    batch argmin; the probe join's key is the cell id, so the per-query
+    candidate set is nprobe/cells of the corpus, tunable independently
+    of recall via (cells, nprobe) exactly as in FAISS-style IVF. Query
+    side is bounded by the same _QUERY_ID_CAP contract. Centroids are
+    engine-private → rows-only; recall vs exact top-k is asserted in
     tests/test_invariants.py."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
+    import pandas as pd
 
     e = load_vectors(spark, sf_dir)
-    vec = e.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
-    )
-    if not vec.take(1):
+    vec = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    sample = [
+        r["v"] for r in vec.orderBy("vec_id").limit(_IVF_TRAIN_CAP).select("v").collect()
+    ]
+    if not sample:
         # nothing to cluster: schema-correct empty result
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cosine double, rn int"
         )
-    # clamp cells to the DISTINCT corpus size: spark.ml KMeans fails
-    # internally when k exceeds the number of distinct points, and
-    # refuses k=1 outright — a (near-)constant corpus degenerates to a
-    # single cell with no clustering step at all. The clamp only needs
-    # to know whether distinct >= _IVF_CELLS, so probe with a bounded
-    # take(cells+1) over the deduped view — Spark's incremental-limit
-    # execution stops as soon as cells+1 distinct vectors surface,
-    # instead of shuffling the whole embedding corpus to count a scalar
-    import numpy as np
-
-    probe = vec.select("v").dropDuplicates().take(_IVF_CELLS + 1)
-    n_cells = min(_IVF_CELLS, len(probe))
+    X = np.asarray(sample, dtype=np.float64)
+    # clamp cells to the sample's distinct rows: fewer distinct points
+    # than cells would just train duplicate centroids
+    n_cells = int(min(_IVF_CELLS, len(np.unique(X, axis=0))))
     if n_cells < 2:
         assigned = vec.select("vec_id", "v", F.lit(0).alias("cell"))
-        centers = np.asarray([vec.select("v").head()[0]], dtype=np.float64)
+        centers = X[:1]
         n_cells = 1
     else:
-        km = KMeans(k=n_cells, seed=42, maxIter=10, featuresCol="features")
-        model = km.fit(vec.select("features"))
-        assigned = model.transform(vec).select(
-            "vec_id", "v", F.col(model.getPredictionCol()).alias("cell")
-        )
-        # Query side: nprobe nearest centroids per query by cosine
-        # (centroids are a driver-side list — a model, not data).
-        centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+        centers = _ivf_train(X, n_cells)
+        bcast = spark.sparkContext.broadcast(centers)
+
+        def assign(it):
+            C = bcast.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "v": pdf["v"],
+                        # argmin ties break to the lowest cell id
+                        "cell": d2.argmin(1).astype(np.int32),
+                    }
+                )
+
+        assigned = vec.mapInPandas(assign, "vec_id long, v array<double>, cell int")
     cn = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
     qrows = (
         assigned.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP))

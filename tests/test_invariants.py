@@ -730,6 +730,10 @@ class TestOrderIndependenceSweep:
         "llm_dedup_clusters",
         "llm_cluster_balance",
         "pipeline_semantic_curation",
+        # caught order-dependent by the r4 full-registry audit (spark.ml
+        # kmeans|| init sampled per partition); now a sample-trained
+        # numpy model — keep it in the canary set
+        "llm_sim_ivf",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):
@@ -750,18 +754,45 @@ class TestOrderIndependenceSweep:
                 return tuple(canon(x) for x in v)
             return v
 
-        specs = all_queries()
+        import sys
+
+        specs = all_queries()  # imports every query module (needed below)
         orig = catalog.load
+        calls = {"n": 0}
+
+        def wrapped(sp, d, t):
+            calls["n"] += 1
+            return orig(sp, d, t).repartition(7)
+
+        # Operator modules bind `load` at import time (`from ..sources.
+        # catalog import load`), so patching catalog.load alone never
+        # reaches them and the sweep compares two IDENTICAL plans (ADVICE
+        # r3: vacuously green). Patch every module attribute that holds
+        # the original loader, and assert per query that the wrapper
+        # actually fired.
+        patched = []
+        for mod in list(sys.modules.values()):
+            if getattr(mod, "__name__", "").startswith("data_ingestion_experiment_otp_spark"):
+                for attr, val in list(vars(mod).items()):
+                    if val is orig:
+                        setattr(mod, attr, wrapped)
+                        patched.append((mod, attr))
+        assert len(patched) > 10, "loader seam lost: too few modules bind catalog.load"
         try:
             for name in self.NAMES:
-                catalog.load = orig
+                for mod, attr in patched:
+                    setattr(mod, attr, orig)
                 plain = Counter(
                     tuple(canon(v) for v in r) for r in specs[name].fn(spark, sf_dir).collect()
                 )
-                catalog.load = lambda sp, d, t: orig(sp, d, t).repartition(7)
+                for mod, attr in patched:
+                    setattr(mod, attr, wrapped)
+                calls["n"] = 0
                 repart = Counter(
                     tuple(canon(v) for v in r) for r in specs[name].fn(spark, sf_dir).collect()
                 )
+                assert calls["n"] > 0, f"{name} never invoked the patched loader"
                 assert plain == repart, f"{name} is partition-order dependent"
         finally:
-            catalog.load = orig
+            for mod, attr in patched:
+                setattr(mod, attr, orig)
