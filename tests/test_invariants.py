@@ -204,20 +204,57 @@ class TestQuadraticGuard:
 
 
 class TestMultimodal:
-    def test_feature_stage_matches_source_bytes(self, spark, sf_dir):
+    def test_ppm_codec_decodes_for_real(self, spark, sf_dir):
+        """The P6 path is a real decoder, not arithmetic replay: hand it a
+        PPM numpy can verify independently (render → encode → decode →
+        compare against the source array's stats)."""
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.operators.multimodal import (
+            extract_features,
+        )
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+        blob = b"P6\n9 5\n255\n" + img.tobytes()
+        media = spark.createDataFrame(
+            [(1, "image/x-portable-pixmap", bytearray(blob))],
+            "doc_id long, media_type string, payload binary",
+        )
+        row = extract_features(media).collect()[0]
+        assert (row["px_w"], row["px_h"]) == (9, 5)
+        assert row["px_sum"] == int(img.sum(dtype=np.int64))
+        assert row["px_n"] == img.size
+        assert row["n_bytes"] == len(blob)
+        assert row["checksum"] == sum(blob) % (1 << 31)
+
+    def test_fallback_path_for_undecodable_payloads(self, spark, sf_dir):
+        """Non-PPM payloads still flow through the env-probed fallback:
+        n_bytes/checksum are byte-exact, px_* are NULL, feature_mean is
+        the deterministic byte-histogram fake."""
+        from data_ingestion_experiment_otp_spark.operators.multimodal import (
+            extract_features,
+        )
         from data_ingestion_experiment_otp_spark.sources.catalog import load
 
-        feats = {r["doc_id"]: r for r in llm_multimodal_features(spark, sf_dir).collect()}
+        d = load(spark, sf_dir, "documents")
+        media = d.select(
+            "doc_id",
+            F.lit("text/plain").alias("media_type"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+        feats = {r["doc_id"]: r for r in extract_features(media).collect()}
         src = {
             r["doc_id"]: r["n"]
-            for r in load(spark, sf_dir, "documents")
-            .select("doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
-            .collect()
+            for r in d.select(
+                "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n")
+            ).collect()
         }
         assert set(feats) == set(src)
         for doc_id, n in src.items():
             assert feats[doc_id]["n_bytes"] == n
             assert feats[doc_id]["media_type"] == "text/plain"
+            assert feats[doc_id]["px_w"] is None
             # feature_mean is the byte-histogram mean: bounded by byte range
             assert 0.0 <= feats[doc_id]["feature_mean"] <= 255.0
 
