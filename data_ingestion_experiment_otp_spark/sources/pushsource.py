@@ -47,7 +47,17 @@ def register_push_source(spark: SparkSession) -> None:
     """Register the `otp_webhook` format; idempotent per session."""
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+    from ..shipping import ship_by_value
+
+    # The row kernel crosses to the executor-side source instance by
+    # VALUE: referencing module-level _row directly would pickle it by
+    # module path, which a vanilla driver's workers cannot import (see
+    # shipping.py; found by the r4 foreign-cwd full-registry sweep).
+    row_kernel = staticmethod(ship_by_value(_row))
+
     class OtpWebhookReader(DataSourceReader):
+        _row = row_kernel
+
         def __init__(self, options):
             self.rows = int(options.get("rows", _ROWS))
             self.parts = int(options.get("partitions", _PARTS))
@@ -62,7 +72,7 @@ def register_push_source(spark: SparkSession) -> None:
             lo = partition.value * per
             hi = self.rows if partition.value == self.parts - 1 else lo + per
             for i in range(lo, hi):
-                yield _row(i)
+                yield self._row(i)
 
     class OtpWebhookDataSource(DataSource):
         @classmethod
