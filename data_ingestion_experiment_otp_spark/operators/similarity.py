@@ -726,3 +726,126 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+@register(
+    "llm_sim_ivfpq",
+    oracle=None,
+    tags=("llm", "similarity", "approx", "quantize"),
+)
+def llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the composition the two pieces above exist for, and
+    the architecture a 100 TB vector corpus actually serves from
+    (FAISS's IndexIVFPQ): the IVF coarse quantizer prunes the corpus to
+    each query's nprobe cells, PQ codes score ONLY the surviving cells'
+    rows by asymmetric distance, and the exact cosine is recomputed for
+    the top-k alone.
+
+    Decomposition is the textbook residual form: unit vectors split as
+    v = c(v) + r(v) against their cell centroid, the PQ codebooks train
+    on RESIDUALS (their spread is much tighter than raw vectors, so the
+    same 8x4-bit budget buys finer quantization), and a candidate's
+    approximate cosine is q·c (exact, one scalar per probed cell,
+    computed driver-side into the probe frame) + ADC(q, r-codes) (M
+    table lookups). Both models are trained driver-side on the same
+    id-ordered bounded sample — a pure function of the data,
+    partition-order independent like llm_sim_ivf (r4).
+
+    Scale shape: one Arrow pass assigns cells and encodes residual codes
+    (scan-side, no shuffle); the probe join broadcasts (query, cell,
+    q·c) rows so only nprobe/cells of the corpus is ever scored; the
+    rank exchange carries (query_id, vec_id, score) scalars with a
+    partial WindowGroupLimit below it; vectors rejoin broadcast-side for
+    the queries×k survivors only (plan-pinned in tests/test_plans.py).
+    Models are sample/seed-dependent → rows-only; recall vs exact top-k
+    is floored in tests/test_invariants.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    e = load_vectors(spark, sf_dir)
+    vec = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    sample = [
+        r["v"] for r in vec.orderBy("vec_id").limit(_PQ_TRAIN_CAP).select("v").collect()
+    ]
+    empty = "query_id long, vec_id long, cosine double, rn int"
+    if not sample:
+        return spark.createDataFrame([], empty)
+    S = np.asarray(sample, dtype=np.float64)
+    Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    n_cells = int(min(_IVF_CELLS, len(np.unique(Sn, axis=0))))
+    if n_cells < 2:
+        centers = Sn[:1]
+        n_cells = 1
+    else:
+        centers = _ivf_train(Sn, n_cells)
+    resid = Sn - centers[((Sn[:, None, :] - centers[None, :, :]) ** 2).sum(-1).argmin(1)]
+    books = _pq_train(resid)
+    sc = spark.sparkContext
+    b_model = sc.broadcast((centers, books))
+
+    @pandas_udf("struct<cell: int, codes: array<int>>", PandasUDFType.SCALAR)
+    def assign_encode(vs):
+        C, B = b_model.value
+        M, K, dsub = B.shape
+        X = np.stack(vs.to_numpy())
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cell = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        R = X - C[cell]
+        codes = np.empty((len(X), M), dtype=np.int32)
+        for m in range(M):
+            Sm = R[:, m * dsub : (m + 1) * dsub]
+            codes[:, m] = ((Sm[:, None, :] - B[m][None, :, :]) ** 2).sum(-1).argmin(1)
+        return pd.DataFrame({"cell": cell.astype(np.int32), "codes": list(codes)})
+
+    coded = vec.select("vec_id", assign_encode("v").alias("ac")).select(
+        "vec_id", F.col("ac.cell").alias("cell"), F.col("ac.codes").alias("codes")
+    )
+
+    qrows = vec.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
+    ).collect()
+    luts, probe_rows = {}, []
+    for r in qrows:
+        q = np.asarray(r["v"], dtype=np.float64)
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        sims = centers @ qn
+        luts[int(r["vec_id"])] = np.einsum("mkd,md->mk", books, qn.reshape(_PQ_M, -1))
+        for c in np.argsort(-sims)[: min(_IVF_NPROBE, n_cells)]:
+            probe_rows.append(
+                (int(r["vec_id"]), [float(x) for x in q], int(c), float(sims[c]))
+            )
+    if not probe_rows:
+        return spark.createDataFrame([], empty)
+    b_luts = sc.broadcast(luts)
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, q array<double>, cell int, cell_dot double"
+    )
+
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def adc(qids, codes):
+        L = b_luts.value
+        C = np.stack(codes.to_numpy())
+        marange = np.arange(C.shape[1])
+        out = np.empty(len(qids))
+        for i, qid in enumerate(qids.to_numpy()):
+            out[i] = L[int(qid)][marange, C[i]].sum()
+        return pd.Series(out)
+
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    survivors = (
+        coded.join(F.broadcast(probes.select("query_id", "cell", "cell_dot")), on="cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", adc("query_id", "codes") + F.col("cell_dot"))
+        .select("query_id", "vec_id", "score")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id", "rn")
+    )
+    qdf = probes.select("query_id", "q").dropDuplicates(["query_id"])
+    return (
+        vec.join(F.broadcast(survivors), on="vec_id")
+        .join(F.broadcast(qdf), on="query_id")
+        .withColumn("cosine_raw", _cosine("q", "v"))
+        .select("query_id", "vec_id", F.round("cosine_raw", 6).alias("cosine"), "rn")
+    )

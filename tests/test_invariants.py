@@ -289,6 +289,36 @@ class TestIvfTopK:
         assert recall >= 0.4, f"IVF recall {recall:.2f} over {len(exact)} exact pairs"
 
 
+class TestIvfPq:
+    def test_composed_index_recall_and_exact_reporting(self, spark, sf_dir):
+        """IVF-PQ (r4): reported cosines are exact (recomputed on the
+        survivors), every query returns exactly k rows, and recall
+        clears a floor consistent with the composed approximations on
+        this isotropic worst-case fixture (measured 0.20 sf0.001 / 0.44
+        sf0.01 — residual-encoded ADC beats raw-vector PQ's ~0.3 despite
+        also pruning 12/16 cells)."""
+        from data_ingestion_experiment_otp_spark.operators.similarity import (
+            _TOP_K,
+            llm_sim_ivfpq,
+        )
+
+        exact = {
+            (r["query_id"], r["vec_id"]): r["cosine"]
+            for r in llm_sim_topk(spark, sf_dir).collect()
+        }
+        rows = llm_sim_ivfpq(spark, sf_dir).collect()
+        approx = {(r["query_id"], r["vec_id"]): r["cosine"] for r in rows}
+        for key, cos in approx.items():
+            if key in exact:
+                assert abs(cos - exact[key]) < 1e-6
+        per_query = {}
+        for r in rows:
+            per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + 1
+        assert all(n == _TOP_K for n in per_query.values()), per_query
+        recall = len(set(approx) & set(exact)) / len(exact)
+        assert recall >= 0.1, f"IVF-PQ recall {recall:.2f} over {len(exact)} pairs"
+
+
 class TestApproxPercentile:
     def test_rank_error_within_bound(self, spark, sf_dir):
         """approx_percentile(accuracy=10000) guarantees rank error <=
@@ -769,8 +799,10 @@ class TestOrderIndependenceSweep:
         "pipeline_semantic_curation",
         # caught order-dependent by the r4 full-registry audit (spark.ml
         # kmeans|| init sampled per partition); now a sample-trained
-        # numpy model — keep it in the canary set
+        # numpy model — keep it in the canary set, plus the composed
+        # IVF-PQ which shares the trainer contract
         "llm_sim_ivf",
+        "llm_sim_ivfpq",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

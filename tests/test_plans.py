@@ -187,6 +187,29 @@ class TestPqScaleShape:
         assert any("Final" in l for l in wgl_args), wgl_args
 
 
+class TestIvfPqScaleShape:
+    def test_rank_shuffle_carries_scalars(self, spark, sf_dir):
+        """llm_sim_ivfpq composes IVF pruning over PQ scoring; like the
+        plain PQ plan, nothing wide may cross a shuffle: every Exchange
+        carries (query_id, vec_id, score/cell) scalars — the v/q arrays
+        and the codes are projected away first — and the rank has a
+        Partial WindowGroupLimit below its exchange."""
+        plan = plan_of(spark, sf_dir, "llm_sim_ivfpq")
+        lines = plan.splitlines()
+        saw_exchange = False
+        for i, line in enumerate(lines):
+            stripped = line.strip()
+            if re.match(r"^\(\d+\) Exchange", stripped):
+                inputs = next((l for l in lines[i + 1 : i + 3] if "Input" in l), "")
+                assert not re.search(r"[\[ ](v|q|codes)#\d+", inputs), (
+                    f"wide column crosses a shuffle: {stripped} / {inputs}"
+                )
+                saw_exchange = True
+        assert saw_exchange, "expected a rank exchange in the plan"
+        wgl_args = [l for l in lines if "Arguments" in l and "row_number" in l]
+        assert any("Partial" in l for l in wgl_args), wgl_args
+
+
 class TestScanSideOperators:
     @pytest.mark.parametrize("name", ["llm_chunk_docs", "llm_embed_quantize"])
     def test_no_shuffle_at_all(self, spark, sf_dir, name):
