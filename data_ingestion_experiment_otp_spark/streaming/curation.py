@@ -70,12 +70,19 @@ def curation_sink(
             "doc_id", "source", quality_expr().alias("quality"), "text", "embedding"
         )
         sig = _signal_frame(t, extra=("source", "quality", "text", "embedding"))
-        thresh = F.create_map(
-            *[F.lit(x) for kv in quality_min.items() if kv[0] != "*" for x in kv]
+        entries = [x for kv in quality_min.items() if kv[0] != "*" for x in kv]
+        # all-sources-default config: an EMPTY create_map() fails analysis
+        # (map()[source] has no value type), so the floor collapses to the
+        # global literal
+        floor = (
+            F.coalesce(
+                F.create_map(*[F.lit(x) for x in entries])[F.col("source")],
+                F.lit(default_min),
+            )
+            if entries
+            else F.lit(default_min)
         )
-        kept = sig.filter(_rep_keep()).filter(
-            F.col("quality") >= F.coalesce(thresh[F.col("source")], F.lit(default_min))
-        )
+        kept = sig.filter(_rep_keep()).filter(F.col("quality") >= floor)
         vec = kept.select(F.col("doc_id").alias("vec_id"), "embedding")
         assigned = assign_to_centroids(vec, centroids).select(
             F.col("vec_id").alias("doc_id"), "cluster_id"

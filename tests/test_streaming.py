@@ -1265,3 +1265,128 @@ class TestStreamingVectorIndex:
         # cosine (+0.99), nowhere near the stale one (-1)
         assert abs(got[777] - expect) < 2e-2, (got[777], expect)
         assert got[777] > 0.9
+
+
+class TestStreamingCorpusPipeline:
+    SCHEMA = (
+        "doc_id long, source string, n_chars long, text string, embedding array<float>"
+    )
+
+    @staticmethod
+    def _doc(i, source, text, vec):
+        return (i, source, len(text), text, vec)
+
+    def test_dedup_curate_index_compose_and_absorb_replay(self, spark, tmp_path):
+        """The composed ingestion path (corpus_pipeline.py): a re-crawled
+        duplicate must be invisible to BOTH the curated mixture and the
+        vector index; a repetitive doc is admitted (unique content) and
+        indexed but curation-dropped; a later-epoch vector is searchable;
+        and replaying the final epoch changes none of the three stores."""
+        import time
+
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.streaming import drive
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_ingest_epoch,
+            start_corpus_ingest,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.curation import read_curated
+        from data_ingestion_experiment_otp_spark.streaming.vector_index import (
+            ann_query_index,
+            index_stats,
+        )
+
+        rng = np.random.default_rng(23)
+        vec_a = [1.0] + [0.0] * 63
+        vec_b = [0.0, 1.0] + [0.0] * 62
+        qv = rng.standard_normal(64)
+        vec_d = [float(x) for x in (qv + 0.05 * rng.standard_normal(64))]
+        good = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+        spammy = "spam " * 40 + "spam"
+        batches = [
+            [
+                self._doc(1, "web", good, vec_a),
+                self._doc(2, "web", spammy, vec_b),  # unique but repetitive
+            ],
+            [
+                # doc 3 re-crawls doc 1's exact text: dedup-screened, so
+                # its vector must never reach the index
+                self._doc(3, "web", good, [float(x) for x in rng.standard_normal(64)]),
+                self._doc(4, "forum", good + " extra tokens here", vec_d),
+            ],
+        ]
+        in_dir = str(tmp_path / "feed")
+        for rows in batches:
+            spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+            time.sleep(0.05)
+
+        cents = (
+            spark.createDataFrame(
+                [(0, vec_a), (1, vec_b)], "vec_id long, embedding array<float>"
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+        work = str(tmp_path / "work")
+        q = start_corpus_ingest(
+            spark, in_dir, work, cents, {"*": 0.0}, str(tmp_path / "ckpt")
+        )
+        drive.drain(q)
+
+        dirs = corpus_ingest_dirs(work)
+        accepted = spark.read.option("basePath", dirs["accepted"]).parquet(
+            dirs["accepted"]
+        )
+        assert {r["doc_id"] for r in accepted.collect()} == {1, 2, 4}
+
+        curated = {r["doc_id"] for r in read_curated(spark, dirs["curated"]).collect()}
+        assert curated == {1, 4}  # 2 repetition-dropped, 3 dedup-screened
+
+        stats = index_stats(spark, dirs["vector_index"])
+        assert stats["vec_rows"] == 3  # docs 1, 2, 4 — never doc 3
+
+        queries = spark.createDataFrame(
+            [(100, [float(x) for x in qv])], "query_id long, embedding array<float>"
+        )
+        source = accepted.select(F.col("doc_id").alias("vec_id"), "embedding")
+        got = ann_query_index(
+            spark, dirs["vector_index"], queries, k=2, source=source
+        ).collect()
+        assert got and got[0]["vec_id"] == 4, got  # the later-epoch near-dup
+
+        # replay the final epoch verbatim through the same epoch function:
+        # all three stores must be unchanged
+        before = (
+            sorted(map(tuple, accepted.collect())),
+            sorted(curated),
+            stats,
+            sorted(map(tuple, got)),
+        )
+        epoch = corpus_ingest_epoch(work, cents, {"*": 0.0})
+        epoch(spark.createDataFrame(batches[1], self.SCHEMA), 1)
+        accepted2 = spark.read.option("basePath", dirs["accepted"]).parquet(
+            dirs["accepted"]
+        )
+        after = (
+            sorted(map(tuple, accepted2.collect())),
+            sorted(
+                r["doc_id"] for r in read_curated(spark, dirs["curated"]).collect()
+            ),
+            index_stats(spark, dirs["vector_index"]),
+            sorted(
+                map(
+                    tuple,
+                    ann_query_index(
+                        spark, dirs["vector_index"], queries, k=2,
+                        source=accepted2.select(
+                            F.col("doc_id").alias("vec_id"), "embedding"
+                        ),
+                    ).collect(),
+                )
+            ),
+        )
+        assert after == before
