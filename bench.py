@@ -64,11 +64,30 @@ def main() -> None:
     # Warmup: JVM + codegen + parquet footer caches.
     q["src_point_lookup_latest"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Adaptive re-reps: a warm spread over this threshold means the cell
+    # was still JIT-tiering or fighting load — spend extra reps until it
+    # settles or the cap runs out, so the recorded min reflects steady
+    # state (the minhash cell measured 330% spread on 3 reps once; its
+    # 8-run ladder settles ~1.3 s — BENCH_HISTORY.md).
+    spread_cap_pct = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_CAP", "50"))
+    max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "7"))
+
+    def warm_spread(runs: list[float]) -> float:
+        # spread over the last (up to) 3 warm runs: a trailing window, so
+        # an early JIT-tier outlier stops dominating once later reps
+        # settle and the adaptive loop can actually converge
+        warm = (runs[1:] if len(runs) > 1 else runs)[-3:]
+        return (max(warm) / min(warm) - 1.0) * 100
+
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
         for _ in range(reps):  # min-of-N pins steady state (N=3 default)
+            t0 = time.perf_counter()
+            q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        while warm_spread(runs) > spread_cap_pct and len(runs) < max_reps:
             t0 = time.perf_counter()
             q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
@@ -78,8 +97,7 @@ def main() -> None:
         # stability signal): cells whose spread exceeds a round-over-round
         # delta mean the delta is noise, not a regression
         # (BENCH_HISTORY.md discipline)
-        warm = runs[1:] if len(runs) > 1 else runs
-        spread[name] = round((max(warm) / min(warm) - 1.0) * 100, 1)
+        spread[name] = round(warm_spread(runs), 1)
 
     total = round(sum(timings.values()), 3)
     print(
