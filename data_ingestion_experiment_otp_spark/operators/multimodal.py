@@ -253,3 +253,153 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Fixture WAV geometry/samples: pure (doc_id, i) arithmetic, like the PPM
+# pixels, so the oracle replays the decoded stats.
+#   n_samples = 50 + doc_id % 30, sample_i = (doc_id*37 + i*11) % 4096 - 2048
+_WAV_MIME = "audio/x-wav"
+_WAV_RATE = 8000
+
+AUDIO_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, sample_rate int, "
+    "n_samples int, amp_sum long, amp_peak int, amp_mean double"
+)
+
+
+def wav_media(d: DataFrame) -> DataFrame:
+    """Deterministic 16-bit mono PCM WAV payloads for the fixture
+    documents — the audio-side test-data generator (real RIFF container:
+    44-byte canonical header + little-endian int16 samples)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def wav(doc_id: int) -> bytes:
+            n = 50 + doc_id % 30
+            s = ((doc_id * 37 + np.arange(n, dtype=np.int64) * 11) % 4096 - 2048).astype(
+                "<i2"
+            )
+            data = s.tobytes()
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVE"
+                + b"fmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+                + b"data"
+                + struct.pack("<I", len(data))
+            )
+            return hdr + data
+
+        for pdf in it:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": _WAV_MIME,
+                    "payload": [wav(i) for i in ids],
+                }
+            )
+
+    return d.select("doc_id").mapInPandas(
+        gen, "doc_id long, media_type string, payload binary"
+    )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas audio feature extraction: a REAL pure-numpy RIFF/WAV
+    parser (chunk walk — not a fixed 44-byte offset assumption — fmt
+    validation, little-endian int16 frombuffer) emitting per-clip sample
+    stats. Same worker-shipping and NULL-payload contracts as
+    extract_features."""
+    media = media.filter(F.col("payload").isNotNull())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+
+        def decode_wav(blob):
+            if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            pos, rate, samples = 12, None, None
+            while pos + 8 <= len(blob):
+                cid = blob[pos : pos + 4]
+                (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+                body = blob[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+                    if (fmt, ch, bits) != (1, 1, 16):
+                        raise ValueError(f"unsupported WAV: fmt={fmt} ch={ch} bits={bits}")
+                elif cid == b"data":
+                    samples = np.frombuffer(body, dtype="<i2")
+                pos += 8 + size + (size & 1)  # chunks are word-aligned
+            if rate is None or samples is None:
+                raise ValueError("missing fmt/data chunk")
+            return rate, samples
+
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "media_type", "n_bytes", "sample_rate",
+                "n_samples", "amp_sum", "amp_peak", "amp_mean",
+            )}
+            for doc_id, mt, blob in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                blob = bytes(blob)
+                rate, s = decode_wav(blob)
+                total = int(s.sum(dtype=np.int64))
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                out["n_bytes"].append(len(blob))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(int(s.size))
+                out["amp_sum"].append(total)
+                out["amp_peak"].append(int(np.abs(s.astype(np.int64)).max()) if s.size else 0)
+                out["amp_mean"].append(
+                    float(Decimal(total / s.size).quantize(q6, rounding=ROUND_HALF_UP))
+                    if s.size
+                    else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+@register(
+    "llm_audio_features",
+    oracle=f"""
+    WITH geom AS (
+      SELECT doc_id, 50 + doc_id % 30 AS n FROM documents
+    ), sums AS (
+      SELECT doc_id, n,
+             list_sum(list_transform(range(0, n),
+                      i -> (doc_id*37 + i*11) % 4096 - 2048)) AS amp_sum,
+             list_max(list_transform(range(0, n),
+                      i -> abs((doc_id*37 + i*11) % 4096 - 2048))) AS amp_peak
+      FROM geom
+    )
+    SELECT doc_id,
+           '{_WAV_MIME}' AS media_type,
+           CAST(44 + 2*n AS INT) AS n_bytes,
+           {_WAV_RATE} AS sample_rate,
+           CAST(n AS INT) AS n_samples,
+           CAST(amp_sum AS BIGINT) AS amp_sum,
+           CAST(amp_peak AS INT) AS amp_peak,
+           round(amp_sum * 1.0 / n, 6) AS amp_mean
+    FROM sums
+    """,
+    tags=("llm", "multimodal", "udf"),
+)
+def llm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-side multimodal pipeline with a REAL decode: documents →
+    binary 16-bit PCM WAV payload → Arrow-batched mapInPandas codec
+    (pure-numpy RIFF chunk walk) → per-clip amplitude stats, hash-checked
+    against the oracle replaying the generator's (doc_id, i) sample
+    arithmetic — the audio twin of llm_multimodal_features' PPM path."""
+    d = load(spark, sf_dir, "documents")
+    return extract_audio_features(wav_media(d))

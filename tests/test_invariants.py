@@ -865,3 +865,41 @@ class TestOrderIndependenceSweep:
         finally:
             for mod, attr in patched:
                 setattr(mod, attr, orig)
+
+
+class TestAudioCodec:
+    def test_wav_chunk_walk_decodes_noncanonical_layout(self, spark, sf_dir):
+        """The WAV parser is a real RIFF chunk walk, not a fixed 44-byte
+        offset: a payload with an extra LIST chunk BEFORE fmt/data (and an
+        odd-sized chunk forcing word-alignment) must still decode, and the
+        stats must match the source numpy array."""
+        import struct
+
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.operators.multimodal import (
+            extract_audio_features,
+        )
+
+        rng = np.random.default_rng(9)
+        s = rng.integers(-2048, 2048, size=77, dtype=np.int16)
+        data = s.astype("<i2").tobytes()
+        odd = b"note\x00"  # 5 bytes -> needs a pad byte
+        blob = (
+            b"RIFF"
+            + struct.pack("<I", 4 + (8 + len(odd) + 1) + (8 + 16) + (8 + len(data)))
+            + b"WAVE"
+            + b"LIST" + struct.pack("<I", len(odd)) + odd + b"\x00"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        media = spark.createDataFrame(
+            [(1, "audio/x-wav", bytearray(blob))],
+            "doc_id long, media_type string, payload binary",
+        )
+        row = extract_audio_features(media).collect()[0]
+        assert row["n_samples"] == 77
+        assert row["sample_rate"] == 8000
+        assert row["amp_sum"] == int(s.astype(np.int64).sum())
+        assert row["amp_peak"] == int(np.abs(s.astype(np.int64)).max())
+        assert row["n_bytes"] == len(blob)
