@@ -419,7 +419,15 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — per-group memory is O(accuracy), not O(rows). Engine-private
     sketch => no cross-engine oracle; tests/test_invariants.py asserts
     each reported quantile's true rank is within the documented bound of
-    its target and that p50<=p90<=p99."""
+    its target and that p50<=p90<=p99.
+
+    Partition-layout sensitivity (measured, r4): the GK merge is not
+    canonical, so repartitioning the input can move a reported quantile —
+    WITHIN the rank-error bound, which is the sketch's actual contract
+    and is asserted under repartition(7) in
+    tests/test_invariants.py::TestSketchPartitionStability. This is the
+    one property class exempted from the registry-wide exact
+    partition-order-independence audit (with mv_rollup_distinct_hll)."""
     l = load(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50"),

@@ -300,7 +300,15 @@ def mv_rollup_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure class (distinct counts) where scalar partials cannot merge.
     Four maintenance runs plus a replayed epoch, then the reader-side
     sketch union; tests/test_invariants.py pins the estimate within 5% of
-    the exact per-day distinct count and replay immutability."""
+    the exact per-day distinct count and replay immutability.
+
+    Partition-layout sensitivity (measured, r4): DataSketches HLL
+    estimates move ~0.1-1.5% at this cardinality when the input
+    partitioning changes (the agg unions per-partition partials whose
+    sparse-to-dense promotion points differ by layout) — WITHIN the 5%
+    bound, which is the sketch's actual contract and is asserted under
+    repartition(7) in TestSketchPartitionStability. Exempted from the
+    exact order-independence audit with agg_approx_percentile."""
     ev = load(spark, sf_dir, "events")
     mv_dir = _scratch(spark, "events_distinct_hll_mv_" + sf_dir.replace("/", "_"))
     sliced = stage_batches(ev, ["ts", "user_id"])  # ONE source scan

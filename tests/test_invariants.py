@@ -319,6 +319,77 @@ class TestIvfPq:
         assert recall >= 0.1, f"IVF-PQ recall {recall:.2f} over {len(exact)} pairs"
 
 
+class TestSketchPartitionStability:
+    def test_sketch_bounds_hold_under_repartition(self, spark, sf_dir):
+        """The two distributed-sketch queries are the registry's only
+        partition-layout-sensitive results (their merge trees are not
+        canonical — measured at sf0.1, r4): what they DO contract is the
+        error bound, so that bound must hold on a repartition(7)'d input
+        too. GK quantiles: rank error <= n/10000 per group. HLL daily
+        distincts: within 5% of exact."""
+        import bisect
+        import sys
+
+        from data_ingestion_experiment_otp_spark.plans.registry import all_queries
+        from data_ingestion_experiment_otp_spark.sources import catalog
+        from data_ingestion_experiment_otp_spark.sources.catalog import load
+
+        specs = all_queries()
+        orig = catalog.load
+        patched = [
+            (mod, attr)
+            for mod in list(sys.modules.values())
+            if getattr(mod, "__name__", "").startswith("data_ingestion_experiment_otp_spark")
+            for attr, val in list(vars(mod).items())
+            if val is orig
+        ]
+
+        # exact references from the UNPATCHED loader
+        exact_days = {
+            r["day"]: r["n"]
+            for r in load(spark, sf_dir, "events")
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        by_flag: dict = {}
+        for r in (
+            load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice").collect()
+        ):
+            by_flag.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+
+        def wrapped(sp, d, t):
+            return orig(sp, d, t).repartition(7)
+
+        try:
+            for mod, attr in patched:
+                setattr(mod, attr, wrapped)
+            hll = {
+                r["day"]: r["n_users"]
+                for r in specs["mv_rollup_distinct_hll"].fn(spark, sf_dir).collect()
+            }
+            pct = {
+                r["l_returnflag"]: r
+                for r in specs["agg_approx_percentile"].fn(spark, sf_dir).collect()
+            }
+        finally:
+            for mod, attr in patched:
+                setattr(mod, attr, orig)
+
+        assert set(hll) == set(exact_days)
+        for day, n in exact_days.items():
+            assert abs(hll[day] - n) <= max(2, 0.05 * n), (day, hll[day], n)
+        for flag, xs in by_flag.items():
+            xs.sort()
+            n = len(xs)
+            r = pct[flag]
+            assert r["p50"] <= r["p90"] <= r["p99"]
+            for q, v in ((0.5, r["p50"]), (0.9, r["p90"]), (0.99, r["p99"])):
+                lo = bisect.bisect_left(xs, v)
+                hi = bisect.bisect_right(xs, v)
+                assert lo - (n / 10000 + 1) <= q * n <= hi + (n / 10000 + 1), (flag, q, v)
+
+
 class TestApproxPercentile:
     def test_rank_error_within_bound(self, spark, sf_dir):
         """approx_percentile(accuracy=10000) guarantees rank error <=
@@ -781,8 +852,14 @@ class TestOrderIndependenceSweep:
     # rollup, windows (rank/frame/session), sorts and global index, dedup
     # pair generation, CC clustering, CDC diff, MV maintenance read, the
     # capstones. The full-registry sweep (every query, plain vs
-    # repartition(7), identical multisets — 164/164 green at sf0.001 and
-    # sf0.1) is a session audit; this keeps the canary in-tree.
+    # repartition(7), identical multisets) is a session audit, re-run r4
+    # with a LIVE loader seam at sf0.001 and sf0.1: exact-invariant for
+    # every query except the two distributed-SKETCH queries
+    # (agg_approx_percentile, mv_rollup_distinct_hll), whose estimates
+    # legitimately move within their documented error bounds when the
+    # merge tree changes — that bounded form is pinned separately by
+    # TestSketchPartitionStability below. This class keeps the exact
+    # canary in-tree.
     NAMES = (
         "agg_groupby",
         "agg_grouping_sets",
