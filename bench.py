@@ -52,6 +52,11 @@ HEADLINE = [
     "join_bloom_pruned",
     "mv_incremental_rollup",
     "pipeline_otp_ingest",
+    # r4 additions: the IVF-PQ serving composition and the two
+    # real-codec multimodal paths
+    "llm_sim_ivfpq",
+    "llm_multimodal_features",
+    "llm_audio_features",
 ]
 
 
