@@ -101,7 +101,7 @@ class TestForeignCwdDrive:
         script = textwrap.dedent(
             f"""
             import sys
-            sys.path.insert(0, {repr(sys.path[0] if False else "/root/repo")})
+            sys.path.insert(0, "/root/repo")
             from pyspark.sql import SparkSession
             spark = SparkSession.builder.master("local[4]").getOrCreate()
             from {PKG}.plans.registry import all_queries
