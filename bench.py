@@ -57,6 +57,9 @@ HEADLINE = [
     "llm_sim_ivfpq",
     "llm_multimodal_features",
     "llm_audio_features",
+    # r5 additions: ranked retrieval and the containment dedup pass
+    "llm_bm25_topk",
+    "llm_containment_dedup",
 ]
 
 

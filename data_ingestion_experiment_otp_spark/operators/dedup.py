@@ -171,6 +171,91 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_THRESHOLD = 0.8
+
+_CONTAINMENT_ORACLE = f"""
+    WITH ws_t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS w FROM ws_t WHERE len(ws) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / least(sa.n, sb.n), 6) AS overlap,
+           CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS contained_doc
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / least(sa.n, sb.n) >= {_CONTAINMENT_THRESHOLD}
+    """
+
+
+@register(
+    "llm_containment_dedup",
+    oracle=_CONTAINMENT_ORACLE,
+    tags=("llm", "dedup"),
+)
+def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment (overlap-coefficient) near-dup detection:
+    flag pairs where the SMALLER document's shingle set is ≥80% covered by
+    the larger one's — |S(A) ∩ S(B)| / min(|S(A)|, |S(B)|). This is the
+    subset-duplicate case symmetric Jaccard structurally misses: a short
+    document fully embedded in a long one scores Jaccard ≈ |A|/|B| → 0 as
+    the length ratio grows, but overlap = 1.0 regardless (the reason
+    crawl-curation pipelines run a containment pass beside the Jaccard
+    pass — quotes, syndicated excerpts, boilerplate-wrapped reposts).
+
+    Same inverted-index shape (and 100 TB properties) as
+    `llm_ngram_jaccard`: shingle-hash explode, self-join keyed on the
+    shingle, counts-only shuffles; pair generation stays ~linear because
+    unrelated docs share no shingles. `contained_doc` names the covered
+    side, which is the drop candidate under a keep-longest policy.
+
+    Cross-engine threshold safety: overlap is a single IEEE division of
+    two exact integers, bit-identical in both engines, so filtering on
+    the raw value cannot flip near the threshold (unlike accumulated
+    float measures, which must be rounded to a shared grid first —
+    registry.py docstring)."""
+    d = load_split(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    tok = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLE_HASHES_SPARK)).alias("w"))
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    overlap = F.col("n_common") / F.least("na", "nb")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(overlap >= _CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(overlap, 6).alias("overlap"),
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+    )
+
+
 @register(
     "llm_embed_cosine_dedup",
     oracle=f"""

@@ -1,0 +1,167 @@
+"""Ranked text retrieval (engine addition, SURVEY.md §2.10 family).
+
+BM25 top-k document retrieval over the `documents` corpus — the ranked
+keyword-search primitive an LLM-data pipeline uses for targeted corpus
+slicing (pull the best k documents per topic probe) and for
+quality-by-query auditing. Everything is built-in expressions (whole-stage
+codegen): tokenize → postings filtered to the query vocabulary → tf/df
+aggregation → BM25 scoring → per-query top-k.
+
+Scale shape (the 100 TB plan, in order of what moves):
+
+- The corpus is scanned twice, both times scan-parallel with zero
+  pre-shuffle: once projecting `(doc_id, dl)` where dl = size of the token
+  array (no explode — document length never requires materializing tokens
+  as rows), once exploding tokens into postings.
+- Postings are immediately semi-joined against the BROADCAST query
+  vocabulary (a handful of terms), so the only rows that ever reach a
+  shuffle are postings whose term occurs in some query — a vanishing
+  fraction of the corpus. The full postings list is never aggregated.
+- tf/df/avgdl aggregates all partial-aggregate map-side; the surviving
+  shuffles carry (term, doc_id, count) scalars, never text.
+- Scoring is one projection over tf ⋈ dl (doc-keyed join of two slim
+  relations; AQE broadcasts the tf side when it is small) with the 1-row
+  corpus stats and per-term idf both broadcast.
+- The per-query top-k is a rank-filter window, which Spark 4 executes
+  with WindowGroupLimit: each map task keeps only its local top-k before
+  the per-query exchange, so the rank shuffle is O(tasks × queries × k)
+  scalars (plan-asserted in tests/test_retrieval.py).
+
+Determinism / oracle notes: scores are ranked on their round-6 values with
+doc_id as the total-order tie-break, so ranking is identical across
+engines; each per-(query, doc) score sums ≤ a handful of per-term
+contributions, so summation order cannot move the round-6 grid value
+(contrast with corpus-wide money sums, which DID need exact decimal —
+registry.py docstring).
+
+Reference parity: the reference has no search surface (it selects rows by
+`historyId` ranges only, `api/main.py:94-97`); this is engine-target
+surface mandated by BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load
+
+# BM25 constants (classic Robertson/Sparck-Jones defaults).
+_K1 = 1.2
+_B = 0.75
+_TOP_K = 5
+
+# Fixed query workload: (query_id, term). Terms are drawn from the fixture
+# vocabulary so every query has matches at every SF.
+_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "join"),
+    (0, "hash"),
+    (1, "vector"),
+    (1, "stream"),
+    (1, "window"),
+    (2, "customer"),
+    (2, "filter"),
+)
+
+# The explicit group index 0 means "the whole match" in BOTH engines
+# (Spark requires it when the pattern has no capture group; DuckDB
+# defaults to it).
+_TOKENIZE = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+
+_QUERIES_SQL = ", ".join(f"({qid}, '{t}')" for qid, t in _QUERIES)
+
+# The oracle replays the identical tokenization, tf/df/dl arithmetic, and
+# rank-on-rounded-score ordering in DuckDB.
+_BM25_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENIZE} AS tk FROM documents
+    ),
+    dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM toks),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+    q(query_id, term) AS (VALUES {_QUERIES_SQL}),
+    qt AS (SELECT DISTINCT term FROM q),
+    tf AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf
+      FROM tok JOIN qt USING (term) GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+                 * tf.tf * ({_K1} + 1)
+                 / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl))) AS score
+      FROM q
+      JOIN tf ON tf.term = q.term
+      JOIN dft ON dft.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score, rn FROM (
+      SELECT query_id, doc_id, round(score, 6) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 6) DESC, doc_id) AS rn
+      FROM scored
+    )
+    WHERE rn <= {_TOP_K}
+    """
+
+
+@register(
+    "llm_bm25_topk",
+    oracle=_BM25_ORACLE,
+    tags=("llm", "retrieval", "text"),
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: top-{k} documents per keyword query.
+
+    idf is the BM25+ form ln(1 + (N - df + 0.5)/(df + 0.5)) (always
+    positive, so high-df terms dampen rather than invert the ranking —
+    this corpus's vocabulary appears in ~80% of documents). tf saturates
+    with k1={k1}, length-normalized with b={b} against the corpus mean
+    document length."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENIZE)
+
+    # Scan 1: per-doc length from the token ARRAY — no explode, no shuffle.
+    dl = d.select("doc_id", F.size(toks).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+
+    qdf = spark.createDataFrame(list(_QUERIES), "query_id int, term string")
+    qterms = qdf.select("term").distinct()
+
+    # Scan 2: postings, filtered to the broadcast query vocabulary BEFORE
+    # any aggregation — only query-term postings ever shuffle.
+    tok = d.select("doc_id", F.explode(toks).alias("term"))
+    tf = (
+        tok.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * F.col("tf") * (_K1 + 1) / (
+        F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "doc_id", "score", "rn")
+    )
+
+
+llm_bm25_topk.__doc__ = llm_bm25_topk.__doc__.format(k=_TOP_K, k1=_K1, b=_B)

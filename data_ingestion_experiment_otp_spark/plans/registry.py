@@ -84,7 +84,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_bloom_pruned",
     # §2.5 aggregations
     "agg_groupby",
-    "agg_approx_distinct",
+    # agg_approx_distinct is driver-demoted (r5): rows-only by nature (HLL
+    # sketches differ across engines), so its slot carried only a row
+    # count; the ≤5% error invariant in pytest is its real verification
+    # and is unchanged. Its slot carries llm_containment_dedup below,
+    # which brings a full hash oracle.
     "agg_grouping_sets",
     "agg_collect_flatten",
     # §2.6 windows / sorts / set ops
@@ -102,6 +106,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     # §2.10 dedup
     "llm_exact_dedup",
     "llm_ngram_jaccard",
+    # r5: asymmetric containment (overlap coefficient) — the
+    # subset-duplicate case Jaccard structurally misses; full hash oracle
+    "llm_containment_dedup",
     "llm_minhash_banded",
     # llm_simhash is registered but driver-demoted: it is rows-only by
     # nature (Murmur3 engine hash), so the driver adds only a row count —
@@ -112,7 +119,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "llm_incremental_dedup",
     # §2.10 similarity / multimodal
     "llm_sim_topk",
-    "llm_sim_lsh_bucketed",
+    # llm_sim_lsh_bucketed is driver-demoted (r5): rows-only by nature
+    # (sign-LSH buckets are engine-private hashes), so its slot carried
+    # only a row count; the recall invariant in pytest is its real
+    # verification and is unchanged. Its slot carries llm_bm25_topk
+    # below, which brings a full hash oracle for the ranked-retrieval
+    # family.
     "llm_multimodal_cols",
     # llm_multimodal_features is driver-demoted: rows-only by nature (the
     # codec is env-stubbed), so its slot carried no hash check; the
@@ -123,7 +135,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     # row stays hash-covered by the fused llm_text_profile below (and
     # llm_text_stats itself keeps its exact oracle in pytest parity).
     "llm_cluster_assign",
-    # §2.10 text analysis / sampling
+    # §2.10 text analysis / retrieval / sampling
+    # r5: BM25 ranked retrieval over the corpus — tf/df/length-normalized
+    # scoring with per-query top-k; full hash oracle (rank on round-6
+    # scores, doc_id tie-break)
+    "llm_bm25_topk",
     "llm_text_profile",
     "llm_keyword_extract",
     "llm_sample_shard",
@@ -167,6 +183,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         profile,
         relational,
+        retrieval,
         sampling,
         scalars,
         similarity,

@@ -880,6 +880,10 @@ class TestOrderIndependenceSweep:
         # IVF-PQ which shares the trainer contract
         "llm_sim_ivf",
         "llm_sim_ivfpq",
+        # r5 additions: BM25 ranks on round-6 scores with doc_id as the
+        # total-order tie-break; containment is exact integer arithmetic
+        "llm_bm25_topk",
+        "llm_containment_dedup",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):
