@@ -109,6 +109,16 @@ _BM25_ORACLE = f"""
     """
 
 
+def bm25_contribution(tf, df, n, dl, avgdl):
+    """One query term's BM25 score contribution as a Column — shared by the
+    batch query and the persisted-index query path
+    (streaming/text_index.py) so both score identically by construction.
+    idf is the BM25+ form ln(1 + (N - df + 0.5)/(df + 0.5)), always
+    positive."""
+    idf = F.log(1 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (_K1 + 1) / (tf + _K1 * (1 - _B + _B * dl / avgdl))
+
+
 @register(
     "llm_bm25_topk",
     oracle=_BM25_ORACLE,
@@ -144,9 +154,8 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dft = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
 
-    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    contrib = idf * F.col("tf") * (_K1 + 1) / (
-        F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+    contrib = bm25_contribution(
+        F.col("tf"), F.col("df"), F.col("n"), F.col("dl"), F.col("avgdl")
     )
     scored = (
         tf.join(F.broadcast(dft), "term")

@@ -1,0 +1,196 @@
+"""Streaming incremental inverted text index: the text-side analog of
+vector_index (and the serving-side complement of operators/retrieval.py —
+`llm_bm25_topk` tokenizes the corpus per query; this module tokenizes each
+document ONCE, at ingest).
+
+Each micro-batch of documents is tokenized with the exact expression the
+batch BM25 uses, reduced to per-(doc, term) counts, and appended to a
+persistent postings index keyed by the 64-bit term hash — the term STRING
+never leaves the scan stage and never reaches disk. BM25 queries then run
+against the index: hash the query terms, read only matching term-hash
+partitions, score with the shared `bm25_contribution` expression, top-k.
+New documents become searchable one epoch after arrival with no index
+rebuild.
+
+Layout (two stores, both epoch-partitioned, both zstd):
+
+- ``postings/`` — ``(doc_id, thash, tf)`` partitioned by
+  ``(src_batch, pkey)`` where ``thash = xxhash64(term)`` and
+  ``pkey = pmod(thash, _PARTS)``. A query's pkey set is
+  driver-collectable (query vocabularies are bounded by contract), so
+  the posting scan is STATICALLY partition-pruned to the term-hash
+  ranges the query's own terms land in (PartitionFilters, plan-pinned in
+  tests) — ~|query terms|/_PARTS of each epoch's postings, not the whole
+  index. ~20 bytes/posting vs the ~40+ a term-string layout pays, and
+  the fixed _PARTS bound keeps directory counts sane where partitioning
+  by raw term would create |vocab| tiny files.
+- ``doclen/`` — ``(doc_id, dl)`` partitioned by ``src_batch``: one
+  2-scalar row per document per ingest epoch. This store is the
+  corpus-stats side (N, avgdl) AND the document-liveness ledger: a doc's
+  LIVE epoch is its max src_batch here, and only postings from that
+  epoch count — so a re-ingested document's removed terms genuinely stop
+  matching (stale postings can't resurrect them), the analog of
+  vector_index's freshest-payload rule but strict, because BM25 matching
+  is existence-based rather than score-resolved.
+
+Replay safety: both writes are scoped to the epoch's own ``src_batch=N``
+partitions with dynamic partition overwrite, so a replayed epoch rewrites
+identical content instead of double-indexing (the package-wide sink
+contract).
+
+Scale shape: everything that shuffles is (doc_id, thash, tf) scalars; the
+stats aggregate reduces the 2-scalar doclen store; df/idf are computed
+over the query-matched postings only; the final rank is the same
+round-6-score window as the batch path. Query-path parity with
+`llm_bm25_topk` is exact (same tokenizer, same tf/df/dl/N inputs, same
+scoring expression) and pinned by tests/test_text_index.py.
+
+Reference parity: the reference persists one scalar cursor as its only
+index (`api/main.py:258-290`); this is the content-addressed text-index
+step of the same durable-bookkeeping idea, as vector_index is for
+embeddings.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..operators.retrieval import _TOKENIZE, bm25_contribution
+
+# Term-hash partitions per epoch: wide enough that a bounded query
+# vocabulary prunes most of the scan, narrow enough that an epoch writes a
+# bounded number of directories (_PARTS, one file each via the pkey
+# repartition).
+_PARTS = 16
+
+
+def _pkey(thash):
+    return F.pmod(thash, F.lit(_PARTS)).cast("int")
+
+
+def text_index_sink(index_dir: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: tokenize each (doc_id, text) micro-batch
+    once, append (doc_id, thash, tf) postings under (src_batch, pkey) and
+    one (doc_id, dl) row under src_batch."""
+
+    def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        base = batch_df.filter(F.col("text").isNotNull()).select(
+            "doc_id", F.expr(_TOKENIZE).alias("tk")
+        )
+        (
+            base.select(
+                "doc_id",
+                F.size("tk").alias("dl"),
+                F.lit(batch_id).alias("src_batch"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", "zstd")
+            .partitionBy("src_batch")
+            .parquet(os.path.join(index_dir, "doclen"))
+        )
+        (
+            base.select("doc_id", F.explode("tk").alias("term"))
+            .groupBy("doc_id", F.xxhash64("term").alias("thash"))
+            .agg(F.count("*").cast("int").alias("tf"))
+            .select(
+                "doc_id",
+                "thash",
+                "tf",
+                F.lit(batch_id).alias("src_batch"),
+                _pkey(F.col("thash")).alias("pkey"),
+            )
+            .repartition("pkey")  # exactly one posting file per pkey dir
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", "zstd")
+            .partitionBy("src_batch", "pkey")
+            .parquet(os.path.join(index_dir, "postings"))
+        )
+
+    return index_batch
+
+
+def bm25_query_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 5,
+) -> DataFrame:
+    """BM25 top-k per query over the persisted index. `queries` is the
+    bounded (query_id, term) workload — same contract as the batch path's
+    module-level workload. Returns (query_id, doc_id, score, rn), ranked
+    on round-6 scores with doc_id tie-break, identical to
+    `llm_bm25_topk` run over the same ingested corpus."""
+    qdf = spark.createDataFrame(list(queries), "query_id int, term string")
+    # Hash the query vocabulary with the ENGINE's xxhash64 (a tiny local
+    # job), so query hashes match posting hashes by construction; the
+    # distinct pkey set is driver-collectable and becomes a static
+    # partition filter on the posting scan.
+    qhash = qdf.select("query_id", F.xxhash64("term").alias("thash"))
+    qterms = [r["thash"] for r in qhash.select("thash").distinct().collect()]
+    pkeys = sorted({t % _PARTS for t in qterms})
+
+    postings = (
+        spark.read.option("basePath", os.path.join(index_dir, "postings"))
+        .parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("pkey").isin(pkeys) & F.col("thash").isin(qterms))
+    )
+
+    doclen = spark.read.option("basePath", os.path.join(index_dir, "doclen")).parquet(
+        os.path.join(index_dir, "doclen")
+    )
+    # Liveness ledger: a doc's current epoch and current length. max_by
+    # keeps the pair consistent in one partial-aggregating pass.
+    live = doclen.groupBy("doc_id").agg(
+        F.max("src_batch").alias("cur_epoch"),
+        F.max_by("dl", "src_batch").cast("double").alias("dl"),
+    )
+    stats = live.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+
+    # Only the live epoch's postings count — a stale epoch's rows for a
+    # re-ingested doc (including terms its new text dropped) are dead.
+    tf = (
+        postings.join(
+            live,
+            (postings.doc_id == live.doc_id)
+            & (postings.src_batch == live.cur_epoch),
+        )
+        .select(live.doc_id, "thash", F.col("tf").cast("double").alias("tf"), "dl")
+    )
+    dft = tf.groupBy("thash").agg(F.count("*").cast("double").alias("df"))
+
+    contrib = bm25_contribution(
+        F.col("tf"), F.col("df"), F.col("n"), F.col("dl"), F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "thash")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qhash), "thash")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", "score", "rn")
+    )
+
+
+def index_stats(spark: SparkSession, index_dir: str) -> dict:
+    """Epoch/row accounting for tests and audits."""
+    if not os.path.isdir(os.path.join(index_dir, "postings")):
+        return {"postings": 0, "epochs": 0, "docs": 0}
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    doclen = spark.read.parquet(os.path.join(index_dir, "doclen"))
+    return {
+        "postings": postings.count(),
+        "epochs": doclen.select("src_batch").distinct().count(),
+        "docs": doclen.select("doc_id").distinct().count(),
+    }

@@ -16,7 +16,8 @@ sets it; the HDFS-backed default does not implement the transformWithState
 operator contract) AND the `protobuf` package — PySpark's
 transform_with_state_driver_worker speaks protobuf to the JVM
 (`pyspark/sql/streaming/proto/StateMessage_pb2.py`). protobuf does not ship
-in this container, so the streaming tests for these forms are skip-marked
+in this container (absence re-probed and re-confirmed each round, most
+recently r5), so the streaming tests for these forms are skip-marked
 behind `transform_with_state_available()`; the `applyInPandasWithState`
 forms in state_machine.py are the fully-tested path here.
 """

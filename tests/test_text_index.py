@@ -1,0 +1,184 @@
+"""Streaming incremental text index: batch-parity, liveness on re-ingest,
+replay absorption, and the partition-pruned query scan."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from data_ingestion_experiment_otp_spark.operators.retrieval import (
+    _QUERIES,
+    llm_bm25_topk,
+)
+from data_ingestion_experiment_otp_spark.streaming import drive
+from data_ingestion_experiment_otp_spark.streaming.text_index import (
+    bm25_query_index,
+    index_stats,
+    text_index_sink,
+)
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _ingest_streaming(spark, tmp_path, epochs):
+    """Stage one parquet file per epoch and drain a maxFilesPerTrigger=1
+    stream through the sink — real foreachBatch epochs, not direct calls."""
+    in_dir = str(tmp_path / "docs_in")
+    for rows in epochs:
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        time.sleep(0.05)
+    index_dir = str(tmp_path / "tindex")
+    q = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(text_index_sink(index_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drive.drain(q)
+    return index_dir
+
+
+class TestTextIndexParity:
+    def test_index_query_matches_batch_bm25(self, spark, sf_dir, tmp_path):
+        """The whole point of the index: ingesting the fixture corpus in
+        three streaming epochs and querying the index must give EXACTLY
+        the batch `llm_bm25_topk` answer on the same corpus — same
+        tokenizer, tf/df/dl/N inputs, scoring expression, and rank
+        tie-break, so equality is on full rounded scores, not just ids."""
+        docs = [
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .collect()
+        ]
+        epochs = [[d for d in docs if d[0] % 3 == e] for e in range(3)]
+        index_dir = _ingest_streaming(spark, tmp_path, epochs)
+
+        got = sorted(
+            map(tuple, bm25_query_index(spark, index_dir, list(_QUERIES)).collect())
+        )
+        want = sorted(map(tuple, llm_bm25_topk(spark, sf_dir).collect()))
+        assert got == want
+
+        stats = index_stats(spark, index_dir)
+        assert stats["epochs"] == 3
+        assert stats["docs"] == len(docs)
+
+    def test_replay_absorbed(self, spark, sf_dir, tmp_path):
+        """Re-running the final epoch's batch must change neither the
+        index accounting nor any query result (dynamic partition
+        overwrite scoped to the epoch's own partitions)."""
+        docs = [
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .collect()
+        ]
+        epochs = [[d for d in docs if d[0] % 3 == e] for e in range(3)]
+        index_dir = _ingest_streaming(spark, tmp_path, epochs)
+        before_stats = index_stats(spark, index_dir)
+        before = sorted(
+            map(tuple, bm25_query_index(spark, index_dir, list(_QUERIES)).collect())
+        )
+        text_index_sink(index_dir)(spark.createDataFrame(epochs[2], DOC_SCHEMA), 2)
+        assert index_stats(spark, index_dir) == before_stats
+        after = sorted(
+            map(tuple, bm25_query_index(spark, index_dir, list(_QUERIES)).collect())
+        )
+        assert after == before
+
+
+class TestTextIndexLiveness:
+    QUERY = [(0, "alpha")]
+
+    def test_reingested_doc_drops_stale_terms(self, spark, tmp_path):
+        """A doc re-ingested WITHOUT a term it used to contain must stop
+        matching that term — stale-epoch postings are dead, not merely
+        down-weighted (the existence-based analog of the vector index's
+        freshest-payload rule)."""
+        sink = text_index_sink(str(tmp_path / "tidx"))
+        filler = [(int(i), "beta gamma delta " * 5) for i in range(10, 20)]
+        sink(
+            spark.createDataFrame(
+                [(1, "alpha alpha beta"), (2, "alpha gamma")] + filler, DOC_SCHEMA
+            ),
+            0,
+        )
+        hits0 = {
+            r.doc_id
+            for r in bm25_query_index(spark, str(tmp_path / "tidx"), self.QUERY).collect()
+        }
+        assert hits0 == {1, 2}
+        # epoch 1 re-ingests doc 1 with "alpha" removed
+        sink(spark.createDataFrame([(1, "beta beta gamma")], DOC_SCHEMA), 1)
+        hits1 = {
+            r.doc_id
+            for r in bm25_query_index(spark, str(tmp_path / "tidx"), self.QUERY).collect()
+        }
+        assert hits1 == {2}, "stale posting resurrected a removed term"
+
+    def test_later_epoch_doc_searchable_without_rebuild(self, spark, tmp_path):
+        sink = text_index_sink(str(tmp_path / "tidx"))
+        sink(
+            spark.createDataFrame(
+                [(int(i), "beta gamma " * 4) for i in range(5)], DOC_SCHEMA
+            ),
+            0,
+        )
+        assert not bm25_query_index(spark, str(tmp_path / "tidx"), self.QUERY).collect()
+        sink(spark.createDataFrame([(99, "alpha alpha beta")], DOC_SCHEMA), 1)
+        hits = bm25_query_index(spark, str(tmp_path / "tidx"), self.QUERY).collect()
+        assert [r.doc_id for r in hits] == [99]
+
+
+class TestTextIndexPruning:
+    def test_posting_scan_statically_pruned_to_query_pkeys(self, spark, tmp_path):
+        """The postings scan must carry a static PartitionFilter on pkey —
+        a bounded query vocabulary reads its own term-hash ranges, never
+        the whole index — and the pruned-to set must be a strict subset of
+        the pkey partitions on disk."""
+        import re
+
+        # enough distinct vocabulary to populate most of the 16 pkey dirs;
+        # words must be purely alphabetic — the '[a-z]+' tokenizer drops
+        # digits, so "word7"-style vocab would collapse to one term
+        import itertools
+        import string
+
+        vocab = [
+            "".join(t) for t in itertools.islice(
+                itertools.product(string.ascii_lowercase, repeat=3), 300
+            )
+        ]
+        rows = [
+            (int(i), " ".join(vocab[i : i + 30])) for i in range(0, 200, 3)
+        ]
+        sink = text_index_sink(str(tmp_path / "tidx"))
+        sink(spark.createDataFrame(rows, DOC_SCHEMA), 0)
+
+        out = bm25_query_index(spark, str(tmp_path / "tidx"), [(0, vocab[7])])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        scan_lines = [
+            ln for ln in plan.splitlines() if "PartitionFilters" in ln and "pkey" in ln
+        ]
+        assert any(
+            "pkey" in ln.split("PartitionFilters", 1)[1] for ln in scan_lines
+        ), f"posting scan is not partition-pruned:\n{plan}"
+
+        on_disk = set()
+        for root, dirs, _files in os.walk(str(tmp_path / "tidx" / "postings")):
+            on_disk.update(d for d in dirs if d.startswith("pkey="))
+        # a 1-term query prunes to one pkey, which plans as an equality
+        # predicate rather than an IN-list
+        eq = re.findall(r"pkey#\d+ = (\d+)", plan)
+        in_lists = re.findall(r"pkey#\d+ IN \(([^)]*)\)", plan)
+        pruned_to = {int(x) for x in eq} | {
+            int(x) for lst in in_lists for x in lst.split(",")
+        }
+        assert pruned_to, f"no pkey filter values in plan:\n{plan}"
+        assert len(pruned_to) == 1 < len(on_disk), (pruned_to, len(on_disk))
