@@ -57,8 +57,12 @@ HEADLINE = [
     "llm_sim_ivfpq",
     "llm_multimodal_features",
     "llm_audio_features",
-    # r5 additions: ranked retrieval and the containment dedup pass
+    # r5 additions: ranked retrieval (batch + persisted-index serving
+    # form; the latter's first rep pays the one-time index build, so the
+    # min-of-reps records the steady-state query-only cost) and the
+    # containment dedup pass
     "llm_bm25_topk",
+    "llm_bm25_indexed",
     "llm_containment_dedup",
 ]
 

@@ -174,3 +174,35 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 llm_bm25_topk.__doc__ = llm_bm25_topk.__doc__.format(k=_TOP_K, k1=_K1, b=_B)
+
+
+@register(
+    "llm_bm25_indexed",
+    oracle=_BM25_ORACLE,
+    tags=("llm", "retrieval", "index"),
+)
+def llm_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving form of `llm_bm25_topk`: the same query workload
+    answered from the PERSISTED inverted index (streaming/text_index.py)
+    instead of re-tokenizing the corpus per query. The index is built once
+    per (session, sf) in an application-scoped scratch dir — two
+    epoch-partitioned sink invocations, the streaming ingest shape — and
+    every later call is query-only: a term-hash partition-pruned posting
+    scan plus scalar joins. Sharing `bm25_contribution` and the tokenizer
+    with the batch path makes the two hash-identical by construction,
+    which is why this entry can carry the batch operator's DuckDB oracle
+    verbatim (the cross-engine proof that the index round-trip — tokenize
+    once, persist, prune, score — loses nothing)."""
+    import os
+
+    from ..sources.files import _scratch
+    from ..streaming.text_index import bm25_query_index, text_index_sink
+
+    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    base = _scratch(spark, f"bm25_index_{sf_tag}")
+    if not os.path.isdir(os.path.join(base, "doclen")):
+        d = load(spark, sf_dir, "documents").select("doc_id", "text")
+        sink = text_index_sink(base)
+        sink(d.filter(F.col("doc_id") % 2 == 0), 0)
+        sink(d.filter(F.col("doc_id") % 2 == 1), 1)
+    return bm25_query_index(spark, base, list(_QUERIES), k=_TOP_K)

@@ -3,6 +3,7 @@ ingested stream of multimodal documents (text + embedding) drives, per
 epoch, the full training-data ingestion path —
 
   dedup screen → semantic-curation funnel → incremental vector index
+                                          → incremental text index
 
 1. `corpus_index.corpus_dedup_sink` admits only first-seen content
    (content-hash anti-join against the epoch-partitioned corpus index);
@@ -14,13 +15,17 @@ epoch, the full training-data ingestion path —
    sign-LSH vector index (`vector_index.vector_index_sink`), searchable
    next epoch with no rebuild — the index covers the whole deduped
    corpus, not just the curated mixture: similarity search wants every
-   unique document, while curation only shapes what training reads.
+   unique document, while curation only shapes what training reads;
+4. the admitted documents' TEXT is tokenized once into the incremental
+   inverted index (`text_index.text_index_sink`), so the same corpus is
+   keyword-searchable (BM25) beside vector-searchable — the two serving
+   indexes cover the identical deduped document set by construction.
 
-The ordering is the data contract, not an accident: curation and the
-vector index see only DEDUPED documents, so a re-crawled duplicate can
-neither re-enter the curated mixture nor inflate ANN candidate sets.
-Stage 2 and 3 read the epoch's admitted output back from its
-batchId-keyed directory rather than re-deriving it, so all three stores
+The ordering is the data contract, not an accident: curation and both
+indexes see only DEDUPED documents, so a re-crawled duplicate can
+neither re-enter the curated mixture nor inflate ANN/BM25 candidate
+sets. Stages 2-4 read the epoch's admitted output back from its
+batchId-keyed directory rather than re-deriving it, so all five stores
 stay byte-consistent under replay: every store writes only its own
 ``batch_id=N`` / ``src_batch=N`` partitions (dynamic overwrite), and a
 replayed epoch rewrites the identical content in each.
@@ -31,7 +36,7 @@ int8 payload); the composition adds no new shuffle — the only cross-stage
 artifact is the admitted parquet partition itself.
 
 Reference parity: this is `SURVEY.md §3.1`'s accept-then-persist hot path
-generalized from one scalar cursor to three content-addressed stores;
+generalized from one scalar cursor to four content-addressed stores;
 the checkpoint-after-sinks inversion is identical to
 streaming/pipeline.py's.
 """
@@ -45,6 +50,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from .corpus_index import corpus_dedup_sink
 from .curation import curation_sink
+from .text_index import text_index_sink
 from .vector_index import vector_index_sink
 
 DOC_STREAM_SCHEMA = (
@@ -53,12 +59,13 @@ DOC_STREAM_SCHEMA = (
 
 
 def corpus_ingest_dirs(work_dir: str) -> dict[str, str]:
-    """The four stores the pipeline maintains under one root."""
+    """The five stores the pipeline maintains under one root."""
     return {
         "dedup_index": os.path.join(work_dir, "dedup_index"),
         "accepted": os.path.join(work_dir, "accepted"),
         "curated": os.path.join(work_dir, "curated"),
         "vector_index": os.path.join(work_dir, "vector_index"),
+        "text_index": os.path.join(work_dir, "text_index"),
     }
 
 
@@ -73,6 +80,7 @@ def corpus_ingest_epoch(
     screen = corpus_dedup_sink(dirs["dedup_index"], dirs["accepted"])
     curate = curation_sink(dirs["curated"], centroids, quality_min)
     index = vector_index_sink(dirs["vector_index"])
+    tindex = text_index_sink(dirs["text_index"])
 
     def epoch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
@@ -88,6 +96,7 @@ def corpus_ingest_epoch(
                 admitted.select(F.col("doc_id").alias("vec_id"), "embedding"),
                 batch_id,
             )
+            tindex(admitted.select("doc_id", "text"), batch_id)
         finally:
             batch_df.unpersist()
 

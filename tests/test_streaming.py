@@ -1358,13 +1358,38 @@ class TestStreamingCorpusPipeline:
         ).collect()
         assert got and got[0]["vec_id"] == 4, got  # the later-epoch near-dup
 
+        # the text index covers the same deduped corpus: a term unique to
+        # the later-epoch doc 4 finds it (searchable without rebuild), and
+        # the shared-text term ranks doc 3 nowhere (dedup-screened before
+        # indexing) while the repetitive-but-unique doc 2 IS findable
+        from data_ingestion_experiment_otp_spark.streaming.text_index import (
+            bm25_query_index,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.text_index import (
+            index_stats as text_stats,
+        )
+
+        hits = bm25_query_index(
+            spark, dirs["text_index"], [(0, "extra"), (1, "alpha"), (2, "spam")]
+        ).collect()
+        by_q = {}
+        for r in hits:
+            by_q.setdefault(r.query_id, []).append(r.doc_id)
+        assert by_q[0] == [4]
+        assert set(by_q[1]) == {1, 4} and 3 not in by_q[1]
+        assert by_q[2] == [2]
+        tstats = text_stats(spark, dirs["text_index"])
+        assert tstats["docs"] == 3  # docs 1, 2, 4 — never doc 3
+
         # replay the final epoch verbatim through the same epoch function:
-        # all three stores must be unchanged
+        # all stores must be unchanged
         before = (
             sorted(map(tuple, accepted.collect())),
             sorted(curated),
             stats,
             sorted(map(tuple, got)),
+            tstats,
+            sorted(map(tuple, hits)),
         )
         epoch = corpus_ingest_epoch(work, cents, {"*": 0.0})
         epoch(spark.createDataFrame(batches[1], self.SCHEMA), 1)
@@ -1385,6 +1410,17 @@ class TestStreamingCorpusPipeline:
                         source=accepted2.select(
                             F.col("doc_id").alias("vec_id"), "embedding"
                         ),
+                    ).collect(),
+                )
+            ),
+            text_stats(spark, dirs["text_index"]),
+            sorted(
+                map(
+                    tuple,
+                    bm25_query_index(
+                        spark,
+                        dirs["text_index"],
+                        [(0, "extra"), (1, "alpha"), (2, "spam")],
                     ).collect(),
                 )
             ),
