@@ -92,7 +92,10 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NGRAM_JACCARD_ORACLE = f"""
+# Shared CTE prefix for the shingle-pair oracles: jaccard and containment
+# differ only in the final measure/threshold, so the pipeline (and any
+# future fix to it) lives in exactly one place on each engine.
+_SHINGLE_PAIR_CTES = f"""
     WITH ws_t AS (
       SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
       FROM documents
@@ -105,13 +108,20 @@ _NGRAM_JACCARD_ORACLE = f"""
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, n_common, sa.n AS na, sb.n AS nb
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
     )
+"""
+
+_NGRAM_JACCARD_ORACLE = f"""{_SHINGLE_PAIR_CTES}
     SELECT doc_a, doc_b,
-           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE n_common / (sa.n + sb.n - n_common) >= {_JACCARD_THRESHOLD}
+           round(n_common / (na + nb - n_common), 6) AS jaccard
+    FROM pairs
+    WHERE n_common / (na + nb - n_common) >= {_JACCARD_THRESHOLD}
     """
 
 
@@ -141,6 +151,19 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-exchange form (11 s vs 2 s at sf0.1). The per-doc `sizes`
     aggregate is a counts-only shuffle — map-side partial aggregation
     reduces it to ~one row per doc before it moves."""
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        _shingle_pair_counts(spark, sf_dir)
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _shingle_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared shingle-pair pipeline behind llm_ngram_jaccard and
+    llm_containment_dedup (the Spark twin of _SHINGLE_PAIR_CTES):
+    (doc_a, doc_b, n_common, na, nb) for every candidate pair sharing at
+    least one 3-gram shingle."""
     d = load_split(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     tok = (
@@ -158,42 +181,21 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     # No broadcast hint on the sizes joins: `sizes` has corpus cardinality
     # (one row per doc), so forcing a broadcast would OOM at 100 TB. AQE
     # broadcasts it when it's actually small (fixture scale) and shuffles
     # otherwise — both sides of the join are already keyed by doc id.
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
 
 
 _CONTAINMENT_THRESHOLD = 0.8
 
-_CONTAINMENT_ORACLE = f"""
-    WITH ws_t AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-      FROM documents
-    ),
-    tok AS (
-      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS w FROM ws_t WHERE len(ws) >= 3
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
+_CONTAINMENT_ORACLE = f"""{_SHINGLE_PAIR_CTES}
     SELECT doc_a, doc_b,
-           round(n_common / least(sa.n, sb.n), 6) AS overlap,
-           CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS contained_doc
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE n_common / least(sa.n, sb.n) >= {_CONTAINMENT_THRESHOLD}
+           round(n_common / least(na, nb), 6) AS overlap,
+           CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_doc
+    FROM pairs
+    WHERE n_common / least(na, nb) >= {_CONTAINMENT_THRESHOLD}
     """
 
 
@@ -223,27 +225,9 @@ def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw value cannot flip near the threshold (unlike accumulated
     float measures, which must be rounded to a shared grid first —
     registry.py docstring)."""
-    d = load_split(spark, sf_dir, "documents")
-    ws = F.filter(F.split("text", " "), lambda w: w != "")
-    tok = (
-        d.select("doc_id", ws.alias("ws"))
-        .filter(F.size("ws") >= 3)
-        .select("doc_id", F.explode(F.expr(_SHINGLE_HASHES_SPARK)).alias("w"))
-    )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    inter = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     overlap = F.col("n_common") / F.least("na", "nb")
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _shingle_pair_counts(spark, sf_dir)
         .filter(overlap >= _CONTAINMENT_THRESHOLD)
         .select(
             "doc_a",

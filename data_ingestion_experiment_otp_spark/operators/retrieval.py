@@ -200,9 +200,15 @@ def llm_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
     base = _scratch(spark, f"bm25_index_{sf_tag}")
-    if not os.path.isdir(os.path.join(base, "doclen")):
+    # Gate on the postings store — each sink invocation writes it LAST, so
+    # its epoch-1 partition existing means the whole build completed (a
+    # doclen-only gate would let a build that died between the two sink
+    # calls mask a half-built index for the rest of the application).
+    if not os.path.isdir(os.path.join(base, "postings", "src_batch=1")):
         d = load(spark, sf_dir, "documents").select("doc_id", "text")
         sink = text_index_sink(base)
-        sink(d.filter(F.col("doc_id") % 2 == 0), 0)
-        sink(d.filter(F.col("doc_id") % 2 == 1), 1)
+        # pmod, not %: Spark's % takes the dividend's sign, so a negative
+        # odd doc_id would match neither branch and silently vanish
+        sink(d.filter(F.pmod("doc_id", F.lit(2)) == 0), 0)
+        sink(d.filter(F.pmod("doc_id", F.lit(2)) == 1), 1)
     return bm25_query_index(spark, base, list(_QUERIES), k=_TOP_K)

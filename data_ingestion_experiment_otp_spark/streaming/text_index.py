@@ -66,6 +66,14 @@ from ..operators.retrieval import _TOKENIZE, bm25_contribution
 # repartition).
 _PARTS = 16
 
+# Explicit store schemas: an epoch with zero docs (or zero tokens) writes
+# a partition directory containing only a _SUCCESS marker, and a
+# schema-less read of it throws UNABLE_TO_INFER_SCHEMA — the query path
+# must serve (empty) answers over an empty index, not crash.
+_POSTINGS_SCHEMA = "doc_id long, thash long, tf int, src_batch int, pkey int"
+_DOCLEN_SCHEMA = "doc_id long, dl int, src_batch int"
+_RESULT_SCHEMA = "query_id int, doc_id long, score double, rn int"
+
 
 def _pkey(thash):
     return F.pmod(thash, F.lit(_PARTS)).cast("int")
@@ -77,41 +85,53 @@ def text_index_sink(index_dir: str) -> Callable[[DataFrame, int], None]:
     one (doc_id, dl) row under src_batch."""
 
     def index_batch(batch_df: DataFrame, batch_id: int) -> None:
-        base = batch_df.filter(F.col("text").isNotNull()).select(
-            "doc_id", F.expr(_TOKENIZE).alias("tk")
-        )
-        (
-            base.select(
-                "doc_id",
-                F.size("tk").alias("dl"),
-                F.lit(batch_id).alias("src_batch"),
+        # One tokenize pass feeds both stores (persist bridges the two
+        # write jobs — without it each write re-scans and re-tokenizes).
+        # Null-text docs are KEPT in doclen with a null dl: the batch path
+        # and the DuckDB oracle count every document in N (count(*)) while
+        # avg(dl) skips nulls, and parity requires the index to agree; a
+        # null-text re-ingest also advances the doc's live epoch, which is
+        # what kills its stale postings.
+        base = batch_df.select("doc_id", F.expr(_TOKENIZE).alias("tk")).persist()
+        try:
+            (
+                base.select(
+                    "doc_id",
+                    F.size("tk").alias("dl"),
+                    F.lit(batch_id).alias("src_batch"),
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .option("compression", "zstd")
+                .partitionBy("src_batch")
+                .parquet(os.path.join(index_dir, "doclen"))
             )
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .option("compression", "zstd")
-            .partitionBy("src_batch")
-            .parquet(os.path.join(index_dir, "doclen"))
-        )
-        (
-            base.select("doc_id", F.explode("tk").alias("term"))
-            .groupBy("doc_id", F.xxhash64("term").alias("thash"))
-            .agg(F.count("*").cast("int").alias("tf"))
-            .select(
-                "doc_id",
-                "thash",
-                "tf",
-                F.lit(batch_id).alias("src_batch"),
-                _pkey(F.col("thash")).alias("pkey"),
-            )
-            .repartition("pkey")  # exactly one posting file per pkey dir
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .option("compression", "zstd")
-            .partitionBy("src_batch", "pkey")
-            .parquet(os.path.join(index_dir, "postings"))
-        )
+            _write_postings(base, batch_id, index_dir)
+        finally:
+            base.unpersist()
 
     return index_batch
+
+
+def _write_postings(base: DataFrame, batch_id: int, index_dir: str) -> None:
+    (
+        base.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", F.xxhash64("term").alias("thash"))
+        .agg(F.count("*").cast("int").alias("tf"))
+        .select(
+            "doc_id",
+            "thash",
+            "tf",
+            F.lit(batch_id).alias("src_batch"),
+            _pkey(F.col("thash")).alias("pkey"),
+        )
+        .repartition("pkey")  # exactly one posting file per pkey dir
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "zstd")
+        .partitionBy("src_batch", "pkey")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
 
 
 def bm25_query_index(
@@ -125,6 +145,8 @@ def bm25_query_index(
     module-level workload. Returns (query_id, doc_id, score, rn), ranked
     on round-6 scores with doc_id tie-break, identical to
     `llm_bm25_topk` run over the same ingested corpus."""
+    if not os.path.isdir(os.path.join(index_dir, "postings")):
+        return spark.createDataFrame([], _RESULT_SCHEMA)
     qdf = spark.createDataFrame(list(queries), "query_id int, term string")
     # Hash the query vocabulary with the ENGINE's xxhash64 (a tiny local
     # job), so query hashes match posting hashes by construction; the
@@ -135,13 +157,16 @@ def bm25_query_index(
     pkeys = sorted({t % _PARTS for t in qterms})
 
     postings = (
-        spark.read.option("basePath", os.path.join(index_dir, "postings"))
+        spark.read.schema(_POSTINGS_SCHEMA)
+        .option("basePath", os.path.join(index_dir, "postings"))
         .parquet(os.path.join(index_dir, "postings"))
         .filter(F.col("pkey").isin(pkeys) & F.col("thash").isin(qterms))
     )
 
-    doclen = spark.read.option("basePath", os.path.join(index_dir, "doclen")).parquet(
-        os.path.join(index_dir, "doclen")
+    doclen = (
+        spark.read.schema(_DOCLEN_SCHEMA)
+        .option("basePath", os.path.join(index_dir, "doclen"))
+        .parquet(os.path.join(index_dir, "doclen"))
     )
     # Liveness ledger: a doc's current epoch and current length. max_by
     # keeps the pair consistent in one partial-aggregating pass.
@@ -187,8 +212,10 @@ def index_stats(spark: SparkSession, index_dir: str) -> dict:
     """Epoch/row accounting for tests and audits."""
     if not os.path.isdir(os.path.join(index_dir, "postings")):
         return {"postings": 0, "epochs": 0, "docs": 0}
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    doclen = spark.read.parquet(os.path.join(index_dir, "doclen"))
+    postings = spark.read.schema(_POSTINGS_SCHEMA).parquet(
+        os.path.join(index_dir, "postings")
+    )
+    doclen = spark.read.schema(_DOCLEN_SCHEMA).parquet(os.path.join(index_dir, "doclen"))
     return {
         "postings": postings.count(),
         "epochs": doclen.select("src_batch").distinct().count(),
