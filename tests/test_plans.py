@@ -580,3 +580,27 @@ class TestSemanticCurationPlan:
             block = m.group(0)
             for heavy in ("embedding", "words#", "text#", "bg#", "tg#"):
                 assert heavy not in block, block
+
+
+class TestBm25Plans:
+    def test_indexed_serving_scan_is_partition_pruned(self, spark, sf_dir):
+        """The registered serving query must read its persisted postings
+        through a static pkey PartitionFilter — the whole point of the
+        term-hash layout is that a bounded query vocabulary never scans
+        the full index (the mechanism itself is pinned in
+        tests/test_text_index.py; this pins the registered query's use
+        of it)."""
+        p = plan_of(spark, sf_dir, "llm_bm25_indexed")
+        scan_lines = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+        assert any(
+            "pkey" in ln.split("PartitionFilters", 1)[1] for ln in scan_lines
+        ), f"postings scan not partition-pruned:\n{p}"
+
+    def test_batch_bm25_exchanges_are_text_free(self, spark, sf_dir):
+        """No Exchange in the batch BM25 plan may carry the text column or
+        the token array — everything that shuffles is (doc_id, term, tf,
+        query_id, dl) scalars."""
+        p = plan_of(spark, sf_dir, "llm_bm25_topk")
+        for m in re.finditer(r"\(\d+\) Exchange\n(?:[^\n]*\n)*?Arguments: [^\n]*", p):
+            block = m.group(0)
+            assert "text#" not in block and "tk#" not in block, block
