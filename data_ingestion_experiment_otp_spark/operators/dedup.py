@@ -92,21 +92,38 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared CTE prefix for the shingle-pair oracles: jaccard and containment
-# differ only in the final measure/threshold, so the pipeline (and any
-# future fix to it) lives in exactly one place on each engine.
-_SHINGLE_PAIR_CTES = f"""
+# Shared CTE prefix for the shingle-pair oracles: the jaccard/containment
+# measures (plain and df-capped) differ only in the final SELECT, so the
+# pipeline (and any future fix to it) lives in exactly one place on each
+# engine. With df_cap, stop-shingles above the document-frequency cap are
+# dropped from BOTH the index and the size denominators (mirroring the
+# Spark side), keeping the oracle exact.
+
+
+def _shingle_pair_ctes(df_cap: int | None = None) -> str:
+    if df_cap is None:
+        kept = "tok"
+        kept_cte = ""
+    else:
+        kept = "kept"
+        kept_cte = f"""
+    kept AS (
+      SELECT t.doc_id, t.w FROM tok t
+      WHERE t.w IN (SELECT w FROM tok GROUP BY w
+                    HAVING count(DISTINCT doc_id) <= {df_cap})
+    ),"""
+    return f"""
     WITH ws_t AS (
       SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
       FROM documents
     ),
     tok AS (
       SELECT doc_id, unnest({_SHINGLES_DUCK}) AS w FROM ws_t WHERE len(ws) >= 3
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    ),{kept_cte}
+    sizes AS (SELECT doc_id, count(*) AS n FROM {kept} GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      FROM {kept} a JOIN {kept} b ON a.w = b.w AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
     pairs AS (
@@ -116,6 +133,9 @@ _SHINGLE_PAIR_CTES = f"""
       JOIN sizes sb ON sb.doc_id = doc_b
     )
 """
+
+
+_SHINGLE_PAIR_CTES = _shingle_pair_ctes()
 
 _NGRAM_JACCARD_ORACLE = f"""{_SHINGLE_PAIR_CTES}
     SELECT doc_a, doc_b,
@@ -159,11 +179,16 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared shingle-pair pipeline behind llm_ngram_jaccard and
-    llm_containment_dedup (the Spark twin of _SHINGLE_PAIR_CTES):
+def _shingle_pair_counts(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
+    """The shared shingle-pair pipeline behind the jaccard/containment
+    operators, plain and df-capped (the Spark twin of _shingle_pair_ctes):
     (doc_a, doc_b, n_common, na, nb) for every candidate pair sharing at
-    least one 3-gram shingle."""
+    least one 3-gram shingle. With df_cap, stop-shingles appearing in more
+    than df_cap documents are dropped from both the index and the size
+    denominators BEFORE pair generation — bounding the per-token-group
+    quadratic term at df_cap² (see llm_ngram_jaccard_capped)."""
     d = load_split(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     tok = (
@@ -171,6 +196,14 @@ def _shingle_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ws") >= 3)
         .select("doc_id", F.explode(F.expr(_SHINGLE_HASHES_SPARK)).alias("w"))
     )
+    if df_cap is not None:
+        rare = (
+            tok.groupBy("w")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("w")
+        )
+        tok = tok.join(rare, "w")
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = tok.alias("a")
     b = tok.alias("b")
@@ -687,31 +720,11 @@ _SHINGLE_DF_CAP = 20
 
 @register(
     "llm_ngram_jaccard_capped",
-    oracle=f"""
-    WITH ws_t AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-      FROM documents
-    ),
-    tok AS (
-      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS w FROM ws_t WHERE len(ws) >= 3
-    ),
-    kept AS (
-      SELECT t.doc_id, t.w FROM tok t
-      WHERE t.w IN (SELECT w FROM tok GROUP BY w
-                    HAVING count(DISTINCT doc_id) <= {_SHINGLE_DF_CAP})
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
+    oracle=f"""{_shingle_pair_ctes(_SHINGLE_DF_CAP)}
     SELECT doc_a, doc_b,
-           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE n_common / (sa.n + sb.n - n_common) >= {_JACCARD_THRESHOLD}
+           round(n_common / (na + nb - n_common), 6) AS jaccard
+    FROM pairs
+    WHERE n_common / (na + nb - n_common) >= {_JACCARD_THRESHOLD}
     """,
     tags=("llm", "dedup", "skew"),
 )
@@ -731,36 +744,45 @@ def llm_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side partial) and the keep-filter is a join on the shingle hash,
     the same shuffle key the pair join already uses. Pytest-tier variant;
     the uncapped form keeps the driver slot.""".format(cap=_SHINGLE_DF_CAP)
-    d = load_split(spark, sf_dir, "documents")
-    ws = F.filter(F.split("text", " "), lambda w: w != "")
-    tok = (
-        d.select("doc_id", ws.alias("ws"))
-        .filter(F.size("ws") >= 3)
-        .select("doc_id", F.explode(F.expr(_SHINGLE_HASHES_SPARK)).alias("w"))
-    )
-    rare = (
-        tok.groupBy("w")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") <= _SHINGLE_DF_CAP)
-        .select("w")
-    )
-    kept = tok.join(rare, "w")
-    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = kept.alias("a")
-    b = kept.alias("b")
-    inter = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _shingle_pair_counts(spark, sf_dir, df_cap=_SHINGLE_DF_CAP)
         .filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "llm_containment_capped",
+    oracle=f"""{_shingle_pair_ctes(_SHINGLE_DF_CAP)}
+    SELECT doc_a, doc_b,
+           round(n_common / least(na, nb), 6) AS overlap,
+           CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_doc
+    FROM pairs
+    WHERE n_common / least(na, nb) >= {_CONTAINMENT_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "skew"),
+)
+def llm_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of llm_containment_dedup: the same overlap measure
+    over the df-capped shingle index (llm_ngram_jaccard_capped's guard) —
+    in a dense re-crawl regime the uncapped exact pass's answer itself
+    grows quadratically per near-dup group (SCALING.md's 10x stress:
+    ~1000x the pairs), so the capped index is what bounds both the join
+    and the output. One shared pipeline serves all four measure/cap
+    combinations (_shingle_pair_counts / _shingle_pair_ctes)."""
+    overlap = F.col("n_common") / F.least("na", "nb")
+    return (
+        _shingle_pair_counts(spark, sf_dir, df_cap=_SHINGLE_DF_CAP)
+        .filter(overlap >= _CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(overlap, 6).alias("overlap"),
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
     )
 
 
