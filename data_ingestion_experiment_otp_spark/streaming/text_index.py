@@ -208,6 +208,64 @@ def bm25_query_index(
     )
 
 
+def compact_text_index(spark: SparkSession, index_dir: str, out_dir: str) -> None:
+    """Fold an epoch-accumulated index into a single-generation index at
+    `out_dir` — the text-index analog of materialize.compact_rollup.
+
+    Why: every query reads every epoch's partition files (liveness is
+    resolved at query time), so a long-running ingest accumulates
+    epochs × _PARTS posting files and pays the liveness join per query.
+    Compaction applies the liveness rule ONCE — only each doc's
+    latest-epoch rows survive — and rewrites both stores under a single
+    src_batch=0 generation with one file per pkey: the file count drops
+    from epochs × _PARTS to _PARTS, dead postings leave the index
+    entirely, and queries against the compacted generation return
+    byte-identical answers (pinned in tests). Dead-term removal is the
+    part a pure file-merge could NOT do — liveness needs the doclen
+    ledger, so compaction belongs to the index, not the filesystem.
+
+    The output is a fresh directory (generation swap, like
+    compact_rollup's): the live index keeps serving while the new
+    generation builds, then readers move — no in-place rewrite of
+    partitions a replay might still target."""
+    doclen = (
+        spark.read.schema(_DOCLEN_SCHEMA)
+        .option("basePath", os.path.join(index_dir, "doclen"))
+        .parquet(os.path.join(index_dir, "doclen"))
+    )
+    live = doclen.groupBy("doc_id").agg(
+        F.max("src_batch").alias("cur_epoch"),
+        F.max_by("dl", "src_batch").alias("dl"),
+    )
+    postings = (
+        spark.read.schema(_POSTINGS_SCHEMA)
+        .option("basePath", os.path.join(index_dir, "postings"))
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+    (
+        live.select("doc_id", "dl", F.lit(0).alias("src_batch"))
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("src_batch")
+        .parquet(os.path.join(out_dir, "doclen"))
+    )
+    (
+        postings.join(
+            live,
+            (postings.doc_id == live.doc_id)
+            & (postings.src_batch == live.cur_epoch),
+        )
+        .select(
+            live.doc_id, "thash", "tf", F.lit(0).alias("src_batch"), "pkey"
+        )
+        .repartition("pkey")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("src_batch", "pkey")
+        .parquet(os.path.join(out_dir, "postings"))
+    )
+
+
 def index_stats(spark: SparkSession, index_dir: str) -> dict:
     """Epoch/row accounting for tests and audits."""
     if not os.path.isdir(os.path.join(index_dir, "postings")):

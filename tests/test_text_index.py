@@ -182,3 +182,67 @@ class TestTextIndexPruning:
         }
         assert pruned_to, f"no pkey filter values in plan:\n{plan}"
         assert len(pruned_to) == 1 < len(on_disk), (pruned_to, len(on_disk))
+
+
+class TestTextIndexCompaction:
+    def test_compacted_generation_answers_identically_with_fewer_files(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Compaction folds every epoch into one generation: query answers
+        are byte-identical, dead postings (terms a re-ingested doc
+        dropped) leave the index entirely, and the posting file count
+        collapses from epochs x pkeys toward one file per pkey."""
+        import glob
+
+        from data_ingestion_experiment_otp_spark.operators.retrieval import _QUERIES
+        from data_ingestion_experiment_otp_spark.streaming.text_index import (
+            compact_text_index,
+            index_stats,
+        )
+
+        docs = [
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .collect()
+        ]
+        idx = str(tmp_path / "tidx")
+        sink = text_index_sink(idx)
+        for e in range(3):
+            sink(
+                spark.createDataFrame(
+                    [d for d in docs if d[0] % 3 == e], DOC_SCHEMA
+                ),
+                e,
+            )
+        # epoch 3 re-ingests one doc with entirely new text: its epoch-0
+        # postings become dead weight the compaction must drop
+        victim = docs[0][0] - docs[0][0] % 3  # a doc ingested in epoch 0
+        sink(
+            spark.createDataFrame(
+                [(victim, "replacement words only")], DOC_SCHEMA
+            ),
+            3,
+        )
+
+        before = sorted(
+            map(tuple, bm25_query_index(spark, idx, list(_QUERIES)).collect())
+        )
+        stats_before = index_stats(spark, idx)
+
+        out = str(tmp_path / "tidx_gen2")
+        compact_text_index(spark, idx, out)
+
+        after = sorted(
+            map(tuple, bm25_query_index(spark, out, list(_QUERIES)).collect())
+        )
+        assert after == before
+        stats_after = index_stats(spark, out)
+        assert stats_after["docs"] == stats_before["docs"]
+        assert stats_after["epochs"] == 1
+        # the victim's dead epoch-0 postings are gone: the compacted
+        # posting count is strictly below the raw accumulated count
+        assert stats_after["postings"] < stats_before["postings"]
+        files_before = glob.glob(f"{idx}/postings/src_batch=*/pkey=*/*.parquet")
+        files_after = glob.glob(f"{out}/postings/src_batch=*/pkey=*/*.parquet")
+        assert len(files_after) < len(files_before)
