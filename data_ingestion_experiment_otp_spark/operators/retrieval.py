@@ -212,3 +212,31 @@ def llm_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink(d.filter(F.pmod("doc_id", F.lit(2)) == 0), 0)
         sink(d.filter(F.pmod("doc_id", F.lit(2)) == 1), 1)
     return bm25_query_index(spark, base, list(_QUERIES), k=_TOP_K)
+
+
+@register(
+    "llm_bm25_compacted",
+    oracle=_BM25_ORACLE,
+    tags=("llm", "retrieval", "index"),
+)
+def llm_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_bm25_indexed's workload served from a COMPACTED generation of
+    the same index (streaming/text_index.py::compact_text_index):
+    building on llm_bm25_indexed's scratch index, every epoch is folded
+    into one src_batch=0 generation and the query runs against that.
+    Carrying the batch oracle verbatim makes the compaction itself
+    hash-gated cross-engine — liveness-fold, dead-posting drop, and the
+    generation rewrite provably lose nothing."""
+    import os
+
+    from ..sources.files import _scratch
+    from ..streaming.text_index import bm25_query_index, compact_text_index
+
+    # ensure the epoch-accumulated index exists, then fold it once
+    llm_bm25_indexed(spark, sf_dir)
+    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    src = _scratch(spark, f"bm25_index_{sf_tag}")
+    gen2 = _scratch(spark, f"bm25_index_gen2_{sf_tag}")
+    if not os.path.isdir(os.path.join(gen2, "postings")):
+        compact_text_index(spark, src, gen2)
+    return bm25_query_index(spark, gen2, list(_QUERIES), k=_TOP_K)
