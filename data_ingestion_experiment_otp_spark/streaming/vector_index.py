@@ -259,6 +259,55 @@ def ann_query_index(
     )
 
 
+def compact_vector_index(spark: SparkSession, index_dir: str, out_dir: str) -> None:
+    """Fold an epoch-accumulated vector index into a single-generation
+    index at `out_dir` — the vector twin of text_index.compact_text_index.
+
+    Liveness comes from the `vectors` store (one payload row per vec_id
+    per ingest epoch): a vec_id's live epoch is its max src_batch, the
+    compacted `vectors` keeps exactly that payload, and the compacted
+    `buckets` keeps only bucket rows from each vec_id's live epoch — a
+    re-ingested vector's STALE-GEOMETRY bucket rows (buckets computed
+    from the old embedding) leave the index, so post-compaction queries
+    see only current geometry (pre-compaction they could admit a
+    candidate through an old bucket, which the docstring above documents
+    as at-worst-extra-recall; compaction is the cleanup path). File count
+    collapses from epochs x (tables x _RANGES + 1) toward one file per
+    pkey + one payload file. Fresh-directory generation swap, as in the
+    text index and compact_rollup."""
+    vecs = spark.read.option("basePath", os.path.join(index_dir, "vectors")).parquet(
+        os.path.join(index_dir, "vectors")
+    )
+    live = vecs.groupBy("vec_id").agg(
+        F.max("src_batch").alias("cur_epoch"),
+        F.max_by("q8", "src_batch").alias("q8"),
+        F.max_by("scale", "src_batch").alias("scale"),
+    )
+    (
+        live.select("vec_id", "q8", "scale", F.lit(0).alias("src_batch"))
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("src_batch")
+        .parquet(os.path.join(out_dir, "vectors"))
+    )
+    buckets = spark.read.option("basePath", os.path.join(index_dir, "buckets")).parquet(
+        os.path.join(index_dir, "buckets")
+    )
+    (
+        buckets.join(
+            live,
+            (buckets.vec_id == live.vec_id)
+            & (buckets.src_batch == live.cur_epoch),
+        )
+        .select(live.vec_id, "bucket", F.lit(0).alias("src_batch"), "pkey")
+        .repartition("pkey")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("src_batch", "pkey")
+        .parquet(os.path.join(out_dir, "buckets"))
+    )
+
+
 def index_stats(spark: SparkSession, index_dir: str) -> dict:
     """Epoch/row accounting for tests and audits."""
     if not os.path.isdir(os.path.join(index_dir, "buckets")):
