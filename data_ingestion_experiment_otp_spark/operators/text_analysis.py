@@ -754,3 +754,68 @@ def llm_quality_gate_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("quality") >= F.col("q_median")).alias("keep"),
         )
     )
+
+
+_PPL_TOKENIZE = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+
+_PPL_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_PPL_TOKENIZE} AS tk FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+    vocab AS (SELECT term, count(*)::DOUBLE AS c FROM tok GROUP BY term),
+    total AS (SELECT sum(c) AS t FROM vocab),
+    bits AS (
+      SELECT tf.doc_id,
+             sum(tf.tf * -(ln(vocab.c / total.t) / ln(2))) AS total_bits,
+             CAST(sum(tf.tf) AS BIGINT) AS dl
+      FROM tf JOIN vocab ON vocab.term = tf.term CROSS JOIN total
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, dl,
+           round(total_bits / dl, 6) AS avg_bits
+    FROM bits
+    """
+
+
+@register(
+    "llm_unigram_perplexity",
+    oracle=_PPL_ORACLE,
+    tags=("llm", "text", "quality"),
+)
+def llm_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring, with the LM reduced to the exact
+    corpus unigram model so the whole scorer is SQL-expressible and
+    cross-engine hash-checkable (the production form swaps in a trained
+    KenLM/ngram model behind the identical plumbing): per document, the
+    mean negative log2 unigram probability of its tokens — low bits =
+    repetitive/common-word text, high bits = rare-token noise; curation
+    pipelines gate both tails (perplexity itself is 2^avg_bits, a
+    monotone transform left to callers so the oracle compares on the
+    round-6 bits grid, not a double exponential).
+
+    Scale shape: one corpus scan explodes to (doc_id, term) pairs;
+    per-(doc, term) counts and the vocabulary's term counts are both
+    map-side partial aggregates on the same key family; the vocab
+    relation (|vocab| rows of scalars) joins the tf relation keyed by
+    term — AQE broadcasts it while it fits and shuffles otherwise — and
+    the 1-row total rides in as a broadcast cross join. Tokens are what
+    shuffles, never text. Summation at ~dl terms per doc sits ~7 orders
+    of magnitude inside the round-6 grid, so partition order cannot move
+    the reported value (same analysis as the BM25 scorer)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.expr(_PPL_TOKENIZE)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    vocab = tok.groupBy("term").agg(F.count("*").cast("double").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    bits_per = F.col("tf") * -(F.log(F.col("c") / F.col("t")) / F.log(F.lit(2.0)))
+    return (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("dl"),
+            F.round(F.sum(bits_per) / F.sum("tf"), 6).alias("avg_bits"),
+        )
+    )

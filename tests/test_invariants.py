@@ -881,9 +881,11 @@ class TestOrderIndependenceSweep:
         "llm_sim_ivf",
         "llm_sim_ivfpq",
         # r5 additions: BM25 ranks on round-6 scores with doc_id as the
-        # total-order tie-break; containment is exact integer arithmetic
+        # total-order tie-break; containment is exact integer arithmetic;
+        # perplexity sums sit ~7 orders inside their round-6 grid
         "llm_bm25_topk",
         "llm_containment_dedup",
+        "llm_unigram_perplexity",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):
