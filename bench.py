@@ -64,6 +64,9 @@ HEADLINE = [
     "llm_bm25_topk",
     "llm_bm25_indexed",
     "llm_containment_dedup",
+    # r5: LM/divergence quality analytics over the token stream
+    "llm_unigram_perplexity",
+    "llm_source_divergence",
 ]
 
 

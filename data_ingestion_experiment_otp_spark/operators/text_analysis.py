@@ -819,3 +819,68 @@ def llm_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(bits_per) / F.sum("tf"), 6).alias("avg_bits"),
         )
     )
+
+
+_DIVERGENCE_ORACLE = f"""
+    WITH toks AS (
+      SELECT source, {_PPL_TOKENIZE} AS tk FROM documents
+    ),
+    tok AS (SELECT source, unnest(tk) AS term FROM toks),
+    st AS (SELECT source, term, count(*)::DOUBLE AS c_st FROM tok GROUP BY 1, 2),
+    s_tot AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY source),
+    t_tot AS (SELECT term, sum(c_st) AS c_t FROM st GROUP BY term),
+    g_tot AS (SELECT sum(c_st) AS n FROM st)
+    SELECT st.source,
+           CAST(s_tot.n_s AS BIGINT) AS n_tokens,
+           round(sum((st.c_st / s_tot.n_s)
+                     * (ln((st.c_st / s_tot.n_s) / (t_tot.c_t / g_tot.n)) / ln(2))), 6)
+             AS kl_bits
+    FROM st
+    JOIN s_tot ON s_tot.source = st.source
+    JOIN t_tot ON t_tot.term = st.term
+    CROSS JOIN g_tot
+    GROUP BY st.source, s_tot.n_s
+    """
+
+
+@register(
+    "llm_source_divergence",
+    oracle=_DIVERGENCE_ORACLE,
+    tags=("llm", "text", "profiling"),
+)
+def llm_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing diagnostic: KL(source ‖ corpus) over token unigram
+    distributions, in bits per token — how far each source stratum's
+    vocabulary usage drifts from the corpus mixture (the quantity mixture
+    tuning and drift monitoring watch between dataset versions). The sum
+    runs over each source's own support, where the corpus probability is
+    necessarily positive, so no smoothing is needed and the measure is
+    exact — hence fully hash-checkable cross-engine.
+
+    Scale shape: ONE explode scan reduces to the (source, term) count
+    relation — every later quantity (per-source totals, per-term corpus
+    counts, the grand total, the KL sum itself) re-aggregates that
+    |sources| x |vocab| relation, which is orders of magnitude smaller
+    than the token stream; all aggregates partial map-side, the per-term
+    join is keyed on the term, and text never leaves the scan."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.expr(_PPL_TOKENIZE)).alias("term"))
+    st = tok.groupBy("source", "term").agg(F.count("*").cast("double").alias("c_st"))
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    t_tot = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    g_tot = st.agg(F.sum("c_st").alias("n"))
+    p_s = F.col("c_st") / F.col("n_s")
+    p_c = F.col("c_t") / F.col("n")
+    kl_term = p_s * (F.log(p_s / p_c) / F.log(F.lit(2.0)))
+    return (
+        st.join(s_tot, "source")
+        .join(t_tot, "term")
+        .crossJoin(F.broadcast(g_tot))
+        .groupBy("source", "n_s")
+        .agg(F.round(F.sum(kl_term), 6).alias("kl_bits"))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            "kl_bits",
+        )
+    )

@@ -886,6 +886,7 @@ class TestOrderIndependenceSweep:
         "llm_bm25_topk",
         "llm_containment_dedup",
         "llm_unigram_perplexity",
+        "llm_source_divergence",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

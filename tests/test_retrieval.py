@@ -123,3 +123,44 @@ class TestContainment:
         assert (1, 2) in over and over[(1, 2)].contained_doc == 1
         assert abs(over[(1, 2)].overlap - 1.0) < 1e-9
         assert (1, 2) not in jac, "expected the subset pair to fail Jaccard"
+
+
+class TestBm25ContributionProperties:
+    def test_positivity_and_monotonicity(self, spark):
+        """The shared scoring expression must be: positive for any valid
+        input (BM25+ idf), increasing in tf, decreasing in df, and
+        decreasing in dl — checked over a seeded random grid evaluated in
+        one Spark pass (base row + three single-variable perturbations)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from data_ingestion_experiment_otp_spark.operators.retrieval import (
+            bm25_contribution,
+        )
+
+        rng = random.Random(17)
+        rows = []
+        for i in range(200):
+            n = rng.uniform(10, 1e6)
+            df = rng.uniform(1, n)
+            tf = rng.uniform(1, 50)
+            avgdl = rng.uniform(5, 5000)
+            dl = rng.uniform(1, 4 * avgdl)
+            rows.append((i, tf, df, n, dl, avgdl))
+        base = spark.createDataFrame(
+            rows, "i int, tf double, df double, n double, dl double, avgdl double"
+        )
+        c = lambda tf, df, n, dl, avgdl: bm25_contribution(tf, df, n, dl, avgdl)
+        out = base.select(
+            "i",
+            c(F.col("tf"), F.col("df"), F.col("n"), F.col("dl"), F.col("avgdl")).alias("v"),
+            c(F.col("tf") + 1, F.col("df"), F.col("n"), F.col("dl"), F.col("avgdl")).alias("v_tf"),
+            c(F.col("tf"), F.least(F.col("df") + 1, F.col("n")), F.col("n"), F.col("dl"), F.col("avgdl")).alias("v_df"),
+            c(F.col("tf"), F.col("df"), F.col("n"), F.col("dl") + 1, F.col("avgdl")).alias("v_dl"),
+        ).collect()
+        for r in out:
+            assert r.v > 0, r
+            assert r.v_tf > r.v, r          # more occurrences score higher
+            assert r.v_df <= r.v + 1e-12, r  # commoner terms weigh less
+            assert r.v_dl < r.v, r           # longer docs are normalized down
