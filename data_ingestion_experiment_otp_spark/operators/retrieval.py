@@ -193,10 +193,19 @@ def llm_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is why this entry can carry the batch operator's DuckDB oracle
     verbatim (the cross-engine proof that the index round-trip — tokenize
     once, persist, prune, score — loses nothing)."""
+    from ..streaming.text_index import bm25_query_index
+
+    return bm25_query_index(spark, _ensure_index(spark, sf_dir), list(_QUERIES), k=_TOP_K)
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the scratch inverted index for `sf_dir` once per application
+    and return its path — shared by the indexed and compacted serving
+    queries (the compacted one needs the build, not the query)."""
     import os
 
     from ..sources.files import _scratch
-    from ..streaming.text_index import bm25_query_index, text_index_sink
+    from ..streaming.text_index import text_index_sink
 
     sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
     base = _scratch(spark, f"bm25_index_{sf_tag}")
@@ -211,7 +220,7 @@ def llm_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # odd doc_id would match neither branch and silently vanish
         sink(d.filter(F.pmod("doc_id", F.lit(2)) == 0), 0)
         sink(d.filter(F.pmod("doc_id", F.lit(2)) == 1), 1)
-    return bm25_query_index(spark, base, list(_QUERIES), k=_TOP_K)
+    return base
 
 
 @register(
@@ -232,10 +241,8 @@ def llm_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.files import _scratch
     from ..streaming.text_index import bm25_query_index, compact_text_index
 
-    # ensure the epoch-accumulated index exists, then fold it once
-    llm_bm25_indexed(spark, sf_dir)
+    src = _ensure_index(spark, sf_dir)
     sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
-    src = _scratch(spark, f"bm25_index_{sf_tag}")
     gen2 = _scratch(spark, f"bm25_index_gen2_{sf_tag}")
     if not os.path.isdir(os.path.join(gen2, "postings")):
         compact_text_index(spark, src, gen2)

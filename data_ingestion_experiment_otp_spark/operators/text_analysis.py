@@ -756,7 +756,10 @@ def llm_quality_gate_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PPL_TOKENIZE = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+# The ONE tokenizer shared across the BM25/index family and the
+# perplexity/KL/drift family — a change here must move both together, so
+# there is exactly one definition (operators/retrieval.py).
+from .retrieval import _TOKENIZE as _PPL_TOKENIZE  # noqa: E402
 
 _PPL_ORACLE = f"""
     WITH toks AS (

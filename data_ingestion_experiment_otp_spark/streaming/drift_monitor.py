@@ -16,8 +16,9 @@ Same contracts as the package's other sinks:
 - **Calibrate once, apply per batch.** The reference unigram distribution
   is a control-plane parameter (`calibrate_reference` computes it from a
   corpus DataFrame — the llm_source_divergence corpus side — and returns
-  a plain dict). Inside each epoch it rides to executors as one broadcast
-  map-literal join; recalibration is a sink swap, not per-batch work.
+  a plain dict). It is materialized as a cached reference frame once, on
+  the first epoch, and rides to executors as a broadcast join per batch;
+  recalibration is a sink swap, not per-batch work.
 - **Smoothing, unlike the batch diagnostic.** The batch KL needs none
   (the corpus distribution dominates every source's support); a
   micro-batch CAN contain tokens the reference has never seen — exactly
@@ -29,8 +30,8 @@ Same contracts as the package's other sinks:
 
 Scale shape: the epoch reduces to its (term-hash, count) relation before
 anything joins (map-side partial agg over token scalars); the reference
-map is a broadcast literal; the audit row is one aggregate row. Nothing
-accumulates executor state.
+is a cached, broadcast vocabulary frame; the audit row is one aggregate
+row. Nothing accumulates executor state.
 
 Reference parity: the reference's only health signal is HTTP status codes
 (`api/main.py:235-257`); this is the engine-tier generalization of
@@ -39,7 +40,7 @@ Reference parity: the reference's only health signal is HTTP status codes
 
 from __future__ import annotations
 
-import os
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -77,6 +78,11 @@ def drift_monitor_sink(
     audit row per epoch; `drifted` flags epochs whose KL exceeds the
     caller's budget."""
 
+    # The reference frame is built once, on the first epoch, and reused —
+    # re-serializing a vocabulary-sized dict from the driver per micro-batch
+    # would violate the calibrate-once contract.
+    cache: dict[str, DataFrame] = {}
+
     def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         counts = (
@@ -84,9 +90,11 @@ def drift_monitor_sink(
             .groupBy(F.xxhash64("term").alias("thash"))
             .agg(F.count("*").cast("double").alias("c"))
         )
-        ref = spark.createDataFrame(
-            list(reference.items()) or [(0, 0.0)], "thash long, p_ref double"
-        )
+        if "ref" not in cache:
+            cache["ref"] = spark.createDataFrame(
+                list(reference.items()) or [(0, 0.0)], "thash long, p_ref double"
+            ).cache()
+        ref = cache["ref"]
         scored = counts.join(F.broadcast(ref), "thash", "left")
         # KL = sum p_b * log2(p_b / p_ref) with p_b = c / N factors as
         #      (1/N) * [ sum c * log2(c / p_ref) ] - log2(N),
@@ -109,8 +117,6 @@ def drift_monitor_sink(
         row = audit.collect()[0]
         n_tokens = int(row["n_tokens"] or 0)  # empty epoch -> null aggregate
         n = float(n_tokens) or 1.0
-        import math
-
         kl = row["_raw"] / n - math.log2(n) if n_tokens else 0.0
         out = spark.createDataFrame(
             [

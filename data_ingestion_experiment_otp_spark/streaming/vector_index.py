@@ -74,6 +74,12 @@ from ..operators.similarity import _LSH_BITS, _LSH_TABLES, _cosine, bucket_udf
 _RANGES = 8
 _RERANK_MARGIN = 4
 
+# Explicit store schemas (see text_index.py: an epoch with zero rows
+# writes a partition dir containing only _SUCCESS, and a schema-less read
+# of it throws UNABLE_TO_INFER_SCHEMA).
+_BUCKETS_SCHEMA = "vec_id long, bucket int, src_batch int, pkey int"
+_VECTORS_SCHEMA = "vec_id long, q8 binary, scale double, src_batch int"
+
 
 def _pkey(tbl, bucket, bits: int):
     """The bucket-range partition key: tbl * _RANGES + bucket div width."""
@@ -275,8 +281,10 @@ def compact_vector_index(spark: SparkSession, index_dir: str, out_dir: str) -> N
     collapses from epochs x (tables x _RANGES + 1) toward one file per
     pkey + one payload file. Fresh-directory generation swap, as in the
     text index and compact_rollup."""
-    vecs = spark.read.option("basePath", os.path.join(index_dir, "vectors")).parquet(
-        os.path.join(index_dir, "vectors")
+    vecs = (
+        spark.read.schema(_VECTORS_SCHEMA)
+        .option("basePath", os.path.join(index_dir, "vectors"))
+        .parquet(os.path.join(index_dir, "vectors"))
     )
     live = vecs.groupBy("vec_id").agg(
         F.max("src_batch").alias("cur_epoch"),
@@ -290,8 +298,10 @@ def compact_vector_index(spark: SparkSession, index_dir: str, out_dir: str) -> N
         .partitionBy("src_batch")
         .parquet(os.path.join(out_dir, "vectors"))
     )
-    buckets = spark.read.option("basePath", os.path.join(index_dir, "buckets")).parquet(
-        os.path.join(index_dir, "buckets")
+    buckets = (
+        spark.read.schema(_BUCKETS_SCHEMA)
+        .option("basePath", os.path.join(index_dir, "buckets"))
+        .parquet(os.path.join(index_dir, "buckets"))
     )
     (
         buckets.join(

@@ -151,7 +151,7 @@ class TestBm25ContributionProperties:
         base = spark.createDataFrame(
             rows, "i int, tf double, df double, n double, dl double, avgdl double"
         )
-        c = lambda tf, df, n, dl, avgdl: bm25_contribution(tf, df, n, dl, avgdl)
+        c = bm25_contribution
         out = base.select(
             "i",
             c(F.col("tf"), F.col("df"), F.col("n"), F.col("dl"), F.col("avgdl")).alias("v"),
