@@ -247,3 +247,84 @@ def llm_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(os.path.join(gen2, "postings")):
         compact_text_index(spark, src, gen2)
     return bm25_query_index(spark, gen2, list(_QUERIES), k=_TOP_K)
+
+
+# Phrase workload: (query_id, term, offset) — consecutive-token phrases.
+_PHRASES: tuple[tuple[int, str, int], ...] = (
+    (0, "join", 0),
+    (0, "hash", 1),
+    (1, "table", 0),
+    (1, "part", 1),
+    (1, "agg", 2),
+)
+
+_PHRASES_SQL = ", ".join(f"({q}, '{t}', {o})" for q, t, o in _PHRASES)
+
+_PHRASE_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENIZE} AS tk FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(tk) AS term, unnest(range(len(tk))) AS pos
+      FROM toks
+    ),
+    q(query_id, qterm, qpos) AS (VALUES {_PHRASES_SQL}),
+    qlen AS (SELECT query_id, count(*) AS L FROM q GROUP BY query_id),
+    m AS (
+      SELECT q.query_id, tok.doc_id, tok.pos - q.qpos AS start_pos,
+             count(*) AS n_hit
+      FROM q JOIN tok ON tok.term = q.qterm
+      GROUP BY q.query_id, tok.doc_id, tok.pos - q.qpos
+    )
+    SELECT m.query_id, m.doc_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM m JOIN qlen ON qlen.query_id = m.query_id
+    WHERE m.n_hit = qlen.L
+    GROUP BY m.query_id, m.doc_id
+    """
+
+
+@register(
+    "llm_phrase_search",
+    oracle=_PHRASE_ORACLE,
+    tags=("llm", "retrieval", "text"),
+)
+def llm_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact consecutive-token phrase search — the retrieval operation
+    bag-of-words BM25 cannot express (and the primitive behind n-gram
+    overlap decontamination audits): for each phrase query, every document
+    containing the phrase with its occurrence count.
+
+    Positional matching WITHOUT a positional self-join per phrase term:
+    each posting (doc, term, pos) that matches a query term at phrase
+    offset qpos votes for candidate start position pos - qpos; a start
+    where the vote count equals the phrase length has every offset in
+    place — one aggregation replaces an (L-1)-way self-join, and L never
+    appears in the plan shape (phrases of any length are the same two
+    aggregates). Within one start, each query row can match at most one
+    posting (pos = start + qpos), so the count cannot overcount — repeated
+    terms in a phrase are handled exactly.
+
+    Scale shape: postings are filtered against the BROADCAST phrase
+    vocabulary immediately after the explode, so only matching postings
+    shuffle, keyed by (query_id, doc_id, start) scalars; both aggregations
+    partial map-side; text never leaves the scan."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.expr(_TOKENIZE)).alias("pos", "term")
+    )
+    qdf = spark.createDataFrame(
+        list(_PHRASES), "query_id int, qterm string, qpos int"
+    )
+    qlen = qdf.groupBy("query_id").agg(F.count("*").alias("L"))
+    m = (
+        tok.join(F.broadcast(qdf), tok.term == qdf.qterm)
+        .groupBy("query_id", "doc_id", (F.col("pos") - F.col("qpos")).alias("start_pos"))
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        m.join(F.broadcast(qlen), "query_id")
+        .filter(F.col("n_hit") == F.col("L"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+    )

@@ -887,6 +887,7 @@ class TestOrderIndependenceSweep:
         "llm_containment_dedup",
         "llm_unigram_perplexity",
         "llm_source_divergence",
+        "llm_phrase_search",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

@@ -164,3 +164,56 @@ class TestBm25ContributionProperties:
             assert r.v_tf > r.v, r          # more occurrences score higher
             assert r.v_df <= r.v + 1e-12, r  # commoner terms weigh less
             assert r.v_dl < r.v, r           # longer docs are normalized down
+
+
+class TestPhraseSearch:
+    def test_consecutiveness_and_repeated_terms(self, spark, tmp_path):
+        """Planted corpus: the phrase must match only CONSECUTIVE tokens
+        (doc with both words non-adjacent does not match), occurrences
+        count overlapping starts correctly, and a repeated-term phrase
+        cannot overcount partial alignments."""
+        from pyspark.sql import functions as F
+
+        from data_ingestion_experiment_otp_spark.operators.retrieval import (
+            _TOKENIZE,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma"),       # phrase "alpha beta": 1 hit
+                (2, "alpha gamma beta"),       # both words, not adjacent: 0
+                (3, "alpha beta alpha beta"),  # 2 occurrences
+                (4, "spam spam spam"),         # "spam spam": 2 overlapping
+                (5, "beta alpha"),             # reversed order: 0
+            ],
+            "doc_id int, text string",
+        )
+        tok = docs.select(
+            "doc_id", F.posexplode(F.expr(_TOKENIZE)).alias("pos", "term")
+        )
+
+        def run(phrase_terms):
+            q = spark.createDataFrame(
+                [(0, t, i) for i, t in enumerate(phrase_terms)],
+                "query_id int, qterm string, qpos int",
+            )
+            qlen = q.groupBy("query_id").agg(F.count("*").alias("L"))
+            m = (
+                tok.join(F.broadcast(q), tok.term == q.qterm)
+                .groupBy(
+                    "query_id", "doc_id",
+                    (F.col("pos") - F.col("qpos")).alias("s"),
+                )
+                .agg(F.count("*").alias("n_hit"))
+            )
+            out = (
+                m.join(F.broadcast(qlen), "query_id")
+                .filter(F.col("n_hit") == F.col("L"))
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n"))
+            )
+            return {r.doc_id: r.n for r in out.collect()}
+
+        assert run(["alpha", "beta"]) == {1: 1, 3: 2}
+        assert run(["spam", "spam"]) == {4: 2}
+        assert run(["beta", "gamma"]) == {1: 1}
