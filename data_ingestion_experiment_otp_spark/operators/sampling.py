@@ -224,3 +224,72 @@ def llm_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("content_checksum"),
         )
     )
+
+
+from .dedup import _NGRAM_JACCARD_ORACLE  # noqa: E402  (no import cycle: dedup imports only registry/catalog)
+
+_LEAKAGE_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_ORACLE}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+    ),
+    clusters AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS rep_id,
+           CASE WHEN (coalesce(c.cluster_id, d.doc_id) * {_A}) % {_MOD}
+                     < {_MOD} * 0.1
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    """
+
+
+@register(
+    "llm_leakage_safe_split",
+    oracle=_LEAKAGE_ORACLE,
+    tags=("llm", "sampling", "dedup"),
+)
+def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split that CANNOT leak near-duplicates across the
+    boundary — the splitting mistake that quietly inflates eval numbers:
+    splitting on doc_id puts a document in train and its near-copy in
+    val. Here the split key is the document's near-dup CLUSTER
+    representative (its connected-component min label from
+    llm_dedup_clusters; singletons represent themselves), so an entire
+    near-dup component lands on one side by construction — the same
+    group-aware discipline as GroupKFold, keyed by content similarity.
+
+    The inclusion hash is the module's Knuth multiplicative arithmetic on
+    the representative id (engine-reproducible, hence the exact oracle —
+    which recomputes the clusters with the recursive-CTE fixpoint and
+    must agree bit-for-bit on every assignment).
+
+    Scale shape: the pair graph + CC loop are llm_dedup_clusters'
+    documented shape; the split itself adds one left join keyed by doc_id
+    (clusters is a tiny relation — only docs inside near-dup components)
+    and a scan-side projection. Fractions are ~90/10 over REPRESENTATIVES,
+    so heavily-duplicated corpora see val fractions drift with cluster
+    mass — the honest accounting (a near-dup family is one effective
+    document)."""
+    from .dedup import llm_dedup_clusters
+
+    clusters = llm_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    rep = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = (rep * _A) % _MOD
+    return d.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        rep.alias("rep_id"),
+        F.when(bucket < int(_MOD * 0.1), F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

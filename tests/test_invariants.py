@@ -888,6 +888,7 @@ class TestOrderIndependenceSweep:
         "llm_unigram_perplexity",
         "llm_source_divergence",
         "llm_phrase_search",
+        "llm_leakage_safe_split",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

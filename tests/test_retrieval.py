@@ -217,3 +217,31 @@ class TestPhraseSearch:
         assert run(["alpha", "beta"]) == {1: 1, 3: 2}
         assert run(["spam", "spam"]) == {4: 2}
         assert run(["beta", "gamma"]) == {1: 1}
+
+
+class TestLeakageSafeSplit:
+    def test_near_dup_pairs_never_straddle_the_split(self, spark, sf_dir):
+        """The defining property: every near-dup pair (the jaccard pair
+        graph, i.e. the edges the clusters were built from) must land
+        entirely in train or entirely in val; singletons represent
+        themselves; both splits are non-empty at fixture scale."""
+        from data_ingestion_experiment_otp_spark.operators.sampling import (
+            llm_leakage_safe_split,
+        )
+
+        split = {
+            r.doc_id: (r.rep_id, r.split)
+            for r in llm_leakage_safe_split(spark, sf_dir).collect()
+        }
+        pairs = [
+            (r.doc_a, r.doc_b) for r in llm_ngram_jaccard(spark, sf_dir).collect()
+        ]
+        assert pairs, "fixture has planted near-dups"
+        for a, b in pairs:
+            assert split[a][1] == split[b][1], (a, b, split[a], split[b])
+            assert split[a][0] == split[b][0], "pair split across reps"
+        clustered = {d for pair in pairs for d in pair}
+        singles = [d for d in split if d not in clustered]
+        assert all(split[d][0] == d for d in singles)
+        kinds = {s for _, s in split.values()}
+        assert kinds == {"train", "val"}
