@@ -64,9 +64,11 @@ HEADLINE = [
     "llm_bm25_topk",
     "llm_bm25_indexed",
     "llm_containment_dedup",
-    # r5: LM/divergence quality analytics over the token stream
+    # r5: LM/divergence quality analytics over the token stream, and
+    # exact phrase search (offset voting)
     "llm_unigram_perplexity",
     "llm_source_divergence",
+    "llm_phrase_search",
 ]
 
 
