@@ -328,3 +328,20 @@ def llm_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.count("*").alias("n_occurrences"))
     )
+
+
+@register(
+    "llm_phrase_indexed",
+    oracle=_PHRASE_ORACLE,
+    tags=("llm", "retrieval", "index"),
+)
+def llm_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phrase workload served from the persisted positional index
+    (streaming/text_index.py::phrase_query_index) — carrying the batch
+    operator's oracle verbatim hash-gates the positional round-trip
+    (posexplode at ingest, sorted offset arrays on disk, explode +
+    offset-voting at query) cross-engine, exactly as llm_bm25_indexed
+    does for the tf payload."""
+    from ..streaming.text_index import phrase_query_index
+
+    return phrase_query_index(spark, _ensure_index(spark, sf_dir), list(_PHRASES))

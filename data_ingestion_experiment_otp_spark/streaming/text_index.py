@@ -14,7 +14,7 @@ rebuild.
 
 Layout (two stores, both epoch-partitioned, both zstd):
 
-- ``postings/`` — ``(doc_id, thash, tf)`` partitioned by
+- ``postings/`` — ``(doc_id, thash, tf, pos)`` partitioned by
   ``(src_batch, pkey)`` where ``thash = xxhash64(term)`` and
   ``pkey = pmod(thash, _PARTS)``. A query's pkey set is
   driver-collectable (query vocabularies are bounded by contract), so
@@ -37,6 +37,11 @@ Replay safety: both writes are scoped to the epoch's own ``src_batch=N``
 partitions with dynamic partition overwrite, so a replayed epoch rewrites
 identical content instead of double-indexing (the package-wide sink
 contract).
+
+``pos`` is the sorted token-offset array (the Lucene-style positional
+payload): `phrase_query_index` answers consecutive-token phrase queries
+from it with the batch operator's offset-voting algebra, while BM25
+readers never project it, so their scans prune it to the 20-byte row.
 
 Scale shape: everything that shuffles is (doc_id, thash, tf) scalars; the
 stats aggregate reduces the 2-scalar doclen store; df/idf are computed
@@ -70,7 +75,7 @@ _PARTS = 16
 # a partition directory containing only a _SUCCESS marker, and a
 # schema-less read of it throws UNABLE_TO_INFER_SCHEMA — the query path
 # must serve (empty) answers over an empty index, not crash.
-_POSTINGS_SCHEMA = "doc_id long, thash long, tf int, src_batch int, pkey int"
+_POSTINGS_SCHEMA = "doc_id long, thash long, tf int, pos array<int>, src_batch int, pkey int"
 _DOCLEN_SCHEMA = "doc_id long, dl int, src_batch int"
 _RESULT_SCHEMA = "query_id int, doc_id long, score double, rn int"
 
@@ -114,14 +119,24 @@ def text_index_sink(index_dir: str) -> Callable[[DataFrame, int], None]:
 
 
 def _write_postings(base: DataFrame, batch_id: int, index_dir: str) -> None:
+    # Positions ride on the SAME posting row (sorted token offsets of the
+    # term in the doc) — the Lucene-style positional payload that lets the
+    # index answer consecutive-token phrase queries. tf = size(pos), kept
+    # materialized so the BM25 path reads a 20-byte row with the pos
+    # column pruned at the scan (explicit-schema readers that never
+    # project `pos` pay nothing for it).
     (
-        base.select("doc_id", F.explode("tk").alias("term"))
+        base.select("doc_id", F.posexplode("tk").alias("pos", "term"))
         .groupBy("doc_id", F.xxhash64("term").alias("thash"))
-        .agg(F.count("*").cast("int").alias("tf"))
+        .agg(
+            F.count("*").cast("int").alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("pos"),
+        )
         .select(
             "doc_id",
             "thash",
             "tf",
+            "pos",
             F.lit(batch_id).alias("src_batch"),
             _pkey(F.col("thash")).alias("pkey"),
         )
@@ -208,6 +223,73 @@ def bm25_query_index(
     )
 
 
+def phrase_query_index(
+    spark: SparkSession,
+    index_dir: str,
+    phrases: list[tuple[int, str, int]],
+) -> DataFrame:
+    """Exact consecutive-token phrase search over the persisted positional
+    postings — the index-served form of operators/retrieval.py::
+    llm_phrase_search (same offset-voting algebra: a posting position
+    matching a phrase term at offset qpos votes for start = pos - qpos;
+    a start with votes == phrase length is one occurrence). `phrases` is
+    the bounded (query_id, term, offset) workload. Returns
+    (query_id, doc_id, n_occurrences), identical to the batch operator
+    over the same ingested corpus (pinned in tests).
+
+    The scan is pruned exactly like the BM25 path (static pkey partition
+    filter + thash pushdown); liveness comes from the doclen ledger, so a
+    re-ingested document's old phrasing stops matching. Only matched
+    postings' position arrays are exploded — the votes that shuffle are
+    (query_id, doc_id, start) scalars."""
+    if not os.path.isdir(os.path.join(index_dir, "postings")):
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, n_occurrences long"
+        )
+    qdf = spark.createDataFrame(
+        list(phrases), "query_id int, qterm string, qpos int"
+    )
+    qhash = qdf.select(
+        "query_id", F.xxhash64("qterm").alias("thash"), "qpos"
+    )
+    qterms = [r["thash"] for r in qhash.select("thash").distinct().collect()]
+    pkeys = sorted({t % _PARTS for t in qterms})
+    postings = (
+        spark.read.schema(_POSTINGS_SCHEMA)
+        .option("basePath", os.path.join(index_dir, "postings"))
+        .parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("pkey").isin(pkeys) & F.col("thash").isin(qterms))
+    )
+    doclen = (
+        spark.read.schema(_DOCLEN_SCHEMA)
+        .option("basePath", os.path.join(index_dir, "doclen"))
+        .parquet(os.path.join(index_dir, "doclen"))
+    )
+    live = doclen.groupBy("doc_id").agg(F.max("src_batch").alias("cur_epoch"))
+    tokpos = (
+        postings.join(
+            live,
+            (postings.doc_id == live.doc_id)
+            & (postings.src_batch == live.cur_epoch),
+        )
+        .select(live.doc_id, "thash", F.explode("pos").alias("pos"))
+    )
+    qlen = qdf.groupBy("query_id").agg(F.count("*").alias("L"))
+    m = (
+        tokpos.join(F.broadcast(qhash), "thash")
+        .groupBy(
+            "query_id", "doc_id", (F.col("pos") - F.col("qpos")).alias("start")
+        )
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        m.join(F.broadcast(qlen), "query_id")
+        .filter(F.col("n_hit") == F.col("L"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
 def compact_text_index(spark: SparkSession, index_dir: str, out_dir: str) -> None:
     """Fold an epoch-accumulated index into a single-generation index at
     `out_dir` — the text-index analog of materialize.compact_rollup.
@@ -256,7 +338,7 @@ def compact_text_index(spark: SparkSession, index_dir: str, out_dir: str) -> Non
             & (postings.src_batch == live.cur_epoch),
         )
         .select(
-            live.doc_id, "thash", "tf", F.lit(0).alias("src_batch"), "pkey"
+            live.doc_id, "thash", "tf", "pos", F.lit(0).alias("src_batch"), "pkey"
         )
         .repartition("pkey")
         .write.mode("overwrite")

@@ -246,3 +246,83 @@ class TestTextIndexCompaction:
         files_before = glob.glob(f"{idx}/postings/src_batch=*/pkey=*/*.parquet")
         files_after = glob.glob(f"{out}/postings/src_batch=*/pkey=*/*.parquet")
         assert len(files_after) < len(files_before)
+
+
+class TestPhraseQueryIndex:
+    def test_matches_batch_phrase_search_and_liveness(self, spark, sf_dir, tmp_path):
+        """The index-served phrase search must equal the batch operator
+        over the same streamed-in corpus, and a re-ingested doc's OLD
+        phrasing must stop matching (liveness through positions)."""
+        from data_ingestion_experiment_otp_spark.operators.retrieval import (
+            _PHRASES,
+            llm_phrase_search,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.text_index import (
+            phrase_query_index,
+        )
+
+        docs = [
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .collect()
+        ]
+        idx = str(tmp_path / "tidx")
+        sink = text_index_sink(idx)
+        for e in range(3):
+            sink(
+                spark.createDataFrame(
+                    [d for d in docs if d[0] % 3 == e], DOC_SCHEMA
+                ),
+                e,
+            )
+        got = sorted(
+            map(tuple, phrase_query_index(spark, idx, list(_PHRASES)).collect())
+        )
+        want = sorted(map(tuple, llm_phrase_search(spark, sf_dir).collect()))
+        assert got == want and got
+
+        # liveness: re-ingest one matching doc with the phrase broken up
+        phrase_q = [(0, "join", 0), (0, "hash", 1)]
+        hits = {
+            r.doc_id
+            for r in phrase_query_index(spark, idx, phrase_q).collect()
+        }
+        assert hits, "fixture corpus contains the probe phrase"
+        victim = min(hits)
+        sink(
+            spark.createDataFrame(
+                [(victim, "join gap hash join gap hash")], DOC_SCHEMA
+            ),
+            3,
+        )
+        hits2 = {
+            r.doc_id
+            for r in phrase_query_index(spark, idx, phrase_q).collect()
+        }
+        assert victim not in hits2 and hits2 == hits - {victim}
+
+    def test_compaction_preserves_phrase_answers(self, spark, tmp_path):
+        from data_ingestion_experiment_otp_spark.streaming.text_index import (
+            compact_text_index,
+            phrase_query_index,
+        )
+
+        sink = text_index_sink(str(tmp_path / "t"))
+        sink(
+            spark.createDataFrame(
+                [(1, "alpha beta gamma"), (2, "beta alpha beta")], DOC_SCHEMA
+            ),
+            0,
+        )
+        sink(spark.createDataFrame([(3, "alpha beta alpha beta")], DOC_SCHEMA), 1)
+        q = [(0, "alpha", 0), (0, "beta", 1)]
+        before = sorted(
+            map(tuple, phrase_query_index(spark, str(tmp_path / "t"), q).collect())
+        )
+        assert dict((d, n) for _, d, n in before) == {1: 1, 2: 1, 3: 2}
+        compact_text_index(spark, str(tmp_path / "t"), str(tmp_path / "t2"))
+        after = sorted(
+            map(tuple, phrase_query_index(spark, str(tmp_path / "t2"), q).collect())
+        )
+        assert after == before
