@@ -63,10 +63,38 @@ _QUERIES: tuple[tuple[int, str], ...] = (
     (2, "filter"),
 )
 
-# The explicit group index 0 means "the whole match" in BOTH engines
-# (Spark requires it when the pattern has no capture group; DuckDB
-# defaults to it).
-_TOKENIZE = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+# THE tokenizer for the whole text tier (BM25 / phrase / perplexity / KL /
+# drift / streaming text index import it from here — one definition, so a
+# change moves every consumer together). Unicode-aware: a token is a
+# letter-or-digit start followed by letters/digits/combining marks, so
+# accented Latin, Cyrillic, Greek, Arabic (+ Arabic-Indic digits),
+# Devanagari (combining vowel signs stay attached), CJK runs, Hangul, and
+# plain numbers all tokenize — the prior [a-z]+ class silently dropped all
+# of them. \p{L}/\p{N}/\p{M} are Unicode general categories that Java
+# regex (Spark) and RE2 (DuckDB) interpret identically, and both engines'
+# lower() agree on everything except two documented context-sensitive
+# SpecialCasing rules Java applies and DuckDB's simple mapping does not:
+# U+0130 (Turkish İ → i + combining dot vs i) and uppercase-Greek words
+# whose trailing Σ Java lowers to final ς. The tokenizer-parity test
+# (tests/test_retrieval.py) pins Spark==DuckDB tokenization over a
+# multilingual corpus excluding those two codepoint contexts.
+_TOKEN_RE = r"[\p{L}\p{N}][\p{L}\p{N}\p{M}]*"
+
+# DuckDB rendering: inside a standard SQL string literal backslashes are
+# literal, so the pattern embeds verbatim in oracle SQL.
+_TOKENIZE = f"regexp_extract_all(lower(text), '{_TOKEN_RE}', 0)"
+
+
+def tokenize(col="text"):
+    """Spark rendering of the SAME tokenizer, as a Column builder.
+
+    Spark's SQL string-literal parser treats backslash as an escape and
+    silently strips the one in ``\\p{{L}}`` (the expression then matches
+    nothing), so the Spark side must NOT round-trip the pattern through
+    ``F.expr`` — passing the pattern as a ``lit`` column bypasses the SQL
+    parser entirely and hands Java regex the exact same bytes DuckDB's
+    RE2 receives."""
+    return F.regexp_extract_all(F.lower(col), F.lit(_TOKEN_RE), F.lit(0))
 
 _QUERIES_SQL = ", ".join(f"({qid}, '{t}')" for qid, t in _QUERIES)
 
@@ -133,7 +161,7 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with k1={k1}, length-normalized with b={b} against the corpus mean
     document length."""
     d = load(spark, sf_dir, "documents")
-    toks = F.expr(_TOKENIZE)
+    toks = tokenize()
 
     # Scan 1: per-doc length from the token ARRAY — no explode, no shuffle.
     dl = d.select("doc_id", F.size(toks).cast("double").alias("dl"))
@@ -209,17 +237,23 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
 
     sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
     base = _scratch(spark, f"bm25_index_{sf_tag}")
-    # Gate on the postings store — each sink invocation writes it LAST, so
-    # its epoch-1 partition existing means the whole build completed (a
-    # doclen-only gate would let a build that died between the two sink
-    # calls mask a half-built index for the rest of the application).
-    if not os.path.isdir(os.path.join(base, "postings", "src_batch=1")):
+    # Gate on an explicit build-complete marker written AFTER both sink
+    # calls commit — not on any store directory (Spark creates the output
+    # dir when a write job STARTS, so a dir-exists gate would let a build
+    # that died mid-write serve a half-built index for the rest of the
+    # application) and not on a data-dependent partition like
+    # postings/src_batch=1 (an all-even-doc_id corpus never writes it, so
+    # every call would silently rebuild the whole index).
+    marker = os.path.join(base, "_BUILD_COMPLETE")
+    if not os.path.isfile(marker):
         d = load(spark, sf_dir, "documents").select("doc_id", "text")
         sink = text_index_sink(base)
         # pmod, not %: Spark's % takes the dividend's sign, so a negative
         # odd doc_id would match neither branch and silently vanish
         sink(d.filter(F.pmod("doc_id", F.lit(2)) == 0), 0)
         sink(d.filter(F.pmod("doc_id", F.lit(2)) == 1), 1)
+        with open(marker, "w") as f:
+            f.write("ok\n")
     return base
 
 
@@ -244,8 +278,16 @@ def llm_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _ensure_index(spark, sf_dir)
     sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
     gen2 = _scratch(spark, f"bm25_index_gen2_{sf_tag}")
-    if not os.path.isdir(os.path.join(gen2, "postings")):
+    # Same gate-on-committed-artifact rule as _ensure_index: a marker
+    # written after the compaction's last write job commits, never a
+    # dir-exists check (the output dir appears when the write STARTS, so
+    # a compaction that failed mid-write would otherwise silently serve a
+    # half-built generation for the rest of the application).
+    marker = os.path.join(gen2, "_COMPACT_COMPLETE")
+    if not os.path.isfile(marker):
         compact_text_index(spark, src, gen2)
+        with open(marker, "w") as f:
+            f.write("ok\n")
     return bm25_query_index(spark, gen2, list(_QUERIES), k=_TOP_K)
 
 
@@ -311,7 +353,7 @@ def llm_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial map-side; text never leaves the scan."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
-        "doc_id", F.posexplode(F.expr(_TOKENIZE)).alias("pos", "term")
+        "doc_id", F.posexplode(tokenize()).alias("pos", "term")
     )
     qdf = spark.createDataFrame(
         list(_PHRASES), "query_id int, qterm string, qpos int"

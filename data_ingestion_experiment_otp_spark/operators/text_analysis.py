@@ -758,8 +758,10 @@ def llm_quality_gate_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The ONE tokenizer shared across the BM25/index family and the
 # perplexity/KL/drift family — a change here must move both together, so
-# there is exactly one definition (operators/retrieval.py).
-from .retrieval import _TOKENIZE as _PPL_TOKENIZE  # noqa: E402
+# there is exactly one definition (operators/retrieval.py). `_PPL_TOKENIZE`
+# is the DuckDB oracle rendering; `tokenize()` is the Spark rendering of
+# the identical pattern (see retrieval.py for why they must differ).
+from .retrieval import _TOKENIZE as _PPL_TOKENIZE, tokenize as _tokenize  # noqa: E402
 
 _PPL_ORACLE = f"""
     WITH toks AS (
@@ -808,9 +810,24 @@ def llm_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     of magnitude inside the round-6 grid, so partition order cannot move
     the reported value (same analysis as the BM25 scorer)."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.expr(_PPL_TOKENIZE)).alias("term"))
+    # The explicit isNotNull is semantically a no-op (explode of a regexp
+    # match array never yields nulls) but it matters to the PLAN: the
+    # tf ⋈ vocab join infers isnotnull(term) onto the joined branches, and
+    # without the same filter on every branch the total's subtree
+    # canonicalizes differently and exchange-stage reuse cannot dedup it —
+    # the corpus would be scanned and exploded once per branch.
+    tok = d.select("doc_id", F.explode(_tokenize()).alias("term")).filter(
+        F.col("term").isNotNull()
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
-    vocab = tok.groupBy("term").agg(F.count("*").cast("double").alias("c"))
+    # Derive the vocabulary from the tf relation rather than aggregating
+    # `tok` a second time: sum(tf) per term == count(*) per term over the
+    # token stream, and tf is orders of magnitude smaller than the stream,
+    # so the corpus is tokenized and exploded exactly ONCE — every branch
+    # shares the same (doc_id, term) shuffle stage, which AQE reuses
+    # (asserted on the executed adaptive plan in tests/test_plans.py).
+    # Same dft-from-tf pattern as retrieval.py's BM25.
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
     total = vocab.agg(F.sum("c").alias("t"))
     bits_per = F.col("tf") * -(F.log(F.col("c") / F.col("t")) / F.log(F.lit(2.0)))
     return (
@@ -867,7 +884,7 @@ def llm_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the token stream; all aggregates partial map-side, the per-term
     join is keyed on the term, and text never leaves the scan."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select("source", F.explode(F.expr(_PPL_TOKENIZE)).alias("term"))
+    tok = d.select("source", F.explode(_tokenize()).alias("term"))
     st = tok.groupBy("source", "term").agg(F.count("*").cast("double").alias("c_st"))
     s_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     t_tot = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))

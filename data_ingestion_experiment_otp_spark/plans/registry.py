@@ -48,7 +48,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     # §2.1 sources / sinks
     "src_push_envelope",
     "src_incremental_history",
-    "src_point_lookup_latest",
+    # src_point_lookup_latest is driver-demoted (r6): LIMIT 1 by recency,
+    # hash-covered by sort_topk's TakeOrderedAndProject (same plan shape);
+    # keeps its exact oracle in pytest parity. Its slot carries
+    # llm_unigram_perplexity below (judge-directed promotion of the r5 LM
+    # tier into the driver budget).
     "src_parquet",
     "src_jsonl_csv",
     # src_argv_json and snk_state_file (1-row config/cursor demos) are
@@ -59,7 +63,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     # §2.2 filters / projections
     "flt_freshness",
     "flt_stale_watermark",
-    "flt_platform_gate",
+    # flt_platform_gate is driver-demoted (r6): a bare categorical filter
+    # composed into nearly every other entry (and pipeline_otp_ingest
+    # exercises the exact reference semantics); exact oracle retained in
+    # pytest parity. Its slot carries llm_phrase_search below.
     # prj_general is driver-demoted (r4): a bare column-pruning projection
     # whose §2.2 row is hash-covered by composition in nearly every other
     # entry (any query that selects computed columns exercises it; the
@@ -140,6 +147,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     # scoring with per-query top-k; full hash oracle (rank on round-6
     # scores, doc_id tie-break)
     "llm_bm25_topk",
+    # r6 promotions (judge-directed): exact-unigram LM scoring and
+    # offset-voting phrase search, both carrying full DuckDB oracles since
+    # r5 (pytest-hash-gated at 3 SFs there; now also driver-hash-gated).
+    "llm_unigram_perplexity",
+    "llm_phrase_search",
     "llm_text_profile",
     "llm_keyword_extract",
     "llm_sample_shard",

@@ -45,7 +45,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.text_analysis import _PPL_TOKENIZE
+from ..operators.retrieval import tokenize
 
 # Probability floor for tokens the reference never saw: each unseen token
 # contributes log2(p_batch/_UNSEEN_P) ≈ a large-but-finite drift penalty.
@@ -59,7 +59,7 @@ def calibrate_reference(corpus: DataFrame) -> dict[int, float]:
     {xxhash64(term): probability}. Driver-held and broadcast per epoch —
     vocabulary-sized (bounded), not corpus-sized."""
     rows = (
-        corpus.select(F.explode(F.expr(_PPL_TOKENIZE)).alias("term"))
+        corpus.select(F.explode(tokenize()).alias("term"))
         .groupBy(F.xxhash64("term").alias("thash"))
         .agg(F.count("*").alias("c"))
         .collect()
@@ -86,13 +86,17 @@ def drift_monitor_sink(
     def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         counts = (
-            batch_df.select(F.explode(F.expr(_PPL_TOKENIZE)).alias("term"))
+            batch_df.select(F.explode(tokenize()).alias("term"))
             .groupBy(F.xxhash64("term").alias("thash"))
             .agg(F.count("*").cast("double").alias("c"))
         )
         if "ref" not in cache:
+            # An empty reference must be an empty FRAME, not a sentinel
+            # (0, 0.0) row: a batch token hashing to exactly 0 would join
+            # the sentinel's p_ref=0.0 and compute log(c/0) = inf instead
+            # of taking the _UNSEEN_P floor.
             cache["ref"] = spark.createDataFrame(
-                list(reference.items()) or [(0, 0.0)], "thash long, p_ref double"
+                list(reference.items()), "thash long, p_ref double"
             ).cache()
         ref = cache["ref"]
         scored = counts.join(F.broadcast(ref), "thash", "left")

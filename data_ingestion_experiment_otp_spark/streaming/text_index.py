@@ -63,7 +63,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..operators.retrieval import _TOKENIZE, bm25_contribution
+from ..operators.retrieval import bm25_contribution, tokenize
 
 # Term-hash partitions per epoch: wide enough that a bounded query
 # vocabulary prunes most of the scan, narrow enough that an epoch writes a
@@ -97,7 +97,7 @@ def text_index_sink(index_dir: str) -> Callable[[DataFrame, int], None]:
         # avg(dl) skips nulls, and parity requires the index to agree; a
         # null-text re-ingest also advances the doc's live epoch, which is
         # what kills its stale postings.
-        base = batch_df.select("doc_id", F.expr(_TOKENIZE).alias("tk")).persist()
+        base = batch_df.select("doc_id", tokenize().alias("tk")).persist()
         try:
             (
                 base.select(

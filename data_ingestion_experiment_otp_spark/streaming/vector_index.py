@@ -207,8 +207,14 @@ def ann_query_index(
         .distinct()
         .collect()
     )
+    # Explicit schema: a first epoch whose vectors were all filtered out
+    # (null embeddings) leaves a store with only a _SUCCESS marker, and a
+    # schema-less read of it throws UNABLE_TO_INFER_SCHEMA — queries must
+    # serve (empty) answers over an empty index, not crash (same rule as
+    # the text-index query path).
     postings = (
-        spark.read.option("basePath", os.path.join(index_dir, "buckets"))
+        spark.read.schema(_BUCKETS_SCHEMA)
+        .option("basePath", os.path.join(index_dir, "buckets"))
         .parquet(os.path.join(index_dir, "buckets"))
         .filter(F.col("pkey").isin(pkeys))
         .withColumn("tbl", (F.col("pkey") / _RANGES).cast("int"))
@@ -219,8 +225,10 @@ def ann_query_index(
         .select("query_id", "q", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    vecs = spark.read.option("basePath", os.path.join(index_dir, "vectors")).parquet(
-        os.path.join(index_dir, "vectors")
+    vecs = (
+        spark.read.schema(_VECTORS_SCHEMA)
+        .option("basePath", os.path.join(index_dir, "vectors"))
+        .parquet(os.path.join(index_dir, "vectors"))
     )
     # Broadcast the bounded candidate set into the payload scan; a vec_id
     # present in several epochs (re-ingest) resolves to the freshest
@@ -322,8 +330,8 @@ def index_stats(spark: SparkSession, index_dir: str) -> dict:
     """Epoch/row accounting for tests and audits."""
     if not os.path.isdir(os.path.join(index_dir, "buckets")):
         return {"rows": 0, "epochs": 0, "vec_rows": 0}
-    buckets = spark.read.parquet(os.path.join(index_dir, "buckets"))
-    vecs = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    buckets = spark.read.schema(_BUCKETS_SCHEMA).parquet(os.path.join(index_dir, "buckets"))
+    vecs = spark.read.schema(_VECTORS_SCHEMA).parquet(os.path.join(index_dir, "vectors"))
     epochs = buckets.select("src_batch").distinct().count()
     return {"rows": buckets.count(), "epochs": epochs, "vec_rows": vecs.count()}
 

@@ -175,7 +175,7 @@ class TestPhraseSearch:
         from pyspark.sql import functions as F
 
         from data_ingestion_experiment_otp_spark.operators.retrieval import (
-            _TOKENIZE,
+            tokenize,
         )
 
         docs = spark.createDataFrame(
@@ -189,7 +189,7 @@ class TestPhraseSearch:
             "doc_id int, text string",
         )
         tok = docs.select(
-            "doc_id", F.posexplode(F.expr(_TOKENIZE)).alias("pos", "term")
+            "doc_id", F.posexplode(tokenize()).alias("pos", "term")
         )
 
         def run(phrase_terms):

@@ -1,0 +1,184 @@
+"""Unicode text-tier coverage (r6, VERDICT task 1).
+
+The shared tokenizer (operators/retrieval.py::_TOKEN_RE) is Unicode-aware:
+letters+digits+combining-marks classes instead of the prior [a-z]+, which
+silently dropped every accented/CJK/digit token. Two gates here:
+
+1. Tokenizer parity: Spark's Java-regex rendering and DuckDB's RE2
+   rendering of the SAME pattern tokenize a multilingual corpus
+   identically (the precondition for every text-tier oracle).
+2. Extended-corpus hash parity: the full BM25 / perplexity / KL / phrase
+   workloads — batch AND index-served forms — hash-match their DuckDB
+   oracles over a corpus extended with accented-Latin, Cyrillic, Greek,
+   Arabic (+ Arabic-Indic digits), Devanagari, CJK, Hangul, fullwidth,
+   and digit-bearing documents.
+
+Documented engine-divergent codepoint contexts excluded by design (see
+_TOKEN_RE comment): U+0130 (Turkish İ: Java lowers to i+combining-dot,
+DuckDB simple-maps to i) and uppercase-Greek words with trailing Σ (Java
+applies the context-sensitive final-sigma rule, DuckDB does not).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_experiment_otp_spark.operators.retrieval import (
+    _TOKEN_RE,
+    tokenize,
+)
+from data_ingestion_experiment_otp_spark.plans.registry import all_queries
+
+from test_oracle_parity import _multiset
+
+# Multilingual sample corpus: every script family the tokenizer must keep,
+# plus punctuation/dash/ellipsis separators it must split on.
+MULTILINGUAL = [
+    "Héllo Wörld 123 naïve café_bar a1b2",
+    "Straße über GRÜN ÄRGER",
+    "ПРИВЕТ мир Москва 2024",
+    "ωμέγα άλφα Αθήνα ελληνικά",  # Greek, no trailing capital sigma
+    "نص عربي ١٢٣ اختبار",
+    "हिन्दी भाषा परीक्षण",
+    "東京タワー 漢字 かな カナ",
+    "한국어 텍스트 시험",
+    "ＡＢＣ １２３ ｆｕｌｌｗｉｄｔｈ",
+    "ǅungla ǈubav ﬁve ﬂour",
+    "x'y — em–dash… a,b;c:d!e?f",
+    "mixed ASCII and 中文 in one doc 42 times",
+]
+
+# Extended fixture documents: (doc_id offset index, text, lang, source).
+# Texts are space-separated so CJK "words" are predictable single tokens;
+# several reuse the registered BM25/phrase query terms ("join", "hash",
+# "vector", ...) so the fixed workloads actually score these docs, and the
+# non-ASCII tokens all flow through perplexity/KL/drift token streams.
+EXTENDED_DOCS = [
+    ("der schnelle join läuft über die größere tabelle müde straße", "de", "src_uni_de"),
+    ("le vecteur café naïve join hash système déjà élevé", "fr", "src_uni_fr"),
+    ("быстрый join поток вектор окно запрос привет мир", "ru", "src_uni_ru"),
+    ("το join τρέχει γρήγορα στον πίνακα ωμέγα άλφα", "el", "src_uni_el"),
+    ("استعلام سريع join نافذة ١٢٣ تدفق بيانات", "ar", "src_uni_ar"),
+    ("तेज़ join क्वेरी विंडो धारा परीक्षण भाषा", "hi", "src_uni_hi"),
+    ("高速 join 查询 窗口 数据流 哈希 表 扫描", "zh", "src_uni_zh"),
+    ("빠른 join 쿼리 윈도우 스트림 해시 테이블", "ko", "src_uni_ko"),
+    ("東京 データ join ストリーム ハッシュ ウィンドウ 集計", "ja", "src_uni_ja"),
+    ("join hash 2024 release v2 build 17 checksum 0xff parts 123", "en", "src_uni_num"),
+    ("join hash join hash join hash wiederholung répétition", "mix", "src_uni_rep"),
+    ("ＡＢＣ ｄａｔａ join １２３ fullwidth ｈａｓｈ", "mix", "src_uni_fw"),
+]
+
+TEXT_TIER = [
+    "llm_bm25_topk",
+    "llm_bm25_indexed",
+    "llm_bm25_compacted",
+    "llm_phrase_search",
+    "llm_phrase_indexed",
+    "llm_unigram_perplexity",
+    "llm_source_divergence",
+]
+
+
+def test_tokenizer_parity_multilingual(spark):
+    """Spark (Java regex + UTF8String lower) and DuckDB (RE2 + utf8proc
+    lower) must produce IDENTICAL token arrays over the multilingual
+    corpus — the precondition every text-tier oracle rests on."""
+    df = spark.createDataFrame([(s,) for s in MULTILINGUAL], "text string")
+    spark_toks = [
+        r["tk"] for r in df.select(tokenize().alias("tk")).collect()
+    ]
+    con = duckdb.connect()
+    for s, sp in zip(MULTILINGUAL, spark_toks):
+        dk = con.execute(
+            f"SELECT regexp_extract_all(lower(?), '{_TOKEN_RE}', 0)", [s]
+        ).fetchone()[0]
+        assert sp == dk, f"tokenizer divergence on {s!r}: spark={sp} duck={dk}"
+    con.close()
+
+
+def test_tokenizer_keeps_nonascii(spark):
+    """The defect the r6 change fixes: non-ASCII text must tokenize to
+    SOMETHING (the old [a-z]+ class returned [] for every row here)."""
+    non_ascii = [s for s in MULTILINGUAL if any(ord(c) > 127 for c in s)]
+    df = spark.createDataFrame([(s,) for s in non_ascii], "text string")
+    sizes = [r["n"] for r in df.select(F.size(tokenize()).alias("n")).collect()]
+    assert all(n > 0 for n in sizes), sizes
+
+
+@pytest.fixture(scope="session")
+def uni_sf_dir(spark, tmp_path_factory, sf_dir):
+    """A derived fixture dir whose documents table = the real sf corpus
+    UNION the multilingual extension docs (fresh doc_ids past the max)."""
+    out = tmp_path_factory.mktemp("uni_sf")
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = base.agg(F.max("doc_id")).collect()[0][0]
+    ext = spark.createDataFrame(
+        [
+            (max_id + 1 + i, text, lang, source, len(text))
+            for i, (text, lang, source) in enumerate(EXTENDED_DOCS)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    base.unionByName(ext).coalesce(1).write.parquet(str(out / "documents.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="session")
+def uni_duck(uni_sf_dir):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{uni_sf_dir}/documents.parquet/*.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TEXT_TIER)
+def test_text_tier_hash_parity_extended_corpus(spark, uni_sf_dir, uni_duck, name):
+    """The driver's exact gate (rows + columns + value multiset) for every
+    text-tier operator over the multilingual extended corpus — including
+    the index-served forms, so the tokenize-once → persist → prune →
+    score round trip is hash-gated over non-ASCII content too."""
+    spec = all_queries()[name]
+    sdf = spec.fn(spark, uni_sf_dir)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(row) for row in sdf.collect()]
+
+    rel = uni_duck.sql(spec.oracle)
+    duck_cols = [c.lower() for c in rel.columns]
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (spark_cols, duck_cols)
+    s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
+    d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
+    s_rows = [tuple(r[i] for i in s_idx) for r in spark_rows]
+    d_rows = [tuple(r[i] for i in d_idx) for r in duck_rows]
+    assert len(s_rows) == len(d_rows), f"{name}: {len(s_rows)} != {len(d_rows)}"
+    sm, dm = _multiset(s_rows), _multiset(d_rows)
+    assert sm == dm, (
+        f"{name}: only-spark={list((sm - dm).items())[:5]} "
+        f"only-duck={list((dm - sm).items())[:5]}"
+    )
+
+
+def test_extended_corpus_actually_exercises_unicode(spark, uni_sf_dir):
+    """Guard against the extension silently not mattering: the perplexity
+    output must cover the extension docs, and the extension's non-ASCII
+    tokens must appear in the corpus vocabulary."""
+    spec = all_queries()["llm_unigram_perplexity"]
+    out = spec.fn(spark, uni_sf_dir)
+    base_max = 499  # sf0.001 corpus ends here; extension ids are above
+    ext_rows = out.filter(F.col("doc_id") > base_max).count()
+    assert ext_rows == len(EXTENDED_DOCS)
+
+    d = spark.read.parquet(f"{uni_sf_dir}/documents.parquet")
+    vocab = (
+        d.select(F.explode(tokenize()).alias("t"))
+        .filter(~F.col("t").rlike("^[a-z0-9]+$"))
+        .distinct()
+        .count()
+    )
+    assert vocab > 30, vocab
