@@ -69,7 +69,62 @@ HEADLINE = [
     "llm_unigram_perplexity",
     "llm_source_divergence",
     "llm_phrase_search",
+    # r6 additions: interpolated-bigram LM scoring and the zero-shuffle
+    # intra-doc line dedup pass
+    "llm_bigram_perplexity",
+    "llm_line_dedup",
 ]
+
+
+def bench_corpus_ingest(spark, sf_dir: str) -> tuple[float, float]:
+    """Streaming-capstone throughput cell (r5 judge task 9): drive the
+    corpus-ingest epoch function (dedup screen -> curation -> vector index
+    -> text index, the exact composition start_corpus_ingest runs per
+    micro-batch) over the sf corpus in 3 equal epochs against a fresh
+    store root. Returns (min epoch seconds, docs/sec at that epoch) so
+    index/compaction regressions in any of the five stores become visible
+    round-over-round."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_experiment_otp_spark.sources.catalog import load
+    from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+        corpus_ingest_epoch,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    feed = (
+        docs.join(emb, "doc_id", "left")
+        .select("doc_id", "source", "n_chars", "text", "embedding")
+        .persist()
+    )
+    n_docs = feed.count()  # materializes the persist outside the timing
+    cents = (
+        load(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(4)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    work = tempfile.mkdtemp(prefix="bench_corpus_ingest_")
+    epoch = corpus_ingest_epoch(work, cents, {"*": 0.0})
+    runs = []
+    try:
+        for b in range(3):
+            part = feed.filter(F.pmod("doc_id", F.lit(3)) == b)
+            t0 = time.perf_counter()
+            epoch(part, b)
+            runs.append(time.perf_counter() - t0)
+    finally:
+        feed.unpersist()
+        shutil.rmtree(work, ignore_errors=True)
+    best = min(runs)
+    return round(best, 3), round((n_docs / 3) / best, 1)
 
 
 def main() -> None:
@@ -116,7 +171,18 @@ def main() -> None:
         # (BENCH_HISTORY.md discipline)
         spread[name] = round(warm_spread(runs), 1)
 
+    ingest_sec, ingest_dps = bench_corpus_ingest(spark, sf_dir)
+    timings["corpus_ingest_epoch"] = ingest_sec
+
     total = round(sum(timings.values()), 3)
+    # Auxiliary detail goes to STDERR: the driver's bench capture keeps a
+    # bounded tail of stdout, and r5's single fat line (queries +
+    # spread_pct) overflowed it, truncating the JSON ("parsed": null in
+    # BENCH_r05.json). Stdout carries exactly ONE compact JSON line.
+    print(
+        json.dumps({"spread_pct": spread, "reps": reps, "ingest_docs_per_sec": ingest_dps}),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -124,10 +190,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spread_pct": spread,
-                "reps": reps,
                 "sf": sf_dir,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -954,3 +954,73 @@ def llm_dedup_strategy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+_LINE_DEDUP_ORACLE = """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(
+               text || chr(10) ||
+               array_to_string((string_split(text, ' '))[1:10], ' ') ||
+               chr(10) || text,
+               chr(10)) AS lines
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, len(lines) AS n_lines,
+             list_filter(lines, (x, i) -> list_position(lines[1:i-1], x) = 0) AS k
+      FROM base
+    )
+    SELECT doc_id, n_lines, len(k) AS n_kept,
+           array_to_string(k, chr(10)) AS text_dedup
+    FROM kept
+    """
+
+
+@register(
+    "llm_line_dedup",
+    oracle=_LINE_DEDUP_ORACLE,
+    tags=("llm", "dedup", "text"),
+)
+def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/CCNet-style intra-document line dedup: split each document
+    on newlines, keep the FIRST occurrence of every line (preserving
+    order), reassemble — the standard exact repeated-paragraph removal
+    pass training pipelines run on kept documents (the curation tier's
+    repetition signals FLAG repetitive docs; this operator REPAIRS them).
+
+    The fixture corpus is single-line, so the registered query first
+    derives a lined corpus deterministically in BOTH engines — each doc
+    becomes ``text \\n first-10-words(text) \\n text`` — planting exact
+    duplicate lines (the full text, and the prefix line whenever the doc
+    has <= 10 words) so the dedup pass does real, hash-checked work at
+    every SF. The planted-corpus behavioral corners (order preserved,
+    first kept, intra-doc only) are pinned in tests/test_line_dedup.py.
+
+    Scale shape: ZERO Exchange — the whole operator is one scan +
+    projection. A document's lines fit in its own row, so first-occurrence
+    filtering is a higher-order array filter (keep lines[i] iff it does
+    not appear among lines[0..i-1]), not a (doc_id, line) shuffle: text
+    never leaves the scan, and the pass parallelizes purely with input
+    splits. The per-doc cost is O(L^2) string compares in the worst case
+    (L = line count, ~10^2-10^3 in real corpora — cheap next to the
+    tokenizing passes); a corpus of pathological million-line documents
+    would switch to the hash-groupBy form instead."""
+    d = load(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, 10), " ")
+    # concat (NOT concat_ws): null text must propagate to a null output
+    # row, matching the oracle's null-propagating `||`.
+    text2 = F.concat("text", F.lit("\n"), prefix, F.lit("\n"), "text")
+    base = d.select("doc_id", F.split(text2, "\n").alias("lines"))
+    kept = F.filter(
+        "lines",
+        lambda x, i: F.array_position(F.slice("lines", F.lit(1), i), x) == 0,
+    )
+    return base.select(
+        "doc_id", F.size("lines").alias("n_lines"), kept.alias("k")
+    ).select(
+        "doc_id",
+        "n_lines",
+        F.size("k").alias("n_kept"),
+        F.array_join("k", "\n").alias("text_dedup"),
+    )

@@ -889,6 +889,10 @@ class TestOrderIndependenceSweep:
         "llm_source_divergence",
         "llm_phrase_search",
         "llm_leakage_safe_split",
+        # r6 additions: bigram mixture is exact count ratios on the same
+        # round-6 grid; line dedup is a pure per-row map
+        "llm_bigram_perplexity",
+        "llm_line_dedup",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):
