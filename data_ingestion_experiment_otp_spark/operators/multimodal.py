@@ -78,8 +78,10 @@ def extract_features(media: DataFrame) -> DataFrame:
     Dispatch is by magic bytes, not metadata: P6 payloads decode with the
     pure-numpy PPM parser (px_* columns populated, feature_mean = mean
     pixel rounded 6 with Decimal HALF_UP — bit-identical to both engines'
-    round); anything else probes for a real image library and falls back
-    to the deterministic byte-histogram fake (px_* NULL).
+    round); anything else decodes for real via PIL when the library is
+    present (px_* populated, identical arithmetic) and otherwise falls
+    back to the deterministic byte-histogram fake (px_* NULL) — no path
+    raises on a decodable-or-not payload.
 
     NULL payloads are dropped at the scan — a missing blob has nothing to
     decode, and letting it reach the codec crashes the Arrow batch; the
@@ -112,19 +114,34 @@ def extract_features(media: DataFrame) -> DataFrame:
             px = px.reshape(h, w, 3)  # the decoded image plane
             return w, h, int(px.sum(dtype=np.int64)), int(px.size)
 
-        def decode_fallback(blob):
-            """Env-probed stub for formats numpy can't parse alone. A real
-            deployment decodes via PIL/ffmpeg; neither ships in this
-            container, so the fallback derives a deterministic fake
-            feature from the bytes — keeping the pipeline testable."""
-            try:  # pragma: no cover - exercised only where PIL exists
-                import PIL.Image  # noqa: F401
+        try:  # env probe once per worker task, not per row
+            from PIL import Image as _pil_image
+        except ImportError:  # this container ships no image library
+            _pil_image = None
 
-                raise NotImplementedError("real image decode not wired in this environment")
-            except ImportError:
-                if not blob:
-                    return 0.0
-                return float(sum(blob)) / len(blob)
+        def decode_other(blob):
+            """Formats beyond P6: REAL decode via PIL when the library is
+            present (same pixel arithmetic as the P6 path — tested
+            only-if-PIL in tests/test_multimodal_pil.py), else the
+            deterministic byte-histogram fake that keeps the pipeline
+            testable in this container. Undecodable bytes fall back to
+            the fake rather than failing the batch — one bad payload on
+            a 100 TB corpus must not kill the stage."""
+            if _pil_image is not None and blob:
+                import io as _io
+
+                try:
+                    with _pil_image.open(_io.BytesIO(blob)) as im:
+                        arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
+                    s, n = int(arr.sum(dtype=np.int64)), int(arr.size)
+                    mean = float(
+                        Decimal(s / n).quantize(q6, rounding=ROUND_HALF_UP)
+                    )
+                    return arr.shape[1], arr.shape[0], s, n, mean
+                except Exception:
+                    pass
+            fake = 0.0 if not blob else float(sum(blob)) / len(blob)
+            return None, None, None, None, fake
 
         for pdf in it:
             out = {k: [] for k in (
@@ -147,11 +164,12 @@ def extract_features(media: DataFrame) -> DataFrame:
                         float(Decimal(s / n).quantize(q6, rounding=ROUND_HALF_UP))
                     )
                 else:
-                    out["px_w"].append(None)
-                    out["px_h"].append(None)
-                    out["px_sum"].append(None)
-                    out["px_n"].append(None)
-                    out["feature_mean"].append(decode_fallback(blob))
+                    w, h, s, n, mean = decode_other(blob)
+                    out["px_w"].append(w)
+                    out["px_h"].append(h)
+                    out["px_sum"].append(s)
+                    out["px_n"].append(n)
+                    out["feature_mean"].append(mean)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -432,6 +432,11 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_CELLS = 16
 _IVF_NPROBE = 4
+# IVF-PQ exact-rerank pool per query (FAISS's k' >> k serving pattern):
+# ADC ranks _IVFPQ_RERANK candidates, exact cosine picks the final top-k.
+# Sweep-chosen (r6, SCALING.md §IVF-PQ): recall@5 0.44 -> 0.72 at sf0.01
+# for queries x 50 extra scalar rows; nprobe/M/OPQ moves were all <=0.04.
+_IVFPQ_RERANK = 50
 
 
 _IVF_TRAIN_CAP = 2048
@@ -738,8 +743,9 @@ def llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the architecture a 100 TB vector corpus actually serves from
     (FAISS's IndexIVFPQ): the IVF coarse quantizer prunes the corpus to
     each query's nprobe cells, PQ codes score ONLY the surviving cells'
-    rows by asymmetric distance, and the exact cosine is recomputed for
-    the top-k alone.
+    rows by asymmetric distance, and the exact cosine re-ranks a bounded
+    _IVFPQ_RERANK-deep candidate pool per query (r6; the final top-k is
+    exact over that pool).
 
     Decomposition is the textbook residual form: unit vectors split as
     v = c(v) + r(v) against their cell centroid, the PQ codebooks train
@@ -756,9 +762,11 @@ def llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q·c) rows so only nprobe/cells of the corpus is ever scored; the
     rank exchange carries (query_id, vec_id, score) scalars with a
     partial WindowGroupLimit below it; vectors rejoin broadcast-side for
-    the queries×k survivors only (plan-pinned in tests/test_plans.py).
+    the queries×_IVFPQ_RERANK survivors only, and the exact final rank
+    windows over those scalar rows (plan-pinned in tests/test_plans.py).
     Models are sample/seed-dependent → rows-only; recall vs exact top-k
-    is floored in tests/test_invariants.py."""
+    is floored in tests/test_invariants.py (0.6 at sf0.01, measured
+    0.72; the full sweep table is SCALING.md §IVF-PQ)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf
@@ -832,6 +840,15 @@ def llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             out[i] = L[int(qid)][marange, C[i]].sum()
         return pd.Series(out)
 
+    # Stage 1: ADC-ranked candidate pool of _IVFPQ_RERANK per query (not
+    # k!) — the FAISS serving trick that buys back most of the PQ
+    # quantization error: the r6 parameter sweep (SCALING.md §IVF-PQ)
+    # measured recall 0.44 -> 0.72 at sf0.01 from widening the exact
+    # re-rank pool 5 -> 50, while nprobe/M sweeps and an OPQ-style
+    # residual rotation all moved recall <= 0.04 (the loss is PQ
+    # resolution, not cell pruning — and the pool costs only
+    # queries x 50 scalar rows, where nprobe=8 would rescan 23% more
+    # corpus for nothing).
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     survivors = (
         coded.join(F.broadcast(probes.select("query_id", "cell", "cell_dot")), on="cell")
@@ -839,13 +856,23 @@ def llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("score", adc("query_id", "codes") + F.col("cell_dot"))
         .select("query_id", "vec_id", "score")
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("query_id", "vec_id", "rn")
+        .filter(F.col("rn") <= _IVFPQ_RERANK)
+        .select("query_id", "vec_id")
     )
+    # Stage 2: exact top-k over the bounded pool — cosine computed on the
+    # broadcast-joined survivors, arrays projected away BEFORE the final
+    # rank window so its exchange carries (query_id, vec_id, cosine)
+    # scalars only.
     qdf = probes.select("query_id", "q").dropDuplicates(["query_id"])
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("cosine_raw").desc(), F.col("vec_id")
+    )
     return (
         vec.join(F.broadcast(survivors), on="vec_id")
         .join(F.broadcast(qdf), on="query_id")
         .withColumn("cosine_raw", _cosine("q", "v"))
+        .select("query_id", "vec_id", "cosine_raw")
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "vec_id", F.round("cosine_raw", 6).alias("cosine"), "rn")
     )

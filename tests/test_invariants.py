@@ -290,13 +290,18 @@ class TestIvfTopK:
 
 
 class TestIvfPq:
+    # Measured recall@5 after the r6 exact-rerank pool (ADC top-50 ->
+    # exact top-5; was 0.20 / 0.44 / 0.14 with rerank==k): the floors sit
+    # under the measurement with margin but far above the r5 0.1 floor.
+    # sf0.1's lower ceiling is the isotropic fixture's pruning cap, not a
+    # code property — the planted-cluster test below proves >= 0.8 the
+    # moment real cluster structure exists (full sweep: SCALING.md §IVF-PQ).
+    FLOORS = {"sf0.001": (0.56, 0.45), "sf0.01": (0.72, 0.60), "sf0.1": (0.40, 0.30)}
+
     def test_composed_index_recall_and_exact_reporting(self, spark, sf_dir):
-        """IVF-PQ (r4): reported cosines are exact (recomputed on the
-        survivors), every query returns exactly k rows, and recall
-        clears a floor consistent with the composed approximations on
-        this isotropic worst-case fixture (measured 0.20 sf0.001 / 0.44
-        sf0.01 — residual-encoded ADC beats raw-vector PQ's ~0.3 despite
-        also pruning 12/16 cells)."""
+        """IVF-PQ: reported cosines are exact (recomputed on the rerank
+        pool), every query returns exactly k rows, and recall clears the
+        per-SF floor above."""
         from data_ingestion_experiment_otp_spark.operators.similarity import (
             _TOP_K,
             llm_sim_ivfpq,
@@ -316,7 +321,48 @@ class TestIvfPq:
             per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + 1
         assert all(n == _TOP_K for n in per_query.values()), per_query
         recall = len(set(approx) & set(exact)) / len(exact)
-        assert recall >= 0.1, f"IVF-PQ recall {recall:.2f} over {len(exact)} pairs"
+        floor = self.FLOORS.get(sf_dir.rstrip("/").split("/")[-1], (None, 0.3))[1]
+        assert recall >= floor, (
+            f"IVF-PQ recall {recall:.2f} < floor {floor} over {len(exact)} pairs"
+        )
+
+    def test_planted_cluster_recall(self, spark, tmp_path):
+        """The isotropic fixture is PQ+IVF's worst case (top-k margins
+        shrink as the corpus grows and cells don't localize neighbors).
+        This plants real structure — 20 well-separated centers, 100
+        points each of small radius — and requires recall >= 0.8: proof
+        the index composition reaches high recall whenever the data has
+        the cluster structure real embeddings do."""
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.operators.similarity import (
+            llm_sim_ivfpq,
+            llm_sim_topk,
+        )
+
+        rng = np.random.default_rng(7)
+        centers = rng.standard_normal((20, 64))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        for i in range(2000):
+            c = centers[i % 20]
+            v = c + 0.15 * rng.standard_normal(64)
+            rows.append((i, [float(x) for x in v], f"c{i % 20}"))
+        out = tmp_path / "planted"
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label string"
+        ).coalesce(2).write.parquet(str(out / "embeddings.parquet"))
+
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in llm_sim_topk(spark, str(out)).collect()
+        }
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in llm_sim_ivfpq(spark, str(out)).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"planted-cluster IVF-PQ recall {recall:.2f}"
 
 
 class TestSketchPartitionStability:
