@@ -73,6 +73,7 @@ HEADLINE = [
     # intra-doc line dedup pass
     "llm_bigram_perplexity",
     "llm_line_dedup",
+    "llm_script_id",
 ]
 
 

@@ -1011,3 +1011,108 @@ def llm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("bits") / F.sum("n"), 6).alias("avg_bits"),
         )
     )
+
+
+# Script-ID classes: (name, Java regex class, RE2 regex class). Java
+# (Spark) spells Unicode script properties \p{IsX}; RE2 (DuckDB) spells
+# them \p{X} — same underlying Unicode script table, and the per-char
+# counts agree exactly (pinned over a multilingual corpus in
+# tests/test_unicode_text.py). `digit` is the general category \p{N},
+# identical spelling in both.
+_SCRIPT_CLASSES: tuple[tuple[str, str, str], ...] = (
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("greek", r"\p{IsGreek}", r"\p{Greek}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+    ("devanagari", r"\p{IsDevanagari}", r"\p{Devanagari}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("hangul", r"\p{IsHangul}", r"\p{Hangul}"),
+    ("kana", r"\p{IsHiragana}\p{IsKatakana}", r"\p{Hiragana}\p{Katakana}"),
+)
+
+_SCRIPT_COUNT_SQL = ",\n".join(
+    f"           length(regexp_replace(text, '[^{re2}]', '', 'g')) AS n_{name}"
+    for name, _java, re2 in _SCRIPT_CLASSES
+)
+_SCRIPT_NAMES = [name for name, _j, _r in _SCRIPT_CLASSES]
+_SCRIPT_SUM_SQL = " + ".join(f"n_{n}" for n in _SCRIPT_NAMES)
+_SCRIPT_CASE_SQL = "\n".join(
+    f"                WHEN n_{n} = m THEN '{n}'" for n in _SCRIPT_NAMES
+)
+
+_SCRIPT_ID_ORACLE = f"""
+    WITH counts AS (
+      SELECT doc_id,
+{_SCRIPT_COUNT_SQL},
+           length(regexp_replace(text, '[^\\p{{N}}]', '', 'g')) AS n_digit
+      FROM documents
+    ),
+    m AS (
+      SELECT *, greatest({_SCRIPT_SUM_SQL.replace(' + ', ', ').replace('n_', 'n_')}) AS m,
+             {_SCRIPT_SUM_SQL} AS total
+      FROM counts
+    )
+    SELECT doc_id, {', '.join('n_' + n for n in _SCRIPT_NAMES)}, n_digit,
+           CASE WHEN m IS NULL OR m = 0 THEN 'unknown'
+{_SCRIPT_CASE_SQL}
+           END AS script,
+           CASE WHEN total IS NULL OR total = 0 THEN 0.0
+                ELSE round(m * 1.0 / total, 6) END AS script_frac
+    FROM m
+    """
+
+
+@register(
+    "llm_script_id",
+    oracle=_SCRIPT_ID_ORACLE,
+    tags=("llm", "text", "lang"),
+)
+def llm_script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-based language identification — the real multilingual
+    counterpart of `llm_lang_id`'s marker heuristic, and the routing
+    signal a 100 TB multilingual pipeline needs first (which tokenizer /
+    quality model / dedup config applies is decided per SCRIPT before
+    any model runs): per document, the character count in each of 8
+    Unicode letter scripts plus digits, the dominant script (priority
+    order breaks exact ties; 'unknown' when no letter script appears),
+    and the dominant script's fraction of all scripted characters.
+
+    Cross-engine note: Java spells script properties \\p{{IsLatin}} where
+    RE2 spells \\p{{Latin}} — same Unicode script table underneath, so
+    the per-char counts hash-match even though the pattern STRINGS
+    differ (the one operator family where the two engines cannot share a
+    literal pattern; agreement pinned per class in
+    tests/test_unicode_text.py).
+
+    Scale shape: ZERO shuffle — one scan, 9 codegen'd regex-strip
+    counts per row, a greatest() cascade; text never leaves the scan."""
+    d = load(spark, sf_dir, "documents")
+    counts = [
+        F.length(
+            F.regexp_replace("text", F.lit(f"[^{java}]"), F.lit(""))
+        ).alias(f"n_{name}")
+        for name, java, _re2 in _SCRIPT_CLASSES
+    ]
+    counts.append(
+        F.length(F.regexp_replace("text", F.lit(r"[^\p{N}]"), F.lit(""))).alias(
+            "n_digit"
+        )
+    )
+    t = d.select("doc_id", *counts)
+    m = F.greatest(*[F.col(f"n_{n}") for n in _SCRIPT_NAMES])
+    total = F.col(f"n_{_SCRIPT_NAMES[0]}")
+    for n in _SCRIPT_NAMES[1:]:
+        total = total + F.col(f"n_{n}")
+    dominant = F.when(m.isNull() | (m == 0), "unknown")
+    for n in _SCRIPT_NAMES:
+        dominant = dominant.when(F.col(f"n_{n}") == m, n)
+    frac = F.when(total.isNull() | (total == 0), F.lit(0.0)).otherwise(
+        F.round(m * 1.0 / total, 6)
+    )
+    return t.select(
+        "doc_id",
+        *[f"n_{n}" for n in _SCRIPT_NAMES],
+        "n_digit",
+        dominant.alias("script"),
+        frac.alias("script_frac"),
+    )

@@ -936,9 +936,10 @@ class TestOrderIndependenceSweep:
         "llm_phrase_search",
         "llm_leakage_safe_split",
         # r6 additions: bigram mixture is exact count ratios on the same
-        # round-6 grid; line dedup is a pure per-row map
+        # round-6 grid; line dedup and script-ID are pure per-row maps
         "llm_bigram_perplexity",
         "llm_line_dedup",
+        "llm_script_id",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

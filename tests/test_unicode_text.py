@@ -78,6 +78,8 @@ TEXT_TIER = [
     "llm_phrase_indexed",
     "llm_unigram_perplexity",
     "llm_source_divergence",
+    "llm_bigram_perplexity",
+    "llm_script_id",
 ]
 
 
@@ -182,3 +184,51 @@ def test_extended_corpus_actually_exercises_unicode(spark, uni_sf_dir):
         .count()
     )
     assert vocab > 30, vocab
+
+
+def test_script_class_counts_agree_per_class(spark):
+    """The llm_script_id cross-engine contract: Java's \\p{IsX} and
+    RE2's \\p{X} count the SAME characters for every script class —
+    pinned per class over the multilingual corpus (the one operator
+    family where the engines cannot share a literal pattern)."""
+    import duckdb as _duck
+
+    from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+        _SCRIPT_CLASSES,
+    )
+
+    df = spark.createDataFrame([(s,) for s in MULTILINGUAL], "text string")
+    cols = [
+        F.length(F.regexp_replace("text", F.lit(f"[^{java}]"), F.lit(""))).alias(name)
+        for name, java, _re2 in _SCRIPT_CLASSES
+    ]
+    got = df.select("text", *cols).collect()
+    con = _duck.connect()
+    for row in got:
+        for name, _java, re2 in _SCRIPT_CLASSES:
+            dk = con.execute(
+                "SELECT length(regexp_replace(?, ?, '', 'g'))",
+                [row["text"], f"[^{re2}]"],
+            ).fetchone()[0]
+            assert row[name] == dk, (row["text"], name, row[name], dk)
+    con.close()
+
+
+def test_script_id_dominant_on_extension_docs(spark, uni_sf_dir):
+    """The routing signal must actually route: each extension doc's
+    dominant script matches its language family."""
+    from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+        llm_script_id,
+    )
+
+    out = {
+        r["doc_id"]: r["script"]
+        for r in llm_script_id(spark, uni_sf_dir).filter(F.col("doc_id") > 499).collect()
+    }
+    # EXTENDED_DOCS order: de fr ru el ar hi zh ko ja num rep fw
+    expected = [
+        "latin", "latin", "cyrillic", "greek", "arabic", "devanagari",
+        "han", "hangul", "kana", "latin", "latin", "latin",
+    ]
+    got = [out[500 + i] for i in range(len(EXTENDED_DOCS))]
+    assert got == expected, got
