@@ -149,6 +149,60 @@ def _write_postings(base: DataFrame, batch_id: int, index_dir: str) -> None:
     )
 
 
+# Tombstone sentinel in the doclen ledger: a deletion epoch writes
+# dl = _TOMBSTONE for the doc (and no postings). The liveness rule already
+# says "only the max-src_batch epoch counts", so a tombstoned doc's older
+# postings go dead exactly like a re-ingest's — deletion IS a re-ingest
+# with empty content — and the query paths additionally drop the doc from
+# the corpus stats (N/avgdl), which an empty re-ingest would not do.
+# Distinct from NULL dl, which marks a null-TEXT document that stays in N
+# by the batch-parity contract.
+_TOMBSTONE = -1
+
+
+def text_index_delete_sink(index_dir: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function for a DELETION stream (right-to-be-forgotten /
+    corpus retraction): each micro-batch of (doc_id) rows tombstones those
+    documents in the index. After the epoch commits, the doc stops
+    matching every BM25/phrase query, leaves N/avgdl, and its postings
+    are physically purged at the next compaction. A later re-ingest of
+    the same doc_id (higher epoch) resurrects it — the ledger's
+    max-src_batch rule, unchanged. Replay-safe like every sink here:
+    the tombstone epoch rewrites its own src_batch=N partition. Deletion
+    epochs share the ledger's src_batch sequence with ingest epochs
+    (dynamic overwrite replaces the whole src_batch=N doclen partition),
+    so drive deletions through the same stream's epoch counter — never
+    reuse an ingest epoch's id for a deletion."""
+
+    def delete_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                "doc_id",
+                F.lit(_TOMBSTONE).cast("int").alias("dl"),
+                F.lit(batch_id).alias("src_batch"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", "zstd")
+            .partitionBy("src_batch")
+            .parquet(os.path.join(index_dir, "doclen"))
+        )
+
+    return delete_batch
+
+
+def _live_ledger(doclen: DataFrame) -> DataFrame:
+    """Resolve the doclen ledger to the LIVE corpus: one row per doc_id at
+    its freshest epoch, tombstoned docs dropped entirely (they are not in
+    the corpus — not for matching, not for N/avgdl). Shared by both query
+    paths and compaction so deletion semantics cannot drift."""
+    live = doclen.groupBy("doc_id").agg(
+        F.max("src_batch").alias("cur_epoch"),
+        F.max_by("dl", "src_batch").alias("dl"),
+    )
+    return live.filter(F.col("dl").isNull() | (F.col("dl") != _TOMBSTONE))
+
+
 def bm25_query_index(
     spark: SparkSession,
     index_dir: str,
@@ -183,12 +237,9 @@ def bm25_query_index(
         .option("basePath", os.path.join(index_dir, "doclen"))
         .parquet(os.path.join(index_dir, "doclen"))
     )
-    # Liveness ledger: a doc's current epoch and current length. max_by
-    # keeps the pair consistent in one partial-aggregating pass.
-    live = doclen.groupBy("doc_id").agg(
-        F.max("src_batch").alias("cur_epoch"),
-        F.max_by("dl", "src_batch").cast("double").alias("dl"),
-    )
+    # Liveness ledger: a doc's current epoch and current length,
+    # tombstoned docs gone (text_index_delete_sink).
+    live = _live_ledger(doclen).withColumn("dl", F.col("dl").cast("double"))
     stats = live.agg(
         F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
     )
@@ -265,7 +316,7 @@ def phrase_query_index(
         .option("basePath", os.path.join(index_dir, "doclen"))
         .parquet(os.path.join(index_dir, "doclen"))
     )
-    live = doclen.groupBy("doc_id").agg(F.max("src_batch").alias("cur_epoch"))
+    live = _live_ledger(doclen)
     tokpos = (
         postings.join(
             live,
@@ -315,10 +366,11 @@ def compact_text_index(spark: SparkSession, index_dir: str, out_dir: str) -> Non
         .option("basePath", os.path.join(index_dir, "doclen"))
         .parquet(os.path.join(index_dir, "doclen"))
     )
-    live = doclen.groupBy("doc_id").agg(
-        F.max("src_batch").alias("cur_epoch"),
-        F.max_by("dl", "src_batch").alias("dl"),
-    )
+    # _live_ledger drops tombstoned docs, so compaction PURGES a deleted
+    # doc's rows from both stores — the physical-erasure half of the
+    # right-to-be-forgotten contract (tombstoning makes it unqueryable
+    # immediately; compaction removes the bytes).
+    live = _live_ledger(doclen)
     postings = (
         spark.read.schema(_POSTINGS_SCHEMA)
         .option("basePath", os.path.join(index_dir, "postings"))

@@ -120,6 +120,11 @@ def _dequant_cosine_udf():
     def cos8(qs, blobs, scales):
         out = []
         for q, blob, s in zip(qs, blobs, scales):
+            if blob is None or s is None:
+                # tombstoned payload (vector_index_delete_sink): no
+                # geometry to score — null flows to the notNull filter
+                out.append(None)
+                continue
             a = np.frombuffer(blob, dtype=np.int8).astype(np.float64) * (float(s) / 127.0)
             qv = np.asarray(q, dtype=np.float64)
             na, nq = np.linalg.norm(a), np.linalg.norm(qv)
@@ -170,6 +175,36 @@ def vector_index_sink(
         )
 
     return index_batch
+
+
+def vector_index_delete_sink(index_dir: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function for a DELETION stream (right-to-be-forgotten
+    for embeddings — the vector twin of text_index_delete_sink): each
+    micro-batch of (vec_id) rows tombstones those vectors by writing a
+    NULL-payload row at the deletion epoch and no bucket rows. The
+    freshest-payload rule then resolves every query's candidate for that
+    vec_id to the tombstone, whose null score the pre-rank filter drops —
+    the vector stops being an answer immediately; the next compaction
+    purges its payload and bucket rows physically. A later re-ingest
+    (higher epoch) resurrects it. Same epoch-sequence rule as the text
+    index: deletions share the store's src_batch counter with ingests."""
+
+    def delete_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                "vec_id",
+                F.lit(None).cast("binary").alias("q8"),
+                F.lit(None).cast("double").alias("scale"),
+                F.lit(batch_id).alias("src_batch"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", "zstd")
+            .partitionBy("src_batch")
+            .parquet(os.path.join(index_dir, "vectors"))
+        )
+
+    return delete_batch
 
 
 def ann_query_index(
@@ -299,6 +334,10 @@ def compact_vector_index(spark: SparkSession, index_dir: str, out_dir: str) -> N
         F.max_by("q8", "src_batch").alias("q8"),
         F.max_by("scale", "src_batch").alias("scale"),
     )
+    # Tombstoned vec_ids (freshest payload null — vector_index_delete_sink)
+    # leave the generation entirely: compaction is the physical-erasure
+    # half of the deletion contract.
+    live = live.filter(F.col("q8").isNotNull())
     (
         live.select("vec_id", "q8", "scale", F.lit(0).alias("src_batch"))
         .write.mode("overwrite")

@@ -1,0 +1,168 @@
+"""Deletion (right-to-be-forgotten / corpus retraction) for the two
+persisted indexes (r6): tombstone epochs make a document/vector
+unqueryable immediately — including its contribution to BM25's N/avgdl —
+and the next compaction physically purges its rows. A later re-ingest
+resurrects it through the unchanged max-src_batch liveness rule.
+
+The correctness standard is index-vs-index parity: an index that
+ingested the full corpus and then deleted doc X must answer every query
+IDENTICALLY to a fresh index built without X (same code path, same
+stats arithmetic — so the comparison is exact, not approximate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_experiment_otp_spark.streaming.text_index import (
+    bm25_query_index,
+    compact_text_index,
+    phrase_query_index,
+    text_index_delete_sink,
+    text_index_sink,
+)
+
+DOC_SCHEMA = "doc_id long, text string"
+
+DOCS = [
+    (1, "alpha beta gamma alpha"),
+    (2, "alpha delta epsilon"),
+    (3, "beta gamma delta"),
+    (4, "alpha beta alpha beta"),
+    (5, "zeta eta theta"),
+]
+QUERIES = [(0, "alpha"), (1, "beta"), (1, "gamma")]
+PHRASES = [(0, "alpha", 0), (0, "beta", 1)]
+
+
+def _build(spark, path, docs, start_epoch=0, per_epoch=3):
+    sink = text_index_sink(path)
+    for i in range(0, len(docs), per_epoch):
+        sink(
+            spark.createDataFrame(docs[i : i + per_epoch], DOC_SCHEMA),
+            start_epoch + i // per_epoch,
+        )
+    return path
+
+
+def _bm25(spark, path):
+    return sorted(map(tuple, bm25_query_index(spark, path, QUERIES).collect()))
+
+
+def _phrase(spark, path):
+    return sorted(map(tuple, phrase_query_index(spark, path, PHRASES).collect()))
+
+
+class TestTextIndexDeletion:
+    def test_deleted_doc_leaves_results_and_stats(self, spark, tmp_path):
+        """After tombstoning doc 2, BM25 answers must equal a fresh index
+        that never saw doc 2 — not just 'doc 2 absent': N and avgdl must
+        shift, so every surviving score moves too."""
+        full = _build(spark, str(tmp_path / "full"), DOCS)
+        text_index_delete_sink(full)(
+            spark.createDataFrame([(2,)], "doc_id long"), 10
+        )
+        ref = _build(spark, str(tmp_path / "ref"), [d for d in DOCS if d[0] != 2])
+        got, want = _bm25(spark, full), _bm25(spark, ref)
+        assert got == want
+        assert all(r[1] != 2 for r in got)
+        assert got  # non-vacuous
+
+    def test_phrase_stops_matching(self, spark, tmp_path):
+        full = _build(spark, str(tmp_path / "full"), DOCS)
+        before = _phrase(spark, full)
+        assert any(r[1] == 1 for r in before)  # doc 1 has "alpha beta"? no — doc 4
+        text_index_delete_sink(full)(
+            spark.createDataFrame([(4,)], "doc_id long"), 10
+        )
+        after = _phrase(spark, full)
+        ref = _build(spark, str(tmp_path / "ref"), [d for d in DOCS if d[0] != 4])
+        assert after == _phrase(spark, ref)
+        assert all(r[1] != 4 for r in after)
+
+    def test_reingest_resurrects(self, spark, tmp_path):
+        full = _build(spark, str(tmp_path / "full"), DOCS)
+        text_index_delete_sink(full)(
+            spark.createDataFrame([(2,)], "doc_id long"), 10
+        )
+        # re-ingest the same doc at a higher epoch: back in the corpus
+        text_index_sink(full)(
+            spark.createDataFrame([DOCS[1]], DOC_SCHEMA), 11
+        )
+        ref = _build(spark, str(tmp_path / "ref"), DOCS)
+        assert _bm25(spark, full) == _bm25(spark, ref)
+
+    def test_compaction_purges_tombstoned_rows(self, spark, tmp_path):
+        """Tombstoning makes a doc unqueryable; compaction must remove
+        its BYTES — no doclen or posting row for it in the new
+        generation — while answering queries identically."""
+        import os
+
+        full = _build(spark, str(tmp_path / "full"), DOCS)
+        text_index_delete_sink(full)(
+            spark.createDataFrame([(2,)], "doc_id long"), 10
+        )
+        before = _bm25(spark, full)
+        gen2 = str(tmp_path / "gen2")
+        compact_text_index(spark, full, gen2)
+        assert _bm25(spark, gen2) == before
+        doclen = spark.read.parquet(os.path.join(gen2, "doclen"))
+        assert doclen.filter(F.col("doc_id") == 2).count() == 0
+        postings = spark.read.parquet(os.path.join(gen2, "postings"))
+        assert postings.filter(F.col("doc_id") == 2).count() == 0
+        # the live docs all survived
+        assert doclen.select("doc_id").distinct().count() == len(DOCS) - 1
+
+
+class TestVectorIndexDeletion:
+    def test_delete_purge_resurrect(self, spark, tmp_path):
+        """Plant a near-duplicate of the query as the top hit, tombstone
+        it (it must vanish from answers immediately), compact (its rows
+        must leave both stores), then re-ingest (top hit again)."""
+        import os
+
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.streaming.vector_index import (
+            ann_query_index,
+            compact_vector_index,
+            vector_index_delete_sink,
+            vector_index_sink,
+        )
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal(64)
+        near = base + 0.05 * rng.standard_normal(64)
+        rows = [(1, [float(x) for x in near])] + [
+            (i, [float(x) for x in rng.standard_normal(64)]) for i in range(2, 40)
+        ]
+        idx = str(tmp_path / "vidx")
+        vector_index_sink(idx)(
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>"), 0
+        )
+        qdf = spark.createDataFrame(
+            [(100, [float(x) for x in base])], "query_id long, embedding array<float>"
+        )
+
+        def top(path):
+            r = ann_query_index(spark, path, qdf, k=3).collect()
+            return [row["vec_id"] for row in sorted(r, key=lambda x: x["rn"])]
+
+        assert top(idx)[0] == 1  # planted near-dup leads
+        vector_index_delete_sink(idx)(
+            spark.createDataFrame([(1,)], "vec_id long"), 1
+        )
+        assert 1 not in top(idx)  # unqueryable immediately
+
+        gen2 = str(tmp_path / "vgen2")
+        compact_vector_index(spark, idx, gen2)
+        vecs = spark.read.parquet(os.path.join(gen2, "vectors"))
+        buckets = spark.read.parquet(os.path.join(gen2, "buckets"))
+        assert vecs.filter(F.col("vec_id") == 1).count() == 0
+        assert buckets.filter(F.col("vec_id") == 1).count() == 0
+        assert 1 not in top(gen2)
+
+        # resurrect at a higher epoch in the original index
+        vector_index_sink(idx)(
+            spark.createDataFrame(rows[:1], "vec_id long, embedding array<float>"), 2
+        )
+        assert top(idx)[0] == 1
