@@ -125,3 +125,100 @@ def start_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def corpus_retract(
+    spark: SparkSession,
+    work_dir: str,
+    doc_ids: list[int],
+    retract_epoch: int,
+) -> dict[str, int]:
+    """Right-to-be-forgotten retraction across ALL FIVE stores the
+    ingest capstone maintains — the control-plane operation a training
+    -data pipeline owes its data subjects, end to end:
+
+    - ``accepted`` / ``curated``: the retracted docs' rows are removed by
+      rewriting only the affected ``batch_id`` partitions (write-to-temp
+      + directory swap, the committed-generation pattern);
+    - ``dedup_index``: the docs' content hashes leave the index — THE
+      subtle half of retraction: tombstoning the serving indexes alone
+      would leave the hash behind, and the dedup screen would then
+      silently block the same content from ever re-entering the corpus
+      (a re-crawl after a consent re-grant must be admitted as new);
+    - ``vector_index`` / ``text_index``: tombstone epochs via the delete
+      sinks (immediate unqueryability; the next compaction purges the
+      bytes).
+
+    `doc_ids` is bounded by contract (retraction requests are human-scale
+    — the driver-side loop runs over the handful of affected epochs, not
+    over data). Returns per-store removed-row counts for the audit log.
+
+    Caveat, documented deliberately: the partition rewrites change what a
+    REPLAY of the touched epochs would reproduce — retraction is a
+    control-plane mutation and must not race an in-flight replay of those
+    epochs (quiesce the stream, or re-apply retractions after recovery;
+    the same discipline every compaction/generation swap here follows)."""
+    import shutil
+
+    from .text_index import text_index_delete_sink
+    from .vector_index import vector_index_delete_sink
+
+    dirs = corpus_ingest_dirs(work_dir)
+    ids = [int(i) for i in doc_ids]
+
+    accepted = spark.read.option("basePath", dirs["accepted"]).parquet(
+        dirs["accepted"]
+    )
+    victims = (
+        accepted.filter(F.col("doc_id").isin(ids))
+        .select(
+            "doc_id", F.sha2("text", 256).alias("content_hash"), "batch_id"
+        )
+        .collect()
+    )
+    hashes = {r["content_hash"] for r in victims}
+    epochs = sorted({r["batch_id"] for r in victims})
+    removed = {"accepted": 0, "curated": 0, "dedup_index": 0}
+
+    def swap_rewrite(part_dir: str, df, partition_by: list[str] | None) -> None:
+        tmp = part_dir + ".retract_tmp"
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        shutil.rmtree(part_dir)
+        os.rename(tmp, part_dir)
+
+    for b in epochs:
+        part = os.path.join(dirs["accepted"], f"batch_id={b}")
+        df = spark.read.parquet(part).persist()
+        kept = df.filter(~F.col("doc_id").isin(ids))
+        removed["accepted"] += df.count() - kept.count()
+        swap_rewrite(part, kept, None)
+        df.unpersist()
+
+        cpart = os.path.join(dirs["curated"], f"batch_id={b}")
+        if os.path.isdir(cpart):
+            cdf = (
+                spark.read.option("basePath", cpart).parquet(cpart).persist()
+            )
+            ckept = cdf.filter(~F.col("doc_id").isin(ids))
+            removed["curated"] += cdf.count() - ckept.count()
+            swap_rewrite(cpart, ckept, ["cluster_id"])
+            cdf.unpersist()
+
+        ipart = os.path.join(dirs["dedup_index"], f"src_batch={b}")
+        idf = (
+            spark.read.schema("content_hash string").parquet(ipart).persist()
+        )
+        ikept = idf.filter(~F.col("content_hash").isin(sorted(hashes)))
+        removed["dedup_index"] += idf.count() - ikept.count()
+        swap_rewrite(ipart, ikept, None)
+        idf.unpersist()
+
+    id_df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    text_index_delete_sink(dirs["text_index"])(id_df, retract_epoch)
+    vector_index_delete_sink(dirs["vector_index"])(
+        id_df.select(F.col("doc_id").alias("vec_id")), retract_epoch
+    )
+    return removed

@@ -166,3 +166,87 @@ class TestVectorIndexDeletion:
             spark.createDataFrame(rows[:1], "vec_id long, embedding array<float>"), 2
         )
         assert top(idx)[0] == 1
+
+
+class TestCorpusRetract:
+    SCHEMA = (
+        "doc_id long, source string, n_chars long, text string, embedding array<float>"
+    )
+
+    def test_retract_across_all_five_stores_and_readmission(self, spark, tmp_path):
+        """End-to-end right-to-be-forgotten through the capstone: after
+        corpus_retract, the doc is gone from accepted/curated, its hash
+        has left the dedup index, and both serving indexes stop
+        returning it — AND a later re-crawl of the identical text is
+        ADMITTED again (the property tombstoning the serving indexes
+        alone would break: a stale dedup-index hash would silently block
+        re-entry forever)."""
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_ingest_epoch,
+            corpus_retract,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.curation import read_curated
+        from data_ingestion_experiment_otp_spark.streaming.text_index import (
+            bm25_query_index,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.vector_index import (
+            ann_query_index,
+        )
+
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal(64)
+        near = [float(x) for x in base + 0.05 * rng.standard_normal(64)]
+        text7 = "retractme alpha beta gamma delta epsilon zeta eta theta iota"
+        docs0 = [
+            (7, "web", len(text7), text7, near),
+            (8, "web", 30, "other words entirely here now one", [float(x) for x in rng.standard_normal(64)]),
+        ]
+        docs1 = [
+            (9, "forum", 31, "more distinct tokens in this doc two", [float(x) for x in rng.standard_normal(64)]),
+        ]
+        cents = (
+            spark.createDataFrame([(0, near)], "vec_id long, embedding array<float>")
+            .collect()
+        )
+        work = str(tmp_path / "work")
+        epoch = corpus_ingest_epoch(work, cents, {"*": 0.0})
+        epoch(spark.createDataFrame(docs0, self.SCHEMA), 0)
+        epoch(spark.createDataFrame(docs1, self.SCHEMA), 1)
+
+        dirs = corpus_ingest_dirs(work)
+        q = [(0, "retractme")]
+        qv = spark.createDataFrame(
+            [(100, [float(x) for x in base])], "query_id long, embedding array<float>"
+        )
+        assert [r["doc_id"] for r in bm25_query_index(spark, dirs["text_index"], q).collect()] == [7]
+        assert 7 in {
+            r["vec_id"] for r in ann_query_index(spark, dirs["vector_index"], qv, k=3).collect()
+        }
+
+        removed = corpus_retract(spark, work, [7], retract_epoch=10)
+        assert removed == {"accepted": 1, "curated": 1, "dedup_index": 1}
+
+        acc = spark.read.option("basePath", dirs["accepted"]).parquet(dirs["accepted"])
+        assert acc.filter(F.col("doc_id") == 7).count() == 0
+        assert acc.count() == 2  # the other docs untouched
+        assert read_curated(spark, dirs["curated"]).filter(F.col("doc_id") == 7).count() == 0
+        assert not bm25_query_index(spark, dirs["text_index"], q).collect()
+        assert 7 not in {
+            r["vec_id"] for r in ann_query_index(spark, dirs["vector_index"], qv, k=3).collect()
+        }
+
+        # A re-crawl of the IDENTICAL text at a later epoch is admitted
+        # again and becomes searchable — consent re-granted, content back.
+        epoch(spark.createDataFrame(docs0[:1], self.SCHEMA), 11)
+        # fresh reader: `acc`'s file listing was resolved before epoch 11
+        acc2 = spark.read.option("basePath", dirs["accepted"]).parquet(
+            dirs["accepted"]
+        )
+        assert acc2.filter(F.col("doc_id") == 7).count() == 1
+        assert [r["doc_id"] for r in bm25_query_index(spark, dirs["text_index"], q).collect()] == [7]
+        assert 7 in {
+            r["vec_id"] for r in ann_query_index(spark, dirs["vector_index"], qv, k=3).collect()
+        }
