@@ -74,6 +74,7 @@ HEADLINE = [
     "llm_bigram_perplexity",
     "llm_line_dedup",
     "llm_script_id",
+    "llm_term_proximity",
 ]
 
 

@@ -387,3 +387,87 @@ def llm_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.text_index import phrase_query_index
 
     return phrase_query_index(spark, _ensure_index(spark, sf_dir), list(_PHRASES))
+
+
+# Proximity workload: (query_id, term_a, term_b) pairs from the fixture
+# vocabulary; _PROX_W is the "near" window in token positions.
+_PROX_PAIRS: tuple[tuple[int, str, str], ...] = (
+    (0, "join", "hash"),
+    (1, "stream", "window"),
+    (2, "customer", "filter"),
+)
+_PROX_W = 5
+
+_PROX_SQL = ", ".join(f"({q}, '{a}', '{b}')" for q, a, b in _PROX_PAIRS)
+
+_PROX_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {{tok}} AS tk FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(tk) AS term, unnest(range(len(tk))) AS pos
+      FROM toks
+    ),
+    q(query_id, term_a, term_b) AS (VALUES {_PROX_SQL}),
+    pa AS (
+      SELECT q.query_id, tok.doc_id, tok.pos
+      FROM q JOIN tok ON tok.term = q.term_a
+    ),
+    pb AS (
+      SELECT q.query_id, tok.doc_id, tok.pos
+      FROM q JOIN tok ON tok.term = q.term_b
+    )
+    SELECT pa.query_id, pa.doc_id,
+           CAST(min(abs(pa.pos - pb.pos)) AS BIGINT) AS min_dist,
+           CAST(sum(CASE WHEN abs(pa.pos - pb.pos) <= {_PROX_W} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_pairs
+    FROM pa JOIN pb ON pa.query_id = pb.query_id AND pa.doc_id = pb.doc_id
+    GROUP BY pa.query_id, pa.doc_id
+    """.replace("{tok}", _TOKENIZE)
+
+
+@register(
+    "llm_term_proximity",
+    oracle=_PROX_ORACLE,
+    tags=("llm", "retrieval", "text"),
+)
+def llm_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-pair proximity search — the relevance signal between
+    bag-of-words BM25 and exact phrase match (collocation mining, quote
+    detection, 'these terms discussed TOGETHER' filters): for each
+    (term_a, term_b) query, every document containing BOTH terms with
+    the minimum token distance between any occurrence pair and the count
+    of occurrence pairs within a {w}-token window.
+
+    Scale shape: the token stream is filtered against the BROADCAST
+    query vocabulary immediately after the explode (only postings whose
+    term occurs in some pair survive — same skeleton as BM25/phrase);
+    the positional pairing is a (query_id, doc_id)-keyed join of the two
+    surviving position relations, so its per-group size is tf_a x tf_b
+    within one document — bounded by document length, never corpus-sized
+    — and everything that shuffles is (query_id, doc_id, pos) scalars."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(tokenize()).alias("pos", "term"))
+    qdf = spark.createDataFrame(
+        list(_PROX_PAIRS), "query_id int, term_a string, term_b string"
+    )
+    pa = tok.join(
+        F.broadcast(qdf.select("query_id", "term_a")),
+        tok.term == F.col("term_a"),
+    ).select("query_id", "doc_id", "pos")
+    pb = tok.join(
+        F.broadcast(qdf.select("query_id", "term_b")),
+        tok.term == F.col("term_b"),
+    ).select("query_id", "doc_id", F.col("pos").alias("pos_b"))
+    dist = F.abs(F.col("pos") - F.col("pos_b"))
+    return (
+        pa.join(pb, ["query_id", "doc_id"])
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.min(dist).alias("min_dist"),
+            F.sum(F.when(dist <= _PROX_W, 1).otherwise(0)).alias("n_near_pairs"),
+        )
+    )
+
+
+llm_term_proximity.__doc__ = llm_term_proximity.__doc__.format(w=_PROX_W)

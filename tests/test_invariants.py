@@ -940,6 +940,7 @@ class TestOrderIndependenceSweep:
         "llm_bigram_perplexity",
         "llm_line_dedup",
         "llm_script_id",
+        "llm_term_proximity",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

@@ -80,6 +80,7 @@ TEXT_TIER = [
     "llm_source_divergence",
     "llm_bigram_perplexity",
     "llm_script_id",
+    "llm_term_proximity",
 ]
 
 
