@@ -471,3 +471,21 @@ def llm_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 llm_term_proximity.__doc__ = llm_term_proximity.__doc__.format(w=_PROX_W)
+
+
+@register(
+    "llm_proximity_indexed",
+    oracle=_PROX_ORACLE,
+    tags=("llm", "retrieval", "index"),
+)
+def llm_proximity_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The proximity workload served from the persisted positional index
+    (streaming/text_index.py::proximity_query_index) — carrying the
+    batch operator's oracle verbatim hash-gates the positional
+    round-trip for the pairing algebra exactly as llm_phrase_indexed
+    does for offset voting."""
+    from ..streaming.text_index import proximity_query_index
+
+    return proximity_query_index(
+        spark, _ensure_index(spark, sf_dir), list(_PROX_PAIRS), window=_PROX_W
+    )

@@ -413,3 +413,70 @@ def index_stats(spark: SparkSession, index_dir: str) -> dict:
         "epochs": doclen.select("src_batch").distinct().count(),
         "docs": doclen.select("doc_id").distinct().count(),
     }
+
+
+def proximity_query_index(
+    spark: SparkSession,
+    index_dir: str,
+    pairs: list[tuple[int, str, str]],
+    window: int = 5,
+) -> DataFrame:
+    """Term-pair proximity over the persisted positional postings — the
+    index-served form of operators/retrieval.py::llm_term_proximity
+    (same algebra: explode each matched posting's position array, pair
+    the two terms' positions within (query_id, doc_id), min distance +
+    within-window pair count). `pairs` is the bounded
+    (query_id, term_a, term_b) workload.
+
+    Scan pruned exactly like the BM25/phrase paths (static pkey
+    partition filter + thash pushdown); liveness from the doclen ledger,
+    so re-ingested/deleted docs resolve correctly; only matched
+    postings' position arrays explode, and the pairing join is keyed by
+    (query_id, doc_id) scalars."""
+    if not os.path.isdir(os.path.join(index_dir, "postings")):
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, min_dist long, n_near_pairs long"
+        )
+    qdf = spark.createDataFrame(
+        list(pairs), "query_id int, term_a string, term_b string"
+    )
+    qa = qdf.select("query_id", F.xxhash64("term_a").alias("thash"))
+    qb = qdf.select("query_id", F.xxhash64("term_b").alias("thash"))
+    qterms = [
+        r["thash"]
+        for r in qa.select("thash").union(qb.select("thash")).distinct().collect()
+    ]
+    pkeys = sorted({t % _PARTS for t in qterms})
+    postings = (
+        spark.read.schema(_POSTINGS_SCHEMA)
+        .option("basePath", os.path.join(index_dir, "postings"))
+        .parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("pkey").isin(pkeys) & F.col("thash").isin(qterms))
+    )
+    doclen = (
+        spark.read.schema(_DOCLEN_SCHEMA)
+        .option("basePath", os.path.join(index_dir, "doclen"))
+        .parquet(os.path.join(index_dir, "doclen"))
+    )
+    live = _live_ledger(doclen)
+    tokpos = (
+        postings.join(
+            live,
+            (postings.doc_id == live.doc_id)
+            & (postings.src_batch == live.cur_epoch),
+        )
+        .select(live.doc_id, "thash", F.explode("pos").alias("pos"))
+    )
+    pa = tokpos.join(F.broadcast(qa), "thash").select("query_id", "doc_id", "pos")
+    pb = tokpos.join(F.broadcast(qb), "thash").select(
+        "query_id", "doc_id", F.col("pos").alias("pos_b")
+    )
+    dist = F.abs(F.col("pos") - F.col("pos_b"))
+    return (
+        pa.join(pb, ["query_id", "doc_id"])
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.min(dist).cast("long").alias("min_dist"),
+            F.sum(F.when(dist <= window, 1).otherwise(0)).alias("n_near_pairs"),
+        )
+    )

@@ -81,6 +81,7 @@ TEXT_TIER = [
     "llm_bigram_perplexity",
     "llm_script_id",
     "llm_term_proximity",
+    "llm_proximity_indexed",
 ]
 
 
