@@ -75,6 +75,7 @@ HEADLINE = [
     "llm_line_dedup",
     "llm_script_id",
     "llm_term_proximity",
+    "llm_bm25_prf",
 ]
 
 

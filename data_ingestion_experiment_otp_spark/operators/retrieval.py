@@ -489,3 +489,178 @@ def llm_proximity_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proximity_query_index(
         spark, _ensure_index(spark, sf_dir), list(_PROX_PAIRS), window=_PROX_W
     )
+
+
+# PRF expansion: take the top-_PRF_M co-occurring terms from each query's
+# top-k documents, weight them _PRF_WEIGHT vs 1.0 for original terms.
+_PRF_M = 3
+_PRF_WEIGHT = 0.5
+
+_PRF_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENIZE} AS tk FROM documents
+    ),
+    dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM toks),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+    q(query_id, term) AS (VALUES {_QUERIES_SQL}),
+    qt AS (SELECT DISTINCT term FROM q),
+    tf0 AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf
+      FROM tok JOIN qt USING (term) GROUP BY doc_id, term
+    ),
+    dft0 AS (SELECT term, count(*)::DOUBLE AS df FROM tf0 GROUP BY term),
+    scored0 AS (
+      SELECT q.query_id, tf0.doc_id,
+             sum(ln(1 + (s.n - dft0.df + 0.5) / (dft0.df + 0.5))
+                 * tf0.tf * ({_K1} + 1)
+                 / (tf0.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl))) AS score
+      FROM q
+      JOIN tf0 ON tf0.term = q.term
+      JOIN dft0 ON dft0.term = q.term
+      JOIN dl ON dl.doc_id = tf0.doc_id
+      CROSS JOIN stats s
+      GROUP BY q.query_id, tf0.doc_id
+    ),
+    top0 AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY round(score, 6) DESC, doc_id) AS rn
+        FROM scored0
+      ) WHERE rn <= {_TOP_K}
+    ),
+    cand AS (
+      SELECT t.query_id, tok.term, count(*) AS ctf
+      FROM tok JOIN top0 t ON tok.doc_id = t.doc_id
+      GROUP BY t.query_id, tok.term
+    ),
+    cand2 AS (
+      SELECT c.query_id, c.term, c.ctf
+      FROM cand c LEFT JOIN q ON q.query_id = c.query_id AND q.term = c.term
+      WHERE q.term IS NULL
+    ),
+    exp AS (
+      SELECT query_id, term, {_PRF_WEIGHT} AS w FROM (
+        SELECT query_id, term,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY ctf DESC, term) AS rn
+        FROM cand2
+      ) WHERE rn <= {_PRF_M}
+    ),
+    qw AS (
+      SELECT query_id, term, 1.0 AS w FROM q
+      UNION ALL SELECT query_id, term, w FROM exp
+    ),
+    qt2 AS (SELECT DISTINCT term FROM qw),
+    tf AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf
+      FROM tok JOIN qt2 USING (term) GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT qw.query_id, tf.doc_id,
+             sum(qw.w * ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+                 * tf.tf * ({_K1} + 1)
+                 / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl))) AS score
+      FROM qw
+      JOIN tf ON tf.term = qw.term
+      JOIN dft ON dft.term = qw.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY qw.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score, rn FROM (
+      SELECT query_id, doc_id, round(score, 6) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 6) DESC, doc_id) AS rn
+      FROM scored
+    )
+    WHERE rn <= {_TOP_K}
+    """
+
+
+@register(
+    "llm_bm25_prf",
+    oracle=_PRF_ORACLE,
+    tags=("llm", "retrieval", "text"),
+)
+def llm_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio-style query
+    expansion): run the base BM25 workload, mine each query's top-{k}
+    documents for their top-{m} co-occurring terms (by term frequency in
+    those docs, excluding the query's own terms, alphabetical
+    tie-break), then RESCORE the corpus against the expanded weighted
+    query — original terms weight 1.0, expansion terms {w}. The classic
+    recall-widening step between one-shot keyword search and semantic
+    retrieval, here as a fully deterministic two-stage DataFrame
+    composition with an exact cross-engine oracle (every stage ranks on
+    round-6 grids with total-order tie-breaks, so the expansion term
+    SET — not just scores — is hash-stable).
+
+    Scale shape: both stages keep the BM25 skeleton's properties — the
+    only corpus-wide work is the postings explode, filtered against a
+    broadcast vocabulary before any aggregation (stage 2's vocabulary is
+    queries x ({m}+terms) rows — computed, small, broadcast); the
+    expansion mining joins the token stream against the broadcast top-k
+    doc set (queries x {k} rows), so only those documents' tokens ever
+    aggregate; every shuffle carries scalars."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokenize()
+    dl = d.select("doc_id", F.size(toks).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tok = d.select("doc_id", F.explode(toks).alias("term"))
+    qdf = spark.createDataFrame(list(_QUERIES), "query_id int, term string")
+
+    base = llm_bm25_topk(spark, sf_dir).select("query_id", "doc_id")
+    cand = (
+        tok.join(F.broadcast(base), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("ctf"))
+        .join(qdf, ["query_id", "term"], "left_anti")
+    )
+    wexp = Window.partitionBy("query_id").orderBy(
+        F.col("ctf").desc(), F.col("term")
+    )
+    exp = (
+        cand.withColumn("rn", F.row_number().over(wexp))
+        .filter(F.col("rn") <= _PRF_M)
+        .select("query_id", "term", F.lit(_PRF_WEIGHT).alias("w"))
+    )
+    qw = qdf.select("query_id", "term", F.lit(1.0).alias("w")).unionByName(exp)
+    qterms = qw.select("term").distinct()
+
+    tf = (
+        tok.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    contrib = bm25_contribution(
+        F.col("tf"), F.col("df"), F.col("n"), F.col("dl"), F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qw), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.col("w") * contrib), 6).alias("score"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "doc_id", "score", "rn")
+    )
+
+
+llm_bm25_prf.__doc__ = llm_bm25_prf.__doc__.format(
+    k=_TOP_K, m=_PRF_M, w=_PRF_WEIGHT
+)

@@ -941,6 +941,9 @@ class TestOrderIndependenceSweep:
         "llm_line_dedup",
         "llm_script_id",
         "llm_term_proximity",
+        # two-stage PRF: every stage ranks on a round-6 grid with a
+        # total-order tie-break, so even the expansion term SET is stable
+        "llm_bm25_prf",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

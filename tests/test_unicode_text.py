@@ -82,6 +82,7 @@ TEXT_TIER = [
     "llm_script_id",
     "llm_term_proximity",
     "llm_proximity_indexed",
+    "llm_bm25_prf",
 ]
 
 
