@@ -983,8 +983,21 @@ def llm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scoring), the exact twin of the oracle's 1-based tk[pos].
         .select("doc_id", "w", F.expr("get(tk, pos - 1)").alias("prev"))
     )
-    pf = tok.groupBy("doc_id", "prev", "w").agg(
-        F.count("*").cast("double").alias("n")
+    # Lazily local-checkpoint the pair-count relation: FOUR model
+    # quantities branch from pf, and their join-inferred filters
+    # (isnotnull(w) on the inner-join branches, prev-notnull on the
+    # bigram branches) push below pf's shuffle and de-canonicalize the
+    # subtrees, so exchange reuse cannot dedup them — measured 4 full
+    # scan+tokenize+explode executions without this. The checkpoint
+    # materializes pf ONCE (it is the compact per-(doc, prev, w) count
+    # relation, orders of magnitude smaller than the token stream) and
+    # every branch reads the materialized RDD (executed-plan-pinned: the
+    # main job contains zero FileScans). Same pattern as
+    # llm_dedup_clusters' checkpointed edge list.
+    pf = (
+        tok.groupBy("doc_id", "prev", "w")
+        .agg(F.count("*").cast("double").alias("n"))
+        .localCheckpoint(eager=False)
     )
     ug = pf.groupBy("w").agg(F.sum("n").alias("c_w"))
     t = ug.agg(F.sum("c_w").alias("t"))

@@ -619,6 +619,23 @@ class TestBm25Plans:
         assert final.count("Generate explode") == 1, final
         assert final.count("ReusedExchange") == 2, final
 
+    def test_bigram_perplexity_single_tokenize(self, spark, sf_dir):
+        """llm_bigram_perplexity's four model branches must read the
+        checkpointed pair-count relation, not re-tokenize the corpus per
+        branch (measured 4 scan+explode executions before the r6
+        localCheckpoint): the main job's executed plan contains ZERO
+        parquet scans — every branch scans the materialized RDD."""
+        df = SPECS["llm_bigram_perplexity"].fn(spark, sf_dir)
+        df.collect()
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert final.count("FileScan parquet") == 0, final
+        assert final.count("Scan ExistingRDD") >= 3, final
+
     def test_batch_bm25_exchanges_are_text_free(self, spark, sf_dir):
         """No Exchange in the batch BM25 plan may carry the text column or
         the token array — everything that shuffles is (doc_id, term, tf,
