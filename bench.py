@@ -76,6 +76,7 @@ HEADLINE = [
     "llm_script_id",
     "llm_term_proximity",
     "llm_bm25_prf",
+    "llm_gopher_rules",
 ]
 
 

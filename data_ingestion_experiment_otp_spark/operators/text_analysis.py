@@ -1129,3 +1129,160 @@ def llm_script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         dominant.alias("script"),
         frac.alias("script_frac"),
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, Table A1 — the public
+# rule set everyone's curation pipeline reimplements).
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MWL = 3.0
+_GOPHER_MAX_MWL = 10.0
+_GOPHER_MAX_SYMBOL_RATIO = 0.1
+_GOPHER_MAX_BULLET_FRAC = 0.9
+_GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+_GOPHER_MIN_ALPHA_FRAC = 0.8
+_GOPHER_MIN_STOP_HITS = 2
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _GOPHER_STOPS) + "]"
+
+_GOPHER_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+             string_split(text, chr(10)) AS lines,
+             length(text) - length(replace(replace(text, '#', ''), '…', ''))
+               AS n_symbols
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws)
+             END AS mean_word_len,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE n_symbols * 1.0 / len(ws) END AS symbol_ratio,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE len(list_filter(lines, l ->
+                         l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%'))
+                       * 1.0 / len(lines) END AS bullet_frac,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE len(list_filter(lines, l ->
+                         l LIKE '%...' OR l LIKE '%…'))
+                       * 1.0 / len(lines) END AS ellipsis_frac,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE len(list_filter(ws, w -> regexp_matches(w, '\\p{{L}}')))
+                       * 1.0 / len(ws) END AS alpha_frac,
+             len(list_intersect(ws, {_GOPHER_STOPS_SQL})) AS stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           round(bullet_frac, 6) AS bullet_frac,
+           round(ellipsis_frac, 6) AS ellipsis_frac,
+           round(alpha_frac, 6) AS alpha_frac,
+           stop_hits,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+            AND mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}
+            AND symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO}
+            AND bullet_frac <= {_GOPHER_MAX_BULLET_FRAC}
+            AND ellipsis_frac <= {_GOPHER_MAX_ELLIPSIS_FRAC}
+            AND alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC}
+            AND stop_hits >= {_GOPHER_MIN_STOP_HITS}) AS keep
+    FROM m
+    """
+
+
+@register(
+    "llm_gopher_rules",
+    oracle=_GOPHER_ORACLE,
+    tags=("llm", "text", "quality"),
+)
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule gate (Rae et al. 2021) — the published
+    heuristic filter set every training-data pipeline runs before any
+    model-based scoring, complementing `llm_repetition_signals` (which
+    covers the same paper's repetition rules): word-count bounds, mean
+    word length bounds, symbol-to-word ratio, bullet-/ellipsis-line
+    fractions, alphabetic-word fraction, and stopword presence, plus the
+    conjunctive keep flag. Signals are emitted alongside the verdict so
+    threshold tuning is a filter change, not a recompute.
+
+    Every ratio is an exact small-integer quotient (IEEE-identical in
+    both engines) compared UNROUNDED against the published thresholds;
+    the reported columns are round-6 for the hash. Whitespace words
+    (this tier's convention, shared with llm_text_profile) rather than
+    the retrieval tokenizer — Gopher's rules are defined over raw words,
+    where stripping punctuation would change symbol/alpha fractions.
+
+    Scale shape: ZERO shuffle — one scan, higher-order array arithmetic
+    per row, text never leaves the scan."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    lines = F.split("text", "\n")
+    n_sym = F.length("text") - F.length(
+        F.regexp_replace("text", F.lit(r"[#…]"), F.lit(""))
+    )
+    t = d.select(
+        "doc_id", ws.alias("ws"), lines.alias("lines"), n_sym.alias("n_symbols")
+    )
+    n_words = F.size("ws")
+    n_lines = F.size("lines")
+    zero = F.lit(0.0)
+    mwl = F.when(n_words == 0, zero).otherwise(
+        F.aggregate("ws", F.lit(0), lambda a, w: a + F.length(w)) * 1.0 / n_words
+    )
+    sym = F.when(n_words == 0, zero).otherwise(F.col("n_symbols") * 1.0 / n_words)
+    bullet = F.when(n_lines == 0, zero).otherwise(
+        F.size(
+            F.filter(
+                "lines",
+                lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+            )
+        )
+        * 1.0
+        / n_lines
+    )
+    ellipsis = F.when(n_lines == 0, zero).otherwise(
+        F.size(F.filter("lines", lambda l: l.endswith("...") | l.endswith("…")))
+        * 1.0
+        / n_lines
+    )
+    alpha = F.when(n_words == 0, zero).otherwise(
+        F.size(F.filter("ws", lambda w: w.rlike(r"\p{L}"))) * 1.0 / n_words
+    )
+    stops = F.size(
+        F.array_intersect("ws", F.array(*[F.lit(w) for w in _GOPHER_STOPS]))
+    )
+    m = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        bullet.alias("bullet_frac"),
+        ellipsis.alias("ellipsis_frac"),
+        alpha.alias("alpha_frac"),
+        stops.alias("stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL)
+        & (F.col("symbol_ratio") <= _GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_frac") <= _GOPHER_MAX_BULLET_FRAC)
+        & (F.col("ellipsis_frac") <= _GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.col("alpha_frac") >= _GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("stop_hits") >= _GOPHER_MIN_STOP_HITS)
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        F.round("bullet_frac", 6).alias("bullet_frac"),
+        F.round("ellipsis_frac", 6).alias("ellipsis_frac"),
+        F.round("alpha_frac", 6).alias("alpha_frac"),
+        "stop_hits",
+        keep.alias("keep"),
+    )

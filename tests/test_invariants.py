@@ -944,6 +944,7 @@ class TestOrderIndependenceSweep:
         # two-stage PRF: every stage ranks on a round-6 grid with a
         # total-order tie-break, so even the expansion term SET is stable
         "llm_bm25_prf",
+        "llm_gopher_rules",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

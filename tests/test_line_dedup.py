@@ -103,3 +103,56 @@ class TestBigramPerplexity:
         un = {r["doc_id"]: r["avg_bits"] for r in llm_unigram_perplexity(spark, str(out)).collect()}
         assert un[90] == un[91], "unigram must be order-blind on equal bags"
         assert bi[90] < bi[91], f"bigram must reward the dominant order: {bi}"
+
+
+class TestGopherRules:
+    def test_each_rule_fires_on_its_planted_violation(self, spark, tmp_path):
+        """One planted doc per rule, violating exactly that rule, plus a
+        clean doc passing all of them."""
+        from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+            llm_gopher_rules,
+        )
+
+        good_words = (
+            "the quick brown fox jumps over lazy dogs and cats that have fun "
+            "with many other animal friends being happy today under sunny sky "
+            "while some more words keep arriving here to reach fifty total "
+            "count for this document easily done now surely indeed friends "
+            "adding several extra filler words pushes beyond fifty words"
+        )
+        rows = [
+            (1, good_words, "en", "s", len(good_words)),                    # keeps
+            (2, "too few words here", "en", "s", 18),                        # n_words < 50
+            (3, " ".join(["a"] * 60) + " the to", "en", "s", 120),           # mwl < 3
+            (4, " ".join(["#" * 5] * 60) + " the to", "en", "s", 300),       # symbol ratio + alpha
+            (5, " ".join(["w" + "…" for _ in range(60)]) + " the to", "en", "s", 200),  # symbols
+            (6, " ".join(["123456"] * 60) + " the to", "en", "s", 400),      # alpha_frac < 0.8
+            (7, good_words.replace("the ", "zzz ").replace("and ", "yyy ").replace("have ", "xxx ").replace("to ", "qqq ").replace("that ", "ppp ").replace("with ", "mmm "), "en", "s", 100),  # stop_hits < 2
+        ]
+        out = tmp_path / "docs"
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+        got = {r["doc_id"]: r for r in llm_gopher_rules(spark, str(out)).collect()}
+        assert got[1]["keep"] is True, got[1]
+        for bad in (2, 3, 4, 5, 6, 7):
+            assert got[bad]["keep"] is False, (bad, got[bad])
+        assert got[2]["n_words"] < 50
+        assert got[3]["mean_word_len"] < 3.0
+        assert got[6]["alpha_frac"] < 0.8
+        assert got[7]["stop_hits"] < 2
+
+    def test_multiline_bullet_and_ellipsis_fracs(self, spark, tmp_path):
+        from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+            llm_gopher_rules,
+        )
+
+        text = "- item one\n- item two\nplain line...\nanother plain"
+        rows = [(1, text, "en", "s", len(text))]
+        out = tmp_path / "docs"
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+        r = llm_gopher_rules(spark, str(out)).collect()[0]
+        assert r["bullet_frac"] == 0.5      # 2 of 4 lines
+        assert r["ellipsis_frac"] == 0.25   # 1 of 4 lines

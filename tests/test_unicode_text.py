@@ -83,6 +83,7 @@ TEXT_TIER = [
     "llm_term_proximity",
     "llm_proximity_indexed",
     "llm_bm25_prf",
+    "llm_gopher_rules",
 ]
 
 
