@@ -77,6 +77,8 @@ HEADLINE = [
     "llm_term_proximity",
     "llm_bm25_prf",
     "llm_gopher_rules",
+    "llm_bm25_chunks",
+    "llm_triplet_mining",
 ]
 
 

@@ -664,3 +664,138 @@ def llm_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 llm_bm25_prf.__doc__ = llm_bm25_prf.__doc__.format(
     k=_TOP_K, m=_PRF_M, w=_PRF_WEIGHT
 )
+
+
+_CHUNK_BM25_ORACLE = """
+    WITH ws_t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    built AS (
+      SELECT doc_id,
+             [{'cid': i - 1,
+               'txt': array_to_string(ws[(i-1)*{STRIDE} + 1 :
+                                         (i-1)*{STRIDE} + {SIZE}], ' ')}
+              for i in range(1, CAST(ceil(greatest(len(ws) - {SIZE}, 0)
+                                          / {STRIDE}.0) AS BIGINT) + 2)] AS chunks
+      FROM ws_t WHERE len(ws) > 0
+    ),
+    chunk AS (
+      SELECT doc_id, CAST(c['cid'] AS INT) AS chunk_id,
+             regexp_extract_all(lower(c['txt']), '{TOKRE}', 0) AS tk
+      FROM (SELECT doc_id, unnest(chunks) AS c FROM built)
+    ),
+    dl AS (SELECT doc_id, chunk_id, len(tk)::DOUBLE AS dl FROM chunk),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    tok AS (
+      SELECT doc_id, chunk_id, unnest(tk) AS term FROM chunk
+    ),
+    q(query_id, term) AS (VALUES {QSQL}),
+    qt AS (SELECT DISTINCT term FROM q),
+    tf AS (
+      SELECT doc_id, chunk_id, term, count(*)::DOUBLE AS tf
+      FROM tok JOIN qt USING (term) GROUP BY doc_id, chunk_id, term
+    ),
+    dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT q.query_id, tf.doc_id, tf.chunk_id,
+             round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+                 * tf.tf * ({K1} + 1)
+                 / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))), 6) AS score
+      FROM q
+      JOIN tf ON tf.term = q.term
+      JOIN dft ON dft.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id AND dl.chunk_id = tf.chunk_id
+      CROSS JOIN stats s
+      GROUP BY q.query_id, tf.doc_id, tf.chunk_id
+    ),
+    best AS (
+      SELECT query_id, doc_id, chunk_id, score,
+             row_number() OVER (
+               PARTITION BY query_id, doc_id
+               ORDER BY score DESC, chunk_id) AS crn
+      FROM scored
+    )
+    SELECT query_id, doc_id, chunk_id, score, rn FROM (
+      SELECT query_id, doc_id, chunk_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      FROM best WHERE crn = 1
+    )
+    WHERE rn <= {TOPK}
+    """
+
+
+@register(
+    "llm_bm25_chunks",
+    oracle=_CHUNK_BM25_ORACLE.replace("{STRIDE}", "24")
+    .replace("{SIZE}", "32")
+    .replace("{TOKRE}", _TOKEN_RE)
+    .replace("{QSQL}", _QUERIES_SQL)
+    .replace("{K1}", str(_K1))
+    .replace("{B}", str(_B))
+    .replace("{TOPK}", str(_TOP_K)),
+    tags=("llm", "retrieval", "text"),
+)
+def llm_bm25_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document retrieval: BM25 at CHUNK granularity with per-doc
+    max-pooling — the standard answer to length-normalization washing
+    out a long document's one relevant passage (score every
+    32-word/24-stride window from `llm_chunk_docs` as its own retrieval
+    unit, then a document scores as its best chunk and reports WHICH
+    chunk won, so the caller can jump straight to the passage). Chunk
+    scores are round-6 BEFORE the per-doc argmax, so best-chunk
+    selection (chunk_id tie-break) and the final doc ranking (doc_id
+    tie-break) are total orders — hash-stable cross-engine.
+
+    Scale shape: chunking is scan-side (zero shuffle, llm_chunk_docs);
+    the BM25 skeleton is unchanged — postings filtered against the
+    broadcast query vocabulary before any aggregation, all shuffles
+    carry (doc, chunk, term, count) scalars, both rank windows get
+    WindowGroupLimit partial top-k."""
+    from .text_analysis import llm_chunk_docs
+
+    chunks = llm_chunk_docs(spark, sf_dir).select(
+        "doc_id", "chunk_id", F.col("chunk_text").alias("text")
+    )
+    toks = tokenize()
+    dl = chunks.select(
+        "doc_id", "chunk_id", F.size(toks).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    qdf = spark.createDataFrame(list(_QUERIES), "query_id int, term string")
+    qterms = qdf.select("term").distinct()
+    tok = chunks.select("doc_id", "chunk_id", F.explode(toks).alias("term"))
+    tf = (
+        tok.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "chunk_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    contrib = bm25_contribution(
+        F.col("tf"), F.col("df"), F.col("n"), F.col("dl"), F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, ["doc_id", "chunk_id"])
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id", "chunk_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    wc = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.col("score").desc(), F.col("chunk_id")
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") == 1)
+        .drop("crn")
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "doc_id", "chunk_id", "score", "rn")
+    )

@@ -876,3 +876,179 @@ def llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "vec_id", F.round("cosine_raw", 6).alias("cosine"), "rn")
     )
+
+
+# Triplet-mining bands: top-_TRIPLET_POS as positives, the next
+# _TRIPLET_HARD ranks as hard negatives, _TRIPLET_EASY Lehmer-sampled
+# from the remainder as easy negatives.
+_TRIPLET_POS = _TOP_K
+_TRIPLET_HARD = 10
+_TRIPLET_EASY = 5
+_TRIPLET_BAND = _TRIPLET_POS + _TRIPLET_HARD
+
+_TRIPLET_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % 100 = 0 AND vec_id < {_QUERY_ID_CAP}
+        AND embedding IS NOT NULL
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             list_cosine_similarity(q.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]) AS cos_raw
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE e.embedding IS NOT NULL
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_raw,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rn
+      FROM pairs
+    ),
+    banded AS (
+      SELECT query_id, vec_id, cos_raw, rn,
+             CASE WHEN rn <= {_TRIPLET_POS} THEN 'positive'
+                  ELSE 'hard_negative' END AS role
+      FROM ranked WHERE rn <= {_TRIPLET_BAND}
+    ),
+    easy AS (
+      SELECT query_id, vec_id, cos_raw,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ((query_id * 48271 + vec_id * 16807) % 2147483647),
+                        vec_id) AS rn,
+             'easy_negative' AS role
+      FROM ranked WHERE rn > {_TRIPLET_BAND}
+    )
+    SELECT query_id, vec_id, round(cos_raw, 6) AS cosine, role,
+           CAST(rn AS INT) AS rank
+    FROM (
+      SELECT query_id, vec_id, cos_raw, role, rn FROM banded
+      UNION ALL
+      SELECT query_id, vec_id, cos_raw, role, rn FROM easy
+      WHERE rn <= {_TRIPLET_EASY}
+    )
+    """
+
+
+@register(
+    "llm_triplet_mining",
+    oracle=_TRIPLET_ORACLE,
+    tags=("llm", "similarity", "training"),
+)
+def llm_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for every query vector, the
+    anchor's POSITIVES (exact top-{p} cosine), HARD NEGATIVES (the next
+    {h} ranks — close enough to teach the margin, the band contrastive
+    fine-tuning mines for), and {e} EASY NEGATIVES sampled from the
+    remainder by a deterministic Lehmer hash of (query_id, vec_id) —
+    seedless, cross-engine-exact integer arithmetic (the
+    llm_cluster_balance pattern), so the sampled SET is hash-checkable,
+    not just its size.
+
+    Scale shape: the ranked band reuses llm_sim_topk's bounded-rank
+    plan (per-batch BLAS top-k' union, scalar rank shuffle with partial
+    WindowGroupLimit); the easy-negative pool is an id-only projection
+    (corpus x queries SCALARS — embeddings never join it) whose
+    hash-rank window also takes a partial limit, and cosines for the
+    queries x {e} winners are recomputed via one broadcast join. At
+    100 TB the band stage swaps to the ANN ladder behind the same
+    contract; the Lehmer sampler is scan-side either way."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_vectors(spark, sf_dir)
+    qrows = (
+        e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP))
+        .select("vec_id", "embedding")
+        .limit(_MAX_QUERIES + 1)
+        .collect()
+    )
+    if len(qrows) > _MAX_QUERIES:
+        raise ValueError("llm_triplet_mining query side exceeds the budget")
+    empty = "query_id long, vec_id long, cosine double, role string, rank int"
+    if not qrows:
+        return spark.createDataFrame([], empty)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    bcast = spark.sparkContext.broadcast(
+        (qids, Q / np.linalg.norm(Q, axis=1, keepdims=True))
+    )
+    band = _TRIPLET_BAND
+
+    def batches(it):
+        q_ids, Qn = bcast.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            C = (V / np.linalg.norm(V, axis=1, keepdims=True)) @ Qn.T
+            C[ids[:, None] == q_ids[None, :]] = -np.inf
+            k = min(band, C.shape[0])
+            order = np.lexsort((ids[:, None].repeat(C.shape[1], 1), -C), axis=0)[:k]
+            out_c = np.take_along_axis(C, order, axis=0).ravel()
+            keep = np.isfinite(out_c)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids[None, :], k, axis=0).ravel()[keep],
+                    "vec_id": ids[order].ravel()[keep],
+                    "cos_raw": out_c[keep],
+                }
+            )
+
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        batches, "query_id long, vec_id long, cos_raw double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    banded = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= band)
+        .withColumn(
+            "role",
+            F.when(F.col("rn") <= _TRIPLET_POS, "positive").otherwise(
+                "hard_negative"
+            ),
+        )
+    )
+
+    # Easy negatives: id-only Lehmer-hash pick over everything OUTSIDE the
+    # band — scalars only until the bounded winners rejoin for cosines.
+    qid_df = spark.createDataFrame([(int(i),) for i in qids], "query_id long")
+    band_ids = banded.select("query_id", "vec_id")
+    lehmer = (F.col("query_id") * 48271 + F.col("vec_id") * 16807) % 2147483647
+    wh = W.partitionBy("query_id").orderBy(lehmer, F.col("vec_id"))
+    easy_ids = (
+        e.select("vec_id")
+        .crossJoin(F.broadcast(qid_df))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(band_ids), ["query_id", "vec_id"], "left_anti")
+        .withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") <= _TRIPLET_EASY)
+    )
+    qvec = spark.createDataFrame(
+        [(int(r["vec_id"]), r["embedding"]) for r in qrows],
+        "query_id long, q array<float>",
+    ).select("query_id", F.col("q").cast("array<double>").alias("q"))
+    easy = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .join(F.broadcast(easy_ids), "vec_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn("cos_raw", _cosine("q", "v"))
+        .withColumn("role", F.lit("easy_negative"))
+        .select("query_id", "vec_id", "cos_raw", "rn", "role")
+    )
+    return banded.select("query_id", "vec_id", "cos_raw", "rn", "role").unionByName(
+        easy
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round("cos_raw", 6).alias("cosine"),
+        "role",
+        F.col("rn").cast("int").alias("rank"),
+    )
+
+
+llm_triplet_mining.__doc__ = llm_triplet_mining.__doc__.format(
+    p=_TRIPLET_POS, h=_TRIPLET_HARD, e=_TRIPLET_EASY
+)

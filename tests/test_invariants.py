@@ -945,6 +945,7 @@ class TestOrderIndependenceSweep:
         # total-order tie-break, so even the expansion term SET is stable
         "llm_bm25_prf",
         "llm_gopher_rules",
+        "llm_triplet_mining",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):
