@@ -146,3 +146,82 @@ def drift_monitor_sink(
 
 def read_audit(spark: SparkSession, monitor_dir: str) -> DataFrame:
     return spark.read.schema(_AUDIT_SCHEMA).parquet(monitor_dir)
+
+
+_SOURCE_AUDIT_SCHEMA = (
+    "source string, n_tokens long, n_unseen long, kl_bits double, "
+    "drifted boolean, batch_id int"
+)
+
+
+def source_drift_sink(
+    monitor_dir: str,
+    reference: dict[int, float],
+    kl_budget_bits: float = 1.0,
+) -> Callable[[DataFrame, int], None]:
+    """Per-SOURCE drift monitor — the streaming twin of
+    operators/text_analysis.llm_source_divergence pointed at ingest:
+    each epoch writes one audit row per source stratum present in the
+    micro-batch (KL(source-batch ‖ reference) in bits/token, unseen-mass
+    floor, drifted flag), so a single feed going bad shows up as ITS row
+    spiking while the mixture's other strata stay green — the epoch-
+    global sink averages the signal away when the bad source is a small
+    mixture fraction.
+
+    Fully executor-side: the epoch reduces to (source, term-hash) counts
+    map-side, joins the broadcast reference, and the per-source KL
+    factors exactly as the global sink's (sum c*log2(c/p_ref))/N -
+    log2(N) — computed per group in one aggregate with NO driver
+    collect. BatchId-keyed dynamic-overwrite writes, replay-safe."""
+
+    cache: dict[str, DataFrame] = {}
+
+    def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = (
+            batch_df.select("source", F.explode(tokenize()).alias("term"))
+            .groupBy("source", F.xxhash64("term").alias("thash"))
+            .agg(F.count("*").cast("double").alias("c"))
+        )
+        if "ref" not in cache:
+            cache["ref"] = spark.createDataFrame(
+                list(reference.items()), "thash long, p_ref double"
+            ).cache()
+        scored = counts.join(F.broadcast(cache["ref"]), "thash", "left")
+        raw = F.sum(
+            F.col("c")
+            * (
+                F.log(F.col("c") / F.coalesce(F.col("p_ref"), F.lit(_UNSEEN_P)))
+                / F.log(F.lit(2.0))
+            )
+        )
+        per_source = scored.groupBy("source").agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("p_ref").isNull(), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_unseen"),
+            raw.alias("_raw"),
+        )
+        kl = F.round(
+            F.col("_raw") / F.col("n_tokens") - F.log2(F.col("n_tokens")), 6
+        )
+        (
+            per_source.select(
+                "source",
+                "n_tokens",
+                "n_unseen",
+                kl.alias("kl_bits"),
+                (kl > kl_budget_bits).alias("drifted"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(monitor_dir)
+        )
+
+    return monitor_batch
+
+
+def read_source_audit(spark: SparkSession, monitor_dir: str) -> DataFrame:
+    return spark.read.schema(_SOURCE_AUDIT_SCHEMA).parquet(monitor_dir)

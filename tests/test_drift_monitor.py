@@ -89,3 +89,90 @@ class TestDriftMonitor:
         sink(spark.createDataFrame(DRIFTED, DOC_SCHEMA), 1)  # replay
         after = sorted(map(tuple, read_audit(spark, mon).collect()))
         assert after == before and len(after) == 2
+
+
+class TestSourceDrift:
+    SCHEMA = "doc_id long, source string, text string"
+
+    def test_bad_source_flagged_others_green_and_hand_kl(self, spark, tmp_path):
+        """Two sources share epoch 0's calibration corpus; in epoch 1
+        source B switches to never-seen vocabulary while A stays on
+        distribution — B's row must flag drifted, A's must not, and A's
+        KL must match a hand-computed value to 1e-6. The epoch-global
+        monitor on the same batch does NOT flag (B is a small mixture
+        fraction) — the reason the per-source form exists."""
+        import math
+        from collections import Counter
+
+        from data_ingestion_experiment_otp_spark.streaming.drift_monitor import (
+            calibrate_reference,
+            drift_monitor_sink,
+            read_audit,
+            read_source_audit,
+            source_drift_sink,
+        )
+
+        base_a = "alpha beta gamma delta " * 6
+        base_b = "epsilon zeta eta theta"
+        corpus = spark.createDataFrame(
+            [(1, "A", base_a), (2, "B", base_b)], self.SCHEMA
+        )
+        ref = calibrate_reference(corpus.select("doc_id", "text"))
+
+        drifted_batch = [
+            (3, "A", base_a),                      # on-distribution
+            (4, "B", "zzz qqq xxx yyy www vvv"),   # vocabulary swap
+        ]
+        bdf = spark.createDataFrame(drifted_batch, self.SCHEMA)
+        sdir = str(tmp_path / "src_audit")
+        source_drift_sink(sdir, ref, kl_budget_bits=1.0)(bdf, 0)
+        rows = {r["source"]: r for r in read_source_audit(spark, sdir).collect()}
+        assert rows["B"]["drifted"] is True
+        assert rows["B"]["n_unseen"] == rows["B"]["n_tokens"]
+        assert rows["A"]["drifted"] is False
+
+        # hand KL for source A: tokens of base_a vs reference distribution
+        toks = base_a.split()
+        n = len(toks)
+        counts = Counter(toks)
+        ref_by_term = {}
+        # recover p_ref per term via the engine's hash on a tiny frame
+        from pyspark.sql import functions as F2
+
+        h = {
+            r["term"]: r["thash"]
+            for r in spark.createDataFrame([(t,) for t in set(toks)], "term string")
+            .select("term", F2.xxhash64("term").alias("thash"))
+            .collect()
+        }
+        expect = sum(
+            (c / n) * math.log2((c / n) / ref[h[t]]) for t, c in counts.items()
+        )
+        assert abs(rows["A"]["kl_bits"] - expect) < 1e-6
+
+        # dilution: the global monitor sees B's spike averaged down by
+        # A's on-distribution mass — its KL sits well under B's row
+        gdir = str(tmp_path / "glob_audit")
+        drift_monitor_sink(gdir, ref)(bdf.select("doc_id", "text"), 0)
+        g = read_audit(spark, gdir).collect()[0]
+        assert g["kl_bits"] < rows["B"]["kl_bits"] / 2
+
+    def test_replay_rewrites_identical_rows(self, spark, tmp_path):
+        from data_ingestion_experiment_otp_spark.streaming.drift_monitor import (
+            calibrate_reference,
+            read_source_audit,
+            source_drift_sink,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "A", "alpha beta gamma"), (2, "B", "delta epsilon zeta")],
+            self.SCHEMA,
+        )
+        ref = calibrate_reference(corpus.select("doc_id", "text"))
+        sdir = str(tmp_path / "audit")
+        sink = source_drift_sink(sdir, ref)
+        sink(corpus, 0)
+        before = sorted(map(tuple, read_source_audit(spark, sdir).collect()))
+        sink(corpus, 0)  # replay
+        after = sorted(map(tuple, read_source_audit(spark, sdir).collect()))
+        assert before == after and len(before) == 2
