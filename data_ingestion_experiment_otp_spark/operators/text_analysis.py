@@ -1286,3 +1286,91 @@ def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stop_hits",
         keep.alias("keep"),
     )
+
+
+_DATASET_CARD_ORACLE = f"""
+    WITH g AS ({{GOPHER}}),
+    s AS ({{SCRIPT}}),
+    base AS (
+      SELECT doc_id, source, lang, text, n_chars,
+             len({_PPL_TOKENIZE}) AS n_tok
+      FROM documents
+    ),
+    j AS (
+      SELECT base.source, base.lang, base.text, base.n_chars, base.n_tok,
+             g.keep, {" , ".join("s.n_" + n for n in _SCRIPT_NAMES)}
+      FROM base
+      JOIN g ON g.doc_id = base.doc_id
+      JOIN s ON s.doc_id = base.doc_id
+    ),
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             round(avg(CASE WHEN keep THEN 1 ELSE 0 END), 6) AS gopher_keep_rate,
+             {" , ".join(f"sum(n_{n}) AS t_{n}" for n in _SCRIPT_NAMES)}
+      FROM j GROUP BY source
+    )
+    SELECT source, n_docs, n_unique_texts, n_langs, n_tokens, total_chars,
+           gopher_keep_rate,
+           CASE WHEN greatest({", ".join("t_" + n for n in _SCRIPT_NAMES)}) = 0
+                THEN 'unknown'
+{chr(10).join(f"                WHEN t_{n} = greatest({', '.join('t_' + m for m in _SCRIPT_NAMES)}) THEN '{n}'" for n in _SCRIPT_NAMES)}
+           END AS dominant_script
+    FROM agg
+    """.replace("{GOPHER}", _GOPHER_ORACLE).replace("{SCRIPT}", _SCRIPT_ID_ORACLE)
+
+
+@register(
+    "llm_dataset_card",
+    oracle=_DATASET_CARD_ORACLE,
+    tags=("llm", "audit", "capstone"),
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dataset card — the release-audit table a corpus
+    ships with (and the first thing a consumer reads): document / unique
+    -text / language counts, Unicode-token and char volumes, the Gopher
+    keep rate, and the dominant script per source stratum. Composed from
+    the registered builders (`llm_gopher_rules`, `llm_script_id`) joined
+    doc-keyed to the base table, so the card's numbers are BY
+    CONSTRUCTION the same ones the individual audits report — and the
+    spliced oracle (their SQL verbatim as CTEs) hash-gates the whole
+    composition cross-engine.
+
+    Scale shape: three scans of documents (one per composed audit — each
+    audit is itself single-scan/zero-shuffle), doc-keyed scalar joins
+    (AQE picks the strategy), one per-source aggregate; text reaches
+    only the distinct-count, which DuckDB and Spark both hash rather
+    than sort."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", "lang", "text", "n_chars",
+        F.size(_tokenize()).alias("n_tok"),
+    )
+    g = llm_gopher_rules(spark, sf_dir).select("doc_id", "keep")
+    s = llm_script_id(spark, sf_dir).select(
+        "doc_id", *[f"n_{n}" for n in _SCRIPT_NAMES]
+    )
+    j = base.join(g, "doc_id").join(s, "doc_id")
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(F.when(F.col("keep"), 1).otherwise(0)), 6).alias(
+            "gopher_keep_rate"
+        ),
+    ] + [F.sum(f"n_{n}").alias(f"t_{n}") for n in _SCRIPT_NAMES]
+    agg = j.groupBy("source").agg(*aggs)
+    m = F.greatest(*[F.col(f"t_{n}") for n in _SCRIPT_NAMES])
+    dominant = F.when(m == 0, "unknown")
+    for n in _SCRIPT_NAMES:
+        dominant = dominant.when(F.col(f"t_{n}") == m, n)
+    return agg.select(
+        "source", "n_docs", "n_unique_texts", "n_langs", "n_tokens",
+        "total_chars", "gopher_keep_rate", dominant.alias("dominant_script"),
+    )

@@ -946,6 +946,7 @@ class TestOrderIndependenceSweep:
         "llm_bm25_prf",
         "llm_gopher_rules",
         "llm_triplet_mining",
+        "llm_dataset_card",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

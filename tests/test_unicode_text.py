@@ -84,6 +84,7 @@ TEXT_TIER = [
     "llm_proximity_indexed",
     "llm_bm25_prf",
     "llm_gopher_rules",
+    "llm_dataset_card",
 ]
 
 
