@@ -53,7 +53,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     # keeps its exact oracle in pytest parity. Its slot carries
     # llm_unigram_perplexity below (judge-directed promotion of the r5 LM
     # tier into the driver budget).
-    "src_parquet",
+    # src_parquet is driver-demoted (r6): a bare parquet scan+filter+
+    # project whose §2.1 row is hash-covered by composition in every
+    # single other entry's input path (all fixture reads go through the
+    # same loader); exact oracle retained in pytest parity. Its slot
+    # carries llm_dataset_card below — one slot buying driver-hash cover
+    # for the r6 audit composition (llm_gopher_rules + llm_script_id +
+    # the card itself), the pipeline_semantic_curation precedent.
     "src_jsonl_csv",
     # src_argv_json and snk_state_file (1-row config/cursor demos) are
     # driver-demoted in favor of higher-information entries below; both
@@ -164,6 +170,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     # r3 §2.10 rows it composes (llm_repetition_signals, both quality
     # gates, llm_cluster_assign, llm_cluster_balance; see COVERAGE.md).
     "pipeline_semantic_curation",
+    # r6: the per-source dataset card — composes llm_gopher_rules +
+    # llm_script_id (their oracle SQL spliced verbatim), so this one slot
+    # hash-covers the r6 audit tier the way pipeline_semantic_curation
+    # covers the r3 curation tier.
+    "llm_dataset_card",
 )
 
 
