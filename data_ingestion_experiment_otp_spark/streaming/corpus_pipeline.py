@@ -131,23 +131,33 @@ def corpus_retract(
     spark: SparkSession,
     work_dir: str,
     doc_ids: list[int],
-    retract_epoch: int,
 ) -> dict[str, int]:
     """Right-to-be-forgotten retraction across ALL FIVE stores the
     ingest capstone maintains — the control-plane operation a training
-    -data pipeline owes its data subjects, end to end:
+    -data pipeline owes its data subjects, end to end. Every store is
+    PHYSICALLY rewritten (affected partitions only, write-to-temp +
+    directory swap — the committed-generation pattern):
 
-    - ``accepted`` / ``curated``: the retracted docs' rows are removed by
-      rewriting only the affected ``batch_id`` partitions (write-to-temp
-      + directory swap, the committed-generation pattern);
+    - ``accepted`` / ``curated``: the retracted docs' rows leave the
+      affected ``batch_id`` partitions;
     - ``dedup_index``: the docs' content hashes leave the index — THE
-      subtle half of retraction: tombstoning the serving indexes alone
-      would leave the hash behind, and the dedup screen would then
-      silently block the same content from ever re-entering the corpus
-      (a re-crawl after a consent re-grant must be admitted as new);
-    - ``vector_index`` / ``text_index``: tombstone epochs via the delete
-      sinks (immediate unqueryability; the next compaction purges the
-      bytes).
+      subtle half of retraction: leaving the hash behind would make the
+      dedup screen silently block the same content from ever re-entering
+      the corpus (a re-crawl after a consent re-grant must be admitted
+      as new);
+    - ``text_index`` / ``vector_index``: the docs' doclen/posting and
+      payload/bucket rows leave every epoch partition that held them.
+
+    Physical rewrite — NOT the tombstone delete sinks — is deliberate
+    here: a tombstone competes on the ingest stream's epoch counter, and
+    a control-plane operation cannot know the checkpoint's future batch
+    ids (a restarted stream would either overwrite the tombstone's
+    partition or be out-ranked by it, resurrecting or permanently
+    killing the doc — found live in the streaming-lifecycle test). The
+    tombstone sinks remain the right tool for STREAM-DRIVEN deletion
+    feeds, which share the epoch counter by construction. Erasing
+    history is also what RTBF actually demands — the bytes go now, not
+    at the next compaction.
 
     `doc_ids` is bounded by contract (retraction requests are human-scale
     — the driver-side loop runs over the handful of affected epochs, not
@@ -159,9 +169,6 @@ def corpus_retract(
     epochs (quiesce the stream, or re-apply retractions after recovery;
     the same discipline every compaction/generation swap here follows)."""
     import shutil
-
-    from .text_index import text_index_delete_sink
-    from .vector_index import vector_index_delete_sink
 
     dirs = corpus_ingest_dirs(work_dir)
     ids = [int(i) for i in doc_ids]
@@ -216,9 +223,64 @@ def corpus_retract(
         swap_rewrite(ipart, ikept, None)
         idf.unpersist()
 
-    id_df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
-    text_index_delete_sink(dirs["text_index"])(id_df, retract_epoch)
-    vector_index_delete_sink(dirs["vector_index"])(
-        id_df.select(F.col("doc_id").alias("vec_id")), retract_epoch
-    )
+    # Serving indexes: physically remove the docs' rows from every epoch
+    # partition that held them. Epoch DISCOVERY reads the store root with
+    # its explicit schema (src_batch is a partition column there); the
+    # per-partition rewrites read each src_batch=N dir schema-less with
+    # basePath=that dir — an explicit schema naming src_batch would
+    # materialize a null column into the rewritten files.
+    from .text_index import _DOCLEN_SCHEMA
+    from .vector_index import _VECTORS_SCHEMA
+
+    removed["text_index"] = 0
+    removed["vector_index"] = 0
+    tdir = dirs["text_index"]
+    if os.path.isdir(os.path.join(tdir, "doclen")):
+        dl = spark.read.schema(_DOCLEN_SCHEMA).option(
+            "basePath", os.path.join(tdir, "doclen")
+        ).parquet(os.path.join(tdir, "doclen"))
+        t_epochs = sorted(
+            r["src_batch"]
+            for r in dl.filter(F.col("doc_id").isin(ids))
+            .select("src_batch")
+            .distinct()
+            .collect()
+        )
+        for b in t_epochs:
+            for store, part_cols in (("doclen", None), ("postings", ["pkey"])):
+                part = os.path.join(tdir, store, f"src_batch={b}")
+                if not os.path.isdir(part):
+                    continue
+                pdf = (
+                    spark.read.option("basePath", part).parquet(part).persist()
+                )
+                kept = pdf.filter(~F.col("doc_id").isin(ids))
+                removed["text_index"] += pdf.count() - kept.count()
+                swap_rewrite(part, kept, part_cols)
+                pdf.unpersist()
+
+    vdir = dirs["vector_index"]
+    if os.path.isdir(os.path.join(vdir, "vectors")):
+        vs = spark.read.schema(_VECTORS_SCHEMA).option(
+            "basePath", os.path.join(vdir, "vectors")
+        ).parquet(os.path.join(vdir, "vectors"))
+        v_epochs = sorted(
+            r["src_batch"]
+            for r in vs.filter(F.col("vec_id").isin(ids))
+            .select("src_batch")
+            .distinct()
+            .collect()
+        )
+        for b in v_epochs:
+            for store, part_cols in (("vectors", None), ("buckets", ["pkey"])):
+                part = os.path.join(vdir, store, f"src_batch={b}")
+                if not os.path.isdir(part):
+                    continue
+                pdf = (
+                    spark.read.option("basePath", part).parquet(part).persist()
+                )
+                kept = pdf.filter(~F.col("vec_id").isin(ids))
+                removed["vector_index"] += pdf.count() - kept.count()
+                swap_rewrite(part, kept, part_cols)
+                pdf.unpersist()
     return removed

@@ -226,8 +226,10 @@ class TestCorpusRetract:
             r["vec_id"] for r in ann_query_index(spark, dirs["vector_index"], qv, k=3).collect()
         }
 
-        removed = corpus_retract(spark, work, [7], retract_epoch=10)
-        assert removed == {"accepted": 1, "curated": 1, "dedup_index": 1}
+        removed = corpus_retract(spark, work, [7])
+        assert removed["accepted"] == 1 and removed["curated"] == 1
+        assert removed["dedup_index"] == 1 and removed["text_index"] > 0
+        assert removed["vector_index"] > 0
 
         acc = spark.read.option("basePath", dirs["accepted"]).parquet(dirs["accepted"])
         assert acc.filter(F.col("doc_id") == 7).count() == 0
@@ -250,3 +252,77 @@ class TestCorpusRetract:
         assert 7 in {
             r["vec_id"] for r in ann_query_index(spark, dirs["vector_index"], qv, k=3).collect()
         }
+
+
+class TestStreamingRetraction:
+    SCHEMA = (
+        "doc_id long, source string, n_chars long, text string, embedding array<float>"
+    )
+
+    def test_retract_between_streaming_epochs(self, spark, tmp_path):
+        """Retraction through the REAL streaming API: start_corpus_ingest
+        drains a 2-file feed, corpus_retract runs as the control-plane
+        operation between streams, and a RESTARTED stream (same
+        checkpoint) ingests the re-crawled identical text as NEW content
+        — the full lifecycle a production pipeline runs."""
+        import time as _t
+
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.streaming import drive
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_retract,
+            start_corpus_ingest,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.text_index import (
+            bm25_query_index,
+        )
+
+        rng = np.random.default_rng(3)
+        text7 = "streamretract alpha beta gamma delta epsilon"
+        doc7 = (7, "web", len(text7), text7, [float(x) for x in rng.standard_normal(64)])
+        other = (8, "web", 20, "totally different words", [float(x) for x in rng.standard_normal(64)])
+        later = (9, "web", 21, "yet more other content", [float(x) for x in rng.standard_normal(64)])
+
+        feed = str(tmp_path / "feed")
+        for rows in ([doc7], [other]):
+            spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+            _t.sleep(0.05)
+
+        cents = spark.createDataFrame(
+            [(0, doc7[4])], "vec_id long, embedding array<float>"
+        ).collect()
+        work = str(tmp_path / "work")
+        ckpt = str(tmp_path / "ckpt")
+        q = start_corpus_ingest(spark, feed, work, cents, {"*": 0.0}, ckpt)
+        drive.drain(q)
+
+        dirs = corpus_ingest_dirs(work)
+        probe = [(0, "streamretract")]
+        assert [
+            r["doc_id"] for r in bm25_query_index(spark, dirs["text_index"], probe).collect()
+        ] == [7]
+
+        corpus_retract(spark, work, [7])
+        assert not bm25_query_index(spark, dirs["text_index"], probe).collect()
+
+        # restart the stream from the same checkpoint with two new files:
+        # filler + the identical re-crawl of doc 7's text
+        spark.createDataFrame([later], self.SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        _t.sleep(0.05)
+        spark.createDataFrame([doc7], self.SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        q2 = start_corpus_ingest(spark, feed, work, cents, {"*": 0.0}, ckpt)
+        drive.drain(q2)
+
+        acc = spark.read.option("basePath", dirs["accepted"]).parquet(dirs["accepted"])
+        assert acc.filter(acc.doc_id == 7).count() == 1  # re-admitted
+        assert [
+            r["doc_id"] for r in bm25_query_index(spark, dirs["text_index"], probe).collect()
+        ] == [7]  # searchable again
