@@ -4,6 +4,8 @@ epoch, the full training-data ingestion path —
 
   dedup screen → semantic-curation funnel → incremental vector index
                                           → incremental text index
+  (+ optional stage 5: per-source drift audit on the raw batch, when a
+  calibrated reference is supplied — streaming/drift_monitor.py)
 
 1. `corpus_index.corpus_dedup_sink` admits only first-seen content
    (content-hash anti-join against the epoch-partitioned corpus index);
@@ -59,32 +61,55 @@ DOC_STREAM_SCHEMA = (
 
 
 def corpus_ingest_dirs(work_dir: str) -> dict[str, str]:
-    """The five stores the pipeline maintains under one root."""
+    """The stores the pipeline maintains under one root (drift_audit is
+    the optional sixth — written only when a calibrated reference is
+    passed to the epoch)."""
     return {
         "dedup_index": os.path.join(work_dir, "dedup_index"),
         "accepted": os.path.join(work_dir, "accepted"),
         "curated": os.path.join(work_dir, "curated"),
         "vector_index": os.path.join(work_dir, "vector_index"),
         "text_index": os.path.join(work_dir, "text_index"),
+        "drift_audit": os.path.join(work_dir, "drift_audit"),
     }
 
 
 def corpus_ingest_epoch(
-    work_dir: str, centroids: list, quality_min: dict[str, float]
+    work_dir: str,
+    centroids: list,
+    quality_min: dict[str, float],
+    drift_reference: dict[int, float] | None = None,
+    drift_budget_bits: float = 1.0,
 ):
     """The per-epoch function: built separately from the stream so a
     replay (same stores, same params, same batch_id) can be driven
     directly in tests — which is also exactly what a checkpoint recovery
-    does."""
+    does.
+
+    With `drift_reference` (a calibrate_reference dict — the same
+    calibrate-once contract as the curation parameters), each epoch also
+    writes the per-source KL audit (stage 5): drift is scored on the RAW
+    batch, before the dedup screen, because a feed suddenly re-sending
+    old content is itself a drift signal the screened stream would
+    hide."""
+    from .drift_monitor import source_drift_sink
+
     dirs = corpus_ingest_dirs(work_dir)
     screen = corpus_dedup_sink(dirs["dedup_index"], dirs["accepted"])
     curate = curation_sink(dirs["curated"], centroids, quality_min)
     index = vector_index_sink(dirs["vector_index"])
     tindex = text_index_sink(dirs["text_index"])
+    drift = (
+        source_drift_sink(dirs["drift_audit"], drift_reference, drift_budget_bits)
+        if drift_reference is not None
+        else None
+    )
 
     def epoch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
+            if drift is not None:
+                drift(batch_df.select("source", "text"), batch_id)
             screen(batch_df, batch_id)
             # read the epoch's own admitted partition back: the write is
             # the dedup barrier, and replays re-read the same bytes
@@ -110,12 +135,17 @@ def start_corpus_ingest(
     centroids: list,
     quality_min: dict[str, float],
     checkpoint_dir: str,
+    drift_reference: dict[int, float] | None = None,
+    drift_budget_bits: float = 1.0,
 ) -> StreamingQuery:
     """Start the composed ingestion stream over a parquet document feed.
-    `centroids` / `quality_min` are the calibrate-once parameters the
-    curation sink documents (a control-plane input, not per-batch
-    state)."""
-    epoch = corpus_ingest_epoch(work_dir, centroids, quality_min)
+    `centroids` / `quality_min` / `drift_reference` are the
+    calibrate-once parameters the sinks document (control-plane inputs,
+    not per-batch state); with a reference the per-source drift audit
+    becomes the composition's 5th stage."""
+    epoch = corpus_ingest_epoch(
+        work_dir, centroids, quality_min, drift_reference, drift_budget_bits
+    )
     return (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)

@@ -176,3 +176,58 @@ class TestSourceDrift:
         sink(corpus, 0)  # replay
         after = sorted(map(tuple, read_source_audit(spark, sdir).collect()))
         assert before == after and len(before) == 2
+
+
+class TestCapstoneDriftStage:
+    def test_drift_audit_is_fifth_capstone_stage(self, spark, tmp_path):
+        """With a calibrated reference, the corpus-ingest epoch writes
+        the per-source drift audit alongside the other stores — scored
+        on the RAW batch (a re-crawled duplicate still counts toward
+        drift even though the dedup screen drops it), batchId-keyed, and
+        replay-invariant with the rest of the composition."""
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_ingest_epoch,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.drift_monitor import (
+            calibrate_reference,
+            read_source_audit,
+        )
+
+        rng = np.random.default_rng(9)
+        schema = (
+            "doc_id long, source string, n_chars long, text string,"
+            " embedding array<float>"
+        )
+        good = "alpha beta gamma delta epsilon zeta"
+        bad = "qqq www eee rrr ttt yyy"
+        ref = calibrate_reference(
+            spark.createDataFrame([(0, good)], "doc_id long, text string")
+        )
+        cents = spark.createDataFrame(
+            [(0, [float(x) for x in rng.standard_normal(64)])],
+            "vec_id long, embedding array<float>",
+        ).collect()
+        work = str(tmp_path / "work")
+        epoch = corpus_ingest_epoch(
+            work, cents, {"*": 0.0}, drift_reference=ref, drift_budget_bits=1.0
+        )
+        rows0 = [
+            (1, "web", len(good), good, [float(x) for x in rng.standard_normal(64)]),
+            (2, "spam", len(bad), bad, [float(x) for x in rng.standard_normal(64)]),
+        ]
+        epoch(spark.createDataFrame(rows0, schema), 0)
+        dirs = corpus_ingest_dirs(work)
+        audit = {
+            r["source"]: r for r in read_source_audit(spark, dirs["drift_audit"]).collect()
+        }
+        assert audit["spam"]["drifted"] is True
+        assert audit["web"]["drifted"] is False
+
+        # replay: every store incl. the audit rewrites identically
+        before = sorted(map(tuple, read_source_audit(spark, dirs["drift_audit"]).collect()))
+        epoch(spark.createDataFrame(rows0, schema), 0)
+        after = sorted(map(tuple, read_source_audit(spark, dirs["drift_audit"]).collect()))
+        assert before == after
