@@ -644,3 +644,29 @@ class TestBm25Plans:
         for m in re.finditer(r"\(\d+\) Exchange\n(?:[^\n]*\n)*?Arguments: [^\n]*", p):
             block = m.group(0)
             assert "text#" not in block and "tk#" not in block, block
+
+
+class TestR6ScanSideOperators:
+    @pytest.mark.parametrize(
+        "name", ["llm_script_id", "llm_gopher_rules", "llm_line_dedup"]
+    )
+    def test_zero_exchange(self, spark, sf_dir, name):
+        """The r6 per-document passes are pure scan+project maps — no
+        Exchange of any kind: they parallelize with input splits at any
+        scale (the same pin the chunking/quantization family carries)."""
+        ops = ops_of(plan_of(spark, sf_dir, name))
+        assert not any("Exchange" in op for op in ops), (name, ops)
+        assert ops.count("Scan parquet") == 1, (name, ops)
+
+    @pytest.mark.parametrize(
+        "name", ["llm_term_proximity", "llm_bm25_chunks", "llm_bm25_prf"]
+    )
+    def test_retrieval_exchanges_are_text_free(self, spark, sf_dir, name):
+        """Every r6 retrieval addition keeps the BM25 skeleton's
+        invariant: no Exchange carries the text column or a token
+        array — only (query, doc, term, pos, count) scalars shuffle."""
+        p = plan_of(spark, sf_dir, name)
+        for m in re.finditer(r"\(\d+\) Exchange\n(?:[^\n]*\n)*?Arguments: [^\n]*", p):
+            block = m.group(0)
+            for heavy in ("text#", "tk#", "chunk_text#", "lines#", "ws#"):
+                assert heavy not in block, (name, block)
