@@ -79,6 +79,7 @@ HEADLINE = [
     "llm_gopher_rules",
     "llm_bm25_chunks",
     "llm_triplet_mining",
+    "llm_dataset_card",
 ]
 
 
