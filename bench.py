@@ -6,9 +6,12 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <dir>}
 
 Each query is forced end-to-end with a noop sink (full materialization, no
-driver collect). A small warmup query absorbs JVM/codegen startup, and each
-headline query runs twice with the min reported, so the timings reflect
-steady-state execution rather than first-run plan compilation.
+driver collect). A small warmup query absorbs JVM/codegen startup; each
+headline query runs SPARK_GRAFT_BENCH_REPS times (default 3, with adaptive
+re-reps while the warm spread stays high) and the min is reported, so the
+timings reflect steady-state execution rather than first-run compilation.
+The stdout emission is exactly ONE compact JSON line (auxiliary detail on
+stderr) so the driver's bounded tail capture always parses.
 """
 
 from __future__ import annotations

@@ -70,7 +70,7 @@ class TestTextIndexDeletion:
     def test_phrase_stops_matching(self, spark, tmp_path):
         full = _build(spark, str(tmp_path / "full"), DOCS)
         before = _phrase(spark, full)
-        assert any(r[1] == 1 for r in before)  # doc 1 has "alpha beta"? no — doc 4
+        assert any(r[1] == 4 for r in before)  # doc 4 contains "alpha beta"
         text_index_delete_sink(full)(
             spark.createDataFrame([(4,)], "doc_id long"), 10
         )
