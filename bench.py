@@ -83,6 +83,7 @@ HEADLINE = [
     "llm_bm25_chunks",
     "llm_triplet_mining",
     "llm_dataset_card",
+    "llm_char_jaccard_capped",
 ]
 
 

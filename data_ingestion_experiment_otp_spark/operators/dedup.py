@@ -1024,3 +1024,166 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("k").alias("n_kept"),
         F.array_join("k", "\n").alias("text_dedup"),
     )
+
+
+# Character-5-gram shingles: the near-dup unit for UNSEGMENTED scripts.
+# Word-3-gram shingling is blind to CJK (an unsegmented document is ONE
+# whitespace "word" -> zero shingles -> invisible to every word-based
+# dedup pass); char grams see every script. lower() parity per the
+# tokenizer notes (retrieval.py).
+_CHAR_N = 5
+_CHAR_JACCARD_THRESHOLD = 0.6
+# Char grams NEED a document-frequency cap at scale (word shingles only
+# benefit from one): natural text shares common 5-char grams ("the s",
+# " and ") across most documents, so the uncapped inverted-index join
+# degenerates toward all-pairs — measured 124,741 candidate pairs over
+# the 500-doc fixture (~all 124,750). The cap is FRACTIONAL
+# (max(_CHAR_DF_CAP_MIN, _CHAR_DF_CAP_FRAC x corpus)): an absolute cap
+# has wildly different selectivity per corpus size (df<=20 is 4% of a
+# 500-doc fixture but 0.00002% of 100M docs — at small corpora it
+# amputates the shared signal itself: measured truth-pair recall 0.36
+# at df<=20 vs 1.00 at the 10% fractional cap). The exact form below is
+# the oracle/fixture tier; the capped form IS the scale path.
+_CHAR_DF_CAP_MIN = 20
+_CHAR_DF_CAP_FRAC = 0.1
+
+_CHAR_GRAMS_SPARK = (
+    f"if(length(text) >= {_CHAR_N}, array_distinct(transform("
+    f"sequence(1, length(text) - {_CHAR_N - 1}),"
+    f" i -> xxhash64(substring(lower(text), i, {_CHAR_N})))), array())"
+)
+_CHAR_GRAMS_DUCK = (
+    f"list_distinct([substring(lower(text), i, {_CHAR_N})"
+    f" for i in range(1, length(text) - {_CHAR_N - 2})])"
+)
+
+
+def _char_pair_ctes(capped: bool) -> str:
+    kept, kept_cte = "tok", ""
+    if capped:
+        kept = "kept"
+        kept_cte = f"""
+    kept AS (
+      SELECT t.doc_id, t.w FROM tok t
+      WHERE t.w IN (SELECT w FROM tok GROUP BY w
+                    HAVING count(DISTINCT doc_id) <=
+                      greatest({_CHAR_DF_CAP_MIN},
+                               {_CHAR_DF_CAP_FRAC} * (SELECT count(*) FROM documents)))
+    ),"""
+    return f"""
+    WITH g AS (
+      SELECT doc_id, {_CHAR_GRAMS_DUCK} AS gs
+      FROM documents WHERE length(text) >= {_CHAR_N}
+    ),
+    tok AS (SELECT doc_id, unnest(gs) AS w FROM g),{kept_cte}
+    sizes AS (SELECT doc_id, count(*) AS n FROM {kept} GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM {kept} a JOIN {kept} b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, n_common, sa.n AS na, sb.n AS nb
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )
+"""
+
+
+def _char_pair_counts(
+    spark: SparkSession, sf_dir: str, capped: bool
+) -> DataFrame:
+    d = load_split(spark, sf_dir, "documents")
+    tok = (
+        d.filter(F.length("text") >= _CHAR_N)
+        .select("doc_id", F.explode(F.expr(_CHAR_GRAMS_SPARK)).alias("w"))
+    )
+    if capped:
+        # fractional cap: one extra 1-row corpus count rides in broadcast
+        n_docs = d.count()
+        cap = max(_CHAR_DF_CAP_MIN, _CHAR_DF_CAP_FRAC * n_docs)
+        rare = (
+            tok.groupBy("w")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("df") <= cap)
+            .select("w")
+        )
+        tok = tok.join(rare, "w")
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+_CHAR_JACCARD_SELECT = f"""
+    SELECT doc_a, doc_b,
+           round(n_common / (na + nb - n_common), 6) AS jaccard
+    FROM pairs
+    WHERE n_common / (na + nb - n_common) >= {_CHAR_JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "llm_char_jaccard",
+    oracle=_char_pair_ctes(False) + _CHAR_JACCARD_SELECT,
+    tags=("llm", "dedup", "text"),
+)
+def llm_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-{n}-gram Jaccard near-dup detection — the variant that
+    sees UNSEGMENTED scripts: word-3-gram shingling reduces a spaceless
+    CJK document to one "word" and zero shingles, so every word-based
+    dedup pass is structurally blind to it (pinned by the planted-CJK
+    differential test); char grams cover every script with no segmenter.
+
+    Same inverted-index skeleton as `llm_ngram_jaccard` (hashed grams,
+    gram-keyed shuffle, no cross join) with one honest difference: char
+    grams are SHARED across most natural-text documents, so at scale
+    this exact form's candidate set degenerates toward all-pairs
+    (measured ~all 124,750 pairs on the 500-doc fixture) — the df-capped
+    companion `llm_char_jaccard_capped` is not an optimization but THE
+    scale path for this measure."""
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        _char_pair_counts(spark, sf_dir, False)
+        .filter(jac >= _CHAR_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+llm_char_jaccard.__doc__ = llm_char_jaccard.__doc__.format(n=_CHAR_N)
+
+
+@register(
+    "llm_char_jaccard_capped",
+    oracle=_char_pair_ctes(True) + _CHAR_JACCARD_SELECT,
+    tags=("llm", "dedup", "text", "skew"),
+)
+def llm_char_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped (stop-gram) form of `llm_char_jaccard`: grams in
+    more than max({mn}, {frac} x corpus) documents leave the index AND
+    the size denominators before pair generation, bounding the
+    per-gram-group quadratic term and collapsing the candidate set
+    (~40x on the fixture). The cap is FRACTIONAL because an absolute
+    one amputates the shared signal on small corpora (measured: word-
+    truth-pair recall 0.36 at df<=20 vs 1.00 at the 10% cap) while
+    barely pruning at scale. Rare-gram Jaccard is a sharper measure
+    than the exact form — the capped word variants document the same
+    trade."""
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        _char_pair_counts(spark, sf_dir, True)
+        .filter(jac >= _CHAR_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+llm_char_jaccard_capped.__doc__ = llm_char_jaccard_capped.__doc__.format(
+    mn=_CHAR_DF_CAP_MIN, frac=_CHAR_DF_CAP_FRAC
+)

@@ -947,6 +947,8 @@ class TestOrderIndependenceSweep:
         "llm_gopher_rules",
         "llm_triplet_mining",
         "llm_dataset_card",
+        "llm_char_jaccard",
+        "llm_char_jaccard_capped",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

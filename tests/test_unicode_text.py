@@ -237,3 +237,59 @@ def test_script_id_dominant_on_extension_docs(spark, uni_sf_dir):
     ]
     got = [out[500 + i] for i in range(len(EXTENDED_DOCS))]
     assert got == expected, got
+
+
+class TestCharGramDedup:
+    def test_cjk_near_dups_invisible_to_word_shingles_caught_by_chars(
+        self, spark, tmp_path
+    ):
+        """The gap llm_char_jaccard closes: two unsegmented CJK docs
+        differing by ONE character are (a) invisible to the word-3-gram
+        pass — a spaceless doc is one whitespace 'word', zero shingles —
+        and (b) a high-Jaccard pair under char grams. A third unrelated
+        CJK doc must NOT pair with them."""
+        from data_ingestion_experiment_otp_spark.operators.dedup import (
+            llm_char_jaccard,
+            llm_ngram_jaccard,
+        )
+
+        base = "机器学习模型训练需要大量高质量的文本数据来提升泛化能力和下游任务表现"
+        near = base.replace("模型", "模组")          # one-bigram edit
+        other = "今天的天气非常好适合出门散步并且在公园里喝茶读书放松心情休息一下"
+        rows = [
+            (1, base, "zh", "s", len(base)),
+            (2, near, "zh", "s", len(near)),
+            (3, other, "zh", "s", len(other)),
+        ]
+        out = tmp_path / "docs"
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+
+        word_pairs = llm_ngram_jaccard(spark, str(out)).collect()
+        assert word_pairs == [], f"word shingles should see nothing: {word_pairs}"
+
+        char_pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in llm_char_jaccard(spark, str(out)).collect()
+        }
+        assert set(char_pairs) == {(1, 2)}, char_pairs
+        assert char_pairs[(1, 2)] >= 0.6
+
+    def test_capped_form_still_catches_fixture_near_dups(self, spark, sf_dir):
+        """The stop-gram cap must not lose the generator's injected
+        near-duplicates: every word-shingle near-dup pair (the ground
+        truth population) also appears in the capped char-gram output."""
+        from data_ingestion_experiment_otp_spark.operators.dedup import (
+            llm_char_jaccard_capped,
+            llm_ngram_jaccard,
+        )
+
+        truth = {
+            (r["doc_a"], r["doc_b"]) for r in llm_ngram_jaccard(spark, sf_dir).collect()
+        }
+        capped = {
+            (r["doc_a"], r["doc_b"])
+            for r in llm_char_jaccard_capped(spark, sf_dir).collect()
+        }
+        assert truth <= capped, truth - capped
