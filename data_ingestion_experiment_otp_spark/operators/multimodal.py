@@ -68,7 +68,7 @@ def ppm_media(d: DataFrame) -> DataFrame:
     )
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """mapInPandas feature extraction over (doc_id, media_type, payload).
 
     The codec is defined INSIDE the closure so cloudpickle ships it by
@@ -78,10 +78,16 @@ def extract_features(media: DataFrame) -> DataFrame:
     Dispatch is by magic bytes, not metadata: P6 payloads decode with the
     pure-numpy PPM parser (px_* columns populated, feature_mean = mean
     pixel rounded 6 with Decimal HALF_UP — bit-identical to both engines'
-    round); anything else decodes for real via PIL when the library is
-    present (px_* populated, identical arithmetic) and otherwise falls
-    back to the deterministic byte-histogram fake (px_* NULL) — no path
-    raises on a decodable-or-not payload.
+    round). Non-P6 payloads are DETERMINISTIC BY DEFAULT: they take the
+    byte-histogram fake (px_* NULL) in every environment, so any operator
+    whose output is hash-gated stays environment-independent. The real
+    PIL decode (same pixel arithmetic as the P6 path) is an explicit
+    opt-in — ``real_decode=True`` — because its output depends on whether
+    the image library is installed: with it, decodable payloads populate
+    px_* for real; undecodable bytes (or a PIL-less environment) still
+    fall back to the fake rather than failing the batch. Registered /
+    hash-gated operators must keep the default; tested only-if-PIL in
+    tests/test_multimodal_pil.py.
 
     NULL payloads are dropped at the scan — a missing blob has nothing to
     decode, and letting it reach the codec crashes the Arrow batch; the
@@ -114,19 +120,22 @@ def extract_features(media: DataFrame) -> DataFrame:
             px = px.reshape(h, w, 3)  # the decoded image plane
             return w, h, int(px.sum(dtype=np.int64)), int(px.size)
 
-        try:  # env probe once per worker task, not per row
-            from PIL import Image as _pil_image
-        except ImportError:  # this container ships no image library
+        if real_decode:  # explicit opt-in: env probe once per task
+            try:
+                from PIL import Image as _pil_image
+            except ImportError:  # this container ships no image library
+                _pil_image = None
+        else:  # default: deterministic in every environment
             _pil_image = None
 
         def decode_other(blob):
-            """Formats beyond P6: REAL decode via PIL when the library is
-            present (same pixel arithmetic as the P6 path — tested
-            only-if-PIL in tests/test_multimodal_pil.py), else the
-            deterministic byte-histogram fake that keeps the pipeline
-            testable in this container. Undecodable bytes fall back to
-            the fake rather than failing the batch — one bad payload on
-            a 100 TB corpus must not kill the stage."""
+            """Formats beyond P6: with ``real_decode`` opted in and PIL
+            present, REAL decode (same pixel arithmetic as the P6 path —
+            tested only-if-PIL in tests/test_multimodal_pil.py); in every
+            other case the deterministic byte-histogram fake that keeps
+            hash-gated outputs environment-independent. Undecodable bytes
+            fall back to the fake rather than failing the batch — one bad
+            payload on a 100 TB corpus must not kill the stage."""
             if _pil_image is not None and blob:
                 import io as _io
 

@@ -213,18 +213,40 @@ def corpus_retract(
         )
         .collect()
     )
-    hashes = {r["content_hash"] for r in victims}
+    # A null-text victim hashes to NULL: no index row is addressable by it
+    # (NULL never equi-joins in the dedup screen, so null-hash index rows
+    # are inert for screening) — drop it from the removal set rather than
+    # letting a None poison sorted() below.
+    hashes = {
+        r["content_hash"] for r in victims if r["content_hash"] is not None
+    }
     epochs = sorted({r["batch_id"] for r in victims})
     removed = {"accepted": 0, "curated": 0, "dedup_index": 0}
 
     def swap_rewrite(part_dir: str, df, partition_by: list[str] | None) -> None:
-        tmp = part_dir + ".retract_tmp"
+        """Committed-generation swap of one partition directory. The temp
+        and trash generations live as DOT-PREFIXED siblings (Spark's file
+        index ignores ``_*``/``.*`` paths, so a crash can never leave a
+        parseable ``batch_id=N.retract_tmp`` pseudo-partition double-
+        serving rows or breaking partition-value inference), and the swap
+        renames the OLD partition aside before promoting the new one —
+        at every instant either the old or the new generation is the
+        live directory, so no crash window drops the partition's
+        non-retracted rows (the rmtree-then-rename it replaces had
+        exactly that window)."""
+        parent, base = os.path.split(part_dir.rstrip("/"))
+        tmp = os.path.join(parent, f".{base}.retract_tmp")
+        trash = os.path.join(parent, f".{base}.retract_old")
+        for stale in (tmp, trash):  # leftovers from a crashed attempt
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
-        shutil.rmtree(part_dir)
+        os.rename(part_dir, trash)
         os.rename(tmp, part_dir)
+        shutil.rmtree(trash)
 
     for b in epochs:
         part = os.path.join(dirs["accepted"], f"batch_id={b}")
@@ -244,14 +266,23 @@ def corpus_retract(
             swap_rewrite(cpart, ckept, ["cluster_id"])
             cdf.unpersist()
 
-        ipart = os.path.join(dirs["dedup_index"], f"src_batch={b}")
-        idf = (
-            spark.read.schema("content_hash string").parquet(ipart).persist()
-        )
-        ikept = idf.filter(~F.col("content_hash").isin(sorted(hashes)))
-        removed["dedup_index"] += idf.count() - ikept.count()
-        swap_rewrite(ipart, ikept, None)
-        idf.unpersist()
+        if hashes:  # all-null-text victims leave no addressable index row
+            ipart = os.path.join(dirs["dedup_index"], f"src_batch={b}")
+            idf = (
+                spark.read.schema("content_hash string")
+                .parquet(ipart)
+                .persist()
+            )
+            # Null-safe keep: ``~isin`` evaluates NULL (i.e. drop) for a
+            # null-hash row, which would silently purge unrelated
+            # null-text entries from the rewritten partition.
+            ikept = idf.filter(
+                F.col("content_hash").isNull()
+                | ~F.col("content_hash").isin(sorted(hashes))
+            )
+            removed["dedup_index"] += idf.count() - ikept.count()
+            swap_rewrite(ipart, ikept, None)
+            idf.unpersist()
 
     # Serving indexes: physically remove the docs' rows from every epoch
     # partition that held them. Epoch DISCOVERY reads the store root with

@@ -11,6 +11,8 @@ stats arithmetic — so the comparison is exact, not approximate)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from data_ingestion_experiment_otp_spark.streaming.text_index import (
@@ -252,6 +254,73 @@ class TestCorpusRetract:
         assert 7 in {
             r["vec_id"] for r in ann_query_index(spark, dirs["vector_index"], qv, k=3).collect()
         }
+
+
+    def test_retract_null_text_and_crash_leftovers(self, spark, tmp_path):
+        """r7 ADVICE fixes: (a) retracting a NULL-text doc must not crash
+        on its NULL sha2 hash, and unrelated null-hash dedup-index rows
+        must survive the rewrite (the ~isin predicate silently dropped
+        them); (b) the swap temp/trash generations are dot-prefixed, so a
+        leftover from a crashed attempt is INVISIBLE to Spark partition
+        discovery instead of double-serving as a parseable
+        ``batch_id=N.retract_tmp`` pseudo-partition — and the next
+        retraction cleans it up."""
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_ingest_epoch,
+            corpus_retract,
+        )
+
+        rng = np.random.default_rng(11)
+        emb = lambda: [float(x) for x in rng.standard_normal(64)]  # noqa: E731
+        docs0 = [
+            (5, "web", 0, None, emb()),
+            (6, "web", 28, "unique words for doc six here", emb()),
+            (7, "web", 29, "other words for doc seven too", emb()),
+        ]
+        cents = spark.createDataFrame(
+            [(0, docs0[1][4])], "vec_id long, embedding array<float>"
+        ).collect()
+        work = str(tmp_path / "work")
+        corpus_ingest_epoch(work, cents, {"*": 0.0})(
+            spark.createDataFrame(docs0, self.SCHEMA), 0
+        )
+        dirs = corpus_ingest_dirs(work)
+
+        # plant a crashed prior attempt's temp generation: dot-prefixed,
+        # so partition discovery must NOT see its rows
+        stale = os.path.join(dirs["accepted"], ".batch_id=0.retract_tmp")
+        spark.createDataFrame(
+            [(99, "web", 1, "ghost", [0.0])], self.SCHEMA
+        ).write.parquet(stale)
+        acc = spark.read.option("basePath", dirs["accepted"]).parquet(
+            dirs["accepted"]
+        )
+        assert acc.count() == 3  # the ghost rows are invisible
+
+        removed = corpus_retract(spark, work, [5, 6])
+        assert removed["accepted"] == 2
+        # doc 5's NULL hash is not addressable; only doc 6's hash leaves
+        assert removed["dedup_index"] == 1
+        idx = spark.read.schema("content_hash string").parquet(
+            os.path.join(dirs["dedup_index"], "src_batch=0")
+        )
+        assert idx.filter(F.col("content_hash").isNull()).count() == 1
+        assert idx.count() == 2  # null row + doc 7's hash
+        acc2 = spark.read.option("basePath", dirs["accepted"]).parquet(
+            dirs["accepted"]
+        )
+        assert [r["doc_id"] for r in acc2.collect()] == [7]
+        # the planted leftover was cleaned up and no new scratch remains
+        leftovers = [
+            e
+            for store in ("accepted", "curated", "dedup_index")
+            for e in os.listdir(dirs[store])
+            if ".retract_" in e
+        ]
+        assert leftovers == []
 
 
 class TestStreamingRetraction:

@@ -1,11 +1,14 @@
-"""PIL-path closure for multimodal decode (r6, VERDICT task 8).
+"""PIL-path closure for multimodal decode (r6, VERDICT task 8; r7
+ADVICE: determinism gate).
 
 The r5 probe deliberately raised NotImplementedError when PIL was
 importable — a landmine for any environment that happens to ship PIL.
-r6 wires the real decode behind the probe: PIL present -> real pixel
-stats with the same arithmetic as the P6 path; PIL absent (this
-container) -> the deterministic byte-histogram fake. Neither path may
-raise on arbitrary payload bytes."""
+r6 wired the real decode behind the probe; r7 gates it behind an
+EXPLICIT opt-in (``real_decode=True``) so the default non-P6 path emits
+the deterministic byte-histogram fake in every environment — a
+hash-gated operator downstream cannot hash differently depending on
+whether the image library is installed. Neither path may raise on
+arbitrary payload bytes."""
 
 from __future__ import annotations
 
@@ -16,11 +19,14 @@ from data_ingestion_experiment_otp_spark.operators.multimodal import (
 )
 
 
-def _features(spark, rows):
+def _features(spark, rows, real_decode=False):
     media = spark.createDataFrame(
         rows, "doc_id long, media_type string, payload binary"
     )
-    return {r["doc_id"]: r.asDict() for r in extract_features(media).collect()}
+    return {
+        r["doc_id"]: r.asDict()
+        for r in extract_features(media, real_decode=real_decode).collect()
+    }
 
 
 class TestNonP6Fallback:
@@ -44,6 +50,16 @@ class TestNonP6Fallback:
         got = _features(spark, [(1, "application/octet-stream", b"")])
         assert got[1]["feature_mean"] == 0.0
 
+    def test_default_path_is_environment_independent(self, spark):
+        """Without the real_decode opt-in, a non-P6 payload takes the
+        byte-histogram fake EVEN IF the environment ships PIL — the
+        determinism contract hash-gated operators rely on."""
+        blob = b"\x89PNG\r\n\x1a\nsome payload bytes"
+        got = _features(spark, [(3, "image/png", blob)])
+        r = got[3]
+        assert r["px_w"] is None and r["px_sum"] is None
+        assert r["feature_mean"] == pytest.approx(sum(blob) / len(blob))
+
 
 class TestRealPilDecode:
     def test_png_decodes_to_real_pixel_stats(self, spark):
@@ -57,7 +73,7 @@ class TestRealPilDecode:
         arr = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 5, 3)
         buf = io.BytesIO()
         PIL_Image.fromarray(arr, "RGB").save(buf, format="PNG")
-        got = _features(spark, [(7, "image/png", buf.getvalue())])
+        got = _features(spark, [(7, "image/png", buf.getvalue())], real_decode=True)
         r = got[7]
         assert (r["px_w"], r["px_h"]) == (5, 4)
         assert r["px_sum"] == int(arr.sum())
