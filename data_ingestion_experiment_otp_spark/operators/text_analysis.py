@@ -1146,10 +1146,20 @@ _GOPHER_MIN_STOP_HITS = 2
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _GOPHER_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _GOPHER_STOPS) + "]"
 
+# Gopher's rules are defined over WHITESPACE tokenization, not single
+# spaces: splitting on ' ' alone fuses newline-adjacent words
+# ("foo\nbar" = one 7-char word), inflating mean-word-length on
+# multiline docs. One pattern, two renderings (the _TOKEN_RE
+# discipline): an explicit class rather than \s because Java includes
+# U+000B in \s and RE2 does not — spelling the class out makes the two
+# engines identical by construction.
+_GOPHER_WS_RE = r"[ \t\n\r\f\x0B]+"
+
 _GOPHER_ORACLE = f"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+             list_filter(regexp_split_to_array(text, '{_GOPHER_WS_RE}'),
+                         w -> w <> '') AS ws,
              string_split(text, chr(10)) AS lines,
              length(text) - length(replace(replace(text, '#', ''), '…', ''))
                AS n_symbols
@@ -1212,15 +1222,16 @@ def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every ratio is an exact small-integer quotient (IEEE-identical in
     both engines) compared UNROUNDED against the published thresholds;
-    the reported columns are round-6 for the hash. Whitespace words
-    (this tier's convention, shared with llm_text_profile) rather than
-    the retrieval tokenizer — Gopher's rules are defined over raw words,
-    where stripping punctuation would change symbol/alpha fractions.
+    the reported columns are round-6 for the hash. TRUE whitespace words
+    (the `_GOPHER_WS_RE` class, r7: split on any whitespace run so
+    newline-adjacent words don't fuse) rather than the retrieval
+    tokenizer — Gopher's rules are defined over raw words, where
+    stripping punctuation would change symbol/alpha fractions.
 
     Scale shape: ZERO shuffle — one scan, higher-order array arithmetic
     per row, text never leaves the scan."""
     d = load(spark, sf_dir, "documents")
-    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    ws = F.filter(F.split("text", _GOPHER_WS_RE), lambda w: w != "")
     lines = F.split("text", "\n")
     n_sym = F.length("text") - F.length(
         F.regexp_replace("text", F.lit(r"[#…]"), F.lit(""))

@@ -19,11 +19,20 @@ Same contracts as the package's other sinks:
   a plain dict). It is materialized as a cached reference frame once, on
   the first epoch, and rides to executors as a broadcast join per batch;
   recalibration is a sink swap, not per-batch work.
+- **Bounded calibration (r7).** The reference is the top-K head by
+  frequency plus ONE aggregated tail bucket — the driver and the
+  broadcast hold O(K), never O(|vocabulary|), so a web-scale
+  multilingual corpus (hundreds of millions of distinct tokens) cannot
+  blow the control plane. KL is computed against this TRUNCATED
+  reference: head tokens score exactly; out-of-head tokens (reference
+  tail or genuinely novel — `n_unseen` counts both) score against the
+  tail's average per-term probability.
 - **Smoothing, unlike the batch diagnostic.** The batch KL needs none
   (the corpus distribution dominates every source's support); a
   micro-batch CAN contain tokens the reference has never seen — exactly
-  the drift signal — so unseen mass scores against a floor probability
-  (`_UNSEEN_P`) instead of blowing up to infinity.
+  the drift signal — so when the whole vocabulary fit in the head the
+  out-of-head mass scores against a floor probability (`_UNSEEN_P`)
+  instead of blowing up to infinity.
 - **Idempotent, batchId-keyed writes.** One row per epoch under
   ``batch_id=N`` with dynamic partition overwrite: replays rewrite the
   identical audit row (pinned in tests).
@@ -51,21 +60,63 @@ from ..operators.retrieval import tokenize
 # contributes log2(p_batch/_UNSEEN_P) ≈ a large-but-finite drift penalty.
 _UNSEEN_P = 1e-9
 
+# Driver-memory bound on the calibrated reference: the top-K head is held
+# exactly; everything below it is ONE aggregated tail bucket. 50k terms ×
+# 16 bytes is a trivially small driver/broadcast footprint even when the
+# corpus vocabulary has hundreds of millions of entries (a 100 TB
+# multilingual crawl) — the r6 form collected the FULL vocabulary and was
+# the streaming tier's one driver-side scale hole.
+_REF_TOP_K = 50_000
+
+# Reserved key carrying the tail bucket inside the reference dict:
+# (avg per-term tail probability | None, tail term count). Term keys are
+# xxhash64 ints, so a string sentinel can never collide.
+_TAIL_KEY = "__tail__"
+
 _AUDIT_SCHEMA = "n_tokens long, n_unseen long, kl_bits double, drifted boolean, batch_id int"
 
 
-def calibrate_reference(corpus: DataFrame) -> dict[int, float]:
+def calibrate_reference(corpus: DataFrame, top_k: int = _REF_TOP_K) -> dict:
     """Reference token distribution from a corpus (doc_id, text) frame:
-    {xxhash64(term): probability}. Driver-held and broadcast per epoch —
-    vocabulary-sized (bounded), not corpus-sized."""
-    rows = (
+    {xxhash64(term): probability} for the top-`top_k` terms by frequency
+    (count desc, hash asc tie-break — deterministic under replay), plus
+    one aggregated TAIL bucket under `_TAIL_KEY`. The driver holds
+    O(top_k), never O(|vocabulary|): the head rides to executors as a
+    broadcast frame and a batch token outside the head scores against
+    the tail's average per-term probability (the standard truncated-
+    reference monitoring form) — or `_UNSEEN_P` when the whole
+    vocabulary fit in the head, where the truncated KL is exactly the
+    full KL."""
+    counts = (
         corpus.select(F.explode(tokenize()).alias("term"))
         .groupBy(F.xxhash64("term").alias("thash"))
         .agg(F.count("*").alias("c"))
-        .collect()
     )
-    total = float(sum(r["c"] for r in rows)) or 1.0
-    return {r["thash"]: r["c"] / total for r in rows}
+    # two bounded driver results: the K-row head and a 1-row total
+    head = counts.orderBy(F.col("c").desc(), "thash").limit(top_k).collect()
+    tot = counts.agg(
+        F.sum("c").alias("total_c"), F.count("*").alias("n_terms")
+    ).collect()[0]
+    total = float(tot["total_c"] or 0) or 1.0
+    reference: dict = {r["thash"]: r["c"] / total for r in head}
+    tail_terms = int(tot["n_terms"] or 0) - len(head)
+    tail_c = int(tot["total_c"] or 0) - sum(r["c"] for r in head)
+    reference[_TAIL_KEY] = (
+        (tail_c / total / tail_terms) if tail_terms > 0 else None,
+        tail_terms,
+    )
+    return reference
+
+
+def _split_reference(reference: dict) -> tuple[list[tuple[int, float]], float]:
+    """(head term items, probability floor for out-of-head tokens). A
+    plain full-vocabulary dict (no tail entry) keeps the legacy
+    `_UNSEEN_P` floor."""
+    tail_p, _tail_terms = reference.get(_TAIL_KEY, (None, 0))
+    floor = max(tail_p or 0.0, _UNSEEN_P)
+    return [
+        (k, v) for k, v in reference.items() if k != _TAIL_KEY
+    ], floor
 
 
 def drift_monitor_sink(
@@ -79,9 +130,10 @@ def drift_monitor_sink(
     caller's budget."""
 
     # The reference frame is built once, on the first epoch, and reused —
-    # re-serializing a vocabulary-sized dict from the driver per micro-batch
+    # re-serializing a head-sized dict from the driver per micro-batch
     # would violate the calibrate-once contract.
     cache: dict[str, DataFrame] = {}
+    head, floor_p = _split_reference(reference)
 
     def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -94,9 +146,9 @@ def drift_monitor_sink(
             # An empty reference must be an empty FRAME, not a sentinel
             # (0, 0.0) row: a batch token hashing to exactly 0 would join
             # the sentinel's p_ref=0.0 and compute log(c/0) = inf instead
-            # of taking the _UNSEEN_P floor.
+            # of taking the out-of-head floor.
             cache["ref"] = spark.createDataFrame(
-                list(reference.items()), "thash long, p_ref double"
+                head, "thash long, p_ref double"
             ).cache()
         ref = cache["ref"]
         scored = counts.join(F.broadcast(ref), "thash", "left")
@@ -112,7 +164,7 @@ def drift_monitor_sink(
                 F.col("c")
                 * (
                     F.log(
-                        F.col("c") / F.coalesce(F.col("p_ref"), F.lit(_UNSEEN_P))
+                        F.col("c") / F.coalesce(F.col("p_ref"), F.lit(floor_p))
                     )
                     / F.log(F.lit(2.0))
                 )
@@ -175,6 +227,7 @@ def source_drift_sink(
     collect. BatchId-keyed dynamic-overwrite writes, replay-safe."""
 
     cache: dict[str, DataFrame] = {}
+    head, floor_p = _split_reference(reference)
 
     def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -185,13 +238,13 @@ def source_drift_sink(
         )
         if "ref" not in cache:
             cache["ref"] = spark.createDataFrame(
-                list(reference.items()), "thash long, p_ref double"
+                head, "thash long, p_ref double"
             ).cache()
         scored = counts.join(F.broadcast(cache["ref"]), "thash", "left")
         raw = F.sum(
             F.col("c")
             * (
-                F.log(F.col("c") / F.coalesce(F.col("p_ref"), F.lit(_UNSEEN_P)))
+                F.log(F.col("c") / F.coalesce(F.col("p_ref"), F.lit(floor_p)))
                 / F.log(F.lit(2.0))
             )
         )

@@ -79,6 +79,60 @@ class TestDriftMonitor:
         assert abs(audit[0].kl_bits - want0) < 1e-6, (audit[0].kl_bits, want0)
         assert abs(audit[1].kl_bits - want1) < 1e-6, (audit[1].kl_bits, want1)
 
+    def test_truncated_reference_bounds_driver_state_and_matches_hand_kl(
+        self, spark, tmp_path
+    ):
+        """r7: calibrate_reference holds only the top-K head plus ONE
+        tail bucket — never the full vocabulary. With top_k=2 over a
+        4-term corpus, the dict carries exactly 2 term entries, the tail
+        bucket records the other 2 terms' average probability, and the
+        sink's KL matches a hand computation against that truncated
+        reference to 1e-6 (head terms exact, out-of-head at the tail
+        floor)."""
+        from data_ingestion_experiment_otp_spark.streaming.drift_monitor import (
+            _TAIL_KEY,
+        )
+
+        # frequencies: alpha 4, beta 3, gamma 2, delta 1 (total 10)
+        corpus = [(1, "alpha alpha alpha alpha beta beta beta gamma gamma delta")]
+        ref = calibrate_reference(
+            spark.createDataFrame(corpus, DOC_SCHEMA), top_k=2
+        )
+        tail_p, tail_terms = ref[_TAIL_KEY]
+        head = {k: v for k, v in ref.items() if k != _TAIL_KEY}
+        assert len(head) == 2
+        assert sorted(head.values(), reverse=True) == [0.4, 0.3]
+        assert tail_terms == 2
+        assert abs(tail_p - (3 / 10) / 2) < 1e-12  # (2+1)/10 over 2 terms
+
+        batch = [(9, "alpha beta gamma zzyx")]  # head, head, tail, novel
+        mon = str(tmp_path / "monitor")
+        drift_monitor_sink(mon, ref, kl_budget_bits=1.0)(
+            spark.createDataFrame(batch, DOC_SCHEMA), 0
+        )
+        row = read_audit(spark, mon).collect()[0]
+        assert row.n_unseen == 2  # gamma (tail) + zzyx (novel): out-of-head
+        by_p = sorted(head.values(), reverse=True)
+        want = sum(
+            (1 / 4) * math.log2((1 / 4) / p)
+            for p in (by_p[0], by_p[1], tail_p, tail_p)
+        )
+        assert abs(row.kl_bits - want) < 1e-6, (row.kl_bits, want)
+
+    def test_tiebreak_on_equal_counts_is_deterministic(self, spark):
+        """Equal-frequency terms at the head boundary resolve by hash
+        order — the same head set on every replay/recalibration."""
+        corpus = [(1, "aa bb cc dd")]  # all count 1
+        df = spark.createDataFrame(corpus, DOC_SCHEMA)
+        from data_ingestion_experiment_otp_spark.streaming.drift_monitor import (
+            _TAIL_KEY,
+        )
+
+        refs = [calibrate_reference(df, top_k=2) for _ in range(3)]
+        heads = [tuple(sorted(k for k in r if k != _TAIL_KEY)) for r in refs]
+        assert heads[0] == heads[1] == heads[2]
+        assert len(heads[0]) == 2
+
     def test_replay_rewrites_identical_audit_row(self, spark, tmp_path):
         ref = calibrate_reference(spark.createDataFrame(REF_DOCS, DOC_SCHEMA))
         mon = str(tmp_path / "monitor")

@@ -156,3 +156,25 @@ class TestGopherRules:
         r = llm_gopher_rules(spark, str(out)).collect()[0]
         assert r["bullet_frac"] == 0.5      # 2 of 4 lines
         assert r["ellipsis_frac"] == 0.25   # 1 of 4 lines
+        # r7: words split on ANY whitespace run — newline-adjacent words
+        # ("one\n-") must count as separate words, not fuse into one
+        assert r["n_words"] == 10
+        assert r["mean_word_len"] == 4.0  # 40 chars over 10 true words
+
+    def test_newline_words_do_not_fuse(self, spark, tmp_path):
+        """The published whitespace tokenization: 60 3-char words joined
+        by newlines must read mwl=3.0, not one 239-char pseudo-word."""
+        from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+            llm_gopher_rules,
+        )
+
+        text = "\n".join(["the"] * 30 + ["and"] * 30)
+        rows = [(1, text, "en", "s", len(text))]
+        out = tmp_path / "docs2"
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+        r = llm_gopher_rules(spark, str(out)).collect()[0]
+        assert r["n_words"] == 60
+        assert r["mean_word_len"] == 3.0
+        assert r["stop_hits"] == 2  # 'the' and 'and' both present
