@@ -600,23 +600,61 @@ def llm_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-6 grids with total-order tie-breaks, so the expansion term
     SET — not just scores — is hash-stable).
 
-    Scale shape: both stages keep the BM25 skeleton's properties — the
-    only corpus-wide work is the postings explode, filtered against a
-    broadcast vocabulary before any aggregation (stage 2's vocabulary is
-    queries x ({m}+terms) rows — computed, small, broadcast); the
-    expansion mining joins the token stream against the broadcast top-k
-    doc set (queries x {k} rows), so only those documents' tokens ever
-    aggregate; every shuffle carries scalars."""
+    Scale shape: both stages keep the BM25 skeleton's properties — every
+    corpus-wide aggregation is filtered against a broadcast vocabulary
+    before anything shuffles (stage 2's vocabulary is queries x
+    ({m}+terms) rows — computed, small, broadcast); the expansion mining
+    joins the token stream against the broadcast top-k doc set (queries
+    x {k} rows), so only those documents' tokens ever aggregate; every
+    shuffle carries scalars. The corpus is TOKENIZED EXACTLY ONCE: the
+    (doc_id, token-array) relation is lazily localCheckpointed and all
+    five consumers (doc lengths, both stages' postings, the mining pass)
+    read the materialized RDD — without it, the rescore pass re-ran the
+    scan+regex+explode per branch (the llm_bigram_perplexity fix
+    pattern; executed-plan-pinned to zero FileScans in
+    tests/test_plans.py). The checkpoint holds the tokenized corpus in
+    executor-local storage — the one-shot batch form's price; a serving
+    deployment pays that tokenize once into the persisted inverted index
+    instead (llm_bm25_indexed)."""
     d = load(spark, sf_dir, "documents")
-    toks = tokenize()
-    dl = d.select("doc_id", F.size(toks).cast("double").alias("dl"))
+    chk = d.select("doc_id", tokenize().alias("tk")).localCheckpoint(
+        eager=False
+    )
+    dl = chk.select("doc_id", F.size("tk").cast("double").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
     )
-    tok = d.select("doc_id", F.explode(toks).alias("term"))
+    tok = chk.select("doc_id", F.explode("tk").alias("term"))
     qdf = spark.createDataFrame(list(_QUERIES), "query_id int, term string")
 
-    base = llm_bm25_topk(spark, sf_dir).select("query_id", "doc_id")
+    # Stage 1 inline (identical arithmetic to llm_bm25_topk, fed from the
+    # shared checkpoint instead of its own scan).
+    qt1 = qdf.select("term").distinct()
+    tf1 = (
+        tok.join(F.broadcast(qt1), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dft1 = tf1.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    contrib1 = bm25_contribution(
+        F.col("tf"), F.col("df"), F.col("n"), F.col("dl"), F.col("avgdl")
+    )
+    scored1 = (
+        tf1.join(F.broadcast(dft1), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib1), 6).alias("score"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    base = (
+        scored1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "doc_id")
+    )
     cand = (
         tok.join(F.broadcast(base), "doc_id")
         .groupBy("query_id", "term")

@@ -636,6 +636,23 @@ class TestBm25Plans:
         assert final.count("FileScan parquet") == 0, final
         assert final.count("Scan ExistingRDD") >= 3, final
 
+    def test_prf_single_filescan(self, spark, sf_dir):
+        """llm_bm25_prf's five consumers (doc lengths, both stages'
+        postings, the mining pass, stats) must read the checkpointed
+        (doc_id, token-array) relation, not re-run scan+regex+explode per
+        branch (r7, judge task 6 — the llm_bigram_perplexity fix
+        pattern): the executed plan contains ZERO parquet scans."""
+        df = SPECS["llm_bm25_prf"].fn(spark, sf_dir)
+        df.collect()
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert final.count("FileScan parquet") == 0, final
+        assert final.count("Scan ExistingRDD") >= 3, final
+
     def test_batch_bm25_exchanges_are_text_free(self, spark, sf_dir):
         """No Exchange in the batch BM25 plan may carry the text column or
         the token array — everything that shuffles is (doc_id, term, tf,
