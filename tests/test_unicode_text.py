@@ -219,6 +219,44 @@ def test_script_class_counts_agree_per_class(spark):
     con.close()
 
 
+def test_fused_script_counts_match_regex_form(spark):
+    """r7 (judge task 5): the fused codepoint-histogram pass must agree
+    with the 9-pass Java-regex form on EVERY count column — over the
+    multilingual corpus, supplementary-plane Han (U+20000 ext-B, outside
+    the BMP), digits of several scripts, NULL text, and the empty
+    string. The fused LUT is built from the session's own Java regex
+    engine, so this is the closed-loop check that the derivation and the
+    per-batch histogram arithmetic are faithful."""
+    from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+        _SCRIPT_CLASSES,
+        _script_counts_fused,
+        _script_counts_regex,
+    )
+
+    texts = list(MULTILINGUAL) + [
+        "\U00020000\U00020001 ext-b han",  # supplementary plane
+        "٣٤٥ १२३ 123",  # Arabic-Indic + Devanagari + ASCII digits
+        None,
+        "",
+        "𝔘𝔫𝔦𝔠𝔬𝔡𝔢",  # mathematical alphanumerics (plane 1)
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cols = [f"n_{name}" for name, _j, _r in _SCRIPT_CLASSES] + ["n_digit"]
+    want = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in _script_counts_regex(d).collect()
+    }
+    got = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in _script_counts_fused(spark, d).collect()
+    }
+    assert want == got
+    # the supplementary Han doc really exercised the non-BMP table rows
+    assert want[len(MULTILINGUAL)][5] == 2  # n_han counts both ext-B chars
+
+
 def test_script_id_dominant_on_extension_docs(spark, uni_sf_dir):
     """The routing signal must actually route: each extension doc's
     dominant script matches its language family."""
