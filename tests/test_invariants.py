@@ -949,6 +949,9 @@ class TestOrderIndependenceSweep:
         "llm_dataset_card",
         "llm_char_jaccard",
         "llm_char_jaccard_capped",
+        # r7: banding verifies exactly on hashed gram sets; candidates
+        # come from deterministic signature equality, not sampling
+        "llm_char_minhash_banded",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

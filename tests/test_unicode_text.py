@@ -314,6 +314,78 @@ class TestCharGramDedup:
         assert set(char_pairs) == {(1, 2)}, char_pairs
         assert char_pairs[(1, 2)] >= 0.6
 
+    def test_banded_catches_planted_cjk_pair(self, spark, tmp_path):
+        """r7: the char MinHash banding must catch the same planted
+        unsegmented near-dup the exact char pass catches — with the
+        IDENTICAL verified jaccard — and stay silent on the unrelated
+        doc (the exact verify leaves no false positives). The planted
+        pair is LONG (one-bigram edit over ~130 grams, j=0.857) so the
+        fixed 4-band/2-row scheme catches it deterministically —
+        P[candidate]=0.998 at that j, and with fixed permutations the
+        outcome is a constant, verified once; the short-pair regime
+        (j~0.67, P=0.91) is what the recall-floor test below covers
+        statistically."""
+        from data_ingestion_experiment_otp_spark.operators.dedup import (
+            llm_char_jaccard,
+            llm_char_minhash_banded,
+        )
+
+        base = (
+            "机器学习模型训练需要大量高质量的文本数据来提升泛化能力和下游任务表现"
+            "同时还需要精细的清洗流程和重复数据删除策略以保证语料库的多样性与平衡性"
+        )
+        near = base.replace("模型", "模组")
+        other = (
+            "今天的天气非常好适合出门散步并且在公园里喝茶读书放松心情休息一下"
+            "然后回家做饭看电影听音乐写日记整理房间"
+        )
+        rows = [
+            (1, base, "zh", "s", len(base)),
+            (2, near, "zh", "s", len(near)),
+            (3, other, "zh", "s", len(other)),
+        ]
+        out = tmp_path / "docs"
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+
+        exact = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in llm_char_jaccard(spark, str(out)).collect()
+        }
+        banded = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in llm_char_minhash_banded(spark, str(out)).collect()
+        }
+        assert set(banded) == {(1, 2)}, banded
+        assert banded[(1, 2)] == exact[(1, 2)]
+
+    def test_banded_truth_recall_and_no_false_positives(self, spark, sf_dir):
+        """Banding invariants vs the exact char pass over the fixture
+        corpus: (a) every banded pair is an exact pair with the SAME
+        verified jaccard (no false positives by construction); (b)
+        recall over clear pairs (jaccard >= 0.7, where
+        P[candidate] >= 0.93 per pair) is at least 0.8."""
+        from data_ingestion_experiment_otp_spark.operators.dedup import (
+            llm_char_jaccard,
+            llm_char_minhash_banded,
+        )
+
+        exact = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in llm_char_jaccard(spark, sf_dir).collect()
+        }
+        banded = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in llm_char_minhash_banded(spark, sf_dir).collect()
+        }
+        assert set(banded) <= set(exact), set(banded) - set(exact)
+        assert all(banded[k] == exact[k] for k in banded)
+        clear = {k for k, j in exact.items() if j >= 0.7}
+        if clear:
+            recall = len(clear & set(banded)) / len(clear)
+            assert recall >= 0.8, (recall, len(clear))
+
     def test_capped_form_still_catches_fixture_near_dups(self, spark, sf_dir):
         """The stop-gram cap must not lose the generator's injected
         near-duplicates: every word-shingle near-dup pair (the ground
