@@ -1,0 +1,357 @@
+"""BPE tokenizer tier: train merges → encode corpus → pack token ids.
+
+The corpus→token-ids bridge (SURVEY.md §2.10-r7): every training-data
+pipeline ends by turning curated text into packed token-id context windows,
+and this module supplies that last step as three composable operators:
+
+- ``llm_bpe_train`` — learn N byte-pair merges from the corpus;
+- ``llm_bpe_encode`` — tokenize every document with the learned merges;
+- ``pipeline_tokenize_pack`` — the capstone: train + encode + greedy
+  sequence packing into fixed-capacity context windows
+  (``llm_pack_sequences``'s manifest shape, text_analysis.py).
+
+Spark-first topology (the shape HF-tokenizers/SentencePiece training has,
+re-expressed distributed): BPE state is the WORD-FREQUENCY table, not the
+corpus — the corpus is scanned once to build word counts (lazily
+localCheckpointed so the N training rounds never rescan it) and once more
+to encode. Each merge round is one partial-aggregated shuffle over the
+word table's adjacent-symbol pairs plus a TakeOrdered(1); the driver sees
+exactly one argmax row per round (the bounded-collect contract the
+connected-components loop in dedup.py established). Applying a merge is a
+narrow per-row string ``replace`` with the round's winner as a literal —
+no join, no shuffle. At 100 TB the word table is orders of magnitude
+smaller than the corpus and is itself distributed; nothing here holds
+corpus- or vocabulary-sized state on the driver.
+
+Merge semantics are exact textbook BPE (Sennrich et al. 2016): per round,
+the highest-weighted adjacent symbol pair (ties broken lexicographically)
+is merged greedily left-to-right non-overlapping in every word. The
+segmentation is carried as a string with every symbol wrapped in its own
+pair of unit separators (``US sym US``), so one built-in ``replace`` of
+``US s1 US US s2 US`` → ``US s1s2 US`` IS the non-overlapping greedy merge
+— adjacent matches share no characters, which is exactly why string
+replace's left-to-right scan implements the BPE apply step. Both engines'
+``replace`` has identical semantics, so the whole trainer is expressible
+as a DuckDB CTE chain (``AS MATERIALIZED`` — the chain is quadratic
+self-referencing, and un-materialized CTE inlining blows up 2^N) and every
+entry carries a full hash oracle. The pure-Python greedy-BPE reference was
+verified equal to both engines during development.
+
+Reference parity: the reference (ehtesham-punt/data-ingestion-experiment-
+otp) has no tokenizer; this is engine-target surface, the iterated form of
+``llm_bpe_pair_counts``'s documented "merge-apply step between rounds"
+(text_analysis.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
+
+from ..plans.registry import register
+from ..sources.catalog import load
+
+_N_MERGES = 12
+_BPE_PACK_CAP = 512  # context-window capacity in BPE tokens
+_BPE_SHARDS = 8
+_US = "\x1f"  # symbol delimiter; fixture text is space-delimited ASCII words
+
+_MERGE_SCHEMA = T.StructType(
+    [
+        T.StructField("rnk", T.IntegerType()),
+        T.StructField("s1", T.StringType()),
+        T.StructField("s2", T.StringType()),
+        T.StructField("merged", T.StringType()),
+        T.StructField("n_pairs", T.LongType()),
+    ]
+)
+
+# Initial segmentation: each character wrapped as US+c+US. substr is
+# codepoint-based in both engines. chr(31) is spelled as a FUNCTION call on
+# both sides — never as a string literal — to dodge the backslash-eating
+# divergence between Spark SQL literals and DuckDB literals.
+_SEG0 = (
+    "concat_ws('', transform(sequence(1, length(w)), "
+    "i -> concat(chr(31), substr(w, i, 1), chr(31))))"
+)
+
+
+def _train_ctes(n_merges: int = _N_MERGES) -> str:
+    """The DuckDB training chain: word counts → N merge rounds.
+
+    Each round r materializes ``best_{r}`` (the argmax pair) and
+    ``seg_{r+1}`` (the merge applied). LEFT JOIN ON TRUE keeps words
+    unchanged when the corpus runs out of pairs before round N — the SQL
+    twin of the Spark loop's early ``break``.
+    """
+    parts = [
+        """
+bpe_words AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w
+)""",
+        f"""
+seg_0 AS MATERIALIZED (
+  SELECT w, n,
+         list_aggregate([chr(31) || substr(w, i, 1) || chr(31)
+                         for i in range(1, len(w) + 1)], 'string_agg', '') AS seg
+  FROM bpe_words
+)""",
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""
+best_{r} AS MATERIALIZED (
+  SELECT u['s1'] AS s1, u['s2'] AS s2, CAST(sum(n) AS BIGINT) AS c
+  FROM (
+    SELECT n, unnest([{{'s1': syms[i], 's2': syms[i + 1]}}
+                      for i in range(1, len(syms))]) AS u
+    FROM (SELECT n, list_filter(string_split(seg, chr(31)), s -> s <> '') AS syms
+          FROM seg_{r})
+  ) GROUP BY s1, s2
+  ORDER BY c DESC, s1, s2 LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""
+seg_{r + 1} AS MATERIALIZED (
+  SELECT w, n,
+         CASE WHEN b.s1 IS NULL THEN seg
+              ELSE replace(seg, chr(31) || b.s1 || chr(31) || chr(31) || b.s2 || chr(31),
+                           chr(31) || b.s1 || b.s2 || chr(31)) END AS seg
+  FROM seg_{r} LEFT JOIN best_{r} b ON TRUE
+)"""
+        )
+    return ",".join(parts)
+
+
+# Encode: final segmentations → token ids (dense rank over the symbol
+# vocabulary) → per-document token count + an order-sensitive checksum
+# (sum of tok_id × 1-based position within the word).
+_ENCODE_CTES = f""",
+wordsyms AS MATERIALIZED (
+  SELECT w, list_filter(string_split(seg, chr(31)), s -> s <> '') AS syms
+  FROM seg_{_N_MERGES}
+),
+vocab AS MATERIALIZED (
+  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS tok_id
+  FROM (SELECT DISTINCT unnest(syms) AS sym FROM wordsyms)
+),
+wordpos AS (
+  SELECT w, n_syms, u['s'] AS sym, CAST(u['p'] AS BIGINT) AS pos
+  FROM (SELECT w, len(syms) AS n_syms,
+               unnest([{{'s': syms[i], 'p': i}} for i in range(1, len(syms) + 1)]) AS u
+        FROM wordsyms)
+),
+wordstats AS MATERIALIZED (
+  SELECT w, CAST(max(n_syms) AS BIGINT) AS n_syms,
+         CAST(sum(v.tok_id * wp.pos) AS BIGINT) AS wsum
+  FROM wordpos wp JOIN vocab v USING (sym)
+  GROUP BY w
+),
+doctoks AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(wsum) AS BIGINT) AS tok_checksum
+  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents) dw
+  JOIN wordstats ws ON ws.w = dw.w
+  GROUP BY doc_id
+)"""
+
+_MERGE_UNION = " UNION ALL ".join(
+    f"SELECT {r + 1} AS rnk, s1, s2, s1 || s2 AS merged, c AS n_pairs FROM best_{r}"
+    for r in range(_N_MERGES)
+)
+
+
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    return d.select(F.explode(ws).alias("w")).groupBy("w").agg(F.count("*").alias("n"))
+
+
+def _syms_col():
+    return F.filter(F.split("seg", _US), lambda s: s != "")
+
+
+def _train(spark: SparkSession, sf_dir: str):
+    """Run N merge rounds; return (final seg DataFrame[w, n, seg], merges).
+
+    The word table is lazily localCheckpointed: the corpus FileScan runs
+    once (at round 0's argmax), and every later round re-derives segs with
+    r narrow ``replace`` maps over the checkpointed words — cheap string
+    ops over the (small) vocabulary relation, never the corpus.
+    """
+    words = _word_counts(spark, sf_dir).localCheckpoint(eager=False)
+    cur = words.withColumn("seg", F.expr(_SEG0))
+    merges: list[tuple] = []
+    for rnk in range(1, _N_MERGES + 1):
+        t = cur.select("n", _syms_col().alias("syms")).filter(F.size("syms") >= 2)
+        pairs = t.select(
+            "n",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("syms", 1, F.size("syms") - 1).alias("s1"),
+                    F.slice("syms", 2, F.size("syms") - 1).alias("s2"),
+                )
+            ).alias("p"),
+        ).select("n", F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+        best = (
+            pairs.groupBy("s1", "s2")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.col("c").desc(), "s1", "s2")  # TakeOrdered(1): total order
+            .limit(1)
+            .collect()
+        )
+        if not best:  # corpus out of adjacent pairs before round N
+            break
+        s1, s2, c = best[0].s1, best[0].s2, best[0].c
+        merges.append((rnk, s1, s2, s1 + s2, int(c)))
+        cur = cur.withColumn(
+            "seg",
+            F.replace(
+                F.col("seg"),
+                F.lit(_US + s1 + _US + _US + s2 + _US),
+                F.lit(_US + s1 + s2 + _US),
+            ),
+        )
+    return cur, merges
+
+
+@register(
+    "llm_bpe_train",
+    oracle=f"""
+    WITH {_train_ctes()}
+    SELECT * FROM ({_MERGE_UNION})
+    """,
+    tags=("llm", "text", "bpe"),
+)
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule training: iterate ``llm_bpe_pair_counts``'s
+    adjacent-pair count (weighted by word frequency, over the word table)
+    with a greedy merge-apply step between rounds — the full trainer its
+    docstring promises. Output is the ordered merge table (rank, pair,
+    merged symbol, pair count at merge time): exactly the artifact a
+    tokenizer ships as ``merges.txt``. Deterministic end-to-end (integer
+    weights, lexicographic tie-breaks), so the 12-round training chain is
+    hash-verified against DuckDB replaying the identical rounds."""
+    _, merges = _train(spark, sf_dir)
+    return spark.createDataFrame(merges, _MERGE_SCHEMA)
+
+
+def _doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the learned merges; one row per doc."""
+    seg_df, _ = _train(spark, sf_dir)
+    wordsyms = seg_df.select("w", _syms_col().alias("syms"))
+    # Token-id vocabulary: dense rank over the final symbol set. The
+    # single-partition window is bounded BY DESIGN: |vocab| ≤ base chars +
+    # N merges — a tokenizer-sized constant (50k-class at production
+    # settings), not a corpus-scaled relation.
+    vocab = (
+        wordsyms.select(F.explode("syms").alias("sym"))
+        .distinct()
+        .withColumn("tok_id", F.row_number().over(Window.orderBy("sym")).cast("long"))
+    )
+    wordpos = wordsyms.select(
+        "w",
+        F.size("syms").cast("long").alias("n_syms"),
+        F.posexplode("syms").alias("pos0", "sym"),
+    )
+    wordstats = (
+        wordpos.join(F.broadcast(vocab), "sym")
+        .groupBy("w")
+        .agg(
+            F.max("n_syms").alias("n_syms"),
+            F.sum(F.col("tok_id") * (F.col("pos0") + 1)).alias("wsum"),
+        )
+    )
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    dw = d.select("doc_id", F.explode(ws).alias("w"))
+    # Per-word stats join: equi-join on the word key. Unhinted on purpose —
+    # AQE broadcasts the (tiny) word table here; at 100 TB word-vocabulary
+    # scale it degrades gracefully to a shuffle hash join on `w`.
+    return (
+        dw.join(wordstats, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+            F.sum("wsum").alias("tok_checksum"),
+        )
+    )
+
+
+@register(
+    "llm_bpe_encode",
+    oracle=f"""
+    WITH {_train_ctes()}{_ENCODE_CTES}
+    SELECT doc_id, n_words, n_bpe_tokens, tok_checksum FROM doctoks
+    """,
+    tags=("llm", "text", "bpe"),
+)
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the learned BPE vocabulary: per document,
+    the word count, the BPE token count, and an order-sensitive token-id
+    checksum (Σ tok_id × within-word position) proving both engines
+    produced the SAME token-id sequences, not merely the same lengths.
+    Encoding is segmentation LOOKUP, not re-merging: training already
+    fixed every distinct word's segmentation, so the corpus side is one
+    explode + one equi-join + one aggregate — tokenization cost at 100 TB
+    is a single pass over the text with a word-keyed join against the
+    (much smaller) trained word table."""
+    return _doc_token_stats(spark, sf_dir)
+
+
+@register(
+    "pipeline_tokenize_pack",
+    oracle=f"""
+    WITH {_train_ctes()}{_ENCODE_CTES},
+    packed AS (
+      SELECT doc_id % {_BPE_SHARDS} AS shard, n_bpe_tokens, tok_checksum,
+             CAST(floor((sum(n_bpe_tokens) OVER (
+                           PARTITION BY doc_id % {_BPE_SHARDS}
+                           ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_bpe_tokens)
+                        / {_BPE_PACK_CAP}.0) AS BIGINT) AS pack_id
+      FROM doctoks
+    )
+    SELECT shard, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bpe_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(tok_checksum) AS BIGINT) AS checksum
+    FROM packed GROUP BY shard, pack_id
+    """,
+    tags=("llm", "text", "bpe", "pipeline"),
+)
+def pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus→token-ids capstone: train BPE merges, encode every
+    document, and greedily pack the token streams into {cap}-token context
+    windows ({shards} independent shards, ``llm_pack_sequences``'s
+    assignment rule: a doc joins the window its first token's exclusive
+    running sum falls in — conservation-exact, nothing dropped or
+    duplicated). Output is the per-pack manifest (doc count, token count,
+    token-id checksum) a shard writer would emit. One driver slot
+    hash-covers the whole train→encode→pack chain; the checksum column
+    makes the hash sensitive to every learned merge, every token id, and
+    every pack boundary.""".format(cap=_BPE_PACK_CAP, shards=_BPE_SHARDS)
+    doctoks = _doc_token_stats(spark, sf_dir)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    excl = F.sum("n_bpe_tokens").over(w) - F.col("n_bpe_tokens")
+    return (
+        doctoks.withColumn("shard", F.col("doc_id") % _BPE_SHARDS)
+        .withColumn("pack_id", F.floor(excl / F.lit(float(_BPE_PACK_CAP))))
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("n_tokens"),
+            F.sum("tok_checksum").alias("checksum"),
+        )
+    )

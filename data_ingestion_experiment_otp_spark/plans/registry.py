@@ -160,7 +160,14 @@ DRIVER_ORDER: tuple[str, ...] = (
     "llm_phrase_search",
     "llm_text_profile",
     "llm_keyword_extract",
-    "llm_sample_shard",
+    # llm_sample_shard is driver-demoted (r7): deterministic sampling +
+    # sharding is hash-covered by composition in pipeline_llm_dataprep's
+    # final stage (COVERAGE.md maps it); exact oracle retained in pytest
+    # parity. Its slot carries pipeline_tokenize_pack below — the r7
+    # corpus→token-ids capstone (BPE train + encode + pack), whose one
+    # slot hash-covers the llm_bpe_train / llm_bpe_encode /
+    # llm_pack_sequences chain end-to-end.
+    "pipeline_tokenize_pack",
     # composed capstone: the end-to-end LLM dataprep pipeline (dedup →
     # quality gate → chunk → shard), hash-checked against one DuckDB query
     "pipeline_llm_dataprep",
@@ -197,6 +204,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from ..operators import (  # noqa: F401
         aggregates,
         asof,
+        bpe,
         cdc,
         clustering,
         dedup,

@@ -1,0 +1,207 @@
+"""BPE tier semantics (r7): train / encode / pack pinned three ways.
+
+1. Planted-corpus exact semantics: Spark AND the DuckDB oracle both equal
+   an independent pure-Python greedy-BPE reference — including the
+   overlapping-pair case ("aaaa": left-to-right non-overlapping merge) and
+   the pair-exhaustion case (corpus runs dry before round N: Spark breaks,
+   the SQL chain's LEFT JOIN ON TRUE no-ops — both must keep the merge
+   list short and the segmentations stable).
+2. Fixture invariants: conservation (packs partition the token stream
+   exactly), bounds (n_words ≤ n_bpe_tokens ≤ Σ word lengths), and exact
+   reconstruction of the pack manifest from the encode output.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_experiment_otp_spark.operators.bpe import (
+    _BPE_PACK_CAP,
+    _BPE_SHARDS,
+    _N_MERGES,
+)
+from data_ingestion_experiment_otp_spark.plans.registry import all_queries
+
+SPECS = all_queries()
+
+
+def py_bpe(texts, n_merges):
+    """Independent greedy-BPE reference (Sennrich-style, word-weighted)."""
+    wc = collections.Counter()
+    for t in texts:
+        for w in (t or "").split(" "):
+            if w:
+                wc[w] += 1
+    segs = {w: list(w) for w in wc}
+    merges = []
+    for rnk in range(1, n_merges + 1):
+        pc = collections.Counter()
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (s1, s2), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnk, s1, s2, s1 + s2, c))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    return merges, segs
+
+
+def py_encode(rows, segs):
+    """(doc_id, text) rows -> {doc_id: (n_words, n_bpe_tokens, tok_checksum)}."""
+    vocab = {
+        s: i + 1
+        for i, s in enumerate(sorted({s for syms in segs.values() for s in syms}))
+    }
+    ws = {
+        w: (len(syms), sum(vocab[s] * (i + 1) for i, s in enumerate(syms)))
+        for w, syms in segs.items()
+    }
+    out = {}
+    for did, t in rows:
+        nw = nt = ck = 0
+        for w in (t or "").split(" "):
+            if w:
+                nw += 1
+                nt += ws[w][0]
+                ck += ws[w][1]
+        if nw:
+            out[did] = (nw, nt, ck)
+    return out
+
+
+def plant(spark, tmp_path, docs):
+    out = tmp_path / "docs"
+    spark.createDataFrame(
+        [(i, t, "xx", "src_bpe", len(t) if t is not None else 0) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{out}/documents.parquet/*.parquet'"
+    )
+    return str(out), con
+
+
+# Overlap-heavy corpus: "aaaa"/"aaa" pin the left-to-right non-overlapping
+# greedy apply ("aaaa" under merge (a,a) -> [aa, aa], NOT [aa, a, a]);
+# banana-family words create pairs that survive several rounds; a null and
+# an empty text pin null-safety.
+PLANTED = [
+    "aaaa aaa aa a banana bandana",
+    "banana banana cabana",
+    "aaaa abab abab baba",
+    "na na na banana",
+    "",
+    None,
+    "zq",  # a word contributing exactly one pair
+]
+
+# Exhaustion corpus: every word fully merges after 2 rounds; rounds 3..N
+# must be no-ops on BOTH engines.
+EXHAUST = ["ab ab ab cd cd", "ab cd", ""]
+
+
+class TestPlantedSemantics:
+    @pytest.mark.parametrize("docs", [PLANTED, EXHAUST], ids=["overlap", "exhaust"])
+    def test_train_matches_python_reference(self, spark, tmp_path, docs):
+        sf, con = plant(spark, tmp_path, docs)
+        ref, _ = py_bpe(docs, _N_MERGES)
+        got = [
+            tuple(r)
+            for r in SPECS["llm_bpe_train"].fn(spark, sf).orderBy("rnk").collect()
+        ]
+        assert got == ref
+        duck = con.sql(SPECS["llm_bpe_train"].oracle).fetchall()
+        assert sorted(duck) == ref
+        if docs is EXHAUST:
+            assert len(ref) < _N_MERGES  # the early-exhaustion path really ran
+
+    @pytest.mark.parametrize("docs", [PLANTED, EXHAUST], ids=["overlap", "exhaust"])
+    def test_encode_matches_python_reference(self, spark, tmp_path, docs):
+        sf, con = plant(spark, tmp_path, docs)
+        _, segs = py_bpe(docs, _N_MERGES)
+        ref = py_encode(list(enumerate(docs)), segs)
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["tok_checksum"])
+            for r in SPECS["llm_bpe_encode"].fn(spark, sf).collect()
+        }
+        assert got == ref
+        duck = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.sql(SPECS["llm_bpe_encode"].oracle).fetchall()
+        }
+        assert duck == ref
+
+    def test_overlap_word_segmentation(self, spark, tmp_path):
+        """'aaaa' must encode to 2 tokens once (a,a)->aa is learned — the
+        direct witness that replace() implements non-overlapping greedy."""
+        docs = ["aaaa aaaa aaaa aa"]
+        sf, _ = plant(spark, tmp_path, docs)
+        enc = SPECS["llm_bpe_encode"].fn(spark, sf).collect()[0]
+        # merges: (a,a)->aa, then (aa,aa)->aaaa; tokens: [aaaa]x3 + [aa]
+        assert enc["n_words"] == 4
+        assert enc["n_bpe_tokens"] == 4
+
+
+class TestFixtureInvariants:
+    def test_pack_conservation_and_reconstruction(self, spark, sf_dir):
+        """The pack manifest must be EXACTLY reconstructible from the
+        encode output: same greedy rule, nothing dropped or duplicated."""
+        enc = {
+            r["doc_id"]: (r["n_bpe_tokens"], r["tok_checksum"])
+            for r in SPECS["llm_bpe_encode"].fn(spark, sf_dir).collect()
+        }
+        packs = collections.defaultdict(lambda: [0, 0, 0])
+        cum = collections.Counter()
+        for did in sorted(enc):
+            nt, ck = enc[did]
+            sh = did % _BPE_SHARDS
+            pid = cum[sh] // _BPE_PACK_CAP
+            cum[sh] += nt
+            p = packs[(sh, pid)]
+            p[0] += 1
+            p[1] += nt
+            p[2] += ck
+        got = {
+            (r["shard"], r["pack_id"]): [r["n_docs"], r["n_tokens"], r["checksum"]]
+            for r in SPECS["pipeline_tokenize_pack"].fn(spark, sf_dir).collect()
+        }
+        assert got == dict(packs)
+        assert sum(v[1] for v in got.values()) == sum(nt for nt, _ in enc.values())
+
+    def test_encode_bounds(self, spark, sf_dir):
+        """Each word is 1..len(word) tokens: n_words <= n_bpe_tokens <=
+        total word chars; compression actually happened on the fixture."""
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        chars = d.select(
+            "doc_id",
+            F.aggregate(
+                F.transform(
+                    F.filter(F.split("text", " "), lambda w: w != ""),
+                    F.length,
+                ),
+                F.lit(0),
+                lambda a, x: a + x,
+            ).alias("wchars"),
+        )
+        enc = SPECS["llm_bpe_encode"].fn(spark, sf_dir)
+        j = enc.join(chars, "doc_id").collect()
+        assert j
+        assert all(r["n_words"] <= r["n_bpe_tokens"] <= r["wchars"] for r in j)
+        # 12 merges over the 31-word fixture vocabulary must compress
+        assert sum(r["n_bpe_tokens"] for r in j) < sum(r["wchars"] for r in j)

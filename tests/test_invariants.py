@@ -952,6 +952,11 @@ class TestOrderIndependenceSweep:
         # r7: banding verifies exactly on hashed gram sets; candidates
         # come from deterministic signature equality, not sampling
         "llm_char_minhash_banded",
+        # r7: BPE argmax is a weighted integer sum with a lexicographic
+        # total-order tie-break, so the learned merges — and everything
+        # downstream (token ids, checksums, pack boundaries) — may not
+        # move under repartition
+        "pipeline_tokenize_pack",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):
