@@ -84,6 +84,10 @@ HEADLINE = [
     "llm_triplet_mining",
     "llm_dataset_card",
     "llm_char_jaccard_capped",
+    # r7 additions: the sub-quadratic char-gram banding path and the
+    # BPE train→encode→pack capstone
+    "llm_char_minhash_banded",
+    "pipeline_tokenize_pack",
 ]
 
 
@@ -162,25 +166,37 @@ def main() -> None:
         warm = (runs[1:] if len(runs) > 1 else runs)[-3:]
         return (max(warm) / min(warm) - 1.0) * 100
 
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # Interleaved protocol (r7, judge task 8): run ROUNDS over the whole
+    # headline list (every cell once per round) instead of reps-per-cell
+    # blocks. Host-noise on this shared box drifts on a seconds-to-minutes
+    # timescale, so a per-cell block can land entirely inside a noisy
+    # window and inflate that cell 2-3×; interleaving spreads each cell's
+    # reps across the full run, so the per-cell min samples several noise
+    # regimes — the same-process A/B discipline SCALING.md already uses,
+    # now applied to the headline record itself.
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            runs[name].append(run_once(name))
+
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
-        runs = []
-        for _ in range(reps):  # min-of-N pins steady state (N=3 default)
-            t0 = time.perf_counter()
-            q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        while warm_spread(runs) > spread_cap_pct and len(runs) < max_reps:
-            t0 = time.perf_counter()
-            q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
+        # Adaptive re-reps for cells still unsettled after the rounds.
+        while warm_spread(runs[name]) > spread_cap_pct and len(runs[name]) < max_reps:
+            runs[name].append(run_once(name))
+        timings[name] = round(min(runs[name]), 3)
         # rep-to-rep spread OVER THE WARM RUNS (the first rep carries this
         # query's plan compilation and is absorbed by min-of-N, not a
         # stability signal): cells whose spread exceeds a round-over-round
         # delta mean the delta is noise, not a regression
         # (BENCH_HISTORY.md discipline)
-        spread[name] = round(warm_spread(runs), 1)
+        spread[name] = round(warm_spread(runs[name]), 1)
 
     ingest_sec, ingest_dps = bench_corpus_ingest(spark, sf_dir)
     timings["corpus_ingest_epoch"] = ingest_sec
@@ -202,6 +218,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
+                "protocol": "interleaved-rounds-min",
             },
             separators=(",", ":"),
         )
