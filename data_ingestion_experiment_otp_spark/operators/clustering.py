@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..plans.registry import register
 from ..sources.catalog import load
 from .similarity import load_vectors
-from .text_analysis import QUALITY_SQL_CTE, quality_expr
+from .text_analysis import QC_ORACLE, QUALITY_SQL_CTE, quality_expr
 
 # Repetition gate thresholds (on values rounded to 6 on both engines, so
 # the comparisons are cross-engine exact). Tuned to split the fixture
@@ -492,3 +492,32 @@ def pipeline_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "cluster_id", "quality", "rk")
     )
 
+
+
+@register(
+    "pipeline_curation_classified",
+    # CTE-in-CTE: both composed oracles are full WITH...SELECT statements,
+    # spliced verbatim so the variant's model/funnel can never drift from
+    # the single-stage entries it composes.
+    oracle=f"""
+    WITH cur AS MATERIALIZED ({_CURATION_ORACLE}),
+    clf AS MATERIALIZED ({QC_ORACLE})
+    SELECT cur.* FROM cur JOIN clf USING (doc_id) WHERE clf.keep
+    """,
+    tags=("llm", "pipeline", "clustering", "quality", "classifier"),
+)
+def pipeline_curation_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone with the model gate wired in (r7): heuristic
+    funnel (repetition → per-source percentile → cluster cap) THEN the
+    fastText-shaped classifier as the final keep filter — the CCNet-style
+    two-tier shape where the cheap heuristics bound the volume the model
+    stage sees. The classifier is a zero-shuffle projection, so the
+    composed plan adds one semi-join on doc_id scalars and nothing else;
+    ranks/caps are those of the heuristic tier (the gate trims, it does
+    not re-rank). Hash-covered end-to-end by splicing both stages' oracle
+    SQL verbatim."""
+    from .text_analysis import llm_quality_classifier
+
+    cur = pipeline_semantic_curation(spark, sf_dir)
+    keeps = llm_quality_classifier(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    return cur.join(keeps, "doc_id", "semi")

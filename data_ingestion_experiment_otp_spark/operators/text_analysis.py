@@ -1502,3 +1502,109 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "n_unique_texts", "n_langs", "n_tokens",
         "total_chars", "gopher_keep_rate", dominant.alias("dominant_script"),
     )
+
+
+# --- Model-based quality gate (r7, VERDICT task 4) ------------------------
+# A fastText-shaped linear classifier: hashed bag-of-words (unigram +
+# bigram buckets) × a shipped integer weight vector, thresholded. The
+# model is FIXED (weights generated from a closed formula and embedded
+# identically in both engines), because what this operator contributes is
+# the SERVING topology of the published curation stage — fastText/KenLM
+# quality scoring à la CCNet/RefinedWeb — not model fitting. Everything is
+# integer arithmetic (token hash: a rolling 31× codepoint fold; margin:
+# weight sums), so the gate is exactly reproducible cross-engine and the
+# entry carries a full hash oracle; a sigmoid is monotone, so thresholding
+# the raw margin IS thresholding the probability.
+_QC_BUCKETS = 64
+# Prime ABOVE the max Unicode codepoint (0x10FFFF = 1114111): the first
+# fold step is then the identity on every codepoint, which keeps Spark's
+# aggregate(acc0=0) and DuckDB's list_reduce (acc0 = first element)
+# bit-identical.
+_QC_HASH_MOD = 2097143
+_QC_WEIGHTS = tuple(((b * 37 + 11) % 101) - 50 for b in range(2 * _QC_BUCKETS))
+_QC_BIAS = 8  # per-token prior; splits the fixture corpus ~56/44
+_QC_W_SPARK = "array(" + ",".join(f"{x}L" for x in _QC_WEIGHTS) + ")"
+_QC_W_SQL = "[" + ",".join(str(x) for x in _QC_WEIGHTS) + "]"
+
+# Spark-side margin pipeline over a `ws` (non-empty words) column. Pure
+# higher-order functions — token hashing, bucket lookup, and both feature
+# sums happen per-row inside whole-stage codegen: ZERO shuffles, zero
+# Python, embarrassingly parallel at any corpus size.
+_QC_HS = (
+    "transform(ws, w -> aggregate(transform(sequence(1, length(w)), "
+    f"i -> cast(ascii(substr(w, i, 1)) as bigint)), 0L, (a, x) -> (a * 31 + x) % {_QC_HASH_MOD}))"
+)
+_QC_MARGIN = f"""
+aggregate(hs, 0L, (a, h) -> a + element_at({_QC_W_SPARK}, cast(h % {_QC_BUCKETS} as int) + 1))
++ (case when size(hs) >= 2
+   then aggregate(sequence(1, size(hs) - 1), 0L,
+                  (a, i) -> a + element_at({_QC_W_SPARK},
+                      {_QC_BUCKETS} + cast((element_at(hs, i) * 31 + element_at(hs, i + 1)) % {_QC_BUCKETS} as int) + 1))
+   else 0L end)
++ {_QC_BIAS}L * size(hs)
+"""
+
+
+# Named so pipeline_curation_classified (clustering.py) can splice the
+# identical model into its composed oracle.
+QC_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, source, len(ws) AS n_toks,
+             [list_reduce([unicode(substr(w, i, 1)) for i in range(1, len(w) + 1)],
+                          (a, x) -> (a * 31 + x) % {_QC_HASH_MOD}) for w in ws] AS hs
+      FROM t WHERE len(ws) > 0
+    )
+    SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(list_sum([({_QC_W_SQL})[hv % {_QC_BUCKETS} + 1] for hv in hs]) AS BIGINT)
+           + CAST(CASE WHEN len(hs) >= 2
+                  THEN list_sum([({_QC_W_SQL})[{_QC_BUCKETS} + (hs[i] * 31 + hs[i + 1]) % {_QC_BUCKETS} + 1]
+                                 for i in range(1, len(hs))])
+                  ELSE 0 END AS BIGINT)
+           + {_QC_BIAS} * n_toks AS margin,
+           CAST(list_sum([({_QC_W_SQL})[hv % {_QC_BUCKETS} + 1] for hv in hs]) AS BIGINT)
+           + CAST(CASE WHEN len(hs) >= 2
+                  THEN list_sum([({_QC_W_SQL})[{_QC_BUCKETS} + (hs[i] * 31 + hs[i + 1]) % {_QC_BUCKETS} + 1]
+                                 for i in range(1, len(hs))])
+                  ELSE 0 END AS BIGINT)
+           + {_QC_BIAS} * n_toks > 0 AS keep
+    FROM h
+    """
+
+
+@register(
+    "llm_quality_classifier",
+    oracle=QC_ORACLE,
+    tags=("llm", "text", "quality", "classifier"),
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate — the fastText-shaped classifier stage the
+    published curation pipelines (CCNet, RefinedWeb, FineWeb) run after
+    the heuristic tier: score = shipped linear model over hashed unigram +
+    bigram bag-of-words features, keep = margin > 0. The 128-bucket
+    weight vector rides into the plan as an array literal (at real model
+    sizes: a broadcast variable), token hashing is a per-row codepoint
+    fold, and both feature sums are higher-order-function reductions —
+    the whole gate is one zero-shuffle projection over the corpus scan,
+    which is the property that lets it run inline in a 100 TB ingest
+    without its own stage. Integer-exact end-to-end, hence the full
+    cross-engine hash oracle (the heuristic tier's quality_expr() needs
+    round-6 double grids; this gate needs no rounding at all)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    t = (
+        d.select("doc_id", "source", words.alias("ws"))
+        .filter(F.size("ws") > 0)
+        .withColumn("hs", F.expr(_QC_HS))
+        .withColumn("margin", F.expr(_QC_MARGIN))
+    )
+    return t.select(
+        "doc_id",
+        "source",
+        F.size("ws").cast("long").alias("n_toks"),
+        "margin",
+        (F.col("margin") > 0).alias("keep"),
+    )

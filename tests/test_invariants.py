@@ -1057,3 +1057,72 @@ class TestAudioCodec:
         assert row["amp_sum"] == int(s.astype(np.int64).sum())
         assert row["amp_peak"] == int(np.abs(s.astype(np.int64)).max())
         assert row["n_bytes"] == len(blob)
+
+
+class TestQualityClassifier:
+    """r7 model-based gate: the shipped linear model must reproduce a
+    hand-evaluated reference, and the capstone variant must be exactly
+    curation ∩ classifier-keeps (the gate trims, it does not re-rank)."""
+
+    def test_margin_matches_hand_model(self, spark, tmp_path):
+        from test_bpe import plant
+
+        from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+            _QC_BIAS,
+            _QC_BUCKETS,
+            _QC_HASH_MOD,
+            _QC_WEIGHTS,
+        )
+
+        docs = [
+            "the quick brown fox",
+            "naïve café 東京 mixed",
+            "single",
+            "",
+            None,
+            "a b a b a",
+        ]
+        sf, _ = plant(spark, tmp_path, docs)
+        specs = __import__(
+            "data_ingestion_experiment_otp_spark.plans.registry",
+            fromlist=["all_queries"],
+        ).all_queries()
+        got = {
+            r["doc_id"]: (r["n_toks"], r["margin"], r["keep"])
+            for r in specs["llm_quality_classifier"].fn(spark, sf).collect()
+        }
+        ref = {}
+        for did, t in enumerate(docs):
+            ws = [w for w in (t or "").split(" ") if w]
+            if not ws:
+                continue
+            hs = []
+            for w in ws:
+                a = 0
+                for c in w:
+                    a = (a * 31 + ord(c)) % _QC_HASH_MOD
+                hs.append(a)
+            m = (
+                sum(_QC_WEIGHTS[h % _QC_BUCKETS] for h in hs)
+                + sum(
+                    _QC_WEIGHTS[_QC_BUCKETS + (hs[i] * 31 + hs[i + 1]) % _QC_BUCKETS]
+                    for i in range(len(hs) - 1)
+                )
+                + _QC_BIAS * len(hs)
+            )
+            ref[did] = (len(ws), m, m > 0)
+        assert got == ref
+
+    def test_variant_is_curation_intersect_keeps(self, spark, sf_dir):
+        from data_ingestion_experiment_otp_spark.plans.registry import all_queries
+
+        specs = all_queries()
+        cur = {tuple(r) for r in specs["pipeline_semantic_curation"].fn(spark, sf_dir).collect()}
+        keeps = {
+            r["doc_id"]
+            for r in specs["llm_quality_classifier"].fn(spark, sf_dir).collect()
+            if r["keep"]
+        }
+        var = {tuple(r) for r in specs["pipeline_curation_classified"].fn(spark, sf_dir).collect()}
+        assert var == {r for r in cur if r[0] in keeps}
+        assert var < cur  # the gate really dropped someone at fixture scale
