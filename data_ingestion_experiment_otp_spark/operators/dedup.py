@@ -517,9 +517,9 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_dedup_clusters",
-    oracle=f"""
+# Named so llm_dataset_card (text_analysis.py) can splice the identical
+# cluster fixpoint into its per-source near-dup-rate column.
+DEDUP_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_ORACLE}),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -534,7 +534,12 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT u AS doc_id, least(u, min(v)) AS cluster_id
     FROM reach
     GROUP BY u
-    """,
+    """
+
+
+@register(
+    "llm_dedup_clusters",
+    oracle=DEDUP_CLUSTERS_ORACLE,
     tags=("llm", "dedup", "iterative"),
 )
 def llm_dedup_clusters(

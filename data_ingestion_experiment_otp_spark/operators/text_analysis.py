@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.registry import register
 from ..sources.catalog import load
+from .dedup import DEDUP_CLUSTERS_ORACLE, llm_dedup_clusters
 
 _STOPWORDS = ("the", "a", "of", "and", "in", "to")
 _KEYWORD_PAT = "join|sort|hash|scan|merge|filter"
@@ -1419,6 +1420,7 @@ def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DATASET_CARD_ORACLE = f"""
     WITH g AS ({{GOPHER}}),
     s AS ({{SCRIPT}}),
+    dup AS ({{DUP}}),
     base AS (
       SELECT doc_id, source, lang, text, n_chars,
              len({_PPL_TOKENIZE}) AS n_tok
@@ -1426,10 +1428,13 @@ _DATASET_CARD_ORACLE = f"""
     ),
     j AS (
       SELECT base.source, base.lang, base.text, base.n_chars, base.n_tok,
-             g.keep, {" , ".join("s.n_" + n for n in _SCRIPT_NAMES)}
+             g.keep,
+             CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup,
+             {" , ".join("s.n_" + n for n in _SCRIPT_NAMES)}
       FROM base
       JOIN g ON g.doc_id = base.doc_id
       JOIN s ON s.doc_id = base.doc_id
+      LEFT JOIN dup ON dup.doc_id = base.doc_id
     ),
     agg AS (
       SELECT source,
@@ -1438,18 +1443,22 @@ _DATASET_CARD_ORACLE = f"""
              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
              round(avg(CASE WHEN keep THEN 1 ELSE 0 END), 6) AS gopher_keep_rate,
+             round(avg(is_dup), 6) AS neardup_rate,
              {" , ".join(f"sum(n_{n}) AS t_{n}" for n in _SCRIPT_NAMES)}
       FROM j GROUP BY source
     )
     SELECT source, n_docs, n_unique_texts, n_langs, n_tokens, total_chars,
-           gopher_keep_rate,
+           total_bytes, gopher_keep_rate, neardup_rate,
            CASE WHEN greatest({", ".join("t_" + n for n in _SCRIPT_NAMES)}) = 0
                 THEN 'unknown'
 {chr(10).join(f"                WHEN t_{n} = greatest({', '.join('t_' + m for m in _SCRIPT_NAMES)}) THEN '{n}'" for n in _SCRIPT_NAMES)}
            END AS dominant_script
     FROM agg
-    """.replace("{GOPHER}", _GOPHER_ORACLE).replace("{SCRIPT}", _SCRIPT_ID_ORACLE)
+    """.replace("{GOPHER}", _GOPHER_ORACLE).replace("{SCRIPT}", _SCRIPT_ID_ORACLE).replace(
+    "{DUP}", DEDUP_CLUSTERS_ORACLE
+)
 
 
 @register(
@@ -1468,11 +1477,19 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     spliced oracle (their SQL verbatim as CTEs) hash-gates the whole
     composition cross-engine.
 
+    r7 provenance columns (VERDICT task 10): per-source BYTE volume
+    (octet_length — the number a storage/release audit bills by, distinct
+    from the char count on any non-ASCII corpus) and the per-source
+    NEAR-DUP rate — the fraction of the stratum's docs that sit in some
+    ``llm_dedup_clusters`` duplicate component, spliced from that
+    operator's fixpoint verbatim so the card can never disagree with the
+    dedup tier it summarizes.
+
     Scale shape: three scans of documents (one per composed audit — each
-    audit is itself single-scan/zero-shuffle), doc-keyed scalar joins
-    (AQE picks the strategy), one per-source aggregate; text reaches
-    only the distinct-count, which DuckDB and Spark both hash rather
-    than sort."""
+    audit is itself single-scan/zero-shuffle) plus the dedup tier's pair
+    derivation, doc-keyed scalar joins (AQE picks the strategy), one
+    per-source aggregate; text reaches only the distinct-count, which
+    DuckDB and Spark both hash rather than sort."""
     d = load(spark, sf_dir, "documents")
     base = d.select(
         "doc_id", "source", "lang", "text", "n_chars",
@@ -1482,16 +1499,26 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = llm_script_id(spark, sf_dir).select(
         "doc_id", *[f"n_{n}" for n in _SCRIPT_NAMES]
     )
-    j = base.join(g, "doc_id").join(s, "doc_id")
+    dup = llm_dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("is_dup")
+    )
+    j = (
+        base.join(g, "doc_id")
+        .join(s, "doc_id")
+        .join(dup, "doc_id", "left")
+        .withColumn("is_dup", F.coalesce("is_dup", F.lit(0)))
+    )
     aggs = [
         F.count("*").alias("n_docs"),
         F.countDistinct("text").alias("n_unique_texts"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum("n_tok").alias("n_tokens"),
         F.sum("n_chars").alias("total_chars"),
+        F.sum(F.octet_length("text")).alias("total_bytes"),
         F.round(F.avg(F.when(F.col("keep"), 1).otherwise(0)), 6).alias(
             "gopher_keep_rate"
         ),
+        F.round(F.avg("is_dup"), 6).alias("neardup_rate"),
     ] + [F.sum(f"n_{n}").alias(f"t_{n}") for n in _SCRIPT_NAMES]
     agg = j.groupBy("source").agg(*aggs)
     m = F.greatest(*[F.col(f"t_{n}") for n in _SCRIPT_NAMES])
@@ -1500,7 +1527,8 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         dominant = dominant.when(F.col(f"t_{n}") == m, n)
     return agg.select(
         "source", "n_docs", "n_unique_texts", "n_langs", "n_tokens",
-        "total_chars", "gopher_keep_rate", dominant.alias("dominant_script"),
+        "total_chars", "total_bytes", "gopher_keep_rate", "neardup_rate",
+        dominant.alias("dominant_script"),
     )
 
 
