@@ -687,3 +687,42 @@ class TestR6ScanSideOperators:
             block = m.group(0)
             for heavy in ("text#", "tk#", "chunk_text#", "lines#", "ws#"):
                 assert heavy not in block, (name, block)
+
+
+class TestR7Plans:
+    def test_quality_classifier_zero_exchange(self, spark, sf_dir):
+        """The model gate is ONE scan-side projection: token hashing,
+        bucket lookup, and both feature sums are higher-order functions
+        inside the scan stage's codegen — no Exchange at all, which is
+        what lets the gate run inline in a 100 TB ingest without its own
+        stage (the claim its docstring makes)."""
+        ops = ops_of(plan_of(spark, sf_dir, "llm_quality_classifier"))
+        assert not any("Exchange" in op for op in ops), ops
+        assert ops.count("Scan parquet") == 1, ops
+
+    def test_bpe_encode_single_corpus_scan(self, spark, sf_dir):
+        """Encoding is segmentation LOOKUP against the trained word table:
+        the executed encode plan reads the corpus exactly once (the doc
+        side); the word side comes from the checkpointed training relation
+        (Scan ExistingRDD), never a second parquet pass."""
+        df = SPECS["llm_bpe_encode"].fn(spark, sf_dir)
+        df.collect()
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert final.count("FileScan parquet") == 1, final
+        assert final.count("Scan ExistingRDD") >= 1, final
+
+    def test_tokenize_pack_exchanges_are_text_free(self, spark, sf_dir):
+        """Neither text nor any symbol/token ARRAY may cross an Exchange
+        in the capstone: the corpus side shuffles only (doc_id, n_*,
+        wsum) scalars, the pack window shuffles (shard, doc_id,
+        n_bpe_tokens, tok_checksum)."""
+        p = plan_of(spark, sf_dir, "pipeline_tokenize_pack")
+        for m in re.finditer(r"\(\d+\) Exchange\n(?:[^\n]*\n)*?Arguments: [^\n]*", p):
+            block = m.group(0)
+            for heavy in ("text#", "ws#", "syms#", "seg#", "hs#"):
+                assert heavy not in block, block
