@@ -242,19 +242,26 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(merges, _MERGE_SCHEMA)
 
 
-def _doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode every document with the learned merges; one row per doc."""
-    seg_df, _ = _train(spark, sf_dir)
-    wordsyms = seg_df.select("w", _syms_col().alias("syms"))
-    # Token-id vocabulary: dense rank over the final symbol set. The
-    # single-partition window is bounded BY DESIGN: |vocab| ≤ base chars +
-    # N merges — a tokenizer-sized constant (50k-class at production
-    # settings), not a corpus-scaled relation.
+def _wordsyms_vocab(seg_df: DataFrame):
+    """Final segmentations + the token-id vocabulary over them.
+
+    The single-partition row_number window is bounded BY DESIGN: |vocab| ≤
+    base chars + N merges — a tokenizer-sized constant (50k-class at
+    production settings), not a corpus-scaled relation.
+    """
+    wordsyms = seg_df.select("w", "n", _syms_col().alias("syms"))
     vocab = (
         wordsyms.select(F.explode("syms").alias("sym"))
         .distinct()
         .withColumn("tok_id", F.row_number().over(Window.orderBy("sym")).cast("long"))
     )
+    return wordsyms, vocab
+
+
+def _doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the learned merges; one row per doc."""
+    seg_df, _ = _train(spark, sf_dir)
+    wordsyms, vocab = _wordsyms_vocab(seg_df)
     wordpos = wordsyms.select(
         "w",
         F.size("syms").cast("long").alias("n_syms"),
@@ -354,4 +361,43 @@ def pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bpe_tokens").alias("n_tokens"),
             F.sum("tok_checksum").alias("checksum"),
         )
+    )
+
+
+@register(
+    "llm_bpe_vocab",
+    oracle=f"""
+    WITH {_train_ctes()},
+    wordsyms AS MATERIALIZED (
+      SELECT w, n, list_filter(string_split(seg, chr(31)), s -> s <> '') AS syms
+      FROM seg_{_N_MERGES}
+    ),
+    vocab AS MATERIALIZED (
+      SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS tok_id
+      FROM (SELECT DISTINCT unnest(syms) AS sym FROM wordsyms)
+    )
+    SELECT v.tok_id, v.sym, CAST(sum(ws2.n) AS BIGINT) AS n_occ
+    FROM (SELECT n, unnest(syms) AS sym FROM wordsyms) ws2
+    JOIN vocab v USING (sym)
+    GROUP BY v.tok_id, v.sym
+    """,
+    tags=("llm", "text", "bpe"),
+)
+def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned vocabulary — the OTHER artifact a tokenizer ships
+    (vocab.json to ``llm_bpe_train``'s merges.txt): every final symbol
+    with its dense token id and its corpus occurrence count (each
+    instance inside a word counts that word's frequency). The occurrence
+    column is what a vocabulary-size sweep or a coverage audit reads
+    (rare-tail mass vs id budget). One explode over the (small) trained
+    word table + one weighted aggregate; the corpus itself is never
+    rescanned."""
+    seg_df, _ = _train(spark, sf_dir)
+    wordsyms, vocab = _wordsyms_vocab(seg_df)
+    occ = wordsyms.select("n", F.explode("syms").alias("sym"))
+    return (
+        occ.join(F.broadcast(vocab), "sym")
+        .groupBy("tok_id", "sym")
+        .agg(F.sum("n").alias("n_occ"))
+        .select("tok_id", "sym", "n_occ")
     )

@@ -205,3 +205,16 @@ class TestFixtureInvariants:
         assert all(r["n_words"] <= r["n_bpe_tokens"] <= r["wchars"] for r in j)
         # 12 merges over the 31-word fixture vocabulary must compress
         assert sum(r["n_bpe_tokens"] for r in j) < sum(r["wchars"] for r in j)
+
+
+class TestVocab:
+    def test_vocab_occurrences_conserve_token_stream(self, spark, sf_dir):
+        """Σ vocab n_occ == Σ per-doc n_bpe_tokens (every emitted token is
+        exactly one vocabulary instance), ids are dense 1..|V|, symbols
+        reassemble the corpus words."""
+        voc = SPECS["llm_bpe_vocab"].fn(spark, sf_dir).collect()
+        enc = SPECS["llm_bpe_encode"].fn(spark, sf_dir).collect()
+        assert sum(r["n_occ"] for r in voc) == sum(r["n_bpe_tokens"] for r in enc)
+        ids = sorted(r["tok_id"] for r in voc)
+        assert ids == list(range(1, len(ids) + 1))
+        assert len({r["sym"] for r in voc}) == len(voc)
