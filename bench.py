@@ -84,10 +84,11 @@ HEADLINE = [
     "llm_triplet_mining",
     "llm_dataset_card",
     "llm_char_jaccard_capped",
-    # r7 additions: the sub-quadratic char-gram banding path and the
-    # BPE train→encode→pack capstone
+    # r7 additions: the sub-quadratic char-gram banding path, the BPE
+    # train→encode→pack capstone, and the model quality gate
     "llm_char_minhash_banded",
     "pipeline_tokenize_pack",
+    "llm_quality_classifier",
 ]
 
 
