@@ -1204,6 +1204,17 @@ _CHAR_HS_DUCK = (
     + " for i in range(1, len(cps) - 3)])"
 )
 
+# Band buckets larger than this are boilerplate collisions, not
+# near-duplication: at baseline (non-dup) similarity j0, a bucket collects
+# ~N·j0^r docs, so all-pairs expansion inside it is the ONE place banding
+# can regress to quadratic (observed live: a 5000-doc template corpus with
+# a 2041-gram universe has j0≈0.2, putting 642 docs in one bucket and 587k
+# pairs behind 4 band keys). Oversized buckets therefore contribute only
+# star edges to their minimum doc_id (the BigCode-style reduction: keeps
+# every member one verified hop from a representative), which caps the
+# candidate set at 2·cap·bands·N — linear in the corpus by construction.
+_CHAR_BAND_BUCKET_CAP = 32
+
 _CHAR_BANDED_ORACLE = f"""
     WITH cps_t AS (
       SELECT doc_id,
@@ -1221,10 +1232,26 @@ _CHAR_BANDED_ORACLE = f"""
     bands AS (
       {' UNION ALL '.join(f"SELECT doc_id, {bi} AS band, s{2 * bi} AS v1, s{2 * bi + 1} AS v2 FROM sig" for bi in range(_N_PERM // _BAND_SIZE))}
     ),
+    stats AS (
+      SELECT band, v1, v2, count(*) AS m, min(doc_id) AS rep
+      FROM bands GROUP BY band, v1, v2
+    ),
+    bx AS (
+      SELECT b.doc_id, b.band, b.v1, b.v2, s.m, s.rep
+      FROM bands b JOIN stats s
+        ON b.band = s.band AND b.v1 = s.v1 AND b.v2 = s.v2
+    ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bx a JOIN bx b
+          ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+         AND a.doc_id < b.doc_id
+        WHERE a.m <= {_CHAR_BAND_BUCKET_CAP}
+        UNION ALL
+        SELECT rep AS doc_a, doc_id AS doc_b
+        FROM bx WHERE m > {_CHAR_BAND_BUCKET_CAP} AND doc_id > rep
+      )
     )
     SELECT doc_a, doc_b,
            round(len(list_intersect(sa.hs, sb.hs))
@@ -1237,22 +1264,34 @@ _CHAR_BANDED_ORACLE = f"""
     """
 
 
-def _minhash_band_pairs(hs_t: DataFrame, threshold: float) -> DataFrame:
+def _minhash_band_pairs(
+    hs_t: DataFrame, threshold: float, bucket_cap: int | None = None
+) -> DataFrame:
     """Signature → bands → band-join candidates → exact set
     verification, over any (doc_id, hs: array<bigint>) relation — the
     shared tail of `llm_minhash_banded` (word shingles) and
-    `llm_char_minhash_banded` (char grams). Candidate volume is
-    bands x rows: each document contributes exactly {nb} band keys no
-    matter how common its grams are, which is what makes banding the
-    true sub-quadratic near-dup path (the df-capped inverted index
-    still pays a per-gram quadratic)."""
+    `llm_char_minhash_banded` (char grams). Each document contributes
+    exactly {nb} band keys no matter how common its grams are, which is
+    what removes the df-capped inverted index's per-gram quadratic.
+
+    The one residual quadratic is INSIDE a band bucket: at baseline
+    (non-dup) similarity j0, a bucket collects ~N·j0^r documents, so
+    all-pairs expansion regresses to quadratic when j0 is non-trivial
+    (boilerplate-heavy corpora). `bucket_cap` closes that hole: buckets
+    larger than the cap contribute only star edges to their minimum
+    doc_id (every member stays one verified hop from a representative —
+    the reduction production dedup pipelines use), which bounds
+    candidates at 2·cap·bands·N, linear in the corpus. The signature
+    relation is lazily localCheckpointed because the candidate self-join
+    plus both verification sides would otherwise recompute it four
+    times."""
     sig_cols = [
         F.array_min(
             F.expr(f"transform(hs, h -> (CAST({a} AS BIGINT) * h + {b}) % {_P})")
         ).alias(f"s{i}")
         for i, (a, b) in enumerate(_PERM)
     ]
-    sig = hs_t.select("doc_id", "hs", *sig_cols)
+    sig = hs_t.select("doc_id", "hs", *sig_cols).localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
@@ -1264,13 +1303,29 @@ def _minhash_band_pairs(hs_t: DataFrame, threshold: float) -> DataFrame:
         ]
     )
     bands = sig.select("doc_id", F.explode(band_structs).alias("bk"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    if bucket_cap is None:
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cand = (
+            a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+    else:
+        stats = bands.groupBy("bk").agg(
+            F.count("*").alias("m"), F.min("doc_id").alias("rep")
+        )
+        bx = bands.join(stats, "bk")
+        small = bx.filter(F.col("m") <= bucket_cap)
+        a = small.alias("a")
+        b = small.alias("b")
+        cand_small = a.join(
+            b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand_star = bx.filter(
+            (F.col("m") > bucket_cap) & (F.col("doc_id") > F.col("rep"))
+        ).select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        cand = cand_small.union(cand_star).distinct()
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
@@ -1300,12 +1355,16 @@ def llm_char_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs on shared grams; its df-capped form bounds but does not
     eliminate the per-gram quadratic. Banding removes the dependence on
     gram document frequency entirely: each document contributes exactly
-    4 band keys, candidates are band-key collisions (~linear for
-    non-pathological corpora), and exact verification on the hashed
-    gram SETS leaves no false positives — only bounded-probability
-    false negatives (P[candidate] = 1-(1-j^2)^4: 0.83 at j=0.6, 0.998
-    at j=0.9; truth-recall pinned on planted CJK near-dups in
-    tests/test_unicode_text.py).
+    4 band keys, and band buckets larger than {cap} docs (baseline-
+    similarity boilerplate collisions — char grams on template corpora
+    run j0≈0.2 between NON-dups, enough to crowd a bucket) fall back to
+    star edges against the bucket representative, so the candidate set
+    is ≤ 2·{cap}·bands·N — linear in the corpus by construction, not by
+    corpus luck. Exact verification on the hashed gram SETS leaves no
+    false positives — only bounded-probability false negatives
+    (P[candidate] = 1-(1-j^2)^4: 0.83 at j=0.6, 0.998 at j=0.9, minus
+    pairs whose every shared bucket is oversized; truth-recall pinned
+    on planted CJK near-dups in tests/test_unicode_text.py).
 
     Fully hash-checked cross-engine: the gram hash is a codepoint
     polynomial (ascii() = Unicode codepoint in both engines, mod-P at
@@ -1313,6 +1372,7 @@ def llm_char_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature bit-for-bit — same discipline as the word-shingle
     `llm_minhash_banded`, whose signature/band/verify tail this shares
     verbatim (`_minhash_band_pairs`)."""
+    # (docstring {cap} formatted below, next to the shared tail's {nb})
     d = load_split(spark, sf_dir, "documents")
     hs_t = (
         d.filter(F.length("text") >= _CHAR_N)
@@ -1321,4 +1381,11 @@ def llm_char_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("doc_id", f"{_CHAR_HS_SPARK} AS hs")
     )
-    return _minhash_band_pairs(hs_t, _CHAR_JACCARD_THRESHOLD)
+    return _minhash_band_pairs(
+        hs_t, _CHAR_JACCARD_THRESHOLD, bucket_cap=_CHAR_BAND_BUCKET_CAP
+    )
+
+
+llm_char_minhash_banded.__doc__ = llm_char_minhash_banded.__doc__.format(
+    cap=_CHAR_BAND_BUCKET_CAP
+)

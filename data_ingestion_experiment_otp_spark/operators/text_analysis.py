@@ -1620,19 +1620,39 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the property that lets it run inline in a 100 TB ingest
     without its own stage. Integer-exact end-to-end, hence the full
     cross-engine hash oracle (the heuristic tier's quality_expr() needs
-    round-6 double grids; this gate needs no rounding at all)."""
+    round-6 double grids; this gate needs no rounding at all).
+
+    The token-hash fold and the margin each ride out of a one-element
+    generator (explode(array(...))) rather than a plain projection:
+    higher-order functions are CodegenFallback, so without the fence a
+    downstream `.filter(keep)` is pushed below the Project, re-inlines
+    the whole fold into the predicate, and evaluates it interpreted
+    with no subexpression reuse — measured 40x on the composed curation
+    pipeline (0.9 s fenced vs 40 s collapsed at sf0.1). A Generate is
+    still scan-side whole-stage work: zero Exchange, one FileScan
+    (plan-pinned), identical values."""
     d = load(spark, sf_dir, "documents")
     words = F.filter(F.split("text", " "), lambda w: w != "")
-    t = (
+    hashed = (
         d.select("doc_id", "source", words.alias("ws"))
         .filter(F.size("ws") > 0)
-        .withColumn("hs", F.expr(_QC_HS))
-        .withColumn("margin", F.expr(_QC_MARGIN))
+        .select(
+            "doc_id",
+            "source",
+            F.size("ws").cast("long").alias("n_toks"),
+            F.explode(F.array(F.expr(_QC_HS))).alias("hs"),
+        )
     )
-    return t.select(
+    scored = hashed.select(
         "doc_id",
         "source",
-        F.size("ws").cast("long").alias("n_toks"),
+        "n_toks",
+        F.explode(F.array(F.expr(_QC_MARGIN))).alias("margin"),
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "n_toks",
         "margin",
         (F.col("margin") > 0).alias("keep"),
     )
