@@ -89,6 +89,11 @@ HEADLINE = [
     "llm_char_minhash_banded",
     "pipeline_tokenize_pack",
     "llm_quality_classifier",
+    # r7b additions: NFC normalization (the one Python text stage), the
+    # BPE decode round-trip, and the two-gate agreement audit
+    "llm_normalize_text",
+    "llm_bpe_decode",
+    "llm_gate_agreement",
 ]
 
 

@@ -401,3 +401,94 @@ def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_occ"))
         .select("tok_id", "sym", "n_occ")
     )
+
+
+@register(
+    "llm_bpe_decode",
+    oracle=f"""
+    WITH {_train_ctes()}{_ENCODE_CTES},
+    wordids AS MATERIALIZED (
+      SELECT wp.w, wp.pos, v.tok_id
+      FROM wordpos wp JOIN vocab v USING (sym)
+    ),
+    decwords AS MATERIALIZED (
+      SELECT wi.w, string_agg(v.sym, '' ORDER BY wi.pos) AS dec_w
+      FROM wordids wi JOIN vocab v ON v.tok_id = wi.tok_id
+      GROUP BY wi.w
+    ),
+    docdec AS (
+      SELECT dw.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             string_agg(d.dec_w, ' ' ORDER BY dw.pos) AS dec_text,
+             string_agg(dw.w, ' ' ORDER BY dw.pos) AS orig_text
+      FROM (SELECT doc_id, CAST(u['p'] AS BIGINT) AS pos, u['w'] AS w
+            FROM (SELECT doc_id,
+                         unnest([{{'w': ws[i], 'p': i}} for i in range(1, len(ws) + 1)]) AS u
+                  FROM (SELECT doc_id,
+                               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                        FROM documents))) dw
+      JOIN decwords d ON d.w = dw.w
+      GROUP BY dw.doc_id
+    )
+    SELECT doc_id, n_words,
+           CAST(length(dec_text) AS BIGINT) AS dec_n_chars,
+           sha256(dec_text) AS dec_sha,
+           dec_text = orig_text AS lossless
+    FROM docdec
+    """,
+    tags=("llm", "text", "bpe"),
+)
+def llm_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode — the inverse direction that closes the tokenizer
+    round-trip: re-derive every word's token-id sequence with the learned
+    vocabulary, invert the ids back through the vocabulary (tok_id →
+    symbol — the lookup a generation/serving path performs), reassemble
+    the symbols in position order, and rebuild each document's text from
+    its decoded words. Emits per document the decoded length, a sha256 of
+    the decoded text, and ``lossless`` — decoded text == the original's
+    space-normalized words — so the hash gate pins that BOTH engines'
+    id→text inversion reproduces the corpus byte-for-byte (BPE is
+    lossless by construction; this operator PROVES the implementation
+    is).
+
+    Scale shape: the decode itself runs over the trained WORD table
+    (vocabulary-sized — each distinct word decoded once); the corpus-
+    sized work is one scan + a word-keyed join + one per-doc ordered
+    reassembly, the same topology as encode."""
+    seg_df, _ = _train(spark, sf_dir)
+    wordsyms, vocab = _wordsyms_vocab(seg_df)
+    wordpos = wordsyms.select("w", F.posexplode("syms").alias("pos0", "sym"))
+    wordids = wordpos.join(F.broadcast(vocab), "sym").select("w", "pos0", "tok_id")
+    inv = vocab.select("tok_id", F.col("sym").alias("dec_sym"))
+    decwords = (
+        wordids.join(F.broadcast(inv), "tok_id")
+        .groupBy("w")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos0", "dec_sym"))),
+                    lambda s: s["dec_sym"],
+                ),
+                "",
+            ).alias("dec_w")
+        )
+    )
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    dw = d.select("doc_id", F.posexplode(ws).alias("pos", "w"))
+    joined = dw.join(decwords, "w")
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "dec_w", "w")))
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.array_join(F.transform(ordered, lambda s: s["dec_w"]), " ").alias(
+            "dec_text"
+        ),
+        F.array_join(F.transform(ordered, lambda s: s["w"]), " ").alias("orig_text"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        F.length("dec_text").cast("long").alias("dec_n_chars"),
+        F.sha2("dec_text", 256).alias("dec_sha"),
+        (F.col("dec_text") == F.col("orig_text")).alias("lossless"),
+    )

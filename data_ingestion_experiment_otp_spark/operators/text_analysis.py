@@ -1656,3 +1656,138 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "margin",
         (F.col("margin") > 0).alias("keep"),
     )
+
+
+def normalize_kernel(text: str | None) -> str | None:
+    """Pure per-document normalization kernel: Unicode NFC, collapse
+    whitespace runs to one space, strip edge spaces. Shared by the
+    mapInPandas stage and the property tests.
+
+    Cross-engine parity contract (each clause matched to the DuckDB
+    oracle): NFC via unicodedata == nfc_normalize (Unicode normalization
+    is stability-guaranteed for assigned codepoints, verified over the
+    multilingual corpus); the whitespace class is ASCII-only
+    (re.ASCII makes Python's \\s == RE2's [ \\t\\n\\f\\r\\v] — Unicode
+    spaces like NBSP are CONTENT, not separators, in both engines); the
+    final strip removes plain spaces ONLY — spelled .strip(' ') here and
+    trim(x, ' ') in the oracle, because BOTH defaults diverge (bare
+    .strip() and bare trim() each eat edge NBSP — found live on the
+    planted-NBSP case)."""
+    import re
+    import unicodedata
+
+    if text is None:
+        return None
+    return re.sub(r"\s+", " ", unicodedata.normalize("NFC", text), flags=re.ASCII).strip(" ")
+
+
+@register(
+    "llm_normalize_text",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'), ' ') AS norm_text,
+           CAST(length(trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'), ' ')) AS BIGINT)
+             AS n_chars_norm,
+           trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'), ' ') <> text AS changed
+    FROM documents WHERE text IS NOT NULL
+    """,
+    tags=("llm", "text", "normalize"),
+)
+def llm_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the standard pre-tokenize cleanup stage
+    (CCNet/fastText pipelines normalize before anything else): Unicode
+    NFC composition (é as one codepoint, not e+combining-acute — without
+    it, dedup hashes, token hashes, and BM25 terms all split on
+    representation rather than content), whitespace-run collapse, and
+    edge trim. Emits the normalized text itself plus its length and a
+    changed flag, hash-gated against DuckDB's nfc_normalize running the
+    identical pipeline.
+
+    This is the one text-tier stage that genuinely needs Python (Spark
+    has no NFC builtin — the documented UDF-as-last-resort case): an
+    Arrow-batched mapInPandas pass, zero shuffle, text never leaves the
+    scan stage. The kernel ships by value (shipping.py) so vanilla
+    driver sessions reach it on the workers."""
+    import pandas as pd
+
+    from ..shipping import ship_by_value
+
+    kernel = ship_by_value(normalize_kernel)
+
+    def norm(it):
+        for pdf in it:
+            normed = [kernel(t) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "norm_text": normed,
+                    "n_chars_norm": [len(t) for t in normed],
+                    "changed": [n != t for n, t in zip(normed, pdf["text"])],
+                }
+            )
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .mapInPandas(norm, "doc_id long, norm_text string, n_chars_norm long, changed boolean")
+    )
+
+
+@register(
+    "llm_gate_agreement",
+    # Both gates' oracles spliced verbatim (MATERIALIZED: each is a full
+    # WITH...SELECT), so the audit can never disagree with the gates it
+    # audits. Population = the classifier's (docs with >= 1 space-token);
+    # the inner join is the same restriction on the Spark side.
+    oracle=f"""
+    WITH gop AS MATERIALIZED ({_GOPHER_ORACLE}),
+    clf AS MATERIALIZED ({QC_ORACLE})
+    SELECT clf.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN gop.keep AND clf.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(sum(CASE WHEN gop.keep AND NOT clf.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_heur_only,
+           CAST(sum(CASE WHEN NOT gop.keep AND clf.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_model_only,
+           CAST(sum(CASE WHEN NOT gop.keep AND NOT clf.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
+           round(sum(CASE WHEN gop.keep = clf.keep THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS agreement
+    FROM clf JOIN gop ON gop.doc_id = clf.doc_id
+    GROUP BY clf.source
+    """,
+    tags=("llm", "text", "quality", "classifier", "audit"),
+)
+def llm_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic-vs-model gate agreement audit: the per-source confusion
+    matrix between the Gopher rule gate and the model-based classifier —
+    the number the published two-tier pipelines (CCNet, RefinedWeb)
+    report when deciding whether the model stage is adding signal beyond
+    the heuristics or merely echoing them (agreement ≈ 1 means the model
+    gate is redundant; n_model_only is the volume only the model saves).
+    Composes the two registered gates unchanged, so the audit is
+    hash-covered by splicing their oracle SQL verbatim.
+
+    Scale shape: both gates are zero-shuffle scan-side projections; the
+    audit adds one doc_id-keyed scalar join and one per-source aggregate
+    — no text crosses an Exchange."""
+    g = llm_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("heur_keep")
+    )
+    c = llm_quality_classifier(spark, sf_dir).select(
+        "doc_id", "source", F.col("keep").alias("model_keep")
+    )
+    j = c.join(g, "doc_id")
+    agree = F.col("heur_keep") == F.col("model_keep")
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("heur_keep") & F.col("model_keep")).cast("long")).alias("n_both"),
+        F.sum((F.col("heur_keep") & ~F.col("model_keep")).cast("long")).alias(
+            "n_heur_only"
+        ),
+        F.sum((~F.col("heur_keep") & F.col("model_keep")).cast("long")).alias(
+            "n_model_only"
+        ),
+        F.sum((~F.col("heur_keep") & ~F.col("model_keep")).cast("long")).alias(
+            "n_neither"
+        ),
+        F.round(F.sum(agree.cast("int")) * 1.0 / F.count("*"), 6).alias("agreement"),
+    )

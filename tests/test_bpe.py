@@ -207,6 +207,57 @@ class TestFixtureInvariants:
         assert sum(r["n_bpe_tokens"] for r in j) < sum(r["wchars"] for r in j)
 
 
+class TestDecode:
+    def test_decode_lossless_on_fixture(self, spark, sf_dir):
+        """Round-trip: decoding every document's token ids through the
+        learned vocabulary must reproduce its space-normalized words
+        byte-for-byte — lossless=true everywhere, and the decoded length
+        equals the independently computed normalized length."""
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        norm_len = d.select(
+            "doc_id",
+            F.length(
+                F.array_join(
+                    F.filter(F.split("text", " "), lambda w: w != ""), " "
+                )
+            ).cast("long").alias("nl"),
+        )
+        dec = SPECS["llm_bpe_decode"].fn(spark, sf_dir)
+        rows = dec.join(norm_len, "doc_id").collect()
+        assert rows
+        assert all(r["lossless"] for r in rows), [
+            r["doc_id"] for r in rows if not r["lossless"]
+        ][:5]
+        assert all(r["dec_n_chars"] == r["nl"] for r in rows)
+
+    def test_decode_planted_sha_matches_reference(self, spark, tmp_path):
+        """The decoded text's sha256 must equal the sha of the original
+        normalized words — computed OUTSIDE both engines — on the planted
+        corpora (incl. the overlapping-merge one, where decode has to
+        invert multi-char symbols)."""
+        import hashlib
+
+        for di, docs in enumerate((PLANTED, EXHAUST)):
+            sf, con = plant(spark, tmp_path / f"d{di}", docs)
+            expect = {
+                i: hashlib.sha256(
+                    " ".join(w for w in (t or "").split(" ") if w).encode()
+                ).hexdigest()
+                for i, t in enumerate(docs)
+                if any(w for w in (t or "").split(" "))
+            }
+            got = {
+                r["doc_id"]: r["dec_sha"]
+                for r in SPECS["llm_bpe_decode"].fn(spark, sf).collect()
+            }
+            assert got == expect
+            duck = {
+                r[0]: r[3]
+                for r in con.sql(SPECS["llm_bpe_decode"].oracle).fetchall()
+            }
+            assert duck == expect
+
+
 class TestVocab:
     def test_vocab_occurrences_conserve_token_stream(self, spark, sf_dir):
         """Σ vocab n_occ == Σ per-doc n_bpe_tokens (every emitted token is

@@ -957,6 +957,12 @@ class TestOrderIndependenceSweep:
         # downstream (token ids, checksums, pack boundaries) — may not
         # move under repartition
         "pipeline_tokenize_pack",
+        # r7b: decode is the same learned state read backwards; the
+        # normalizer is a pure per-row map; the agreement audit is exact
+        # count ratios on the round-6 grid
+        "llm_bpe_decode",
+        "llm_normalize_text",
+        "llm_gate_agreement",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

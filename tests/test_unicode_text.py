@@ -85,6 +85,13 @@ TEXT_TIER = [
     "llm_bm25_prf",
     "llm_gopher_rules",
     "llm_dataset_card",
+    # r7b additions: NFC normalization (the one mapInPandas text stage —
+    # Python unicodedata vs DuckDB nfc_normalize over real multilingual
+    # content), the two-gate agreement audit, and the BPE decode
+    # round-trip (id→symbol inversion over non-ASCII words)
+    "llm_normalize_text",
+    "llm_gate_agreement",
+    "llm_bpe_decode",
 ]
 
 
@@ -403,3 +410,108 @@ class TestCharGramDedup:
             for r in llm_char_jaccard_capped(spark, sf_dir).collect()
         }
         assert truth <= capped, truth - capped
+
+
+class TestNormalizeText:
+    """NFC normalization parity pins beyond the fixture corpus (which is
+    already NFC/single-spaced, so the extended-corpus hash gate alone
+    would never exercise the interesting paths)."""
+
+    CASES = [
+        (1, "café  x"),            # NFD -> NFC composition + collapse
+        (2, "\xa0weird edge\xa0"),       # NBSP is CONTENT: kept, incl. edges
+        (3, "a  b\tc\nd\r\ne"),          # every ASCII whitespace run -> one space
+        (4, " leading and trailing  "),  # edge spaces stripped
+        (5, "ﬁnal ligature ｶﾞ"),         # NFC does NOT decompose ligatures/halfwidth
+        (6, "한국어   가"),               # Hangul syllables stay composed
+        (7, "é́ double mark"),  # partial composition (e+´+´ -> é+´)
+        (8, "\U0001F600  astral"),       # astral plane through codepoint lengths
+    ]
+
+    def _plant(self, spark, tmp_path):
+        out = tmp_path / "docs"
+        spark.createDataFrame(
+            [(i, t, "xx", "s", len(t)) for i, t in self.CASES],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+        return str(out)
+
+    def test_planted_parity_and_values(self, spark, tmp_path):
+        import unicodedata
+
+        from data_ingestion_experiment_otp_spark.plans.registry import all_queries
+
+        sf = self._plant(spark, tmp_path)
+        spec = all_queries()["llm_normalize_text"]
+        got = {r["doc_id"]: (r["norm_text"], r["n_chars_norm"], r["changed"])
+               for r in spec.fn(spark, sf).collect()}
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+        )
+        duck = {r[0]: (r[1], r[2], r[3]) for r in con.sql(spec.oracle).fetchall()}
+        con.close()
+        assert got == duck
+        # hand-pinned semantics
+        assert got[1][0] == "café x"                 # composed + collapsed
+        assert got[2][0] == "\xa0weird edge\xa0"          # NBSP untouched
+        assert got[3][0] == "a b c d e"
+        assert got[4] == ("leading and trailing", 20, True)
+        assert got[5][0] == "ﬁnal ligature ｶﾞ" and not got[5][2]
+        assert got[7][0] == "é́ double mark"
+        assert got[8][0] == "\U0001F600 astral" and got[8][1] == 8
+        # idempotence: normalizing a normalized corpus changes nothing
+        for text, n, _ in got.values():
+            again = unicodedata.normalize("NFC", text)
+            assert again == text and len(text) == n
+
+    def test_kernel_properties(self):
+        from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+            normalize_kernel,
+        )
+
+        assert normalize_kernel(None) is None
+        assert normalize_kernel("") == ""
+        assert normalize_kernel("   ") == ""
+        assert normalize_kernel("à") == "à"
+        # strip is space-only: edge NBSP survives (content, not separator)
+        assert normalize_kernel("\xa0x\xa0") == "\xa0x\xa0"
+        assert normalize_kernel(" \xa0x ") == "\xa0x"
+
+
+class TestGateAgreement:
+    def test_counts_reconcile_with_the_two_gates(self, spark, sf_dir):
+        """The confusion matrix must reconcile exactly with the two
+        registered gates it composes, over the joined population."""
+        from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+            llm_gate_agreement,
+            llm_gopher_rules,
+            llm_quality_classifier,
+        )
+
+        g = {r["doc_id"]: r["keep"] for r in llm_gopher_rules(spark, sf_dir).collect()}
+        c = {
+            r["doc_id"]: (r["source"], r["keep"])
+            for r in llm_quality_classifier(spark, sf_dir).collect()
+        }
+        import collections
+
+        ref = collections.Counter()
+        per_src = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
+        for did, (src, mk) in c.items():
+            if did not in g:
+                continue
+            hk = g[did]
+            row = per_src[src]
+            row[0] += 1
+            row[1] += hk and mk
+            row[2] += hk and not mk
+            row[3] += (not hk) and mk
+            row[4] += (not hk) and (not mk)
+        got = {
+            r["source"]: [r["n_docs"], r["n_both"], r["n_heur_only"],
+                          r["n_model_only"], r["n_neither"]]
+            for r in llm_gate_agreement(spark, sf_dir).collect()
+        }
+        assert got == {k: list(v) for k, v in per_src.items()}
