@@ -94,6 +94,11 @@ HEADLINE = [
     "llm_normalize_text",
     "llm_bpe_decode",
     "llm_gate_agreement",
+    # r7c additions: duplicated-substring span detection/removal (the
+    # suffix-array dedup family as positional K-gram fingerprinting) and
+    # cluster-confined semantic dedup (SemDeDup)
+    "llm_dup_spans",
+    "llm_semdedup",
 ]
 
 

@@ -521,3 +521,107 @@ def pipeline_curation_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = pipeline_semantic_curation(spark, sf_dir)
     keeps = llm_quality_classifier(spark, sf_dir).filter(F.col("keep")).select("doc_id")
     return cur.join(keeps, "doc_id", "semi")
+
+
+# --- SemDeDup: semantic dedup within embedding clusters --------------------
+
+# Same near-dup bar as llm_embed_cosine_dedup: random fixture embeddings
+# peak at cosine ~0.51, so 0.4 separates planted/injected semantic
+# duplicates from the background.
+_SEMDEDUP_THRESHOLD = 0.4
+
+_SEMDEDUP_ORACLE = f"""
+    WITH a AS ({_ORACLE_ASSIGN}),
+    m AS MATERIALIZED (
+      SELECT a.vec_id, a.cluster_id, a.sim, e.embedding::DOUBLE[] AS ev
+      FROM a JOIN embeddings e USING (vec_id)
+    ),
+    drp AS (
+      SELECT DISTINCT x.vec_id
+      FROM m x JOIN m y
+        ON x.cluster_id = y.cluster_id AND x.vec_id <> y.vec_id
+       AND round(list_cosine_similarity(x.ev, y.ev), 6)
+           >= {_SEMDEDUP_THRESHOLD}
+       AND (coalesce(y.sim, -2.0) < coalesce(x.sim, -2.0)
+            OR (coalesce(y.sim, -2.0) = coalesce(x.sim, -2.0)
+                AND y.vec_id < x.vec_id))
+    )
+    SELECT m.vec_id, m.cluster_id, m.sim,
+           d.vec_id IS NULL AS kept
+    FROM m LEFT JOIN drp d ON d.vec_id = m.vec_id
+    """
+
+
+@register(
+    "llm_semdedup",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("llm", "dedup", "vector", "clustering"),
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication with the
+    pairwise pass confined to embedding clusters. Every vector is bucketed
+    to its nearest centroid (the shared broadcast-matmul `_assignment`);
+    WITHIN each cluster, a vector is dropped when a near-duplicate
+    neighbor (cosine >= {thr}) of higher keep-priority exists. Keep
+    priority follows the paper: among near-dups, KEEP the example FARTHEST
+    from its centroid (low centroid-sim = the cluster's edge example, the
+    most informative member; ties break to the lower vec_id), so
+    boilerplate-typical members drop first. Cross-cluster near-dups are
+    invisible by construction — that blindness is the SemDeDup trade that
+    makes the quadratic tractable.
+
+    100 TB shape: the pairwise term is (cluster size)², NOT corpus² — with
+    k scaled so clusters stay ~constant-sized (the paper runs 50k clusters
+    for 5B points), per-cluster work is flat and clusters parallelize
+    perfectly. One applyInPandas shuffle keyed on cluster_id moves each
+    embedding exactly once; the in-cluster matmul is one BLAS call per
+    group. A runaway cluster is the known skew risk — `llm_cluster_balance`
+    is the composing cap when cluster sizes must be bounded a priori.
+    Zero-norm vectors carry NULL sims, never match (NaN cosine), and are
+    always kept — matching the oracle's NULL semantics."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import load_vectors
+
+    a = _assignment(spark, sf_dir)
+    v = load_vectors(spark, sf_dir).select("vec_id", "embedding")
+    m = a.join(v, "vec_id")
+
+    def dedup_one(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        s = pdf["sim"].to_numpy(dtype=np.float64)  # NULL -> NaN
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            C = np.round(Mn @ Mn.T, 6)
+        near = C >= _SEMDEDUP_THRESHOLD  # NaN compares False
+        np.fill_diagonal(near, False)
+        sk = np.where(np.isnan(s), -2.0, s)
+        # y (column) outranks x (row): farther from the centroid, or same
+        # distance with the lower id — the oracle's priority predicate.
+        higher = (sk[None, :] < sk[:, None]) | (
+            (sk[None, :] == sk[:, None]) & (ids[None, :] < ids[:, None])
+        )
+        dropped = (near & higher).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": pdf["cluster_id"].to_numpy(dtype=np.int64),
+                "sim": pdf["sim"],
+                "kept": ~dropped,
+            }
+        )
+
+    out = m.groupBy("cluster_id").applyInPandas(
+        dedup_one, "vec_id long, cluster_id long, sim double, kept boolean"
+    )
+    return out.select(
+        "vec_id",
+        "cluster_id",
+        F.when(~F.isnan("sim"), F.col("sim")).alias("sim"),
+        "kept",
+    )
+
+
+llm_semdedup.__doc__ = llm_semdedup.__doc__.format(thr=_SEMDEDUP_THRESHOLD)

@@ -1389,3 +1389,161 @@ def llm_char_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 llm_char_minhash_banded.__doc__ = llm_char_minhash_banded.__doc__.format(
     cap=_CHAR_BAND_BUCKET_CAP
 )
+
+
+# --- duplicated-substring span dedup (the suffix-array dedup family) -------
+#
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") deduplicate at SUBSTRING granularity: any span of >= K tokens
+# occurring more than once in the corpus is removed from the text, even
+# when the containing documents are otherwise unrelated — the failure mode
+# document-level Jaccard/MinHash cannot see (boilerplate headers, quoted
+# passages, license blocks). Their implementation is a single-node suffix
+# array; the Spark-first equivalent below is positional K-gram
+# fingerprinting: every token position starts one K-gram, a gram occurring
+# >= 2 times corpus-wide is "duplicated", and the union of token positions
+# covered by duplicated grams is the removable span set. This finds
+# exactly the duplicated substrings of length >= K (a duplicated span of
+# length L >= K is covered by its L-K+1 duplicated K-grams; a span shorter
+# than K is below the detection floor by design — same floor the suffix
+# array method applies).
+_SPAN_K = 5
+# A doc more than half-covered by duplicated spans is flagged for drop
+# (the fixture's generator-injected near-dups sit at 0.9-1.0 coverage,
+# organic background below 0.2 — the gap is wide, so the exact value is
+# not load-bearing).
+_SPAN_FLAG_THRESHOLD = 0.5
+# Positional K-gram hash list: index i in the output array IS the 0-based
+# start position, so posexplode yields (pos0, gram_hash) without carrying
+# the ws array through the generate (carrying ws would duplicate the whole
+# token array once per position — O(tokens²) bytes per doc). xxhash64
+# compression as in _SHINGLE_HASHES_SPARK: the shuffle carries 8-byte
+# longs; the oracle uses the gram STRING, so decisions agree modulo a
+# ~2^-64 collision. NOT array_distinct: within-doc repeats must count
+# toward corpus-wide duplication, so position multiplicity is kept.
+_SPAN_HASHES_SPARK = (
+    f"if(size(ws) >= {_SPAN_K},"
+    f" transform(sequence(0, size(ws) - {_SPAN_K}),"
+    " i -> xxhash64(ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])), array())"
+)
+
+_DUP_SPANS_ORACLE = f"""
+    WITH ws_t AS (
+      SELECT doc_id,
+             coalesce(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  w -> w <> ''), []) AS ws
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, ws, unnest(range(len(ws) - {_SPAN_K} + 1)) AS pos0
+      FROM ws_t WHERE len(ws) >= {_SPAN_K}
+    ),
+    grams AS (
+      SELECT doc_id, pos0,
+             array_to_string(ws[pos0 + 1 : pos0 + {_SPAN_K}], ' ') AS g
+      FROM starts
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    covered AS (
+      SELECT DISTINCT doc_id, unnest(range(pos0, pos0 + {_SPAN_K})) AS p
+      FROM grams WHERE g IN (SELECT g FROM dup)
+    ),
+    cov_agg AS (
+      SELECT doc_id, count(*) AS dup_tokens, list(p) AS cov
+      FROM covered GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           len(w.ws) AS n_tokens,
+           coalesce(c.dup_tokens, 0) AS dup_tokens,
+           round(coalesce(c.dup_tokens, 0) / greatest(len(w.ws), 1), 6)
+               AS dup_fraction,
+           coalesce(c.dup_tokens, 0) / greatest(len(w.ws), 1)
+               >= {_SPAN_FLAG_THRESHOLD} AS flag_dup,
+           coalesce(array_to_string(
+               [w.ws[i + 1] for i in range(len(w.ws))
+                if NOT list_contains(coalesce(c.cov, []), i)],
+               ' '), '') AS kept_text
+    FROM ws_t w LEFT JOIN cov_agg c USING (doc_id)
+    """
+
+
+@register(
+    "llm_dup_spans",
+    oracle=_DUP_SPANS_ORACLE,
+    tags=("llm", "dedup", "spans"),
+)
+def llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring span detection AND removal — the suffix-array
+    dedup family (Lee et al. 2022) re-expressed as positional K-gram
+    fingerprinting (see the module-level note above _SPAN_HASHES_SPARK).
+    Per doc: token count, how many token positions sit inside a span of
+    >= {k} tokens that occurs >= 2 times corpus-wide (within-doc repeats
+    included), the covered fraction, a drop flag at {thr} coverage, and
+    the rewritten text with every covered token removed — document-level
+    near-dup passes can only drop whole docs; this is the operator that
+    SALVAGES the unique remainder of a partially-duplicated doc.
+
+    100 TB shape — every stage is linear in total token count, nothing is
+    pairwise: (1) posexplode of per-doc gram-hash arrays (no ws carried
+    through the generate); (2) groupBy(gram) occurrence count with
+    map-side partial aggregation, 8-byte keys; (3) LEFT SEMI join of
+    positions against the >= 2 grams — output bounded by the positions
+    side, so a pathological gram with 10M occurrences contributes rows,
+    never pairs (contrast llm_ngram_jaccard's per-gram quadratic);
+    (4) K-wide position explode collapsed by collect_set per doc;
+    (5) one doc-keyed join to reassemble text (AQE broadcasts the
+    coverage side at fixture scale; at 100 TB it is a co-keyed
+    shuffle — the only exchange that moves text, and it moves each doc
+    once). The gram-df relation is re-derived from the scan rather than
+    checkpointed: two FileScans of a pruned 2-column read beat pinning a
+    corpus-sized intermediate."""
+    d = load_split(spark, sf_dir, "documents")
+    ws = F.coalesce(
+        F.filter(F.split("text", r"\s+"), lambda w: w != ""), F.array()
+    )
+    toks = d.select("doc_id", ws.alias("ws"))
+    pos_grams = toks.select(
+        "doc_id", F.posexplode(F.expr(_SPAN_HASHES_SPARK)).alias("pos0", "g")
+    )
+    dup_grams = (
+        pos_grams.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("g")
+    )
+    cov_agg = (
+        pos_grams.join(dup_grams, "g", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence("pos0", F.col("pos0") + (_SPAN_K - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("cov"))
+    )
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    n_tokens = F.size("ws").cast("long")
+    dup_tokens = F.size(cov).cast("long")
+    frac = dup_tokens / F.greatest(n_tokens, F.lit(1))
+    return (
+        toks.join(cov_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            dup_tokens.alias("dup_tokens"),
+            F.round(frac, 6).alias("dup_fraction"),
+            (frac >= _SPAN_FLAG_THRESHOLD).alias("flag_dup"),
+            F.array_join(
+                F.filter(
+                    "ws", lambda w, i: ~F.array_contains(cov, i)
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+
+
+llm_dup_spans.__doc__ = llm_dup_spans.__doc__.format(
+    k=_SPAN_K, thr=_SPAN_FLAG_THRESHOLD
+)

@@ -1,0 +1,110 @@
+"""Planted-corpus behavioral pins for llm_dup_spans (the suffix-array
+dedup family, Lee et al. 2022, as positional K-gram fingerprinting): the
+registered query's oracle hash-gates the fixture path; these pin the
+semantic corners on corpora with KNOWN duplicated-substring structure.
+
+K = 5 (operators/dedup.py::_SPAN_K): a span must be >= 5 tokens long and
+occur >= 2 times corpus-wide to be detected/removed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from data_ingestion_experiment_otp_spark.operators.dedup import (
+    _SPAN_K,
+    llm_dup_spans,
+)
+
+
+def _run(spark, tmp_path, texts):
+    """Write a minimal documents fixture and run the registered operator
+    on it — the exact fixture-path code, planted corpus."""
+    rows = [
+        (i, t, "en", "planted", len(t) if t is not None else 0)
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = os.path.join(str(tmp_path), "fixture")
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    out = llm_dup_spans(spark, d)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+SPAN8 = "s1 s2 s3 s4 s5 s6 s7 s8"  # 8 tokens: 4 interior 5-grams
+
+
+class TestDupSpans:
+    def test_cross_doc_span_detected_and_removed(self, spark, tmp_path):
+        """An 8-token span shared by two otherwise-unrelated docs covers
+        exactly its 8 positions in EACH doc (interior 5-grams all occur
+        twice corpus-wide; boundary grams mixing unique context occur
+        once) and is cut from both rewritten texts."""
+        got = _run(
+            spark,
+            tmp_path,
+            [
+                f"a1 a2 {SPAN8} a3 a4 a5",
+                f"b1 b2 b3 {SPAN8} b4",
+                "c1 c2 c3 c4 c5 c6 c7 c8 c9",
+            ],
+        )
+        assert got[0]["dup_tokens"] == 8 and got[1]["dup_tokens"] == 8
+        assert got[0]["kept_text"] == "a1 a2 a3 a4 a5"
+        assert got[1]["kept_text"] == "b1 b2 b3 b4"
+        assert got[2]["dup_tokens"] == 0
+        assert got[2]["kept_text"] == "c1 c2 c3 c4 c5 c6 c7 c8 c9"
+
+    def test_within_doc_repeat_counts(self, spark, tmp_path):
+        """A 5-token phrase repeated twice INSIDE one doc is corpus-level
+        duplication too (occurrence count, not document frequency): both
+        occurrences are covered."""
+        phrase = "p1 p2 p3 p4 p5"
+        got = _run(spark, tmp_path, [f"{phrase} x1 x2 x3 {phrase}", "y1 y2"])
+        assert got[0]["dup_tokens"] == 2 * _SPAN_K
+        assert got[0]["kept_text"] == "x1 x2 x3"
+
+    def test_below_k_span_is_under_the_floor(self, spark, tmp_path):
+        """A shared run of K-1 tokens forms no complete duplicated K-gram
+        (its K-grams each mix unique context), so nothing is flagged —
+        the same detection floor the suffix-array method applies."""
+        short = "t1 t2 t3 t4"  # K-1 = 4 tokens
+        got = _run(spark, tmp_path, [f"a1 {short} a2", f"b1 {short} b2"])
+        assert got[0]["dup_tokens"] == 0 and got[1]["dup_tokens"] == 0
+
+    def test_short_doc_and_flag_threshold(self, spark, tmp_path):
+        """Docs shorter than K tokens produce no grams (zero coverage,
+        text passes through); a fully-duplicated doc pair is flagged,
+        a lightly-covered doc is not."""
+        long_unique = " ".join(f"u{i}" for i in range(20))
+        got = _run(
+            spark,
+            tmp_path,
+            [
+                "w1 w2 w3",  # < K tokens
+                SPAN8,  # full dup of doc 3
+                SPAN8,
+                f"{long_unique} {SPAN8}",  # 8/28 covered -> below 0.5
+            ],
+        )
+        assert got[0]["dup_tokens"] == 0
+        assert got[0]["kept_text"] == "w1 w2 w3"
+        assert got[1]["flag_dup"] and got[2]["flag_dup"]
+        assert got[1]["kept_text"] == "" and got[2]["kept_text"] == ""
+        assert got[3]["dup_tokens"] == 8 and not got[3]["flag_dup"]
+        assert got[3]["kept_text"] == long_unique
+
+    def test_kept_plus_removed_partitions_the_doc(self, spark, tmp_path):
+        """Conservation: kept token count + dup_tokens == n_tokens for
+        every doc (removal is a partition of positions, never a rewrite
+        of surviving tokens)."""
+        got = _run(
+            spark,
+            tmp_path,
+            [f"a1 a2 {SPAN8} a3", f"{SPAN8} b1 b2 b3", "z1 z2 z3 z4 z5 z6"],
+        )
+        for r in got.values():
+            kept_n = len([w for w in r["kept_text"].split(" ") if w])
+            assert kept_n + r["dup_tokens"] == r["n_tokens"]

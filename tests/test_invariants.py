@@ -963,6 +963,11 @@ class TestOrderIndependenceSweep:
         "llm_bpe_decode",
         "llm_normalize_text",
         "llm_gate_agreement",
+        # r7c: dup-span coverage is exact integer position arithmetic;
+        # semdedup's in-cluster drop predicate is vectorized over the
+        # whole pandas group, so within-group row order cannot matter
+        "llm_dup_spans",
+        "llm_semdedup",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):
