@@ -726,3 +726,43 @@ class TestR7Plans:
             block = m.group(0)
             for heavy in ("text#", "ws#", "syms#", "seg#", "hs#"):
                 assert heavy not in block, block
+
+
+class TestR7cPlans:
+    def test_dup_spans_no_pairs_and_text_free_exchanges(self, spark, sf_dir):
+        """The span pass must stay linear: candidate generation is a LEFT
+        SEMI join of positions against the duplicated-gram set (output
+        bounded by the positions side — never a pair join), nothing in the
+        plan is a cross product, and no Exchange carries the text column
+        (the shuffles move gram hashes and integer positions; the
+        reassembly side broadcasts/co-keys the coverage arrays). The one
+        exemption is load_split's RoundRobin input-parallelism repair —
+        fixture-only by construction (a production scan arrives already
+        split; see sources/catalog.py::load_split)."""
+        p = plan_of(spark, sf_dir, "llm_dup_spans")
+        ops = ops_of(p)
+        assert "CartesianProduct" not in ops and "BroadcastNestedLoopJoin" not in ops, ops
+        assert "LeftSemi" in p, p
+        for m in re.finditer(r"\(\d+\) Exchange\n(?:[^\n]*\n)*?Arguments: [^\n]*", p):
+            if "RoundRobinPartitioning" in m.group(0):
+                continue
+            assert "text#" not in m.group(0), m.group(0)
+
+    def test_semdedup_one_group_shuffle_no_products(self, spark, sf_dir):
+        """SemDeDup's pairwise term lives INSIDE the per-cluster pandas
+        group (FlatMapGroupsInPandas), never in the plan: no cross
+        product; the embeddings parquet is read once per side of the
+        vec_id join (assignment map + payload) and the only
+        embedding-carrying shuffle is the single cluster_id group
+        exchange."""
+        p = plan_of(spark, sf_dir, "llm_semdedup")
+        ops = ops_of(p)
+        assert "CartesianProduct" not in ops and "BroadcastNestedLoopJoin" not in ops, ops
+        assert any("FlatMapGroupsInPandas" in op for op in ops), ops
+        assert ops.count("Scan parquet") == 2, ops
+        emb_exchanges = [
+            m.group(0)
+            for m in re.finditer(r"\(\d+\) Exchange\n(?:[^\n]*\n)*?Arguments: [^\n]*", p)
+            if "embedding#" in m.group(0)
+        ]
+        assert len(emb_exchanges) <= 1, emb_exchanges
