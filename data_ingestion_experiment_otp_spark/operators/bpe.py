@@ -313,9 +313,9 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_token_stats(spark, sf_dir)
 
 
-@register(
-    "pipeline_tokenize_pack",
-    oracle=f"""
+# Named so composing audits (llm_pack_efficiency) can splice it verbatim —
+# the recursive-CTE-in-CTE discipline every composed oracle follows.
+_TOKENIZE_PACK_ORACLE = f"""
     WITH {_train_ctes()}{_ENCODE_CTES},
     packed AS (
       SELECT doc_id % {_BPE_SHARDS} AS shard, n_bpe_tokens, tok_checksum,
@@ -331,7 +331,12 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_bpe_tokens) AS BIGINT) AS n_tokens,
            CAST(sum(tok_checksum) AS BIGINT) AS checksum
     FROM packed GROUP BY shard, pack_id
-    """,
+    """
+
+
+@register(
+    "pipeline_tokenize_pack",
+    oracle=_TOKENIZE_PACK_ORACLE,
     tags=("llm", "text", "bpe", "pipeline"),
 )
 def pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,3 +497,98 @@ def llm_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("dec_text", 256).alias("dec_sha"),
         (F.col("dec_text") == F.col("orig_text")).alias("lossless"),
     )
+
+
+@register(
+    "llm_tokenizer_fertility",
+    oracle=f"""
+    WITH {_train_ctes()}{_ENCODE_CTES}
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t.n_words) AS BIGINT) AS n_words,
+           CAST(sum(t.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           round(sum(t.n_bpe_tokens) / sum(t.n_words), 6) AS fertility,
+           round(sum(length(d.text)) / sum(t.n_bpe_tokens), 6)
+               AS chars_per_token
+    FROM doctoks t JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+    tags=("llm", "text", "bpe", "audit"),
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: per language, BPE tokens per word
+    (fertility) and characters per token — the standard numbers a
+    tokenizer evaluation reports to show which languages a learned
+    vocabulary serves poorly (high fertility = short merges = that
+    language pays more context-window per sentence; the metric behind
+    every multilingual-tokenizer fairness table). Composes the encode
+    stats (`_doc_token_stats` — corpus scanned once, word-keyed lookup
+    join) with the documents' language column: one doc_id-keyed scalar
+    join + a per-language aggregate, so the audit adds nothing
+    corpus-sized beyond encode itself. Population = encoded docs (a doc
+    with no in-vocab words contributes nothing — training on the same
+    corpus makes that the empty-text set)."""
+    stats = _doc_token_stats(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("n_chars_len")
+    )
+    return (
+        stats.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+            F.round(F.sum("n_bpe_tokens") / F.sum("n_words"), 6).alias("fertility"),
+            F.round(F.sum("n_chars_len") / F.sum("n_bpe_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
+@register(
+    "llm_pack_efficiency",
+    oracle=f"""
+    WITH packs AS MATERIALIZED ({_TOKENIZE_PACK_ORACLE})
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(sum(n_tokens) / (count(*) * {_BPE_PACK_CAP}.0), 6)
+               AS fill_rate,
+           CAST(sum(CASE WHEN n_tokens > {_BPE_PACK_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overfull
+    FROM packs GROUP BY shard
+    """,
+    tags=("llm", "text", "bpe", "audit"),
+)
+def llm_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing audit: per shard, how well the greedy packer
+    fills its {cap}-token windows — pack count, docs, tokens, fill rate
+    (tokens / packs×capacity), and how many packs run over capacity (the
+    greedy exclusive-cumsum assignment bins a straddling doc into the
+    pack where it STARTS, so overfull packs measure the truncation/
+    padding downstream training actually pays; a serving change that
+    silently degrades fill shows up here before it shows up in training
+    throughput). Composes `pipeline_tokenize_pack` unchanged — one
+    shard-keyed scalar aggregate on top of the capstone; the oracle
+    splices the capstone's SQL verbatim so the audit can never drift
+    from the packing it audits."""
+    packs = pipeline_tokenize_pack(spark, sf_dir)
+    return packs.groupBy("shard").agg(
+        F.count("*").alias("n_packs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(
+            F.sum("n_tokens") / (F.count("*") * F.lit(float(_BPE_PACK_CAP))), 6
+        ).alias("fill_rate"),
+        F.sum(
+            F.when(F.col("n_tokens") > _BPE_PACK_CAP, 1).otherwise(0)
+        ).cast("long").alias("n_overfull"),
+    )
+
+
+llm_pack_efficiency.__doc__ = llm_pack_efficiency.__doc__.format(
+    cap=_BPE_PACK_CAP
+)

@@ -1498,19 +1498,38 @@ def llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed: two FileScans of a pruned 2-column read beat pinning a
     corpus-sized intermediate."""
     d = load_split(spark, sf_dir, "documents")
-    ws = F.coalesce(
-        F.filter(F.split("text", r"\s+"), lambda w: w != ""), F.array()
-    )
-    toks = d.select("doc_id", ws.alias("ws"))
-    pos_grams = toks.select(
-        "doc_id", F.posexplode(F.expr(_SPAN_HASHES_SPARK)).alias("pos0", "g")
-    )
+    toks = _span_toks(d)
+    pos_grams = _span_pos_grams(toks)
     dup_grams = (
         pos_grams.groupBy("g")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 2)
         .select("g")
     )
+    return _span_coverage(toks, pos_grams, dup_grams)
+
+
+def _span_toks(d: DataFrame) -> DataFrame:
+    """(doc_id, ws): whitespace-run token arrays, total on NULL text."""
+    ws = F.coalesce(
+        F.filter(F.split("text", r"\s+"), lambda w: w != ""), F.array()
+    )
+    return d.select("doc_id", ws.alias("ws"))
+
+
+def _span_pos_grams(toks: DataFrame) -> DataFrame:
+    """(doc_id, pos0, g): one positional K-gram hash per token start."""
+    return toks.select(
+        "doc_id", F.posexplode(F.expr(_SPAN_HASHES_SPARK)).alias("pos0", "g")
+    )
+
+
+def _span_coverage(
+    toks: DataFrame, pos_grams: DataFrame, dup_grams: DataFrame
+) -> DataFrame:
+    """The shared span-removal tail: positions whose gram is in
+    `dup_grams` expand to K covered token slots, collapse to a per-doc
+    set, and the rewritten text drops every covered position."""
     cov_agg = (
         pos_grams.join(dup_grams, "g", "left_semi")
         .select(
@@ -1547,3 +1566,91 @@ def llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 llm_dup_spans.__doc__ = llm_dup_spans.__doc__.format(
     k=_SPAN_K, thr=_SPAN_FLAG_THRESHOLD
 )
+
+
+_INCR_SPANS_ORACLE = f"""
+    WITH ws_t AS (
+      SELECT doc_id,
+             coalesce(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  w -> w <> ''), []) AS ws
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, ws, unnest(range(len(ws) - {_SPAN_K} + 1)) AS pos0
+      FROM ws_t WHERE len(ws) >= {_SPAN_K}
+    ),
+    grams AS (
+      SELECT doc_id, pos0,
+             array_to_string(ws[pos0 + 1 : pos0 + {_SPAN_K}], ' ') AS g
+      FROM starts
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    covered AS (
+      SELECT DISTINCT doc_id, unnest(range(pos0, pos0 + {_SPAN_K})) AS p
+      FROM grams WHERE doc_id % 10 >= 8 AND g IN (SELECT g FROM dup)
+    ),
+    cov_agg AS (
+      SELECT doc_id, count(*) AS dup_tokens, list(p) AS cov
+      FROM covered GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           len(w.ws) AS n_tokens,
+           coalesce(c.dup_tokens, 0) AS dup_tokens,
+           round(coalesce(c.dup_tokens, 0) / greatest(len(w.ws), 1), 6)
+               AS dup_fraction,
+           coalesce(c.dup_tokens, 0) / greatest(len(w.ws), 1)
+               >= {_SPAN_FLAG_THRESHOLD} AS flag_dup,
+           coalesce(array_to_string(
+               [w.ws[i + 1] for i in range(len(w.ws))
+                if NOT list_contains(coalesce(c.cov, []), i)],
+               ' '), '') AS kept_text
+    FROM ws_t w LEFT JOIN cov_agg c USING (doc_id)
+    WHERE w.doc_id % 10 >= 8
+    """
+
+
+@register(
+    "llm_incremental_dup_spans",
+    oracle=_INCR_SPANS_ORACLE,
+    tags=("llm", "dedup", "spans", "incremental"),
+)
+def llm_incremental_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicated-span screening: evaluate an incoming BATCH
+    (the doc_id%10>=8 slice, llm_incremental_dedup's batch convention)
+    for duplicated substrings against the already-ingested CORPUS without
+    recomputing corpus coverage. Semantics are exactly `llm_dup_spans`
+    restricted to batch rows — a batch position is covered when its
+    K-gram occurs >= 2 times across corpus∪batch, wherever the other
+    occurrence lives (corpus boilerplate, another batch doc, or a repeat
+    within the same doc).
+
+    The incremental shape is what changes: the corpus side collapses to a
+    (gram_hash, count) AGGREGATE — index-sized rows with no positions —
+    which at scale is the pre-materialized, append-only gram-count index
+    each accepted batch unions into (the same contract as
+    llm_incremental_dedup's shingle index). Only the BATCH carries
+    positional rows: batch gram counts merge with the index counts via
+    one left join on the 8-byte gram key, and the coverage/rewrite tail
+    (`_span_coverage`, shared verbatim with the batch operator) touches
+    batch-sized data only. Per-run moving state is O(batch tokens), not
+    O(corpus)."""
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 < 8)
+    batch = d.filter(F.col("doc_id") % 10 >= 8)
+
+    # the "index": gram -> occurrence count over the ingested corpus
+    corpus_counts = (
+        _span_pos_grams(_span_toks(corpus))
+        .groupBy("g")
+        .agg(F.count("*").alias("c_cnt"))
+    )
+    btoks = _span_toks(batch)
+    bpos = _span_pos_grams(btoks)
+    dup_grams = (
+        bpos.groupBy("g")
+        .agg(F.count("*").alias("b_cnt"))
+        .join(corpus_counts, "g", "left")
+        .filter(F.col("b_cnt") + F.coalesce(F.col("c_cnt"), F.lit(0)) >= 2)
+        .select("g")
+    )
+    return _span_coverage(btoks, bpos, dup_grams)

@@ -118,7 +118,15 @@ DRIVER_ORDER: tuple[str, ...] = (
     "udf_cosine",
     # §2.10 dedup
     "llm_exact_dedup",
-    "llm_ngram_jaccard",
+    # llm_ngram_jaccard is driver-demoted (r7): llm_dedup_clusters below
+    # splices _NGRAM_JACCARD_ORACLE verbatim into its recursive-CTE oracle
+    # AND iterates the same _shingle_pair_counts relation on the Spark
+    # side, so a driver hash-pass on the cluster fixpoint is hash evidence
+    # for the pair pass by composition (exact oracle retained in pytest
+    # parity). Its slot carries llm_dup_spans below — the suffix-array
+    # dedup family (substring-granularity detection + removal), a NEW
+    # dedup capability rather than a covered constituent.
+    "llm_dup_spans",
     # r5: asymmetric containment (overlap coefficient) — the
     # subset-duplicate case Jaccard structurally misses; full hash oracle
     "llm_containment_dedup",

@@ -88,3 +88,86 @@ def corpus_dedup_sink(
         )
 
     return screen
+
+
+GRAM_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("g", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("src_batch", T.LongType()),
+    ]
+)
+
+
+def span_screen_sink(
+    gram_index_dir: str, audit_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: the ingestion-time form of
+    operators/dedup.py::llm_incremental_dup_spans — duplicated-SUBSTRING
+    screening against a persistent GRAM-COUNT index.
+
+    Per epoch: (1) the batch's positional K-grams are evaluated against
+    prior epochs' gram counts plus the batch's own (a gram with combined
+    occurrence count >= 2 marks its K token positions as duplicated-span
+    coverage); (2) the per-doc span audit (n_tokens / dup_tokens /
+    dup_fraction / flag_dup / kept_text — `_span_coverage`, shared
+    verbatim with the batch operators) lands in a batchId-keyed audit
+    directory; (3) the epoch's own (gram, count) aggregate is admitted
+    into its ``src_batch=N`` index partition.
+
+    Ingest-time semantics, by design: coverage is evaluated when a doc
+    ARRIVES, so the corpus-first occurrence of a span stays uncovered in
+    its own epoch's audit (it was unique when admitted) — retroactive
+    whole-corpus coverage is `llm_dup_spans`' batch job over the stores.
+
+    Replay safety is the module's standard contract: the screen reads
+    only ``src_batch < batch_id`` partitions (partition-pruned), and
+    both writes are epoch-scoped overwrites, so a replayed epoch
+    produces byte-identical audit rows and index contribution instead of
+    double-counting its own grams.
+
+    Scale shape: the index is (8-byte gram hash, count, epoch) — no
+    positions, no text; per-epoch moving state is O(batch tokens) for
+    the positional side plus one aggregate-to-aggregate left join on the
+    gram key (exactly the batch operator's incremental contract)."""
+    from ..operators.dedup import _span_coverage, _span_pos_grams, _span_toks
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        toks = _span_toks(batch_df)
+        bpos = _span_pos_grams(toks)
+        bcounts = bpos.groupBy("g").agg(F.count("*").alias("b_cnt"))
+        if os.path.isdir(gram_index_dir) and any(
+            e.startswith("src_batch=") for e in os.listdir(gram_index_dir)
+        ):
+            prior = (
+                spark.read.schema(GRAM_INDEX_SCHEMA)
+                .option("basePath", gram_index_dir)
+                .parquet(gram_index_dir)
+                .filter(F.col("src_batch") < batch_id)  # replay: ignore own epoch
+                .groupBy("g")
+                .agg(F.sum("n").alias("c_cnt"))
+            )
+            merged = bcounts.join(prior, "g", "left")
+        else:
+            merged = bcounts.withColumn("c_cnt", F.lit(None).cast("long"))
+        dup_grams = merged.filter(
+            F.col("b_cnt") + F.coalesce(F.col("c_cnt"), F.lit(0)) >= 2
+        ).select("g")
+        report = _span_coverage(toks, bpos, dup_grams)
+        report.write.mode("overwrite").parquet(
+            os.path.join(audit_dir, f"batch_id={batch_id}")
+        )
+        (
+            bcounts.select(
+                "g",
+                F.col("b_cnt").alias("n"),
+                F.lit(batch_id).alias("src_batch"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("src_batch")
+            .parquet(gram_index_dir)
+        )
+
+    return screen

@@ -269,3 +269,20 @@ class TestVocab:
         ids = sorted(r["tok_id"] for r in voc)
         assert ids == list(range(1, len(ids) + 1))
         assert len({r["sym"] for r in voc}) == len(voc)
+
+
+class TestFertility:
+    def test_fertility_bounds_and_reconciles_with_encode(self, spark, sf_dir):
+        """Per-language fertility is >= 1 (every word is at least one BPE
+        token) and the per-lang sums reconcile exactly with the per-doc
+        encode stats they aggregate."""
+        fert = SPECS["llm_tokenizer_fertility"].fn(spark, sf_dir).collect()
+        enc = SPECS["llm_bpe_encode"].fn(spark, sf_dir).collect()
+        assert fert, "fixture corpus must produce at least one language row"
+        for r in fert:
+            assert r["fertility"] >= 1.0, r
+            assert r["chars_per_token"] > 0, r
+        assert sum(r["n_words"] for r in fert) == sum(r["n_words"] for r in enc)
+        assert sum(r["n_bpe_tokens"] for r in fert) == sum(
+            r["n_bpe_tokens"] for r in enc
+        )

@@ -108,3 +108,41 @@ class TestDupSpans:
         for r in got.values():
             kept_n = len([w for w in r["kept_text"].split(" ") if w])
             assert kept_n + r["dup_tokens"] == r["n_tokens"]
+
+
+class TestIncrementalDupSpans:
+    def test_batch_screened_against_corpus_index(self, spark, tmp_path):
+        """A batch doc (id%10>=8) sharing a span with a CORPUS doc
+        (id%10<8) has the span covered even though it occurs only once in
+        the batch — the corpus gram-count index supplies the other
+        occurrence. Corpus docs never appear in the output, and a batch
+        doc with a unique span passes through untouched."""
+        from data_ingestion_experiment_otp_spark.operators.dedup import (
+            llm_incremental_dup_spans,
+        )
+
+        texts = {
+            2: f"c1 c2 {SPAN8} c3",  # corpus: carries the boilerplate
+            4: "d1 d2 d3 d4 d5 d6",  # corpus: unrelated
+            8: f"b1 {SPAN8} b2 b3",  # batch: span known to the corpus
+            9: "u1 u2 u3 u4 u5 u6 u7",  # batch: unique
+        }
+        rows = [
+            (i, t, "en", "planted", len(t)) for i, t in sorted(texts.items())
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        import os
+
+        d = os.path.join(str(tmp_path), "fixture")
+        df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in llm_incremental_dup_spans(spark, d).collect()
+        }
+        assert set(got) == {8, 9}  # batch rows only
+        assert got[8]["dup_tokens"] == 8
+        assert got[8]["kept_text"] == "b1 b2 b3"
+        assert got[9]["dup_tokens"] == 0
+        assert got[9]["kept_text"] == "u1 u2 u3 u4 u5 u6 u7"

@@ -968,6 +968,7 @@ class TestOrderIndependenceSweep:
         # whole pandas group, so within-group row order cannot matter
         "llm_dup_spans",
         "llm_semdedup",
+        "llm_incremental_dup_spans",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

@@ -1495,3 +1495,89 @@ class TestVectorIndexCompaction:
         files_before = glob.glob(f"{idx}/buckets/src_batch=*/pkey=*/*.parquet")
         files_after = glob.glob(f"{out}/buckets/src_batch=*/pkey=*/*.parquet")
         assert len(files_after) < len(files_before)
+
+
+class TestSpanScreenSink:
+    """streaming/corpus_index.py::span_screen_sink — duplicated-substring
+    screening against the persistent gram-count index (the streaming form
+    of llm_incremental_dup_spans)."""
+
+    DOC_SCHEMA = "doc_id long, text string"
+    SPAN8 = "s1 s2 s3 s4 s5 s6 s7 s8"
+
+    @staticmethod
+    def _audit(spark, audit_dir):
+        import glob
+
+        out = {}
+        for d in sorted(glob.glob(os.path.join(audit_dir, "batch_id=*"))):
+            bid = int(d.rsplit("=", 1)[1])
+            out[bid] = {
+                r["doc_id"]: (r["dup_tokens"], r["kept_text"])
+                for r in spark.read.parquet(d).collect()
+            }
+        return out
+
+    def test_cross_epoch_coverage_and_replay(self, spark, tmp_path):
+        """An epoch-2 doc repeating an epoch-1 span is covered via the
+        index (ingest-time semantics: the epoch-1 FIRST occurrence stays
+        uncovered — retroactive coverage is the batch operator's job);
+        same-epoch repeats cover each other; a replayed epoch rewrites
+        byte-identical audit rows and does not double-count its own
+        grams."""
+        import time
+
+        from data_ingestion_experiment_otp_spark.streaming import drive
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            span_screen_sink,
+        )
+
+        in_dir = str(tmp_path / "docs_in")
+        batches = [
+            [(1, f"a1 a2 {self.SPAN8} a3"), (2, "u1 u2 u3 u4 u5 u6 u7")],
+            [(3, f"b1 {self.SPAN8} b2"), (4, "v1 v2 v3 v4 v5 v6")],
+            [(5, f"w1 {self.SPAN8} w2"), (6, f"x1 x2 {self.SPAN8}")],
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, self.DOC_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+            time.sleep(0.05)
+
+        gram_dir = str(tmp_path / "gram_index")
+        audit_dir = str(tmp_path / "span_audit")
+        sink = span_screen_sink(gram_dir, audit_dir)
+        q = (
+            spark.readStream.schema(self.DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drive.drain(q)
+
+        audit = self._audit(spark, audit_dir)
+        bids = sorted(audit)
+        assert len(bids) == 3
+        e1, e2, e3 = (audit[b] for b in bids)
+        # epoch 1: first occurrence, nothing covered yet
+        assert e1[1] == (0, f"a1 a2 {self.SPAN8} a3")
+        assert e1[2][0] == 0
+        # epoch 2: the span is in the index now -> covered and cut
+        assert e2[3] == (8, "b1 b2")
+        assert e2[4][0] == 0
+        # epoch 3: both docs repeat the span (index AND each other)
+        assert e3[5] == (8, "w1 w2") and e3[6] == (8, "x1 x2")
+
+        # replay epoch 2 verbatim: audit rows identical, index counts too
+        idx_before = sorted(
+            tuple(r) for r in spark.read.parquet(gram_dir).collect()
+        )
+        sink(spark.createDataFrame(batches[1], self.DOC_SCHEMA), bids[1])
+        assert self._audit(spark, audit_dir)[bids[1]] == e2
+        idx_after = sorted(
+            tuple(r) for r in spark.read.parquet(gram_dir).collect()
+        )
+        assert idx_after == idx_before
