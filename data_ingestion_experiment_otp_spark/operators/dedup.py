@@ -1654,3 +1654,118 @@ def llm_incremental_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
     )
     return _span_coverage(btoks, bpos, dup_grams)
+
+
+# Char-level span variant: K consecutive CHARACTERS (whitespace included —
+# the suffix-array method operates on raw bytes, not words), for the
+# unsegmented scripts the word-split form cannot see. 12 chars ~ a 2-4
+# word English span or a 4-6 character CJK phrase repeated with context.
+_CSPAN_K = 12
+_CSPAN_HASHES_SPARK = (
+    f"if(length(t) >= {_CSPAN_K},"
+    f" transform(sequence(1, length(t) - {_CSPAN_K} + 1),"
+    f" i -> xxhash64(substr(t, i, {_CSPAN_K}))), array())"
+)
+
+_CHAR_SPANS_ORACLE = f"""
+    WITH t_t AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - {_CSPAN_K} + 2)) AS i
+      FROM t_t WHERE len(t) >= {_CSPAN_K}
+    ),
+    grams AS (
+      SELECT doc_id, i, substring(t, i, {_CSPAN_K}) AS g FROM starts
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    covered AS (
+      SELECT DISTINCT doc_id, unnest(range(i - 1, i - 1 + {_CSPAN_K})) AS p
+      FROM grams WHERE g IN (SELECT g FROM dup)
+    ),
+    cov_agg AS (
+      SELECT doc_id, count(*) AS dup_chars, list(p) AS cov
+      FROM covered GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           len(w.t) AS n_chars,
+           coalesce(c.dup_chars, 0) AS dup_chars,
+           round(coalesce(c.dup_chars, 0) / greatest(len(w.t), 1), 6)
+               AS dup_fraction,
+           coalesce(c.dup_chars, 0) / greatest(len(w.t), 1)
+               >= {_SPAN_FLAG_THRESHOLD} AS flag_dup,
+           coalesce(array_to_string(
+               [substring(w.t, i + 1, 1) for i in range(len(w.t))
+                if NOT list_contains(coalesce(c.cov, []), i)],
+               ''), '') AS kept_text
+    FROM t_t w LEFT JOIN cov_agg c USING (doc_id)
+    """
+
+
+@register(
+    "llm_char_dup_spans",
+    oracle=_CHAR_SPANS_ORACLE,
+    tags=("llm", "dedup", "spans", "text"),
+)
+def llm_char_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span detection/removal at CHARACTER granularity — the
+    form of `llm_dup_spans` that sees unsegmented scripts (CJK, Thai),
+    exactly as `llm_char_jaccard` completes the word-shingle family: any
+    run of >= {k} characters occurring >= 2 times corpus-wide is covered
+    and cut from the rewritten text. Whitespace is content here (the
+    suffix-array method operates on raw bytes), so a duplicated span may
+    start or end mid-word — coverage counts characters, and kept_text
+    splices the surviving characters in order.
+
+    Same linear topology as the word form (one positional explode, one
+    gram-count shuffle on 8-byte hashes, one LEFT SEMI join bounded by
+    the positions side, one doc-keyed reassembly) with one cost note:
+    positions are PER CHARACTER, so the exploded relation is ~5x the
+    word form's for alphabetic text (1x for CJK, which has no spaces to
+    skip) — still strictly linear in corpus bytes, the property that
+    matters at 100 TB."""
+    d = load_split(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t"))
+    pos_grams = toks.select(
+        "doc_id", F.posexplode(F.expr(_CSPAN_HASHES_SPARK)).alias("pos0", "g")
+    )
+    dup_grams = (
+        pos_grams.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("g")
+    )
+    cov_agg = (
+        pos_grams.join(dup_grams, "g", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence("pos0", F.col("pos0") + (_CSPAN_K - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("cov"))
+    )
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    n_chars = F.length("t").cast("long")
+    dup_chars = F.size(cov).cast("long")
+    frac = dup_chars / F.greatest(n_chars, F.lit(1))
+    return (
+        toks.join(cov_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_chars.alias("n_chars"),
+            dup_chars.alias("dup_chars"),
+            F.round(frac, 6).alias("dup_fraction"),
+            (frac >= _SPAN_FLAG_THRESHOLD).alias("flag_dup"),
+            F.array_join(
+                F.filter(
+                    F.split("t", ""), lambda c, i: ~F.array_contains(cov, i)
+                ),
+                "",
+            ).alias("kept_text"),
+        )
+    )
+
+
+llm_char_dup_spans.__doc__ = llm_char_dup_spans.__doc__.format(k=_CSPAN_K)

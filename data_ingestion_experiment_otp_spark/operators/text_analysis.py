@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.registry import register
 from ..sources.catalog import load
-from .dedup import DEDUP_CLUSTERS_ORACLE, llm_dedup_clusters
+from .dedup import (
+    DEDUP_CLUSTERS_ORACLE,
+    _DUP_SPANS_ORACLE,
+    llm_dedup_clusters,
+    llm_dup_spans,
+)
 
 _STOPWORDS = ("the", "a", "of", "and", "in", "to")
 _KEYWORD_PAT = "join|sort|hash|scan|merge|filter"
@@ -1421,6 +1426,7 @@ _DATASET_CARD_ORACLE = f"""
     WITH g AS ({{GOPHER}}),
     s AS ({{SCRIPT}}),
     dup AS ({{DUP}}),
+    sp AS MATERIALIZED ({{DUPSPANS}}),
     base AS (
       SELECT doc_id, source, lang, text, n_chars,
              len({_PPL_TOKENIZE}) AS n_tok
@@ -1430,11 +1436,13 @@ _DATASET_CARD_ORACLE = f"""
       SELECT base.source, base.lang, base.text, base.n_chars, base.n_tok,
              g.keep,
              CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup,
+             sp.n_tokens AS sp_nt, sp.dup_tokens AS sp_dt,
              {" , ".join("s.n_" + n for n in _SCRIPT_NAMES)}
       FROM base
       JOIN g ON g.doc_id = base.doc_id
       JOIN s ON s.doc_id = base.doc_id
       LEFT JOIN dup ON dup.doc_id = base.doc_id
+      JOIN sp ON sp.doc_id = base.doc_id
     ),
     agg AS (
       SELECT source,
@@ -1446,11 +1454,12 @@ _DATASET_CARD_ORACLE = f"""
              CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
              round(avg(CASE WHEN keep THEN 1 ELSE 0 END), 6) AS gopher_keep_rate,
              round(avg(is_dup), 6) AS neardup_rate,
+             round(sum(sp_dt) / greatest(sum(sp_nt), 1), 6) AS dup_span_rate,
              {" , ".join(f"sum(n_{n}) AS t_{n}" for n in _SCRIPT_NAMES)}
       FROM j GROUP BY source
     )
     SELECT source, n_docs, n_unique_texts, n_langs, n_tokens, total_chars,
-           total_bytes, gopher_keep_rate, neardup_rate,
+           total_bytes, gopher_keep_rate, neardup_rate, dup_span_rate,
            CASE WHEN greatest({", ".join("t_" + n for n in _SCRIPT_NAMES)}) = 0
                 THEN 'unknown'
 {chr(10).join(f"                WHEN t_{n} = greatest({', '.join('t_' + m for m in _SCRIPT_NAMES)}) THEN '{n}'" for n in _SCRIPT_NAMES)}
@@ -1458,7 +1467,7 @@ _DATASET_CARD_ORACLE = f"""
     FROM agg
     """.replace("{GOPHER}", _GOPHER_ORACLE).replace("{SCRIPT}", _SCRIPT_ID_ORACLE).replace(
     "{DUP}", DEDUP_CLUSTERS_ORACLE
-)
+).replace("{DUPSPANS}", _DUP_SPANS_ORACLE)
 
 
 @register(
@@ -1483,7 +1492,11 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEAR-DUP rate — the fraction of the stratum's docs that sit in some
     ``llm_dedup_clusters`` duplicate component, spliced from that
     operator's fixpoint verbatim so the card can never disagree with the
-    dedup tier it summarizes.
+    dedup tier it summarizes. r7c adds ``dup_span_rate``: the
+    token-weighted duplicated-SUBSTRING coverage of the stratum
+    (Σ dup_tokens / Σ n_tokens from ``llm_dup_spans``) — document-level
+    neardup_rate misses partial duplication entirely, and this is the
+    column that reports it.
 
     Scale shape: three scans of documents (one per composed audit — each
     audit is itself single-scan/zero-shuffle) plus the dedup tier's pair
@@ -1502,10 +1515,16 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = llm_dedup_clusters(spark, sf_dir).select(
         "doc_id", F.lit(1).alias("is_dup")
     )
+    sp = llm_dup_spans(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_tokens").alias("sp_nt"),
+        F.col("dup_tokens").alias("sp_dt"),
+    )
     j = (
         base.join(g, "doc_id")
         .join(s, "doc_id")
         .join(dup, "doc_id", "left")
+        .join(sp, "doc_id")
         .withColumn("is_dup", F.coalesce("is_dup", F.lit(0)))
     )
     aggs = [
@@ -1519,6 +1538,9 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gopher_keep_rate"
         ),
         F.round(F.avg("is_dup"), 6).alias("neardup_rate"),
+        F.round(
+            F.sum("sp_dt") / F.greatest(F.sum("sp_nt"), F.lit(1)), 6
+        ).alias("dup_span_rate"),
     ] + [F.sum(f"n_{n}").alias(f"t_{n}") for n in _SCRIPT_NAMES]
     agg = j.groupBy("source").agg(*aggs)
     m = F.greatest(*[F.col(f"t_{n}") for n in _SCRIPT_NAMES])
@@ -1528,6 +1550,7 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "source", "n_docs", "n_unique_texts", "n_langs", "n_tokens",
         "total_chars", "total_bytes", "gopher_keep_rate", "neardup_rate",
+        "dup_span_rate",
         dominant.alias("dominant_script"),
     )
 

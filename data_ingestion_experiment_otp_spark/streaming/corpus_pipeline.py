@@ -50,7 +50,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from .corpus_index import corpus_dedup_sink
+from .corpus_index import corpus_dedup_sink, span_screen_sink
 from .curation import curation_sink
 from .text_index import text_index_sink
 from .vector_index import vector_index_sink
@@ -63,7 +63,8 @@ DOC_STREAM_SCHEMA = (
 def corpus_ingest_dirs(work_dir: str) -> dict[str, str]:
     """The stores the pipeline maintains under one root (drift_audit is
     the optional sixth — written only when a calibrated reference is
-    passed to the epoch)."""
+    passed to the epoch; gram_index/span_audit the optional seventh and
+    eighth, written only with span_screen=True)."""
     return {
         "dedup_index": os.path.join(work_dir, "dedup_index"),
         "accepted": os.path.join(work_dir, "accepted"),
@@ -71,6 +72,8 @@ def corpus_ingest_dirs(work_dir: str) -> dict[str, str]:
         "vector_index": os.path.join(work_dir, "vector_index"),
         "text_index": os.path.join(work_dir, "text_index"),
         "drift_audit": os.path.join(work_dir, "drift_audit"),
+        "gram_index": os.path.join(work_dir, "gram_index"),
+        "span_audit": os.path.join(work_dir, "span_audit"),
     }
 
 
@@ -80,6 +83,7 @@ def corpus_ingest_epoch(
     quality_min: dict[str, float],
     drift_reference: dict[int, float] | None = None,
     drift_budget_bits: float = 1.0,
+    span_screen: bool = False,
 ):
     """The per-epoch function: built separately from the stream so a
     replay (same stores, same params, same batch_id) can be driven
@@ -91,7 +95,16 @@ def corpus_ingest_epoch(
     writes the per-source KL audit (stage 5): drift is scored on the RAW
     batch, before the dedup screen, because a feed suddenly re-sending
     old content is itself a drift signal the screened stream would
-    hide."""
+    hide.
+
+    With `span_screen=True`, each epoch also runs the duplicated-
+    substring screen (stage 6, `corpus_index.span_screen_sink`): the
+    ADMITTED docs' positional grams are audited against the persistent
+    gram-count index and admitted into it. It runs on the admitted set,
+    not the raw batch — an exact redelivery is already screened out by
+    stage 1, so the span audit measures partial/boilerplate duplication
+    among genuinely new content (the thing worth rewriting), not
+    redelivery noise."""
     from .drift_monitor import source_drift_sink
 
     dirs = corpus_ingest_dirs(work_dir)
@@ -102,6 +115,11 @@ def corpus_ingest_epoch(
     drift = (
         source_drift_sink(dirs["drift_audit"], drift_reference, drift_budget_bits)
         if drift_reference is not None
+        else None
+    )
+    spans = (
+        span_screen_sink(dirs["gram_index"], dirs["span_audit"])
+        if span_screen
         else None
     )
 
@@ -122,6 +140,8 @@ def corpus_ingest_epoch(
                 batch_id,
             )
             tindex(admitted.select("doc_id", "text"), batch_id)
+            if spans is not None:
+                spans(admitted.select("doc_id", "text"), batch_id)
         finally:
             batch_df.unpersist()
 
@@ -137,14 +157,21 @@ def start_corpus_ingest(
     checkpoint_dir: str,
     drift_reference: dict[int, float] | None = None,
     drift_budget_bits: float = 1.0,
+    span_screen: bool = False,
 ) -> StreamingQuery:
     """Start the composed ingestion stream over a parquet document feed.
     `centroids` / `quality_min` / `drift_reference` are the
     calibrate-once parameters the sinks document (control-plane inputs,
     not per-batch state); with a reference the per-source drift audit
-    becomes the composition's 5th stage."""
+    becomes the composition's 5th stage, and with `span_screen=True` the
+    duplicated-substring screen its 6th."""
     epoch = corpus_ingest_epoch(
-        work_dir, centroids, quality_min, drift_reference, drift_budget_bits
+        work_dir,
+        centroids,
+        quality_min,
+        drift_reference,
+        drift_budget_bits,
+        span_screen,
     )
     return (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
@@ -162,9 +189,14 @@ def corpus_retract(
     work_dir: str,
     doc_ids: list[int],
 ) -> dict[str, int]:
-    """Right-to-be-forgotten retraction across ALL FIVE stores the
-    ingest capstone maintains — the control-plane operation a training
-    -data pipeline owes its data subjects, end to end. Every store is
+    """Right-to-be-forgotten retraction across EVERY store the
+    composition maintains (the five core stores, plus the optional
+    stage-6 span stores when present: the span audit loses the victims'
+    rows including their kept_text, and the gram index's per-epoch
+    counts are recomputed from the rewritten accepted partition — the
+    counts the sink would have admitted had the victims never arrived) —
+    the control-plane operation a training-data pipeline owes its data
+    subjects, end to end. Every store is
     PHYSICALLY rewritten (affected partitions only, write-to-temp +
     directory swap — the committed-generation pattern):
 
@@ -221,7 +253,13 @@ def corpus_retract(
         r["content_hash"] for r in victims if r["content_hash"] is not None
     }
     epochs = sorted({r["batch_id"] for r in victims})
-    removed = {"accepted": 0, "curated": 0, "dedup_index": 0}
+    removed = {
+        "accepted": 0,
+        "curated": 0,
+        "dedup_index": 0,
+        "gram_index": 0,
+        "span_audit": 0,
+    }
 
     def swap_rewrite(part_dir: str, df, partition_by: list[str] | None) -> None:
         """Committed-generation swap of one partition directory. The temp
@@ -265,6 +303,46 @@ def corpus_retract(
             removed["curated"] += cdf.count() - ckept.count()
             swap_rewrite(cpart, ckept, ["cluster_id"])
             cdf.unpersist()
+
+        # Optional stage-6 stores (span_screen=True runs): the span audit
+        # holds the victims' kept_text and the gram index their content-
+        # derived counts — both are personal data and must go too. The
+        # audit partition filters like the others; the gram counts are an
+        # AGGREGATE, so the epoch's partition is recomputed from the
+        # just-rewritten accepted partition (exactly the counts the sink
+        # would have admitted had the victims never arrived).
+        spart = os.path.join(dirs["span_audit"], f"batch_id={b}")
+        if os.path.isdir(spart):
+            sdf = spark.read.parquet(spart).persist()
+            skept = sdf.filter(~F.col("doc_id").isin(ids))
+            removed["span_audit"] += sdf.count() - skept.count()
+            swap_rewrite(spart, skept, None)
+            sdf.unpersist()
+        gpart = os.path.join(dirs["gram_index"], f"src_batch={b}")
+        if os.path.isdir(gpart):
+            from ..operators.dedup import _span_pos_grams, _span_toks
+
+            old_n = (
+                spark.read.schema("g long, n long")
+                .parquet(gpart)
+                .agg(F.coalesce(F.sum("n"), F.lit(0)))
+                .collect()[0][0]
+            )
+            gnew = (
+                _span_pos_grams(
+                    _span_toks(spark.read.parquet(part).select("doc_id", "text"))
+                )
+                .groupBy("g")
+                .agg(F.count("*").alias("n"))
+            )
+            swap_rewrite(gpart, gnew, None)
+            new_n = (
+                spark.read.schema("g long, n long")
+                .parquet(gpart)
+                .agg(F.coalesce(F.sum("n"), F.lit(0)))
+                .collect()[0][0]
+            )
+            removed["gram_index"] += int(old_n - new_n)
 
         if hashes:  # all-null-text victims leave no addressable index row
             ipart = os.path.join(dirs["dedup_index"], f"src_batch={b}")

@@ -146,3 +146,66 @@ class TestIncrementalDupSpans:
         assert got[8]["kept_text"] == "b1 b2 b3"
         assert got[9]["dup_tokens"] == 0
         assert got[9]["kept_text"] == "u1 u2 u3 u4 u5 u6 u7"
+
+
+class TestCharDupSpans:
+    def test_cjk_span_invisible_to_word_form_caught_by_char_form(
+        self, spark, tmp_path
+    ):
+        """Unsegmented scripts: a repeated 14-char CJK passage has NO
+        word-level 5-grams (the whole doc is one whitespace token), so
+        llm_dup_spans sees nothing — llm_char_dup_spans covers exactly
+        the shared run in both docs."""
+        from data_ingestion_experiment_otp_spark.operators.dedup import (
+            _CSPAN_K,
+            llm_char_dup_spans,
+        )
+
+        shared = "深層学習の訓練データ重複除去処理"  # 16 chars
+        texts = [
+            f"甲乙丙丁{shared}戊己庚辛",
+            f"壬癸子丑寅{shared}卯辰",
+            "独自内容文書異質投稿本文記事壱弐参肆伍陸漆捌玖拾",
+        ]
+        rows = [(i, t, "ja", "planted", len(t)) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        import os
+
+        d = os.path.join(str(tmp_path), "fixture")
+        df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+        word = {r["doc_id"]: r["dup_tokens"] for r in llm_dup_spans(spark, d).collect()}
+        assert word == {0: 0, 1: 0, 2: 0}  # blind: no whitespace tokens
+
+        got = {r["doc_id"]: r.asDict() for r in llm_char_dup_spans(spark, d).collect()}
+        assert got[0]["dup_chars"] == len(shared) >= _CSPAN_K
+        assert got[1]["dup_chars"] == len(shared)
+        assert got[0]["kept_text"] == "甲乙丙丁戊己庚辛"
+        assert got[1]["kept_text"] == "壬癸子丑寅卯辰"
+        assert got[2]["dup_chars"] == 0
+
+    def test_mid_word_span_boundaries(self, spark, tmp_path):
+        """Char spans ignore word boundaries: the duplicated run may cut
+        mid-word, and kept chars splice back in order (conservation:
+        kept length + dup_chars == n_chars)."""
+        from data_ingestion_experiment_otp_spark.operators.dedup import (
+            llm_char_dup_spans,
+        )
+
+        shared = "abcdefghijkl"  # exactly K chars
+        texts = [f"xx{shared}yy", f"qq{shared}rr", "entirely fresh text"]
+        rows = [(i, t, "en", "planted", len(t)) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        import os
+
+        d = os.path.join(str(tmp_path), "fixture")
+        df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r["doc_id"]: r.asDict() for r in llm_char_dup_spans(spark, d).collect()}
+        assert got[0]["dup_chars"] == 12 and got[0]["kept_text"] == "xxyy"
+        assert got[1]["dup_chars"] == 12 and got[1]["kept_text"] == "qqrr"
+        for r in got.values():
+            assert len(r["kept_text"]) + r["dup_chars"] == r["n_chars"]

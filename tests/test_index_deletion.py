@@ -395,3 +395,75 @@ class TestStreamingRetraction:
         assert [
             r["doc_id"] for r in bm25_query_index(spark, dirs["text_index"], probe).collect()
         ] == [7]  # searchable again
+
+
+class TestRetractionSpanStores:
+    def test_retract_purges_span_audit_and_gram_counts(self, spark, tmp_path):
+        """With the stage-6 span screen on, retraction must also purge the
+        victim's span-audit row (it holds kept_text — personal data) and
+        subtract its gram contributions: the rewritten gram_index
+        partition equals what the sink would have admitted had the victim
+        never arrived, so a later epoch no longer sees the victim's spans
+        as 'known'."""
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_ingest_epoch,
+            corpus_retract,
+        )
+
+        rng = np.random.default_rng(13)
+        schema = (
+            "doc_id long, source string, n_chars long, text string,"
+            " embedding array<float>"
+        )
+
+        def row(i, text):
+            return (i, "web", len(text), text, [float(x) for x in rng.standard_normal(64)])
+
+        span = "s1 s2 s3 s4 s5 s6 s7 s8"
+        cents = spark.createDataFrame(
+            [(0, [float(x) for x in rng.standard_normal(64)])],
+            "vec_id long, embedding array<float>",
+        ).collect()
+        work = str(tmp_path / "work")
+        epoch = corpus_ingest_epoch(work, cents, {"*": 0.0}, span_screen=True)
+        dirs = corpus_ingest_dirs(work)
+
+        epoch(
+            spark.createDataFrame(
+                [row(7, f"a1 {span} a2"), (8, "web", 10, "u1 u2 u3 u4 u5 u6", None)],
+                schema,
+            ),
+            0,
+        )
+        grams_before = spark.read.schema("g long, n long").parquet(
+            os.path.join(dirs["gram_index"], "src_batch=0")
+        )
+        n_before = grams_before.agg({"n": "sum"}).collect()[0][0]
+
+        removed = corpus_retract(spark, work, [7])
+        assert removed["span_audit"] == 1
+        assert removed["gram_index"] > 0
+
+        audit = spark.read.parquet(
+            os.path.join(dirs["span_audit"], "batch_id=0")
+        ).collect()
+        assert {r["doc_id"] for r in audit} == {8}
+        grams_after = spark.read.schema("g long, n long").parquet(
+            os.path.join(dirs["gram_index"], "src_batch=0")
+        )
+        n_after = grams_after.agg({"n": "sum"}).collect()[0][0] or 0
+        # doc 7 had tokens "a1 <span8> a2" = 10 tokens -> 6 grams; doc 8's
+        # 6 tokens -> 2 grams survive
+        assert n_before - n_after == removed["gram_index"] == 6
+        assert n_after == 2
+
+        # the retracted span is unknown again: a new epoch repeating it
+        # sees no prior occurrence (coverage 0)
+        epoch(spark.createDataFrame([row(9, f"b1 {span} b2")], schema), 1)
+        audit1 = spark.read.parquet(
+            os.path.join(dirs["span_audit"], "batch_id=1")
+        ).collect()
+        assert audit1[0]["dup_tokens"] == 0

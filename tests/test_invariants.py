@@ -969,6 +969,7 @@ class TestOrderIndependenceSweep:
         "llm_dup_spans",
         "llm_semdedup",
         "llm_incremental_dup_spans",
+        "llm_char_dup_spans",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

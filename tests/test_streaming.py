@@ -1581,3 +1581,76 @@ class TestSpanScreenSink:
             tuple(r) for r in spark.read.parquet(gram_dir).collect()
         )
         assert idx_after == idx_before
+
+
+class TestCapstoneSpanScreen:
+    def test_stage6_audits_admitted_docs_only(self, spark, tmp_path):
+        """corpus_ingest_epoch(span_screen=True): the span screen runs on
+        ADMITTED docs — an exact redelivery is dropped by stage 1 and
+        never reaches the span audit; a genuinely-new doc repeating an
+        earlier epoch's span is covered via the persistent gram index;
+        replay rewrites every store identically."""
+        import glob
+
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_ingest_epoch,
+        )
+
+        rng = np.random.default_rng(11)
+        schema = (
+            "doc_id long, source string, n_chars long, text string,"
+            " embedding array<float>"
+        )
+
+        def row(i, text):
+            return (i, "web", len(text), text, [float(x) for x in rng.standard_normal(64)])
+
+        span = "s1 s2 s3 s4 s5 s6 s7 s8"
+        cents = spark.createDataFrame(
+            [(0, [float(x) for x in rng.standard_normal(64)])],
+            "vec_id long, embedding array<float>",
+        ).collect()
+        work = str(tmp_path / "work")
+        epoch = corpus_ingest_epoch(work, cents, {"*": 0.0}, span_screen=True)
+        dirs = corpus_ingest_dirs(work)
+
+        t0 = f"a1 a2 {span} a3"
+        epoch(spark.createDataFrame([row(1, t0), row(2, "u1 u2 u3 u4 u5 u6")], schema), 0)
+        # epoch 1: doc 3 = exact redelivery of doc 1 (screened out at
+        # stage 1); doc 4 = new content repeating the span
+        epoch(
+            spark.createDataFrame([row(3, t0), row(4, f"b1 {span} b2")], schema), 1
+        )
+
+        def span_audit(bid):
+            return {
+                r["doc_id"]: (r["dup_tokens"], r["kept_text"])
+                for r in spark.read.parquet(
+                    os.path.join(dirs["span_audit"], f"batch_id={bid}")
+                ).collect()
+            }
+
+        assert span_audit(0) == {1: (0, t0), 2: (0, "u1 u2 u3 u4 u5 u6")}
+        assert span_audit(1) == {4: (8, "b1 b2")}  # doc 3 never audited
+
+        # replay epoch 1: span audit and gram index byte-identical
+        before = sorted(
+            tuple(r) for r in spark.read.parquet(dirs["gram_index"]).collect()
+        )
+        epoch(
+            spark.createDataFrame([row(3, t0), row(4, f"b1 {span} b2")], schema), 1
+        )
+        assert span_audit(1) == {4: (8, "b1 b2")}
+        after = sorted(
+            tuple(r) for r in spark.read.parquet(dirs["gram_index"]).collect()
+        )
+        assert after == before
+        # stage-6-off runs don't create the span stores
+        work2 = str(tmp_path / "work2")
+        corpus_ingest_epoch(work2, cents, {"*": 0.0})(
+            spark.createDataFrame([row(1, t0)], schema), 0
+        )
+        assert not glob.glob(os.path.join(corpus_ingest_dirs(work2)["span_audit"], "*"))
