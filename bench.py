@@ -99,6 +99,7 @@ HEADLINE = [
     # cluster-confined semantic dedup (SemDeDup)
     "llm_dup_spans",
     "llm_semdedup",
+    "llm_char_dup_spans",
 ]
 
 
