@@ -625,3 +625,34 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 llm_semdedup.__doc__ = llm_semdedup.__doc__.format(thr=_SEMDEDUP_THRESHOLD)
+
+
+@register(
+    "pipeline_curation_semdedup",
+    # CTE-in-CTE: both composed oracles spliced verbatim so the variant
+    # can never drift from the single-stage entries it composes.
+    oracle=f"""
+    WITH cur AS MATERIALIZED ({_CURATION_ORACLE}),
+    sem AS MATERIALIZED ({_SEMDEDUP_ORACLE})
+    SELECT cur.* FROM cur JOIN sem ON sem.vec_id = cur.doc_id WHERE sem.kept
+    """,
+    tags=("llm", "pipeline", "clustering", "dedup"),
+)
+def pipeline_curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone with SemDeDup as its final stage: after the
+    heuristic funnel (repetition → per-source percentile → cluster cap),
+    drop the docs whose embedding is a within-cluster semantic duplicate
+    of a higher-priority survivor — the published ordering (SemDeDup runs
+    AFTER cheap text filters bound the volume the embedding pass sees,
+    the same two-tier shape as pipeline_curation_classified's model
+    gate). The semantic screen reuses `llm_semdedup` unchanged, so the
+    composed plan adds one semi-join on scalar ids and nothing else —
+    ranks/caps remain the heuristic tier's (the screen trims, it does
+    not re-rank)."""
+    cur = pipeline_semantic_curation(spark, sf_dir)
+    keeps = (
+        llm_semdedup(spark, sf_dir)
+        .filter(F.col("kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return cur.join(keeps, "doc_id", "semi")

@@ -446,3 +446,30 @@ def src_parquet_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("source").isNotNull().alias("has_v2_schema"),
     )
+
+
+@register(
+    "src_xml",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    tags=("source",),
+)
+def src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion round trip over Spark 4's NATIVE xml data source
+    (spark-xml graduated into core in 4.0 — no external package):
+    customer → one <row> element per record → read back with the explicit
+    schema and rowTag. XML is the interchange format enterprise feeds
+    still speak; the reader supports schema enforcement and column
+    pruning like the other semi-structured sources. Exactness note:
+    Java's Double.toString is shortest-round-trip, so the double column
+    survives the text hop bit-for-bit — the same contract the JSONL
+    round trip relies on. Pytest-tier entry (the parquet source carries
+    the driver row for scans)."""
+    c = load(spark, sf_dir, "customer").select([f.name for f in CUSTOMER_SCHEMA.fields])
+    path = _scratch(spark, "customer_xml")
+    c.write.mode("overwrite").format("xml").option("rowTag", "row").save(path)
+    return (
+        spark.read.schema(CUSTOMER_SCHEMA)
+        .format("xml")
+        .option("rowTag", "row")
+        .load(path)
+    )

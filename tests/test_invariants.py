@@ -1139,3 +1139,27 @@ class TestQualityClassifier:
         var = {tuple(r) for r in specs["pipeline_curation_classified"].fn(spark, sf_dir).collect()}
         assert var == {r for r in cur if r[0] in keeps}
         assert var < cur  # the gate really dropped someone at fixture scale
+
+
+class TestCurationSemdedupVariant:
+    def test_variant_is_curation_intersect_semdedup_keeps(self, spark, sf_dir):
+        """pipeline_curation_semdedup == pipeline_semantic_curation rows
+        whose doc survives the within-cluster semantic screen — the same
+        reconciliation contract the classified variant carries."""
+        from data_ingestion_experiment_otp_spark.plans.registry import all_queries
+
+        specs = all_queries()
+        cur = {
+            tuple(r)
+            for r in specs["pipeline_semantic_curation"].fn(spark, sf_dir).collect()
+        }
+        keeps = {
+            r["vec_id"]
+            for r in specs["llm_semdedup"].fn(spark, sf_dir).collect()
+            if r["kept"]
+        }
+        var = {
+            tuple(r)
+            for r in specs["pipeline_curation_semdedup"].fn(spark, sf_dir).collect()
+        }
+        assert var == {r for r in cur if r[0] in keeps}
