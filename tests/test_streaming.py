@@ -1654,3 +1654,28 @@ class TestCapstoneSpanScreen:
             spark.createDataFrame([row(1, t0)], schema), 0
         )
         assert not glob.glob(os.path.join(corpus_ingest_dirs(work2)["span_audit"], "*"))
+
+    def test_zero_row_epoch_is_harmless(self, spark, tmp_path):
+        """An empty micro-batch (filter-dropped feed) must write its empty
+        epoch artifacts without wedging later epochs: the index read uses
+        an explicit schema, so the empty src_batch partition (dir with
+        only _SUCCESS) cannot trigger schema inference failures."""
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            span_screen_sink,
+        )
+
+        span8 = TestSpanScreenSink.SPAN8
+        gram_dir = str(tmp_path / "gram_index")
+        audit_dir = str(tmp_path / "span_audit")
+        sink = span_screen_sink(gram_dir, audit_dir)
+        empty = spark.createDataFrame([], TestSpanScreenSink.DOC_SCHEMA)
+        sink(empty, 0)
+        sink(
+            spark.createDataFrame(
+                [(1, f"{span8} tail1"), (2, f"{span8} tail2")],
+                TestSpanScreenSink.DOC_SCHEMA,
+            ),
+            1,
+        )
+        got = TestSpanScreenSink._audit(spark, audit_dir)[1]
+        assert got[1][0] == 8 and got[2][0] == 8  # mutual coverage intact
