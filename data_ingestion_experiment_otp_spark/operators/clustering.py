@@ -656,3 +656,80 @@ def pipeline_curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("doc_id"))
     )
     return cur.join(keeps, "doc_id", "semi")
+
+
+@register(
+    "llm_semdedup_eval",
+    oracle=f"""
+    WITH sem AS MATERIALIZED ({_SEMDEDUP_ORACLE}),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6)
+            >= {_SEMDEDUP_THRESHOLD}
+    )
+    SELECT CASE
+             WHEN sa.cluster_id = sb.cluster_id THEN 'in_cluster_resolved'
+             WHEN NOT sa.kept OR NOT sb.kept THEN 'cross_cluster_resolved'
+             ELSE 'cross_cluster_blind'
+           END AS status,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN sem sa ON sa.vec_id = pairs.vec_a
+    JOIN sem sb ON sb.vec_id = pairs.vec_b
+    GROUP BY 1
+    """,
+    tags=("llm", "dedup", "clustering", "eval"),
+)
+def llm_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup blindness audit — the methodology a pipeline owner uses
+    to decide whether the cluster confinement loses too much before
+    trusting it at scale (the `llm_dedup_strategy_eval` pattern for the
+    semantic tier): every EXACT near-dup pair (brute-force cosine >=
+    {thr}, `llm_embed_cosine_dedup`'s guarded pass) is classified
+    against the SemDeDup result. 'in_cluster_resolved' pairs landed in
+    one cluster — the screen provably drops one member (the keep-
+    priority total order guarantees it, and the hash gate checks it
+    rather than trusting the proof). Cross-cluster pairs split into
+    'cross_cluster_resolved' (a member happened to drop via a same-
+    cluster neighbor) and 'cross_cluster_blind' — the documented
+    SemDeDup miss rate, here a driver-checkable NUMBER. Both inputs are
+    exact and deterministic, so the whole evaluation carries a full
+    cross-engine hash oracle."""
+    from .dedup import _COSINE_DEDUP_THRESHOLD, llm_embed_cosine_dedup
+
+    # The pair truth and the screen must hunt the same population: the
+    # oracle above embeds _SEMDEDUP_THRESHOLD, the Spark pair pass uses
+    # the dedup module's constant — a drift between them would silently
+    # misalign the evaluation, so fail loudly instead.
+    assert _COSINE_DEDUP_THRESHOLD == _SEMDEDUP_THRESHOLD
+    pairs = llm_embed_cosine_dedup(spark, sf_dir).select("vec_a", "vec_b")
+    sem = llm_semdedup(spark, sf_dir).select("vec_id", "cluster_id", "kept")
+    sa = sem.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("cluster_id").alias("cl_a"),
+        F.col("kept").alias("kept_a"),
+    )
+    sb = sem.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cluster_id").alias("cl_b"),
+        F.col("kept").alias("kept_b"),
+    )
+    status = (
+        F.when(F.col("cl_a") == F.col("cl_b"), "in_cluster_resolved")
+        .when(~F.col("kept_a") | ~F.col("kept_b"), "cross_cluster_resolved")
+        .otherwise("cross_cluster_blind")
+    )
+    return (
+        pairs.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+llm_semdedup_eval.__doc__ = llm_semdedup_eval.__doc__.format(
+    thr=_SEMDEDUP_THRESHOLD
+)

@@ -970,6 +970,8 @@ class TestOrderIndependenceSweep:
         "llm_semdedup",
         "llm_incremental_dup_spans",
         "llm_char_dup_spans",
+        # r7c: exact-pair truth × deterministic screen, pure count output
+        "llm_semdedup_eval",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):
