@@ -1723,18 +1723,39 @@ def llm_char_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions are PER CHARACTER, so the exploded relation is ~5x the
     word form's for alphabetic text (1x for CJK, which has no spaces to
     skip) — still strictly linear in corpus bytes, the property that
-    matters at 100 TB."""
+    matters at 100 TB. Per-doc reassembly state (the covered-position
+    set) is bounded by document length; feed book-length texts through
+    `llm_chunk_docs` first, the same discipline every per-doc text
+    operator here assumes."""
     d = load_split(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t"))
-    pos_grams = toks.select(
-        "doc_id", F.posexplode(F.expr(_CSPAN_HASHES_SPARK)).alias("pos0", "g")
-    )
+    toks = _cspan_toks(d)
+    pos_grams = _cspan_pos_grams(toks)
     dup_grams = (
         pos_grams.groupBy("g")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 2)
         .select("g")
     )
+    return _cspan_coverage(toks, pos_grams, dup_grams)
+
+
+def _cspan_toks(d: DataFrame) -> DataFrame:
+    """(doc_id, t): raw text, total on NULL."""
+    return d.select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t"))
+
+
+def _cspan_pos_grams(toks: DataFrame) -> DataFrame:
+    """(doc_id, pos0, g): one positional char-K-gram hash per char start."""
+    return toks.select(
+        "doc_id", F.posexplode(F.expr(_CSPAN_HASHES_SPARK)).alias("pos0", "g")
+    )
+
+
+def _cspan_coverage(
+    toks: DataFrame, pos_grams: DataFrame, dup_grams: DataFrame
+) -> DataFrame:
+    """The char-granularity span-removal tail (`_span_coverage`'s twin
+    over character positions and a character splice)."""
     cov_agg = (
         pos_grams.join(dup_grams, "g", "left_semi")
         .select(
@@ -1769,3 +1790,76 @@ def llm_char_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 llm_char_dup_spans.__doc__ = llm_char_dup_spans.__doc__.format(k=_CSPAN_K)
+
+
+_CHAR_INCR_SPANS_ORACLE = f"""
+    WITH t_t AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - {_CSPAN_K} + 2)) AS i
+      FROM t_t WHERE len(t) >= {_CSPAN_K}
+    ),
+    grams AS (
+      SELECT doc_id, i, substring(t, i, {_CSPAN_K}) AS g FROM starts
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    covered AS (
+      SELECT DISTINCT doc_id, unnest(range(i - 1, i - 1 + {_CSPAN_K})) AS p
+      FROM grams WHERE doc_id % 10 >= 8 AND g IN (SELECT g FROM dup)
+    ),
+    cov_agg AS (
+      SELECT doc_id, count(*) AS dup_chars, list(p) AS cov
+      FROM covered GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           len(w.t) AS n_chars,
+           coalesce(c.dup_chars, 0) AS dup_chars,
+           round(coalesce(c.dup_chars, 0) / greatest(len(w.t), 1), 6)
+               AS dup_fraction,
+           coalesce(c.dup_chars, 0) / greatest(len(w.t), 1)
+               >= {_SPAN_FLAG_THRESHOLD} AS flag_dup,
+           coalesce(array_to_string(
+               [substring(w.t, i + 1, 1) for i in range(len(w.t))
+                if NOT list_contains(coalesce(c.cov, []), i)],
+               ''), '') AS kept_text
+    FROM t_t w LEFT JOIN cov_agg c USING (doc_id)
+    WHERE w.doc_id % 10 >= 8
+    """
+
+
+@register(
+    "llm_char_incremental_spans",
+    oracle=_CHAR_INCR_SPANS_ORACLE,
+    tags=("llm", "dedup", "spans", "incremental", "text"),
+)
+def llm_char_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth quadrant of the span-dedup matrix (word/char × batch/
+    incremental): CHARACTER-granularity span screening of an incoming
+    batch (the %10>=8 slice) against the ingested corpus — what an
+    ingestion pipeline over unsegmented scripts actually calls per
+    epoch. Same contract as `llm_incremental_dup_spans`: the corpus
+    collapses to a positionless (gram_hash, count) aggregate — the
+    pre-materialized append-only index — and only the batch carries
+    per-char positional rows; the coverage/splice tail
+    (`_cspan_coverage`) is shared verbatim with the batch char
+    operator."""
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 < 8)
+    batch = d.filter(F.col("doc_id") % 10 >= 8)
+
+    corpus_counts = (
+        _cspan_pos_grams(_cspan_toks(corpus))
+        .groupBy("g")
+        .agg(F.count("*").alias("c_cnt"))
+    )
+    btoks = _cspan_toks(batch)
+    bpos = _cspan_pos_grams(btoks)
+    dup_grams = (
+        bpos.groupBy("g")
+        .agg(F.count("*").alias("b_cnt"))
+        .join(corpus_counts, "g", "left")
+        .filter(F.col("b_cnt") + F.coalesce(F.col("c_cnt"), F.lit(0)) >= 2)
+        .select("g")
+    )
+    return _cspan_coverage(btoks, bpos, dup_grams)
