@@ -594,8 +594,13 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            C = np.round(Mn @ Mn.T, 6)
-        near = C >= _SEMDEDUP_THRESHOLD  # NaN compares False
+            C = Mn @ Mn.T
+            # Threshold on the repo's 1e-6 grid (floor(x*1e6+0.5) == half-up
+            # in the positive threshold region — llm_embed_cosine_dedup's
+            # convention, dedup.py): np.round is half-to-even while the
+            # oracle's round() is half-away-from-zero, so a cosine landing
+            # exactly on a half boundary would flip `kept` between engines.
+            near = np.floor(C * 1e6 + 0.5) >= _SEMDEDUP_THRESHOLD * 1e6
         np.fill_diagonal(near, False)
         sk = np.where(np.isnan(s), -2.0, s)
         # y (column) outranks x (row): farther from the centroid, or same
@@ -702,8 +707,13 @@ def llm_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The pair truth and the screen must hunt the same population: the
     # oracle above embeds _SEMDEDUP_THRESHOLD, the Spark pair pass uses
     # the dedup module's constant — a drift between them would silently
-    # misalign the evaluation, so fail loudly instead.
-    assert _COSINE_DEDUP_THRESHOLD == _SEMDEDUP_THRESHOLD
+    # misalign the evaluation, so fail loudly (an explicit raise, not
+    # assert: asserts vanish under ``python -O``).
+    if _COSINE_DEDUP_THRESHOLD != _SEMDEDUP_THRESHOLD:
+        raise RuntimeError(
+            "llm_semdedup_eval threshold drift: dedup._COSINE_DEDUP_THRESHOLD="
+            f"{_COSINE_DEDUP_THRESHOLD} != _SEMDEDUP_THRESHOLD={_SEMDEDUP_THRESHOLD}"
+        )
     pairs = llm_embed_cosine_dedup(spark, sf_dir).select("vec_a", "vec_b")
     sem = llm_semdedup(spark, sf_dir).select("vec_id", "cluster_id", "kept")
     sa = sem.select(

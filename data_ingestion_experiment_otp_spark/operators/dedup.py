@@ -1424,7 +1424,9 @@ _SPAN_FLAG_THRESHOLD = 0.5
 _SPAN_HASHES_SPARK = (
     f"if(size(ws) >= {_SPAN_K},"
     f" transform(sequence(0, size(ws) - {_SPAN_K}),"
-    " i -> xxhash64(ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])), array())"
+    # argument list derived from _SPAN_K so the Spark gram width can never
+    # desynchronize from the oracle's K-wide gram strings if K is retuned
+    f" i -> xxhash64({', '.join(f'ws[i+{j}]' for j in range(_SPAN_K))})), array())"
 )
 
 _DUP_SPANS_ORACLE = f"""

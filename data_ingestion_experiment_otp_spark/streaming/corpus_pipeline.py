@@ -328,9 +328,16 @@ def corpus_retract(
                 .agg(F.coalesce(F.sum("n"), F.lit(0)))
                 .collect()[0][0]
             )
+            # Explicit schema on the re-read: a full-epoch retraction can
+            # leave the just-swapped accepted partition with zero data
+            # files, where schema inference fails and wedges retraction —
+            # the GRAM_INDEX_SCHEMA / test_zero_row_epoch convention.
+            # Parquet column pruning makes the 2-column schema free.
             gnew = (
                 _span_pos_grams(
-                    _span_toks(spark.read.parquet(part).select("doc_id", "text"))
+                    _span_toks(
+                        spark.read.schema("doc_id long, text string").parquet(part)
+                    )
                 )
                 .groupBy("g")
                 .agg(F.count("*").alias("n"))
