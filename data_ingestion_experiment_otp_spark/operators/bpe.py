@@ -12,16 +12,33 @@ and this module supplies that last step as three composable operators:
 
 Spark-first topology (the shape HF-tokenizers/SentencePiece training has,
 re-expressed distributed): BPE state is the WORD-FREQUENCY table, not the
-corpus — the corpus is scanned once to build word counts (lazily
-localCheckpointed so the N training rounds never rescan it) and once more
-to encode. Each merge round is one partial-aggregated shuffle over the
-word table's adjacent-symbol pairs plus a TakeOrdered(1); the driver sees
-exactly one argmax row per round (the bounded-collect contract the
-connected-components loop in dedup.py established). Applying a merge is a
-narrow per-row string ``replace`` with the round's winner as a literal —
-no join, no shuffle. At 100 TB the word table is orders of magnitude
-smaller than the corpus and is itself distributed; nothing here holds
-corpus- or vocabulary-sized state on the driver.
+corpus. Training is ONE on-cluster word-count aggregate (one corpus
+FileScan, one Spark job: TakeOrdered ships the top-``_TRAIN_TOP_V``
+highest-frequency words to the driver — the bounded, documented driver-
+memory contract below) followed by a DRIVER-LOCAL merge loop over that
+word table with incremental pair-count bookkeeping — the structure every
+production trainer (HF tokenizers, SentencePiece, the original
+subword-nmt) uses, because per-merge cluster round-trips cannot reach a
+30-50k-merge vocabulary (50k sequential jobs; the r7 form had exactly
+that shape and was capped at demo vocabulary sizes). The learned merge
+list is a tokenizer-sized artifact; it ships back as a broadcast and the
+corpus-side segmentation of every DISTINCT word is one Arrow-batched
+pass over the (distributed) word table. Encoding then remains one corpus
+scan + a word-keyed join against the trained word table.
+
+Driver-memory bound, explicitly: the merge loop holds ``_TRAIN_TOP_V``
+words × (symbols + adjacent-pair index) ≈ tens of MB at the 65k default —
+a constant independent of corpus size, the same contract FAISS-style
+sample training and the IVF path's ``_IVF_TRAIN_CAP`` already follow.
+Words below the top-V cut (or the ``min_freq`` floor) still segment
+correctly at encode time: segmentation applies the learned merges, it
+does not require the word to have been in the training table.
+
+The trained artifact (merges + per-word segmentations + vocabulary) is
+PERSISTED once per corpus (``_bpe_artifact``, the text-index store
+pattern: build to a temp generation, atomic rename, reuse on every later
+call), so encode/decode/vocab/fertility/pack serve from the store instead
+of retraining — decode costs decode, not train+decode.
 
 Merge semantics are exact textbook BPE (Sennrich et al. 2016): per round,
 the highest-weighted adjacent symbol pair (ties broken lexicographically)
@@ -66,14 +83,11 @@ _MERGE_SCHEMA = T.StructType(
     ]
 )
 
-# Initial segmentation: each character wrapped as US+c+US. substr is
-# codepoint-based in both engines. chr(31) is spelled as a FUNCTION call on
-# both sides — never as a string literal — to dodge the backslash-eating
-# divergence between Spark SQL literals and DuckDB literals.
-_SEG0 = (
-    "concat_ws('', transform(sequence(1, length(w)), "
-    "i -> concat(chr(31), substr(w, i, 1), chr(31))))"
-)
+# Initial segmentation (oracle side): each character wrapped as US+c+US.
+# substr is codepoint-based in DuckDB exactly as Python's list(w) is in
+# bpe_segment_word. chr(31) is spelled as a FUNCTION call — never a string
+# literal — to dodge the backslash-eating divergence between Spark SQL
+# literals and DuckDB literals.
 
 
 def _train_ctes(n_merges: int = _N_MERGES) -> str:
@@ -161,10 +175,14 @@ doctoks AS (
   GROUP BY doc_id
 )"""
 
-_MERGE_UNION = " UNION ALL ".join(
-    f"SELECT {r + 1} AS rnk, s1, s2, s1 || s2 AS merged, c AS n_pairs FROM best_{r}"
-    for r in range(_N_MERGES)
-)
+def _merge_union(n_merges: int = _N_MERGES) -> str:
+    return " UNION ALL ".join(
+        f"SELECT {r + 1} AS rnk, s1, s2, s1 || s2 AS merged, c AS n_pairs FROM best_{r}"
+        for r in range(n_merges)
+    )
+
+
+_MERGE_UNION = _merge_union()
 
 
 def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,48 +195,263 @@ def _syms_col():
     return F.filter(F.split("seg", _US), lambda s: s != "")
 
 
-def _train(spark: SparkSession, sf_dir: str):
-    """Run N merge rounds; return (final seg DataFrame[w, n, seg], merges).
+# Driver-memory bound for the merge loop: at most this many (word, count)
+# rows are collected. 65536 words × ~tens of bytes of symbols/pair index
+# each ≈ tens of MB — constant in corpus size (the fixture vocabulary is
+# 31 words; a real web corpus's top-64k words cover ~97-99% of tokens,
+# which is why every production trainer truncates exactly like this).
+_TRAIN_TOP_V = 65536
 
-    The word table is lazily localCheckpointed: the corpus FileScan runs
-    once (at round 0's argmax), and every later round re-derives segs with
-    r narrow ``replace`` maps over the checkpointed words — cheap string
-    ops over the (small) vocabulary relation, never the corpus.
+
+def bpe_merge_loop(
+    word_table: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-local greedy BPE over a (word, count) table — the merge loop
+    every production trainer runs locally over the aggregated vocabulary
+    (subword-nmt/HF-tokenizers shape). Pure function of its input:
+    highest weighted adjacent-pair count per round, ties to the
+    lexicographically smallest (s1, s2), greedy left-to-right
+    non-overlapping apply — exactly the semantics the DuckDB CTE chain
+    (`_train_ctes`) replays, so the N=12 oracle pins this loop too.
+
+    Incremental bookkeeping: only words CONTAINING the winning pair are
+    re-segmented each round (pair→words index), and pair counts are
+    adjusted by the per-word delta rather than recounted — per round cost
+    is O(affected words × their length) + one O(distinct pairs) argmax,
+    so a 30-50k-merge vocabulary is minutes of driver CPU, not 50k Spark
+    jobs. (If the argmax scan ever dominated, a lazy-deletion heap drops
+    it to O(log P); at _TRAIN_TOP_V scale the linear scan is noise.)
     """
+    from collections import Counter, defaultdict
+
+    words = [list(w) for w, _ in word_table]
+    ns = [int(n) for _, n in word_table]
+    pair_counts: Counter = Counter()
+    pair_words: dict = defaultdict(set)
+    for idx, syms in enumerate(words):
+        if len(syms) < 2:
+            continue
+        w_n = ns[idx]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += w_n
+        for p in set(zip(syms, syms[1:])):
+            pair_words[p].add(idx)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rnk in range(1, n_merges + 1):
+        if not pair_counts:
+            break  # corpus out of adjacent pairs before round N
+        best_c = max(pair_counts.values())
+        s1, s2 = min(p for p, c in pair_counts.items() if c == best_c)
+        merges.append((rnk, s1, s2, s1 + s2, int(best_c)))
+        merged = s1 + s2
+        for idx in sorted(pair_words.get((s1, s2), ())):
+            old = words[idx]
+            out: list[str] = []
+            i, n_old = 0, len(old)
+            while i < n_old:
+                if old[i] == s1 and i + 1 < n_old and old[i + 1] == s2:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(old[i])
+                    i += 1
+            w_n = ns[idx]
+            oc = Counter(zip(old, old[1:]))
+            nc = Counter(zip(out, out[1:]))
+            for p, c in oc.items():
+                d = c - nc.get(p, 0)
+                if d > 0:
+                    pair_counts[p] -= d * w_n
+                    if pair_counts[p] <= 0:
+                        del pair_counts[p]
+            for p, c in nc.items():
+                d = c - oc.get(p, 0)
+                if d > 0:
+                    pair_counts[p] += d * w_n
+            for p in oc.keys() - nc.keys():
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(idx)
+                    if not s:
+                        del pair_words[p]
+            for p in nc.keys() - oc.keys():
+                pair_words[p].add(idx)
+            words[idx] = out
+    return merges
+
+
+def bpe_segment_word(w: str, merges: list[tuple[str, str]]) -> str:
+    """Segment ONE word with a learned merge list: start from codepoints,
+    apply each (s1, s2) merge in rank order, greedily left-to-right
+    non-overlapping — identical to replaying the training rounds, because
+    a merged pair can never become newly adjacent from a LATER merge
+    (later merges only fuse symbols; fusing cannot manufacture an (s1, s2)
+    adjacency that wasn't there). Returns the package's US-delimited
+    segmentation string (every symbol wrapped in chr(31) pairs).
+
+    Self-contained by design (builtins only): it crosses to Spark workers
+    via shipping.ship_by_value inside the segmentation UDF, and the pytest
+    properties import this exact function."""
+    syms = list(w or "")
+    for s1, s2 in merges:
+        if len(syms) < 2:
+            continue
+        if s1 not in syms:
+            continue
+        merged = s1 + s2
+        out: list = []
+        i, n = 0, len(syms)
+        while i < n:
+            if syms[i] == s1 and i + 1 < n and syms[i + 1] == s2:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return "".join("\x1f" + s + "\x1f" for s in syms)
+
+
+def _train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = _N_MERGES,
+    top_v: int = _TRAIN_TOP_V,
+    min_freq: int = 1,
+):
+    """Train BPE; return (seg DataFrame[w, n, seg], merges).
+
+    Production shape (r8): the corpus is scanned ONCE into the word-count
+    aggregate (lazily localCheckpointed — the single FileScan), the top-V
+    rows arrive at the driver via one TakeOrdered job, `bpe_merge_loop`
+    learns every merge driver-locally, and the merges ship back as a
+    broadcast applied to the (distributed, checkpointed) word table by an
+    Arrow-batched segmentation kernel. Total: one corpus FileScan and one
+    Spark job for ANY merge count — vs one job + one collect PER MERGE in
+    the r7 form, which could not reach production vocabulary sizes.
+
+    `top_v` / `min_freq` bound the driver table (docstring at
+    _TRAIN_TOP_V); the fixture vocabulary (31 words) is far below both,
+    so the DuckDB oracle — which replays training over the FULL word
+    table — pins the untruncated semantics, and the truncation knobs are
+    pinned by planted tests where they actually bind.
+    """
+    from ..shipping import ship_by_value
+
     words = _word_counts(spark, sf_dir).localCheckpoint(eager=False)
-    cur = words.withColumn("seg", F.expr(_SEG0))
-    merges: list[tuple] = []
-    for rnk in range(1, _N_MERGES + 1):
-        t = cur.select("n", _syms_col().alias("syms")).filter(F.size("syms") >= 2)
-        pairs = t.select(
-            "n",
-            F.explode(
-                F.arrays_zip(
-                    F.slice("syms", 1, F.size("syms") - 1).alias("s1"),
-                    F.slice("syms", 2, F.size("syms") - 1).alias("s2"),
-                )
-            ).alias("p"),
-        ).select("n", F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
-        best = (
-            pairs.groupBy("s1", "s2")
-            .agg(F.sum("n").alias("c"))
-            .orderBy(F.col("c").desc(), "s1", "s2")  # TakeOrdered(1): total order
-            .limit(1)
-            .collect()
-        )
-        if not best:  # corpus out of adjacent pairs before round N
-            break
-        s1, s2, c = best[0].s1, best[0].s2, best[0].c
-        merges.append((rnk, s1, s2, s1 + s2, int(c)))
-        cur = cur.withColumn(
-            "seg",
-            F.replace(
-                F.col("seg"),
-                F.lit(_US + s1 + _US + _US + s2 + _US),
-                F.lit(_US + s1 + s2 + _US),
-            ),
-        )
+    top = words
+    if min_freq > 1:
+        top = top.filter(F.col("n") >= min_freq)
+    rows = top.orderBy(F.desc("n"), "w").limit(top_v).collect()
+    merges = bpe_merge_loop([(r["w"], int(r["n"])) for r in rows], n_merges)
+
+    kernel = ship_by_value(bpe_segment_word)
+    pair_list = [(m[1], m[2]) for m in merges]
+    bcast = spark.sparkContext.broadcast(pair_list)
+
+    def seg_rows(it):
+        ms = bcast.value
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["seg"] = pdf["w"].map(lambda w: kernel(w, ms))
+            yield pdf
+
+    cur = words.mapInPandas(seg_rows, "w string, n long, seg string")
     return cur, merges
+
+
+# --- Persisted tokenizer artifact -------------------------------------------
+#
+# The store the serving entries read instead of retraining (the
+# streaming/text_index.py generation pattern applied to a model artifact):
+#
+#   <root>/<key>/merges.parquet     rnk, s1, s2, merged, n_pairs
+#   <root>/<key>/word_segs.parquet  w, n, seg      (the trained word table)
+#   <root>/<key>/vocab.parquet      sym, tok_id    (dense ids over symbols)
+#   <root>/<key>/_COMMITTED         build-complete marker
+#
+# Keyed by (corpus path, documents mtime+size, training params): a changed
+# corpus or knob trains a new generation; an unchanged one is served from
+# the store with zero training work. Built to a dot-less temp sibling and
+# atomically renamed — concurrent builders race benignly (loser discards).
+
+_SEG_SCHEMA = "w string, n long, seg string"
+_VOCAB_SCHEMA = "sym string, tok_id long"
+
+
+def _artifact_key(sf_dir: str, n_merges: int, top_v: int, min_freq: int) -> str:
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        sig = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        sig = "absent"
+    raw = f"{os.path.abspath(sf_dir)}|{sig}|{n_merges}|{top_v}|{min_freq}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:20]
+
+
+def _bpe_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = _N_MERGES,
+    top_v: int = _TRAIN_TOP_V,
+    min_freq: int = 1,
+) -> str:
+    """Train-once / serve-forever: return the committed artifact directory
+    for (corpus, params), building it if absent. The build is the module's
+    single corpus FileScan (via `_train`'s checkpointed word table); every
+    serving entry afterwards reads only the tokenizer-sized store."""
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_bpe_store")
+    final = os.path.join(root, _artifact_key(sf_dir, n_merges, top_v, min_freq))
+    if os.path.isfile(os.path.join(final, "_COMMITTED")):
+        return final
+    os.makedirs(root, exist_ok=True)
+    tmp = f"{final}.build{os.getpid()}"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    seg_df, merges = _train(spark, sf_dir, n_merges, top_v, min_freq)
+    seg_df.write.parquet(os.path.join(tmp, "word_segs.parquet"))
+    spark.createDataFrame(merges, _MERGE_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(tmp, "merges.parquet")
+    )
+    segs = spark.read.schema(_SEG_SCHEMA).parquet(os.path.join(tmp, "word_segs.parquet"))
+    vocab = (
+        segs.select(F.explode(_syms_col()).alias("sym"))
+        .distinct()
+        .withColumn("tok_id", F.row_number().over(Window.orderBy("sym")).cast("long"))
+    )
+    vocab.coalesce(1).write.parquet(os.path.join(tmp, "vocab.parquet"))
+    open(os.path.join(tmp, "_COMMITTED"), "w").close()
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        # a concurrent builder committed first: its generation is
+        # equivalent (deterministic training), keep it, drop ours
+        if os.path.isfile(os.path.join(final, "_COMMITTED")):
+            shutil.rmtree(tmp)
+        else:
+            raise
+    return final
+
+
+def _artifact_frames(spark: SparkSession, sf_dir: str):
+    """(wordsyms DF[w, n, syms], vocab DF[sym, tok_id]) served from the
+    persisted artifact — the |vocab|-bounded relations every downstream
+    entry consumes; no entry retrains."""
+    import os
+
+    d = _bpe_artifact(spark, sf_dir)
+    seg_df = spark.read.schema(_SEG_SCHEMA).parquet(os.path.join(d, "word_segs.parquet"))
+    wordsyms = seg_df.select("w", "n", _syms_col().alias("syms"))
+    vocab = spark.read.schema(_VOCAB_SCHEMA).parquet(os.path.join(d, "vocab.parquet"))
+    return wordsyms, vocab
 
 
 @register(
@@ -237,31 +470,54 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged symbol, pair count at merge time): exactly the artifact a
     tokenizer ships as ``merges.txt``. Deterministic end-to-end (integer
     weights, lexicographic tie-breaks), so the 12-round training chain is
-    hash-verified against DuckDB replaying the identical rounds."""
-    _, merges = _train(spark, sf_dir)
-    return spark.createDataFrame(merges, _MERGE_SCHEMA)
+    hash-verified against DuckDB replaying the identical rounds — now
+    pinning the driver-local `bpe_merge_loop` (r8: one corpus FileScan,
+    one Spark job for any merge count). Served from the persisted
+    artifact's merges.parquet."""
+    import os
+
+    d = _bpe_artifact(spark, sf_dir)
+    return spark.read.schema(_MERGE_SCHEMA).parquet(os.path.join(d, "merges.parquet"))
 
 
-def _wordsyms_vocab(seg_df: DataFrame):
-    """Final segmentations + the token-id vocabulary over them.
+# Production merge count for the scaled entry. The fixture's 31-word
+# vocabulary exhausts its pairs at 89 merges, so the entry ALSO exercises
+# the long no-op tail (rounds 90-256 must not invent merges on either
+# engine); a rich planted vocabulary where all 256 rounds complete is
+# pinned against the independent Python reference in tests/test_bpe.py.
+_N_MERGES_SCALED = 256
 
-    The single-partition row_number window is bounded BY DESIGN: |vocab| ≤
-    base chars + N merges — a tokenizer-sized constant (50k-class at
-    production settings), not a corpus-scaled relation.
-    """
-    wordsyms = seg_df.select("w", "n", _syms_col().alias("syms"))
-    vocab = (
-        wordsyms.select(F.explode("syms").alias("sym"))
-        .distinct()
-        .withColumn("tok_id", F.row_number().over(Window.orderBy("sym")).cast("long"))
-    )
-    return wordsyms, vocab
+
+@register(
+    "llm_bpe_train_scaled",
+    oracle=f"""
+    WITH {_train_ctes(_N_MERGES_SCALED)}
+    SELECT * FROM ({_merge_union(_N_MERGES_SCALED)})
+    """,
+    tags=("llm", "text", "bpe", "scale"),
+)
+def llm_bpe_train_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`llm_bpe_train` at a production-class merge budget (N=256): the
+    r8 trainer restructure's witness entry. Training cost is ONE corpus
+    FileScan and a constant handful of Spark jobs REGARDLESS of N (one
+    word-count aggregate → driver-local `bpe_merge_loop` with incremental
+    pair bookkeeping → merges broadcast back), where the r7 shape paid
+    one Spark job + one driver round-trip PER MERGE and a plan growing
+    one `replace` per round — 256 rounds would have been 256 sequential
+    jobs, 50k (a real vocabulary) unreachable. The DuckDB oracle replays
+    all 256 rounds exactly (merge rows + the no-op tail), so the scaled
+    trainer carries the same full hash gate as the N=12 entry."""
+    import os
+
+    d = _bpe_artifact(spark, sf_dir, n_merges=_N_MERGES_SCALED)
+    return spark.read.schema(_MERGE_SCHEMA).parquet(os.path.join(d, "merges.parquet"))
 
 
 def _doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode every document with the learned merges; one row per doc."""
-    seg_df, _ = _train(spark, sf_dir)
-    wordsyms, vocab = _wordsyms_vocab(seg_df)
+    """Encode every document with the learned merges; one row per doc.
+    Serves from the persisted artifact — no retraining (the r7 form
+    re-ran the trainer inside every downstream entry)."""
+    wordsyms, vocab = _artifact_frames(spark, sf_dir)
     wordpos = wordsyms.select(
         "w",
         F.size("syms").cast("long").alias("n_syms"),
@@ -396,9 +652,8 @@ def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is what a vocabulary-size sweep or a coverage audit reads
     (rare-tail mass vs id budget). One explode over the (small) trained
     word table + one weighted aggregate; the corpus itself is never
-    rescanned."""
-    seg_df, _ = _train(spark, sf_dir)
-    wordsyms, vocab = _wordsyms_vocab(seg_df)
+    rescanned — both relations come from the persisted artifact."""
+    wordsyms, vocab = _artifact_frames(spark, sf_dir)
     occ = wordsyms.select("n", F.explode("syms").alias("sym"))
     return (
         occ.join(F.broadcast(vocab), "sym")
@@ -459,9 +714,9 @@ def llm_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the decode itself runs over the trained WORD table
     (vocabulary-sized — each distinct word decoded once); the corpus-
     sized work is one scan + a word-keyed join + one per-doc ordered
-    reassembly, the same topology as encode."""
-    seg_df, _ = _train(spark, sf_dir)
-    wordsyms, vocab = _wordsyms_vocab(seg_df)
+    reassembly, the same topology as encode. Served from the persisted
+    artifact: the decode cell costs decode, not train+decode."""
+    wordsyms, vocab = _artifact_frames(spark, sf_dir)
     wordpos = wordsyms.select("w", F.posexplode("syms").alias("pos0", "sym"))
     wordids = wordpos.join(F.broadcast(vocab), "sym").select("w", "pos0", "tok_id")
     inv = vocab.select("tok_id", F.col("sym").alias("dec_sym"))

@@ -703,8 +703,9 @@ class TestR7Plans:
     def test_bpe_encode_single_corpus_scan(self, spark, sf_dir):
         """Encoding is segmentation LOOKUP against the trained word table:
         the executed encode plan reads the corpus exactly once (the doc
-        side); the word side comes from the checkpointed training relation
-        (Scan ExistingRDD), never a second parquet pass."""
+        side); the word side comes from the PERSISTED tokenizer artifact
+        (word_segs/vocab parquet — vocabulary-sized stores, r8), never a
+        second corpus pass and never a retrain."""
         df = SPECS["llm_bpe_encode"].fn(spark, sf_dir)
         df.collect()
         final = (
@@ -713,8 +714,17 @@ class TestR7Plans:
             .toString()
             .split("== Initial Plan ==")[0]
         )
-        assert final.count("FileScan parquet") == 1, final
-        assert final.count("Scan ExistingRDD") >= 1, final
+        scans = [
+            ln for ln in final.splitlines() if "FileScan parquet" in ln
+        ]
+        corpus_scans = [ln for ln in scans if "documents.parquet" in ln]
+        assert len(corpus_scans) == 1, final
+        # every other scan is an artifact store, not a corpus re-read
+        for ln in scans:
+            if ln in corpus_scans:
+                continue
+            assert "word_segs.parquet" in ln or "vocab.parquet" in ln, ln
+        assert "word_segs.parquet" in final and "vocab.parquet" in final, final
 
     def test_tokenize_pack_exchanges_are_text_free(self, spark, sf_dir):
         """Neither text nor any symbol/token ARRAY may cross an Exchange
