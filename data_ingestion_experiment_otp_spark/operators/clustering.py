@@ -530,11 +530,200 @@ def pipeline_curation_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplicates from the background.
 _SEMDEDUP_THRESHOLD = 0.4
 
+# k-means training parameters (r8: real trained centroids replace the
+# first-k-rows stub). k scales with corpus size as clamp(floor(sqrt(N)),
+# 8, 64) — sf0.001/0.01 train 22 clusters, sf0.1 trains 44; the paper's
+# regime (clusters ∝ corpus so cluster size stays flat) with small-corpus
+# and driver-memory clamps. The trainer runs over an id-ordered sample of
+# at most _SEM_SAMPLE_CAP rows (the _IVF_TRAIN_CAP bounded-collect
+# contract; the cap covers the whole fixture at every SF, and at real
+# scale sample-trained centroids are the standard contract).
+_SEM_SAMPLE_CAP = 2048
+_SEM_ITERS = 4
+_SEM_K_MIN = 8
+_SEM_K_MAX = 64
+_SEM_PROBES = 2
+
+
+def _sem_cos_sql(a: str, b: str) -> str:
+    """Cross-engine-safe centroid cosine: DuckDB list_cosine_similarity
+    returns -1.0 (not NULL/NaN) for a zero-norm argument, silently
+    diverging from the numpy NaN→NULL convention — found live while
+    building the kmeans oracle. Zero norms are detected explicitly and
+    produce NULL on both engines."""
+    return (
+        f"CASE WHEN list_inner_product({a}, {a}) = 0"
+        f" OR list_inner_product({b}, {b}) = 0 THEN NULL"
+        f" ELSE round(list_cosine_similarity({a}, {b}), 6) END"
+    )
+
+
+def _sem_kmeans_ctes() -> str:
+    """The DuckDB replay of `sem_kmeans`: deterministic seeds (sample rows
+    ordered by the package's Lehmer hash of vec_id), _SEM_ITERS Lloyd
+    iterations with cosine assignment on the round-6 grid (ties → lowest
+    centroid id), per-dimension means rounded to the same grid between
+    iterations (grid-point centroids cannot be moved across a rounding
+    boundary by fold order — the registry convention), and an empty
+    cluster KEEPS its previous centroid. Ends at c_{T} (the trained
+    centroids) and sem_r (the full-corpus ranked assignment)."""
+    parts = [
+        """
+v AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS ev
+  FROM embeddings WHERE embedding IS NOT NULL
+)""",
+        f"""
+kp AS MATERIALIZED (
+  SELECT least({_SEM_K_MAX}, greatest({_SEM_K_MIN},
+         CAST(floor(sqrt(count(*))) AS BIGINT))) AS k
+  FROM v
+)""",
+        f"""
+samp AS MATERIALIZED (
+  SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT {_SEM_SAMPLE_CAP}
+)""",
+        f"""
+c_0 AS MATERIALIZED (
+  SELECT cid, cv FROM (
+    SELECT CAST(row_number() OVER (
+             ORDER BY ((vec_id % {_HASH_MOD}) * {_HASH_MULT}) % {_HASH_MOD},
+                      vec_id) AS BIGINT) - 1 AS cid,
+           ev AS cv
+    FROM samp
+  ) WHERE cid < (SELECT k FROM kp)
+)""",
+    ]
+    for t in range(_SEM_ITERS):
+        parts.append(
+            f"""
+a_{t} AS MATERIALIZED (
+  SELECT vec_id, ev, cid FROM (
+    SELECT s.vec_id, s.ev, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY coalesce({_sem_cos_sql('s.ev', 'c.cv')}, -2.0) DESC,
+                      c.cid) AS rn
+    FROM samp s CROSS JOIN c_{t} c
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""
+m_{t} AS MATERIALIZED (
+  SELECT cid, list(mu ORDER BY dim) AS cv
+  FROM (
+    SELECT cid, dim, round(avg(val), 6) AS mu
+    FROM (SELECT cid, unnest(ev) AS val,
+                 unnest(range(1, len(ev) + 1)) AS dim
+          FROM a_{t})
+    GROUP BY cid, dim
+  ) GROUP BY cid
+)"""
+        )
+        parts.append(
+            f"""
+c_{t + 1} AS MATERIALIZED (
+  SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+  FROM c_{t} c LEFT JOIN m_{t} m USING (cid)
+)"""
+        )
+    parts.append(
+        f"""
+sem_r AS MATERIALIZED (
+  SELECT vec_id, cid, sim,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY coalesce(sim, -2.0) DESC, cid) AS rn
+  FROM (SELECT v.vec_id, c.cid, {_sem_cos_sql('v.ev', 'c.cv')} AS sim
+        FROM v CROSS JOIN c_{_SEM_ITERS} c)
+)"""
+    )
+    return ",".join(parts)
+
+
+def _r6_grid(a):
+    """Half-away-from-zero rounding to the 1e-6 grid — bit-identical to
+    DuckDB round(x, 6) on doubles (0/400k mismatches on random sweeps;
+    np.round is half-to-even and can differ at exact halves)."""
+    import numpy as np
+
+    return np.floor(np.abs(a) * 1e6 + 0.5) * np.sign(a) / 1e6
+
+
+def sem_kmeans(sample: list, k: int, iters: int = _SEM_ITERS):
+    """Deterministic spherical k-means over (vec_id, vector) rows — the
+    SQL-replayable variant of similarity.py::_ivf_train: same Lloyd
+    structure and bounded id-ordered sample, but seeds come from the
+    package's Lehmer hash order instead of a numpy RNG, assignment is
+    cosine on the round-6 grid with ties to the lowest centroid id, and
+    an empty cluster keeps its previous centroid instead of far-point
+    reseeding — three substitutions that make every iteration exactly
+    expressible in SQL, so the trained centroids (and everything
+    downstream of them) carry a full cross-engine hash oracle, which
+    `llm_sim_ivf`'s rng-seeded model cannot. Returns the (≤k × d)
+    centroid matrix with grid-rounded components."""
+    import numpy as np
+
+    ids = np.array([int(i) for i, _ in sample], dtype=np.int64)
+    X = np.array([[float(x) for x in v] for _, v in sample], dtype=np.float64)
+    order = np.lexsort((ids, (ids % _HASH_MOD) * _HASH_MULT % _HASH_MOD))
+    C = X[order[:k]].copy()
+    cids = np.arange(len(C))
+    for _ in range(iters):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = _r6_grid(
+                (X @ C.T)
+                / (np.linalg.norm(X, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)[None, :])
+            )
+        key = np.where(np.isnan(sims), -2.0, sims)
+        a = np.lexsort((np.broadcast_to(cids, key.shape), -key), axis=1)[:, 0]
+        new_c = C.copy()
+        for j in range(len(C)):
+            mask = a == j
+            if mask.any():
+                new_c[j] = _r6_grid(X[mask].mean(axis=0))
+        C = new_c
+    return C
+
+
+def _sem_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """Trained centroid rows [(cid, vector)] for the SemDeDup tier: one
+    bounded TakeOrdered collect (the sample), one count (k scaling), one
+    driver-local `sem_kmeans` — constant driver cost, zero extra corpus
+    passes."""
+    import math
+
+    vec = load_vectors(spark, sf_dir)
+    n = vec.count()
+    if n == 0:
+        return []
+    k = min(_SEM_K_MAX, max(_SEM_K_MIN, int(math.sqrt(n))))
+    sample = (
+        vec.orderBy("vec_id").limit(_SEM_SAMPLE_CAP).select("vec_id", "embedding").collect()
+    )
+    C = sem_kmeans([(r["vec_id"], r["embedding"]) for r in sample], k)
+    return [(j, [float(x) for x in C[j]]) for j in range(len(C))]
+
+
+def _sem_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id, sim) against the TRAINED centroids (the
+    SemDeDup tier's assignment; `_assignment` above keeps the fixed
+    externally-supplied-centroid semantics for the curation tier)."""
+    from collections import namedtuple
+
+    vec = load_vectors(spark, sf_dir)
+    cents = _sem_centroids(spark, sf_dir)
+    if not cents:
+        return spark.createDataFrame([], "vec_id long, cluster_id long, sim double")
+    Row = namedtuple("Row", ["vec_id", "embedding"])
+    return assign_to_centroids(vec, [Row(c, v) for c, v in cents])
+
+
 _SEMDEDUP_ORACLE = f"""
-    WITH a AS ({_ORACLE_ASSIGN}),
+    WITH {_sem_kmeans_ctes()},
     m AS MATERIALIZED (
-      SELECT a.vec_id, a.cluster_id, a.sim, e.embedding::DOUBLE[] AS ev
-      FROM a JOIN embeddings e USING (vec_id)
+      SELECT r.vec_id, r.cid AS cluster_id, r.sim, v.ev
+      FROM sem_r r JOIN v USING (vec_id)
+      WHERE r.rn = 1
     ),
     drp AS (
       SELECT DISTINCT x.vec_id
@@ -559,16 +748,21 @@ _SEMDEDUP_ORACLE = f"""
 )
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication with the
-    pairwise pass confined to embedding clusters. Every vector is bucketed
-    to its nearest centroid (the shared broadcast-matmul `_assignment`);
-    WITHIN each cluster, a vector is dropped when a near-duplicate
-    neighbor (cosine >= {thr}) of higher keep-priority exists. Keep
-    priority follows the paper: among near-dups, KEEP the example FARTHEST
-    from its centroid (low centroid-sim = the cluster's edge example, the
-    most informative member; ties break to the lower vec_id), so
-    boilerplate-typical members drop first. Cross-cluster near-dups are
-    invisible by construction — that blindness is the SemDeDup trade that
-    makes the quadratic tractable.
+    pairwise pass confined to embedding clusters. Clusters come from a
+    TRAINED k-means model (r8: `sem_kmeans`, deterministic and
+    SQL-replayed by the oracle — the r7 first-k-rows stub is gone), with
+    k scaling as clamp(√N, {kmin}, {kmax}) so cluster sizes stay flat as
+    the corpus grows. Every vector is bucketed to its nearest centroid
+    (broadcast-matmul assignment); WITHIN each cluster, a vector is
+    dropped when a near-duplicate neighbor (cosine >= {thr}) of higher
+    keep-priority exists. Keep priority follows the paper: among
+    near-dups, KEEP the example FARTHEST from its centroid (low
+    centroid-sim = the cluster's edge example, the most informative
+    member; ties break to the lower vec_id), so boilerplate-typical
+    members drop first. Cross-cluster near-dups are invisible by
+    construction — that blindness is the SemDeDup trade that makes the
+    quadratic tractable; `llm_semdedup_eval` measures it, and
+    `llm_semdedup_probe2` is the standard multi-probe cut.
 
     100 TB shape: the pairwise term is (cluster size)², NOT corpus² — with
     k scaled so clusters stay ~constant-sized (the paper runs 50k clusters
@@ -584,7 +778,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .similarity import load_vectors
 
-    a = _assignment(spark, sf_dir)
+    a = _sem_assignment(spark, sf_dir)
     v = load_vectors(spark, sf_dir).select("vec_id", "embedding")
     m = a.join(v, "vec_id")
 
@@ -629,7 +823,9 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-llm_semdedup.__doc__ = llm_semdedup.__doc__.format(thr=_SEMDEDUP_THRESHOLD)
+llm_semdedup.__doc__ = llm_semdedup.__doc__.format(
+    thr=_SEMDEDUP_THRESHOLD, kmin=_SEM_K_MIN, kmax=_SEM_K_MAX
+)
 
 
 @register(
@@ -742,4 +938,260 @@ def llm_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 llm_semdedup_eval.__doc__ = llm_semdedup_eval.__doc__.format(
     thr=_SEMDEDUP_THRESHOLD
+)
+
+
+# --- Multi-probe SemDeDup: the standard blindness cut -----------------------
+
+def _sem_probe_assignment(vec: DataFrame, cents: list, n_probes: int) -> DataFrame:
+    """(vec_id, probe, cluster_id, sim): each vector's top-`n_probes`
+    centroids by cosine (probe 0 = the primary assignment — identical to
+    `assign_to_centroids`'s argmax). Same broadcast-matmul shape: the
+    centroid matrix broadcasts, each Arrow batch ranks all centroids in
+    one BLAS call, and only the first n_probes columns leave the kernel —
+    the corpus is scanned once and never shuffled here."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vec.sparkSession
+    cids = np.array([int(c) for c, _ in cents], dtype=np.int64)
+    C = np.array([[float(x) for x in v] for _, v in cents], dtype=np.float64)
+    cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+    bcast = spark.sparkContext.broadcast((cids, C, cn))
+    p = min(n_probes, len(cents))
+
+    def probes(it):
+        c_ids, Cm, c_norm = bcast.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = (V @ Cm.T) / (
+                    np.linalg.norm(V, axis=1, keepdims=True) * c_norm[None, :]
+                )
+                # _r6_grid inlined: this closure crosses to Python workers,
+                # and a module-level helper would pickle BY REFERENCE and
+                # die with ModuleNotFoundError from a foreign cwd (the
+                # shipping.py contract; caught live by the driver drive)
+                sims = np.floor(np.abs(raw) * 1e6 + 0.5) * np.sign(raw) / 1e6
+            key = np.where(np.isnan(sims), -2.0, sims)
+            order = np.lexsort((np.broadcast_to(c_ids, sims.shape), -key), axis=1)
+            rows = np.arange(len(V))
+            out = []
+            for r in range(p):
+                best = order[:, r]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "probe": np.full(len(V), r, dtype=np.int32),
+                            "cluster_id": c_ids[best],
+                            "sim": sims[rows, best],  # NaN for zero-norm rows
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return vec.select("vec_id", "embedding").mapInPandas(
+        probes, "vec_id long, probe int, cluster_id long, sim double"
+    )
+
+
+_SEMDEDUP_PROBE2_ORACLE = f"""
+    WITH {_sem_kmeans_ctes()},
+    a2 AS MATERIALIZED (
+      SELECT vec_id, cid, sim FROM sem_r WHERE rn <= {_SEM_PROBES}
+    ),
+    prim AS MATERIALIZED (
+      SELECT vec_id, cid AS pcid, sim AS psim FROM sem_r WHERE rn = 1
+    ),
+    m2 AS MATERIALIZED (
+      SELECT a2.vec_id, a2.cid, p.psim, v.ev
+      FROM a2 JOIN prim p USING (vec_id) JOIN v USING (vec_id)
+    ),
+    drp AS (
+      SELECT DISTINCT x.vec_id
+      FROM m2 x JOIN m2 y
+        ON x.cid = y.cid AND x.vec_id <> y.vec_id
+       AND round(list_cosine_similarity(x.ev, y.ev), 6)
+           >= {_SEMDEDUP_THRESHOLD}
+       AND (coalesce(y.psim, -2.0) < coalesce(x.psim, -2.0)
+            OR (coalesce(y.psim, -2.0) = coalesce(x.psim, -2.0)
+                AND y.vec_id < x.vec_id))
+    )
+    SELECT p.vec_id, p.pcid AS cluster_id, p.psim AS sim,
+           d.vec_id IS NULL AS kept
+    FROM prim p LEFT JOIN drp d ON d.vec_id = p.vec_id
+    """
+
+
+@register(
+    "llm_semdedup_probe2",
+    oracle=_SEMDEDUP_PROBE2_ORACLE,
+    tags=("llm", "dedup", "vector", "clustering"),
+)
+def llm_semdedup_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with top-{p} multi-probe assignment — the standard cut at
+    the confinement blindness: each vector joins the pairwise pass in its
+    {p} nearest clusters (probe 0 = the primary assignment, which still
+    labels the output), so a near-dup pair straddling a cluster boundary
+    is seen whenever EITHER member's second-nearest centroid is the
+    other's cluster. Keep-priority stays the primary-centroid similarity
+    (farthest from ITS centroid wins, ties to the lower id), so
+    multi-probe only ADDS visibility — it never reorders survivors; a
+    vector is dropped when any probed cluster contains a higher-priority
+    near-duplicate. Cost: the per-cluster quadratic sees each vector {p}×
+    (cluster populations double, pairwise work ≈ {p}² per pair of probes)
+    — the explicit recall/cost dial the paper's fixed confinement lacks.
+    Blindness before/after is measured by `llm_semdedup_eval` vs
+    `llm_semdedup_eval_probe2`."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import load_vectors
+
+    vec = load_vectors(spark, sf_dir)
+    cents = _sem_centroids(spark, sf_dir)
+    if not cents:
+        return spark.createDataFrame(
+            [], "vec_id long, cluster_id long, sim double, kept boolean"
+        )
+    a2 = _sem_probe_assignment(vec, cents, _SEM_PROBES)
+    prim = a2.filter(F.col("probe") == 0).select(
+        "vec_id",
+        F.col("cluster_id").alias("pcid"),
+        F.col("sim").alias("psim"),
+    )
+    m2 = (
+        a2.select("vec_id", "cluster_id")
+        .join(prim, "vec_id")
+        .join(vec.select("vec_id", "embedding"), "vec_id")
+    )
+
+    def dedup_probe(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        s = pdf["psim"].to_numpy(dtype=np.float64)  # NULL -> NaN
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            C = Mn @ Mn.T
+            near = np.floor(C * 1e6 + 0.5) >= _SEMDEDUP_THRESHOLD * 1e6
+        np.fill_diagonal(near, False)
+        sk = np.where(np.isnan(s), -2.0, s)
+        higher = (sk[None, :] < sk[:, None]) | (
+            (sk[None, :] == sk[:, None]) & (ids[None, :] < ids[:, None])
+        )
+        return pd.DataFrame(
+            {"vec_id": ids, "dropped": (near & higher).any(axis=1)}
+        )
+
+    drops = (
+        m2.groupBy("cluster_id")
+        .applyInPandas(dedup_probe, "vec_id long, dropped boolean")
+        .groupBy("vec_id")
+        .agg((~F.max("dropped")).alias("kept"))
+    )
+    return prim.join(drops, "vec_id").select(
+        "vec_id",
+        F.col("pcid").alias("cluster_id"),
+        F.when(~F.isnan("psim"), F.col("psim")).alias("sim"),
+        "kept",
+    )
+
+
+llm_semdedup_probe2.__doc__ = llm_semdedup_probe2.__doc__.format(p=_SEM_PROBES)
+
+
+@register(
+    "llm_semdedup_eval_probe2",
+    oracle=f"""
+    WITH sem AS MATERIALIZED ({_SEMDEDUP_PROBE2_ORACLE}),
+    pr AS MATERIALIZED (
+      WITH {_sem_kmeans_ctes()}
+      SELECT vec_id, cid FROM sem_r WHERE rn <= {_SEM_PROBES}
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6)
+            >= {_SEMDEDUP_THRESHOLD}
+    ),
+    shared AS (
+      SELECT DISTINCT xa.vec_id AS vec_a, yb.vec_id AS vec_b
+      FROM pr xa JOIN pr yb ON xa.cid = yb.cid AND xa.vec_id < yb.vec_id
+    )
+    SELECT CASE
+             WHEN sh.vec_a IS NOT NULL THEN 'in_cluster_resolved'
+             WHEN NOT sa.kept OR NOT sb.kept THEN 'cross_cluster_resolved'
+             ELSE 'cross_cluster_blind'
+           END AS status,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN sem sa ON sa.vec_id = pairs.vec_a
+    JOIN sem sb ON sb.vec_id = pairs.vec_b
+    LEFT JOIN shared sh ON sh.vec_a = pairs.vec_a AND sh.vec_b = pairs.vec_b
+    GROUP BY 1
+    """,
+    tags=("llm", "dedup", "clustering", "eval"),
+)
+def llm_semdedup_eval_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`llm_semdedup_eval` for the multi-probe screen: every exact
+    near-dup pair is classified against `llm_semdedup_probe2` —
+    'in_cluster_resolved' when the two members' probe sets INTERSECT (the
+    pairwise pass provably sees the pair in the shared cluster),
+    'cross_cluster_resolved' when a member dropped anyway, and
+    'cross_cluster_blind' for the residual miss rate. Read beside the
+    single-probe eval, this is the measured recall the {p}× probe cost
+    buys — the number a pipeline owner uses to set the probe dial."""
+    from .dedup import _COSINE_DEDUP_THRESHOLD, llm_embed_cosine_dedup
+
+    if _COSINE_DEDUP_THRESHOLD != _SEMDEDUP_THRESHOLD:
+        raise RuntimeError(
+            "llm_semdedup_eval_probe2 threshold drift: "
+            f"{_COSINE_DEDUP_THRESHOLD} != {_SEMDEDUP_THRESHOLD}"
+        )
+    pairs = llm_embed_cosine_dedup(spark, sf_dir).select("vec_a", "vec_b")
+    sem = llm_semdedup_probe2(spark, sf_dir).select("vec_id", "kept")
+    vec = __import__(
+        "data_ingestion_experiment_otp_spark.operators.similarity",
+        fromlist=["load_vectors"],
+    ).load_vectors(spark, sf_dir)
+    cents = _sem_centroids(spark, sf_dir)
+    if not cents:
+        return spark.createDataFrame([], "status string, n_pairs long")
+    probes = (
+        _sem_probe_assignment(vec, cents, _SEM_PROBES)
+        .groupBy("vec_id")
+        .agg(F.collect_set("cluster_id").alias("probe_set"))
+    )
+    pa = probes.select(
+        F.col("vec_id").alias("vec_a"), F.col("probe_set").alias("set_a")
+    )
+    pb = probes.select(
+        F.col("vec_id").alias("vec_b"), F.col("probe_set").alias("set_b")
+    )
+    ka = sem.select(F.col("vec_id").alias("vec_a"), F.col("kept").alias("kept_a"))
+    kb = sem.select(F.col("vec_id").alias("vec_b"), F.col("kept").alias("kept_b"))
+    status = (
+        F.when(
+            F.size(F.array_intersect("set_a", "set_b")) > 0, "in_cluster_resolved"
+        )
+        .when(~F.col("kept_a") | ~F.col("kept_b"), "cross_cluster_resolved")
+        .otherwise("cross_cluster_blind")
+    )
+    return (
+        pairs.join(pa, "vec_a")
+        .join(pb, "vec_b")
+        .join(ka, "vec_a")
+        .join(kb, "vec_b")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+llm_semdedup_eval_probe2.__doc__ = llm_semdedup_eval_probe2.__doc__.format(
+    p=_SEM_PROBES
 )

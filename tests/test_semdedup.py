@@ -1,19 +1,50 @@
-"""Planted-geometry pins for llm_semdedup (SemDeDup, Abbas et al. 2023):
-the registered query's oracle hash-gates the fixture path; these pin the
-keep-priority semantics on a corpus with KNOWN cluster/near-dup structure.
-
-Centroids are the first 8 embeddings by vec_id (clustering.py::_centroids),
-so the planted corpus ships ids 0-7 as an orthogonal basis e0..e7 — each
-centroid row is itself a corpus member with centroid-sim 1.0, which makes
-it the FIRST member to drop when a near-dup neighbor exists (the paper
-keeps the cluster-edge example, not the typical one).
+"""Planted pins for the SemDeDup tier (Abbas et al. 2023) after the r8
+trained-centroid rework: `sem_kmeans` (the deterministic, SQL-replayable
+spherical k-means) is pinned directly on hand geometry; the registered
+screens are pinned cross-engine on planted corpora (Spark vs the DuckDB
+oracle replaying the identical training), plus geometry-free semantics
+pins (identical-vector groups, zero-norm handling, the multi-probe
+visibility-only-grows law) and the fixture blindness numbers the r8
+multi-probe option exists to improve.
 """
 
 from __future__ import annotations
 
+import math
 import os
 
-from data_ingestion_experiment_otp_spark.operators.clustering import llm_semdedup
+import duckdb
+import numpy as np
+import pytest
+
+from data_ingestion_experiment_otp_spark.operators.clustering import (
+    _HASH_MOD,
+    _HASH_MULT,
+    _SEMDEDUP_THRESHOLD,
+    llm_semdedup,
+    llm_semdedup_probe2,
+    sem_kmeans,
+)
+from data_ingestion_experiment_otp_spark.plans.registry import all_queries
+
+SPECS = all_queries()
+
+
+def lehmer_order(ids):
+    return sorted(ids, key=lambda i: ((i % _HASH_MOD) * _HASH_MULT % _HASH_MOD, i))
+
+
+def _plant(spark, tmp_path, rows):
+    """Write a planted embeddings table; return (sf_dir, duckdb con)."""
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    d = os.path.join(str(tmp_path), "fixture")
+    df.coalesce(1).write.parquet(os.path.join(d, "embeddings.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+    )
+    return d, con
 
 
 def _basis(i, scale=1.0, dim=8):
@@ -29,63 +60,198 @@ def _mix(pairs, dim=8):
     return v
 
 
-def _run(spark, tmp_path, rows):
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
-    d = os.path.join(str(tmp_path), "fixture")
-    df.coalesce(1).write.parquet(os.path.join(d, "embeddings.parquet"))
-    out = llm_semdedup(spark, d)
-    return {r["vec_id"]: r.asDict() for r in out.collect()}
+class TestTrainer:
+    def test_two_blobs_converge_to_blob_means(self):
+        """k=2 over two tight orthogonal blobs: with one seed in each blob
+        (ids chosen so the Lehmer order guarantees it), Lloyd converges in
+        one iteration and the centroids are the grid-rounded blob means."""
+        blob_a = [[1.0, 0.01 * j, 0.0, 0.0] for j in range(3)]
+        blob_b = [[0.0, 0.0, 1.0, 0.02 * j] for j in range(3)]
+        # interleaved ids: the Lehmer hash is monotonic for small ids, so
+        # the two seeds (order[0], order[1]) = (0, 1) straddle the blobs
+        ids_a, ids_b = [0, 2, 4], [1, 3, 5]
+        order = lehmer_order(ids_a + ids_b)
+        assert order[0] in ids_a and order[1] in ids_b, "seeds must straddle"
+        sample = list(zip(ids_a, blob_a)) + list(zip(ids_b, blob_b))
+        C = sem_kmeans(sample, k=2)
+        got = {tuple(c) for c in C.tolist()}
+
+        def r6(x):
+            return math.floor(abs(x) * 1e6 + 0.5) * (1 if x >= 0 else -1) / 1e6
+
+        mean_a = tuple(r6(sum(col) / 3) for col in zip(*blob_a))
+        mean_b = tuple(r6(sum(col) / 3) for col in zip(*blob_b))
+        assert got == {mean_a, mean_b}
+
+    def test_empty_cluster_keeps_previous_centroid(self):
+        """Two identical seed points: the duplicate centroid receives no
+        members (ties break to the lower cid) and must KEEP its seed
+        vector — the SQL chain's LEFT JOIN coalesce semantics."""
+        sample = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+        order = lehmer_order([0, 1, 2])
+        C = sem_kmeans(sample, k=3)
+        assert len(C) == 3
+        seeds = {0: [1.0, 0.0], 1: [1.0, 0.0], 2: [0.0, 1.0]}
+        # identify the duplicated seed pair's SECOND occurrence in Lehmer
+        # order: that cid never wins an assignment tie, so it keeps its seed
+        seed_vecs = [seeds[i] for i in order]
+        dup_cids = [j for j, v in enumerate(seed_vecs) if v == [1.0, 0.0]]
+        assert C[dup_cids[1]].tolist() == [1.0, 0.0]
+
+    def test_sample_smaller_than_k(self):
+        sample = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        C = sem_kmeans(sample, k=8)
+        assert len(C) == 2
 
 
-class TestSemDeDup:
-    def test_keep_priority_and_clusters(self, spark, tmp_path):
-        rows = [(i, _basis(i), 0) for i in range(8)]  # centroids e0..e7
-        rows += [
-            (10, _mix([(0, 0.9), (1, 0.1)]), 0),  # near e0
-            (11, _mix([(0, 0.9), (1, 0.1)]), 0),  # exact dup of 10
-            (20, _mix([(1, 0.9), (2, 0.2)]), 0),  # near e1
-            (30, [0.0] * 8, 0),  # zero-norm: NULL sim, always kept
-            (40, _mix([(0, 0.1), (2, 0.99)]), 0),  # near e2
-        ]
-        got = _run(spark, tmp_path, rows)
+def _hash_compare(spark, con, sf, name):
+    """Exact cross-engine comparison of one registered entry on a planted
+    corpus — the same multiset gate the driver applies."""
+    from collections import Counter
 
-        # Cluster assignment: nearest centroid; zero-norm ties to cid 0.
-        assert got[10]["cluster_id"] == 0 and got[11]["cluster_id"] == 0
-        assert got[20]["cluster_id"] == 1
-        assert got[30]["cluster_id"] == 0 and got[30]["sim"] is None
-        assert got[40]["cluster_id"] == 2
+    spec = SPECS[name]
+    sdf = spec.fn(spark, sf)
+    s_cols = [c.lower() for c in sdf.columns]
+    rel = con.sql(spec.oracle)
+    d_cols = [c.lower() for c in rel.columns]
+    assert sorted(s_cols) == sorted(d_cols)
+    si = [s_cols.index(c) for c in sorted(s_cols)]
+    di = [d_cols.index(c) for c in sorted(d_cols)]
 
-        # In cluster 0 the near-dup chain is {0, 10, 11} (all pairwise
-        # cosine >= tau): the member FARTHEST from the centroid wins, ties
-        # to the lower id -> 10 kept, 11 (tie, higher id) and 0 (the
-        # centroid row itself, sim 1.0) dropped.
-        kept = {vid for vid, r in got.items() if r["kept"]}
-        assert kept == {3, 4, 5, 6, 7, 10, 20, 30, 40}
+    def canon(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return v
 
-    def test_exactly_one_survivor_per_dup_group(self, spark, tmp_path):
-        """Three identical vectors in one cluster: exactly one survives,
-        and it is the lowest id among the tied members."""
-        rows = [(i, _basis(i), 0) for i in range(8)]
-        dup = _mix([(3, 0.8), (4, 0.2)])
-        rows += [(50, dup, 0), (51, dup, 0), (52, dup, 0)]
-        got = _run(spark, tmp_path, rows)
-        survivors = [v for v in (50, 51, 52) if got[v]["kept"]]
-        assert survivors == [50]
-        assert not got[3]["kept"]  # centroid row is in the same chain
+    s_rows = Counter(
+        tuple(canon(r[i]) for i in si) for r in [tuple(x) for x in sdf.collect()]
+    )
+    d_rows = Counter(tuple(canon(r[i]) for i in di) for r in rel.fetchall())
+    assert s_rows == d_rows, (name, s_rows - d_rows, d_rows - s_rows)
+    return {r["vec_id"]: r.asDict() for r in spec.fn(spark, sf).collect()}
 
-    def test_cross_cluster_dups_are_invisible(self, spark, tmp_path):
-        """Two near-identical vectors landing in DIFFERENT clusters both
-        survive — the documented SemDeDup blindness that buys the
-        sub-quadratic cost."""
-        rows = [(i, _basis(i), 0) for i in range(8)]
-        # 60 leans e5, 61 leans e6; cosine(60, 61) = 0.98 but clusters
-        # differ, so neither sees the other.
-        rows += [
-            (60, _mix([(5, 1.0), (6, 0.9)]), 0),
-            (61, _mix([(5, 0.9), (6, 1.0)]), 0),
-        ]
-        got = _run(spark, tmp_path, rows)
-        assert got[60]["cluster_id"] == 5 and got[61]["cluster_id"] == 6
-        assert got[60]["kept"] and got[61]["kept"]
-        # their centroid rows drop instead (each pairs with its member)
-        assert not got[5]["kept"] and not got[6]["kept"]
+
+PLANTED = (
+    [(i, _basis(i)) for i in range(8)]
+    + [
+        (10, _mix([(0, 0.9), (1, 0.1)])),
+        (11, _mix([(0, 0.9), (1, 0.1)])),  # exact dup of 10
+        (20, _mix([(1, 0.9), (2, 0.2)])),
+        (30, [0.0] * 8),  # zero-norm: NULL sim, always kept
+        (40, _mix([(0, 0.1), (2, 0.99)])),
+        (50, _mix([(3, 0.8), (4, 0.2)])),
+        (51, _mix([(3, 0.8), (4, 0.2)])),  # identical triple 50/51/52
+        (52, _mix([(3, 0.8), (4, 0.2)])),
+    ]
+)
+
+
+class TestPlantedCrossEngine:
+    """The planted-geometry pins, upgraded for trained centroids: instead
+    of hand-predicting cluster ids (not meaningful under Lloyd training),
+    both screens are HASH-compared against the DuckDB oracle replaying
+    the identical k-means on the planted corpus — covering the seed
+    order, every Lloyd iteration, the grid rounding, the zero-norm NULL
+    path (DuckDB's -1.0 cosine quirk), and the drop predicate."""
+
+    def test_semdedup_planted_hash(self, spark, tmp_path):
+        sf, con = _plant(spark, tmp_path, PLANTED)
+        got = _hash_compare(spark, con, sf, "llm_semdedup")
+        # geometry-free semantics pins
+        assert got[30]["sim"] is None and got[30]["kept"]
+        assert got[10]["cluster_id"] == got[11]["cluster_id"]
+        # identical vectors share sims, so the lower id always outranks:
+        # the non-lowest members of an identical group can never survive
+        assert not got[11]["kept"]
+        trip = [got[i] for i in (50, 51, 52)]
+        assert len({r["cluster_id"] for r in trip}) == 1
+        assert not got[51]["kept"] and not got[52]["kept"]
+
+    def test_drop_predicate_replica(self, spark, tmp_path):
+        """Full keep/drop replica: recompute every vector's expected
+        `kept` from the output's own (cluster_id, sim) assignment plus
+        the raw embeddings — x drops iff its cluster holds a near-dup
+        (grid cosine >= tau) of higher priority (farther from the
+        centroid, ties to the lower id). Pins the paper's keep rule over
+        the WHOLE planted corpus without assuming any cluster geometry."""
+        sf, _ = _plant(spark, tmp_path, PLANTED)
+        got = {r["vec_id"]: r.asDict() for r in llm_semdedup(spark, sf).collect()}
+        vecs = dict(PLANTED)
+        by_cluster = {}
+        for vid, r in got.items():
+            by_cluster.setdefault(r["cluster_id"], []).append(vid)
+        for cid, members in by_cluster.items():
+            for x in members:
+                xv = np.array(vecs[x], dtype=np.float64)
+                xs = got[x]["sim"]
+                xs = -2.0 if xs is None else xs
+                drop = False
+                for y in members:
+                    if y == x:
+                        continue
+                    yv = np.array(vecs[y], dtype=np.float64)
+                    nx, ny = np.linalg.norm(xv), np.linalg.norm(yv)
+                    if nx == 0 or ny == 0:
+                        continue  # NaN cosine never matches
+                    c = float(xv @ yv / (nx * ny))
+                    if math.floor(c * 1e6 + 0.5) < _SEMDEDUP_THRESHOLD * 1e6:
+                        continue
+                    ys = got[y]["sim"]
+                    ys = -2.0 if ys is None else ys
+                    if ys < xs or (ys == xs and y < x):
+                        drop = True
+                        break
+                assert got[x]["kept"] == (not drop), (x, cid)
+
+    def test_probe2_planted_hash_and_visibility_law(self, spark, tmp_path):
+        sf, con = _plant(spark, tmp_path, PLANTED)
+        got2 = _hash_compare(spark, con, sf, "llm_semdedup_probe2")
+        got1 = {r["vec_id"]: r.asDict() for r in llm_semdedup(spark, sf).collect()}
+        # multi-probe only ADDS visibility: its kept set is a subset
+        kept1 = {v for v, r in got1.items() if r["kept"]}
+        kept2 = {v for v, r in got2.items() if r["kept"]}
+        assert kept2 <= kept1
+        # primary assignment identical to the single-probe screen
+        assert {v: r["cluster_id"] for v, r in got2.items()} == {
+            v: r["cluster_id"] for v, r in got1.items()
+        }
+        # zero-norm row: kept with NULL sim under both
+        assert got2[30]["sim"] is None and got2[30]["kept"]
+
+class TestFixtureBlindness:
+    def test_probe2_cuts_blindness_below_the_r7_mark(self, spark, sf_dir):
+        """The r8 Done criterion: with the multi-probe option, the
+        cross-cluster blind fraction at the fixture drops materially
+        below the r7 mark of 43/66 (single-probe k-scaled training trades
+        fixture-scale blindness for flat cluster sizes — measured in
+        COVERAGE.md; the probe dial is the recall lever)."""
+        e1 = {
+            r["status"]: r["n_pairs"]
+            for r in SPECS["llm_semdedup_eval"].fn(spark, sf_dir).collect()
+        }
+        e2 = {
+            r["status"]: r["n_pairs"]
+            for r in SPECS["llm_semdedup_eval_probe2"].fn(spark, sf_dir).collect()
+        }
+        t1, t2 = sum(e1.values()), sum(e2.values())
+        assert t1 == t2 > 0  # same brute-force pair population
+        b1 = e1.get("cross_cluster_blind", 0)
+        b2 = e2.get("cross_cluster_blind", 0)
+        assert b2 < b1  # the option strictly improves recall here
+        assert b2 / t2 < 43 / 66 * 0.75, (b2, t2)  # materially below
+        # probe2's shared-cluster resolution dominates the single screen's
+        assert e2.get("in_cluster_resolved", 0) >= e1.get("in_cluster_resolved", 0)
+
+
+class TestScaledK:
+    def test_k_scales_with_corpus(self, spark):
+        """k = clamp(floor(sqrt(N)), 8, 64): 22 clusters at sf0.001/0.01
+        (N=500), 44 at sf0.1 (N=2000) — the paper's clusters-grow-with-
+        corpus regime, visible in the output's distinct cluster count."""
+        from data_ingestion_experiment_otp_spark.operators.clustering import (
+            _sem_centroids,
+        )
+
+        for sf, n_expect in (("sf0.001", 22), ("sf0.1", 44)):
+            cents = _sem_centroids(spark, f"/root/testdata/{sf}")
+            assert len(cents) == n_expect, (sf, len(cents))
