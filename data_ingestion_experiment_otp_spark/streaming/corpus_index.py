@@ -99,6 +99,47 @@ GRAM_INDEX_SCHEMA = T.StructType(
 )
 
 
+def compact_span_index(spark, gram_index_dir: str, out_dir: str) -> None:
+    """Fold the epoch-accumulated gram-count index into a single
+    ``src_batch=0`` generation at `out_dir` — the span-index analog of
+    text_index.compact_text_index (r8: the one store that previously
+    accrued one partition per epoch forever).
+
+    Why it belongs to the index, not the filesystem: the screen's prior
+    term is sum(n) GROUP BY g across all prior epochs — compaction
+    applies that aggregation ONCE, so a long-running ingest stops paying
+    epochs × files per screen and the combined count is read directly.
+    Screening new epochs against the compacted generation is
+    byte-identical to screening against the epoch stack (pinned in
+    tests): the sink only ever consumes the per-gram SUM, and every
+    folded epoch is < any future batch_id, so the ``src_batch <
+    batch_id`` replay guard still admits the whole folded history.
+
+    The output is a fresh directory (generation swap — build, then
+    readers move), stamped with a ``_COMPACTED`` marker (an
+    underscore-prefixed file, invisible to Spark's file index): the
+    marker tells `corpus_retract` that per-epoch provenance is folded,
+    switching RTBF from per-epoch recount to gram-count SUBTRACTION.
+    Same quiesce discipline as every generation swap here: a replay of a
+    folded epoch must not race the swap (the replay guard would re-admit
+    grams the fold already counted)."""
+    idx = (
+        spark.read.schema(GRAM_INDEX_SCHEMA)
+        .option("basePath", gram_index_dir)
+        .parquet(gram_index_dir)
+    )
+    (
+        idx.groupBy("g")
+        .agg(F.sum("n").alias("n"))
+        .select("g", "n", F.lit(0).alias("src_batch"))
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("src_batch")
+        .parquet(out_dir)
+    )
+    open(os.path.join(out_dir, "_COMPACTED"), "w").close()
+
+
 def span_screen_sink(
     gram_index_dir: str, audit_dir: str
 ) -> Callable[[DataFrame, int], None]:

@@ -286,11 +286,34 @@ def corpus_retract(
         os.rename(tmp, part_dir)
         shutil.rmtree(trash)
 
+    gdir = dirs["gram_index"]
+    gram_compacted = os.path.isfile(os.path.join(gdir, "_COMPACTED"))
+
     for b in epochs:
         part = os.path.join(dirs["accepted"], f"batch_id={b}")
         df = spark.read.parquet(part).persist()
         kept = df.filter(~F.col("doc_id").isin(ids))
         removed["accepted"] += df.count() - kept.count()
+        # Compacted gram index: per-epoch provenance is folded, so RTBF
+        # switches from recount to SUBTRACTING the victims' gram counts —
+        # computed from the OLD accepted rows and materialized BEFORE the
+        # swap below rewrites the files the persisted frame hangs off.
+        gv = None
+        gpart = os.path.join(gdir, f"src_batch={b}")
+        if gram_compacted and (b == 0 or not os.path.isdir(gpart)):
+            from ..operators.dedup import _span_pos_grams, _span_toks
+
+            gv = (
+                _span_pos_grams(
+                    _span_toks(
+                        df.filter(F.col("doc_id").isin(ids)).select("doc_id", "text")
+                    )
+                )
+                .groupBy("g")
+                .agg(F.count("*").alias("vn"))
+                .persist()
+            )
+            gv.count()
         swap_rewrite(part, kept, None)
         df.unpersist()
 
@@ -318,8 +341,32 @@ def corpus_retract(
             removed["span_audit"] += sdf.count() - skept.count()
             swap_rewrite(spart, skept, None)
             sdf.unpersist()
-        gpart = os.path.join(dirs["gram_index"], f"src_batch={b}")
-        if os.path.isdir(gpart):
+        if gv is not None:
+            # Folded generation: subtract the victims' gram counts from
+            # src_batch=0 (exactly the counts the fold would hold had the
+            # victims never arrived); grams driven to zero leave the
+            # index entirely.
+            gen = os.path.join(gdir, "src_batch=0")
+            gen_df = spark.read.schema("g long, n long").parquet(gen)
+            old_n = gen_df.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
+            gnew = (
+                gen_df.join(gv, "g", "left")
+                .select(
+                    "g",
+                    (F.col("n") - F.coalesce(F.col("vn"), F.lit(0))).alias("n"),
+                )
+                .filter(F.col("n") > 0)
+            )
+            swap_rewrite(gen, gnew, None)
+            new_n = (
+                spark.read.schema("g long, n long")
+                .parquet(gen)
+                .agg(F.coalesce(F.sum("n"), F.lit(0)))
+                .collect()[0][0]
+            )
+            removed["gram_index"] += int(old_n - new_n)
+            gv.unpersist()
+        elif os.path.isdir(gpart):
             from ..operators.dedup import _span_pos_grams, _span_toks
 
             old_n = (

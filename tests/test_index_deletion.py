@@ -467,3 +467,116 @@ class TestRetractionSpanStores:
             os.path.join(dirs["span_audit"], "batch_id=1")
         ).collect()
         assert audit1[0]["dup_tokens"] == 0
+
+    def test_retract_on_compacted_gram_index_subtracts(self, spark, tmp_path):
+        """r8: after compact_span_index folds the epoch stack, per-epoch
+        provenance is gone, so retraction SUBTRACTS the victims' gram
+        counts from the folded src_batch=0 generation (the _COMPACTED
+        marker selects the path). The resulting counts equal a from-
+        scratch recount of the surviving accepted docs, the removed
+        accounting reconciles, and a later epoch no longer sees the
+        victim's spans."""
+        import shutil
+
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.operators.dedup import (
+            _span_pos_grams,
+            _span_toks,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            compact_span_index,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_ingest_epoch,
+            corpus_retract,
+        )
+
+        rng = np.random.default_rng(29)
+        schema = (
+            "doc_id long, source string, n_chars long, text string,"
+            " embedding array<float>"
+        )
+
+        def row(i, text):
+            return (
+                i,
+                "web",
+                len(text),
+                text,
+                [float(x) for x in rng.standard_normal(64)],
+            )
+
+        span = "s1 s2 s3 s4 s5 s6 s7 s8"
+        cents = spark.createDataFrame(
+            [(0, [float(x) for x in rng.standard_normal(64)])],
+            "vec_id long, embedding array<float>",
+        ).collect()
+        work = str(tmp_path / "work")
+        epoch = corpus_ingest_epoch(work, cents, {"*": 0.0}, span_screen=True)
+        dirs = corpus_ingest_dirs(work)
+
+        epoch(
+            spark.createDataFrame(
+                [row(7, f"a1 {span} a2"), row(8, "u1 u2 u3 u4 u5 u6")], schema
+            ),
+            0,
+        )
+        epoch(
+            spark.createDataFrame(
+                [row(9, f"b1 {span} b2"), row(10, "m1 m2 m3 m4 m5")], schema
+            ),
+            1,
+        )
+
+        gen2 = str(tmp_path / "gram_gen2")
+        compact_span_index(spark, dirs["gram_index"], gen2)
+        shutil.rmtree(dirs["gram_index"])
+        os.rename(gen2, dirs["gram_index"])
+        n_folded = (
+            spark.read.schema("g long, n long")
+            .parquet(os.path.join(dirs["gram_index"], "src_batch=0"))
+            .agg({"n": "sum"})
+            .collect()[0][0]
+        )
+
+        removed = corpus_retract(spark, work, [7, 9])
+        assert removed["span_audit"] == 2
+        assert removed["gram_index"] == 6 + 6  # two 10-token victims
+
+        n_after = (
+            spark.read.schema("g long, n long")
+            .parquet(os.path.join(dirs["gram_index"], "src_batch=0"))
+            .agg({"n": "sum"})
+            .collect()[0][0]
+        ) or 0
+        assert n_folded - n_after == removed["gram_index"]
+
+        # the folded counts now equal a from-scratch recount of the
+        # surviving accepted docs
+        survivors = spark.read.schema("doc_id long, text string").parquet(
+            dirs["accepted"]
+        )
+        expect = sorted(
+            tuple(r)
+            for r in _span_pos_grams(_span_toks(survivors))
+            .groupBy("g")
+            .count()
+            .collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in spark.read.schema("g long, n long")
+            .parquet(os.path.join(dirs["gram_index"], "src_batch=0"))
+            .collect()
+        )
+        assert got == [(g, n) for g, n in expect]
+
+        # the retracted span is unknown again even though its epochs were
+        # folded: a new epoch repeating it sees no prior occurrence
+        epoch(spark.createDataFrame([row(11, f"c1 {span} c2")], schema), 2)
+        audit2 = spark.read.parquet(
+            os.path.join(dirs["span_audit"], "batch_id=2")
+        ).collect()
+        assert audit2[0]["dup_tokens"] == 0

@@ -1583,6 +1583,86 @@ class TestSpanScreenSink:
         assert idx_after == idx_before
 
 
+    def test_compaction_collapses_files_and_preserves_screening(
+        self, spark, tmp_path
+    ):
+        """compact_span_index (r8): folding the epoch stack into one
+        src_batch=0 generation (1) collapses the file count, (2) leaves
+        the per-gram SUM byte-identical, and (3) screening the NEXT epoch
+        against the compacted generation produces byte-identical audit
+        rows to screening against the epoch stack — the sink only ever
+        consumes the combined count."""
+        import glob
+        import shutil
+
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            compact_span_index,
+            span_screen_sink,
+        )
+
+        batches = [
+            [(1, f"a1 a2 {self.SPAN8} a3"), (2, "u1 u2 u3 u4 u5 u6 u7")],
+            [(3, f"b1 {self.SPAN8} b2"), (4, "v1 v2 v3 v4 v5 v6")],
+            [(5, f"w1 {self.SPAN8} w2"), (6, "x1 x2 y1 y2 z1 z2")],
+        ]
+        probe = [(7, f"p1 {self.SPAN8} p2"), (8, "v1 v2 v3 v4 v5 q6")]
+
+        # path A: epoch stack, then screen the probe epoch
+        gram_a = str(tmp_path / "gram_a")
+        audit_a = str(tmp_path / "audit_a")
+        sink_a = span_screen_sink(gram_a, audit_a)
+        for b, rows in enumerate(batches):
+            sink_a(spark.createDataFrame(rows, self.DOC_SCHEMA), b)
+        sink_a(spark.createDataFrame(probe, self.DOC_SCHEMA), 3)
+
+        # path B: same epochs, compact 0-2 into a fresh generation, swap
+        # it into place, then screen the identical probe epoch
+        gram_b = str(tmp_path / "gram_b")
+        audit_b = str(tmp_path / "audit_b")
+        sink_b = span_screen_sink(gram_b, audit_b)
+        for b, rows in enumerate(batches):
+            sink_b(spark.createDataFrame(rows, self.DOC_SCHEMA), b)
+
+        files_before = glob.glob(f"{gram_b}/src_batch=*/*.parquet")
+        sums_before = sorted(
+            tuple(r)
+            for r in spark.read.parquet(gram_b)
+            .groupBy("g")
+            .sum("n")
+            .collect()
+        )
+        gen2 = str(tmp_path / "gram_b_gen2")
+        compact_span_index(spark, gram_b, gen2)
+        shutil.rmtree(gram_b)
+        os.rename(gen2, gram_b)
+
+        files_after = glob.glob(f"{gram_b}/src_batch=*/*.parquet")
+        assert len(files_after) < len(files_before)
+        assert {os.path.basename(os.path.dirname(f)) for f in files_after} == {
+            "src_batch=0"
+        }
+        assert os.path.isfile(os.path.join(gram_b, "_COMPACTED"))
+        sums_after = sorted(
+            tuple(r)
+            for r in spark.read.parquet(gram_b)
+            .groupBy("g")
+            .sum("n")
+            .collect()
+        )
+        assert sums_after == sums_before
+
+        sink_b(spark.createDataFrame(probe, self.DOC_SCHEMA), 3)
+        rows_a = sorted(
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(audit_a, "batch_id=3")).collect()
+        )
+        rows_b = sorted(
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(audit_b, "batch_id=3")).collect()
+        )
+        assert rows_a == rows_b and rows_a
+
+
 class TestCapstoneSpanScreen:
     def test_stage6_audits_admitted_docs_only(self, spark, tmp_path):
         """corpus_ingest_epoch(span_screen=True): the span screen runs on
