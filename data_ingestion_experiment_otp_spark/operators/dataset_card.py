@@ -1,0 +1,214 @@
+"""The per-source dataset card — the release-audit table a corpus ships
+with, composed verbatim from the registered audit tiers.
+
+Lives in its own module (r8) because the card now composes entries from
+BOTH text_analysis (Gopher rules, script id, the model classifier) and
+clustering (SemDeDup) — and clustering itself imports text_analysis, so
+the card's splice of every tier's oracle SQL can only sit above the two
+of them. The oracle discipline is unchanged: each composed column's SQL
+rides in verbatim as a CTE, so the card can never disagree with the
+audits it summarizes.
+
+Reference parity: the reference (ehtesham-punt/data-ingestion-experiment-
+otp) has no corpus-audit surface; this is engine-target capstone surface
+(SURVEY.md §2.10-r6, extended r7/r8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load
+from .clustering import _SEMDEDUP_ORACLE, llm_semdedup
+from .dedup import (
+    DEDUP_CLUSTERS_ORACLE,
+    _DUP_SPANS_ORACLE,
+    llm_dedup_clusters,
+    llm_dup_spans,
+)
+from .text_analysis import (
+    QC_ORACLE,
+    _GOPHER_ORACLE,
+    _PPL_TOKENIZE,
+    _SCRIPT_ID_ORACLE,
+    _SCRIPT_NAMES,
+    _tokenize,
+    llm_gopher_rules,
+    llm_quality_classifier,
+    llm_script_id,
+)
+
+_DATASET_CARD_ORACLE = f"""
+    WITH g AS ({{GOPHER}}),
+    s AS ({{SCRIPT}}),
+    dup AS ({{DUP}}),
+    sp AS MATERIALIZED ({{DUPSPANS}}),
+    clf AS MATERIALIZED ({{CLF}}),
+    sem AS MATERIALIZED ({{SEM}}),
+    base AS (
+      SELECT doc_id, source, lang, text, n_chars,
+             len({_PPL_TOKENIZE}) AS n_tok
+      FROM documents
+    ),
+    j AS (
+      SELECT base.source, base.lang, base.text, base.n_chars, base.n_tok,
+             g.keep,
+             CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup,
+             sp.n_tokens AS sp_nt, sp.dup_tokens AS sp_dt,
+             CASE WHEN clf.keep THEN 1
+                  WHEN clf.keep IS NOT NULL THEN 0 END AS clf_keep,
+             CASE WHEN NOT sem.kept THEN 1
+                  WHEN sem.kept IS NOT NULL THEN 0 END AS sem_drop,
+             {" , ".join("s.n_" + n for n in _SCRIPT_NAMES)}
+      FROM base
+      JOIN g ON g.doc_id = base.doc_id
+      JOIN s ON s.doc_id = base.doc_id
+      LEFT JOIN dup ON dup.doc_id = base.doc_id
+      JOIN sp ON sp.doc_id = base.doc_id
+      LEFT JOIN clf ON clf.doc_id = base.doc_id
+      LEFT JOIN sem ON sem.vec_id = base.doc_id
+    ),
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+             round(avg(CASE WHEN keep THEN 1 ELSE 0 END), 6) AS gopher_keep_rate,
+             round(avg(clf_keep), 6) AS classifier_keep_rate,
+             round(avg(is_dup), 6) AS neardup_rate,
+             round(sum(sp_dt) / greatest(sum(sp_nt), 1), 6) AS dup_span_rate,
+             round(avg(sem_drop), 6) AS semdedup_drop_rate,
+             {" , ".join(f"sum(n_{n}) AS t_{n}" for n in _SCRIPT_NAMES)}
+      FROM j GROUP BY source
+    )
+    SELECT source, n_docs, n_unique_texts, n_langs, n_tokens, total_chars,
+           total_bytes, gopher_keep_rate, classifier_keep_rate, neardup_rate,
+           dup_span_rate, semdedup_drop_rate,
+           CASE WHEN greatest({", ".join("t_" + n for n in _SCRIPT_NAMES)}) = 0
+                THEN 'unknown'
+{chr(10).join(f"                WHEN t_{n} = greatest({', '.join('t_' + m for m in _SCRIPT_NAMES)}) THEN '{n}'" for n in _SCRIPT_NAMES)}
+           END AS dominant_script
+    FROM agg
+    """.replace("{GOPHER}", _GOPHER_ORACLE).replace("{SCRIPT}", _SCRIPT_ID_ORACLE).replace(
+    "{DUP}", DEDUP_CLUSTERS_ORACLE
+).replace("{DUPSPANS}", _DUP_SPANS_ORACLE).replace("{CLF}", QC_ORACLE).replace(
+    "{SEM}", _SEMDEDUP_ORACLE
+)
+
+
+@register(
+    "llm_dataset_card",
+    oracle=_DATASET_CARD_ORACLE,
+    tags=("llm", "audit", "capstone"),
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dataset card — the release-audit table a corpus
+    ships with (and the first thing a consumer reads): document / unique
+    -text / language counts, Unicode-token and char volumes, the Gopher
+    keep rate, and the dominant script per source stratum. Composed from
+    the registered builders (`llm_gopher_rules`, `llm_script_id`) joined
+    doc-keyed to the base table, so the card's numbers are BY
+    CONSTRUCTION the same ones the individual audits report — and the
+    spliced oracle (their SQL verbatim as CTEs) hash-gates the whole
+    composition cross-engine.
+
+    r7 provenance columns: per-source BYTE volume (octet_length) and the
+    per-source NEAR-DUP rate (the fraction of the stratum's docs in some
+    ``llm_dedup_clusters`` duplicate component). r7c: ``dup_span_rate``,
+    the token-weighted duplicated-SUBSTRING coverage (Σ dup_tokens /
+    Σ n_tokens from ``llm_dup_spans``) — document-level neardup_rate
+    misses partial duplication entirely.
+
+    r8 (VERDICT task 7): the card now reports ALL FOUR curation tiers —
+    ``classifier_keep_rate`` (the model gate: kept fraction of the docs
+    ``llm_quality_classifier`` scored; docs it skips — empty token
+    streams — stay out of the denominator via null-ignoring avg) and
+    ``semdedup_drop_rate`` (the semantic tier: dropped fraction of the
+    stratum's EMBEDDED docs under ``llm_semdedup``; docs without an
+    embedding stay out of the denominator the same way), beside the
+    heuristic (gopher) and near-dup columns. A release reader sees the
+    heuristic/model/near-dup/semantic funnel in one row per source.
+
+    Scale shape: each composed audit keeps its own documented shape
+    (single-scan zero-shuffle gates; bucketed dedup pair derivation;
+    trained-centroid broadcast matmul + per-cluster pass), doc-keyed
+    scalar joins (AQE picks the strategy), one per-source aggregate;
+    text reaches only the distinct-count, which both engines hash rather
+    than sort."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", "lang", "text", "n_chars",
+        F.size(_tokenize()).alias("n_tok"),
+    )
+    g = llm_gopher_rules(spark, sf_dir).select("doc_id", "keep")
+    s = llm_script_id(spark, sf_dir).select(
+        "doc_id", *[f"n_{n}" for n in _SCRIPT_NAMES]
+    )
+    dup = llm_dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("is_dup")
+    )
+    sp = llm_dup_spans(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_tokens").alias("sp_nt"),
+        F.col("dup_tokens").alias("sp_dt"),
+    )
+    clf = llm_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("clf_keep_b")
+    )
+    sem = llm_semdedup(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("kept").alias("sem_kept_b")
+    )
+    j = (
+        base.join(g, "doc_id")
+        .join(s, "doc_id")
+        .join(dup, "doc_id", "left")
+        .join(sp, "doc_id")
+        .join(clf, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .withColumn("is_dup", F.coalesce("is_dup", F.lit(0)))
+        .withColumn(
+            "clf_keep",
+            F.when(F.col("clf_keep_b"), 1).when(
+                F.col("clf_keep_b").isNotNull(), 0
+            ),
+        )
+        .withColumn(
+            "sem_drop",
+            F.when(~F.col("sem_kept_b"), 1).when(
+                F.col("sem_kept_b").isNotNull(), 0
+            ),
+        )
+    )
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.octet_length("text")).alias("total_bytes"),
+        F.round(F.avg(F.when(F.col("keep"), 1).otherwise(0)), 6).alias(
+            "gopher_keep_rate"
+        ),
+        F.round(F.avg("clf_keep"), 6).alias("classifier_keep_rate"),
+        F.round(F.avg("is_dup"), 6).alias("neardup_rate"),
+        F.round(
+            F.sum("sp_dt") / F.greatest(F.sum("sp_nt"), F.lit(1)), 6
+        ).alias("dup_span_rate"),
+        F.round(F.avg("sem_drop"), 6).alias("semdedup_drop_rate"),
+    ] + [F.sum(f"n_{n}").alias(f"t_{n}") for n in _SCRIPT_NAMES]
+    agg = j.groupBy("source").agg(*aggs)
+    m = F.greatest(*[F.col(f"t_{n}") for n in _SCRIPT_NAMES])
+    dominant = F.when(m == 0, "unknown")
+    for n in _SCRIPT_NAMES:
+        dominant = dominant.when(F.col(f"t_{n}") == m, n)
+    return agg.select(
+        "source", "n_docs", "n_unique_texts", "n_langs", "n_tokens",
+        "total_chars", "total_bytes", "gopher_keep_rate",
+        "classifier_keep_rate", "neardup_rate", "dup_span_rate",
+        "semdedup_drop_rate",
+        dominant.alias("dominant_script"),
+    )

@@ -215,6 +215,7 @@ def all_queries() -> dict[str, QuerySpec]:
         bpe,
         cdc,
         clustering,
+        dataset_card,
         dedup,
         extraction,
         layout,

@@ -136,6 +136,12 @@ def uni_sf_dir(spark, tmp_path_factory, sf_dir):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     base.unionByName(ext).coalesce(1).write.parquet(str(out / "documents.parquet"))
+    # the r8 dataset card composes llm_semdedup, which reads embeddings:
+    # carry the base corpus's table over (extension docs have none — they
+    # stay out of semdedup_drop_rate's denominator via the LEFT JOIN)
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").coalesce(1).write.parquet(
+        str(out / "embeddings.parquet")
+    )
     return str(out)
 
 
@@ -145,6 +151,10 @@ def uni_duck(uni_sf_dir):
     con.sql(
         "CREATE VIEW documents AS "
         f"SELECT * FROM '{uni_sf_dir}/documents.parquet/*.parquet'"
+    )
+    con.sql(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{uni_sf_dir}/embeddings.parquet/*.parquet'"
     )
     yield con
     con.close()
