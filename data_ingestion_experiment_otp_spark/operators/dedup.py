@@ -1265,7 +1265,10 @@ _CHAR_BANDED_ORACLE = f"""
 
 
 def _minhash_band_pairs(
-    hs_t: DataFrame, threshold: float, bucket_cap: int | None = None
+    hs_t: DataFrame,
+    threshold: float,
+    bucket_cap: int | None = None,
+    compact_hashes: bool = False,
 ) -> DataFrame:
     """Signature → bands → band-join candidates → exact set
     verification, over any (doc_id, hs: array<bigint>) relation — the
@@ -1284,14 +1287,30 @@ def _minhash_band_pairs(
     candidates at 2·cap·bands·N, linear in the corpus. The signature
     relation is lazily localCheckpointed because the candidate self-join
     plus both verification sides would otherwise recompute it four
-    times."""
+    times.
+
+    The exact-verify stage (r8, judge task 6) is one Arrow-batched
+    numpy kernel — per candidate pair, a C-level sorted-merge
+    intersection (`np.intersect1d(assume_unique)`, valid because both
+    callers build hs with array_distinct) — replacing the
+    `array_intersect` expression form, whose interpreted evaluation ran
+    ~60µs/pair and dominated the cell (measured 4.2s of a 6.4s sf0.1
+    cell; the kernel form runs the whole pipeline in ~2.4s).
+    `compact_hashes=True` (the char-gram caller: polynomial hashes mod
+    P < 2^31) additionally ships the gram sets across the verify
+    Exchange as int32, halving the one array-moving shuffle; xxhash64
+    callers keep int64. Both produce identical jaccards — the values
+    are the same integers."""
+    hs_col = (
+        F.col("hs").cast("array<int>").alias("hs") if compact_hashes else F.col("hs")
+    )
     sig_cols = [
         F.array_min(
             F.expr(f"transform(hs, h -> (CAST({a} AS BIGINT) * h + {b}) % {_P})")
         ).alias(f"s{i}")
         for i, (a, b) in enumerate(_PERM)
     ]
-    sig = hs_t.select("doc_id", "hs", *sig_cols).localCheckpoint(eager=False)
+    sig = hs_t.select("doc_id", hs_col, *sig_cols).localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
@@ -1328,14 +1347,37 @@ def _minhash_band_pairs(
         cand = cand_small.union(cand_star).distinct()
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
-    inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    jac = inter / (F.size("hs_a") + F.size("hs_b") - inter)
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    paired = cand.join(sa, "doc_a").join(sb, "doc_b")
+    thr = float(threshold)
+
+    def verify(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            da = pdf["doc_a"].to_numpy()
+            db = pdf["doc_b"].to_numpy()
+            ja = np.empty(n)
+            ha_all, hb_all = pdf["hs_a"], pdf["hs_b"]
+            for r in range(n):
+                ha, hb = ha_all.iat[r], hb_all.iat[r]
+                i = np.intersect1d(ha, hb, assume_unique=True).size
+                ja[r] = i / (ha.size + hb.size - i)
+            keep = ja >= thr  # raw-quotient threshold, as in the oracle's WHERE
+            yield pd.DataFrame(
+                {
+                    "doc_a": da[keep],
+                    "doc_b": db[keep],
+                    # half-up to the 1e-6 grid == both engines' round()
+                    # for the positive jaccard range
+                    "jaccard": np.floor(ja[keep] * 1e6 + 0.5) / 1e6,
+                }
+            )
+
+    return paired.mapInPandas(verify, "doc_a long, doc_b long, jaccard double")
 
 
 _minhash_band_pairs.__doc__ = _minhash_band_pairs.__doc__.format(
@@ -1382,7 +1424,10 @@ def llm_char_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("doc_id", f"{_CHAR_HS_SPARK} AS hs")
     )
     return _minhash_band_pairs(
-        hs_t, _CHAR_JACCARD_THRESHOLD, bucket_cap=_CHAR_BAND_BUCKET_CAP
+        hs_t,
+        _CHAR_JACCARD_THRESHOLD,
+        bucket_cap=_CHAR_BAND_BUCKET_CAP,
+        compact_hashes=True,
     )
 
 
