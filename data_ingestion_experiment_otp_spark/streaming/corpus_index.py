@@ -212,3 +212,170 @@ def span_screen_sink(
         )
 
     return screen
+
+
+SHINGLE_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("g", T.LongType()),
+        T.StructField("n_g", T.LongType()),
+        T.StructField("src_batch", T.LongType()),
+    ]
+)
+
+NEAR_AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dup_of", T.LongType()),
+        T.StructField("jaccard", T.DoubleType()),
+        T.StructField("phase", T.StringType()),
+    ]
+)
+
+
+def neardup_screen_sink(
+    shingle_index_dir: str, accepted_dir: str, audit_dir: str, threshold: float | None = None
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: ingestion-time NEAR-duplicate screening —
+    the streaming form of operators/dedup.py::llm_incremental_dedup's
+    shingle screen, against a persistent per-doc shingle index (r8; the
+    exact-hash screen above catches redelivery, this one catches the
+    re-crawl-with-boilerplate-edits case the exact hash misses).
+
+    Per epoch, two screens with one deterministic priority contract:
+
+    1. CORPUS screen — each batch doc's word-3-gram shingle-hash set
+       (`_SHINGLE_HASHES_SPARK`, shared verbatim with the batch
+       operators) is joined on the gram key against prior epochs'
+       admitted shingles; Jaccard >= threshold against ANY indexed doc
+       rejects the batch doc. Per-doc set sizes ride DENORMALIZED on the
+       index rows (`n_g`), so the screen never re-aggregates the index.
+    2. WITHIN-BATCH screen — among corpus-screen survivors, a doc is
+       rejected when a LOWER-doc_id survivor is a near-dup (one
+       priority-ordered pass, the `llm_semdedup` keep-contract: the
+       lower-id neighbor's own fate does not resurrect the higher-id
+       doc — no iteration, no connected components at ingest time).
+
+    Survivors land in a batchId-keyed accepted directory and their
+    (doc_id, g, n_g) rows are admitted into the epoch's own
+    ``src_batch=N`` index partition; rejected docs land in a batchId-
+    keyed audit (doc_id, best-matching dup_of, jaccard on the 1e-6
+    half-up grid, phase 'corpus'|'batch') — ids and scores only, no
+    text. Docs with fewer than 3 words have empty shingle sets and are
+    always admitted here (they cannot reach a positive Jaccard; exact
+    redelivery of short docs is the exact screen's job).
+
+    Replay safety is the module's standard contract: the corpus screen
+    reads only ``src_batch < batch_id`` partitions (partition-pruned),
+    and all three writes are epoch-scoped overwrites — a replayed epoch
+    reproduces byte-identical accepted/audit/index contributions.
+
+    Scale shape: index rows are (8-byte gram hash, doc_id, n_g) — no
+    text, O(distinct shingles) ~ O(tokens) per admitted doc, the same
+    weight class as the span-gram index; the probe is one gram-keyed
+    equi-join whose candidate volume is bounded by shared-shingle pairs
+    (shingles are near-unique across unrelated docs). Boilerplate-heavy
+    corpora skew the gram key — the df-cap (llm_ngram_jaccard_capped)
+    and banded-MinHash (llm_minhash_banded) mitigations compose here
+    unchanged; at that point the index stores band keys instead of raw
+    shingles and state drops to O(bands) per doc."""
+    from ..operators.dedup import _JACCARD_THRESHOLD, _SHINGLE_HASHES_SPARK
+
+    thr = _JACCARD_THRESHOLD if threshold is None else float(threshold)
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+
+        ws = F.filter(F.split("text", " "), lambda w: w != "")
+        hs = (
+            batch_df.select("doc_id", ws.alias("ws"))
+            .filter(F.size("ws") >= 3)
+            .select("doc_id", F.expr(_SHINGLE_HASHES_SPARK).alias("hs"))
+        )
+        bsh = hs.select(
+            "doc_id", F.size("hs").alias("n_g"), F.explode("hs").alias("g")
+        ).localCheckpoint(eager=False)
+
+        jac = F.col("n_common") / (F.col("nb") + F.col("nc") - F.col("n_common"))
+        grid = F.floor(jac * 1e6 + F.lit(0.5)) / 1e6  # the repo's half-up grid
+
+        def best_match(pairs: DataFrame) -> DataFrame:
+            """(doc_id, dup_of, jaccard): the highest-Jaccard qualifying
+            neighbor per rejected doc, ties to the lower neighbor id."""
+            return (
+                pairs.filter(jac >= thr)
+                .groupBy("doc_id")
+                .agg(
+                    F.min(F.struct((-jac).alias("nj"), F.col("nbr").alias("id"))).alias(
+                        "m"
+                    ),
+                    F.max(grid).alias("jaccard"),
+                )
+                .select("doc_id", F.col("m.id").alias("dup_of"), "jaccard")
+            )
+
+        if os.path.isdir(shingle_index_dir) and any(
+            e.startswith("src_batch=") for e in os.listdir(shingle_index_dir)
+        ):
+            prior = (
+                spark.read.schema(SHINGLE_INDEX_SCHEMA)
+                .option("basePath", shingle_index_dir)
+                .parquet(shingle_index_dir)
+                .filter(F.col("src_batch") < batch_id)  # replay: ignore own epoch
+            )
+            cpairs = (
+                bsh.alias("b")
+                .join(prior.alias("c"), F.col("b.g") == F.col("c.g"))
+                .groupBy(
+                    F.col("b.doc_id").alias("doc_id"),
+                    F.col("c.doc_id").alias("nbr"),
+                )
+                .agg(
+                    F.count("*").alias("n_common"),
+                    F.first("b.n_g").alias("nb"),
+                    F.first("c.n_g").alias("nc"),
+                )
+            )
+            rej_corpus = best_match(cpairs).withColumn("phase", F.lit("corpus"))
+        else:
+            rej_corpus = spark.createDataFrame([], NEAR_AUDIT_SCHEMA)
+        rej_corpus = rej_corpus.localCheckpoint(eager=False)
+
+        surv = bsh.join(rej_corpus.select("doc_id"), "doc_id", "left_anti")
+        bpairs = (
+            surv.alias("a")
+            .join(
+                surv.alias("b"),
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("b.doc_id").alias("doc_id"),
+                F.col("a.doc_id").alias("nbr"),
+            )
+            .agg(
+                F.count("*").alias("n_common"),
+                F.first("b.n_g").alias("nb"),
+                F.first("a.n_g").alias("nc"),
+            )
+        )
+        rej_batch = best_match(bpairs).withColumn("phase", F.lit("batch"))
+
+        audit = rej_corpus.unionByName(rej_batch).localCheckpoint(eager=False)
+        audit.write.mode("overwrite").parquet(
+            os.path.join(audit_dir, f"batch_id={batch_id}")
+        )
+        accepted = batch_df.join(audit.select("doc_id"), "doc_id", "left_anti")
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(accepted_dir, f"batch_id={batch_id}")
+        )
+        (
+            bsh.join(audit.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", "g", "n_g", F.lit(batch_id).alias("src_batch"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("src_batch")
+            .parquet(shingle_index_dir)
+        )
+
+    return screen

@@ -64,7 +64,9 @@ def corpus_ingest_dirs(work_dir: str) -> dict[str, str]:
     """The stores the pipeline maintains under one root (drift_audit is
     the optional sixth — written only when a calibrated reference is
     passed to the epoch; gram_index/span_audit the optional seventh and
-    eighth, written only with span_screen=True)."""
+    eighth, written only with span_screen=True; shingle_index/
+    near_accepted/near_audit the near-dup screen's stores, written only
+    with near_dedup=True)."""
     return {
         "dedup_index": os.path.join(work_dir, "dedup_index"),
         "accepted": os.path.join(work_dir, "accepted"),
@@ -74,6 +76,9 @@ def corpus_ingest_dirs(work_dir: str) -> dict[str, str]:
         "drift_audit": os.path.join(work_dir, "drift_audit"),
         "gram_index": os.path.join(work_dir, "gram_index"),
         "span_audit": os.path.join(work_dir, "span_audit"),
+        "shingle_index": os.path.join(work_dir, "shingle_index"),
+        "near_accepted": os.path.join(work_dir, "near_accepted"),
+        "near_audit": os.path.join(work_dir, "near_audit"),
     }
 
 
@@ -84,6 +89,7 @@ def corpus_ingest_epoch(
     drift_reference: dict[int, float] | None = None,
     drift_budget_bits: float = 1.0,
     span_screen: bool = False,
+    near_dedup: bool = False,
 ):
     """The per-epoch function: built separately from the stream so a
     replay (same stores, same params, same batch_id) can be driven
@@ -104,11 +110,30 @@ def corpus_ingest_epoch(
     not the raw batch — an exact redelivery is already screened out by
     stage 1, so the span audit measures partial/boilerplate duplication
     among genuinely new content (the thing worth rewriting), not
-    redelivery noise."""
+    redelivery noise.
+
+    With `near_dedup=True`, the NEAR-duplicate screen
+    (`corpus_index.neardup_screen_sink`, r8) runs between the exact
+    screen and every downstream stage: exact-screen admits are vetted
+    against the persistent shingle index, survivors land in
+    ``near_accepted`` — the relation curation and the serving indexes
+    then consume, so a near-dup never enters the stores — and rejects
+    in the ``near_audit``. The two screens deliberately stack in that
+    order: the exact hash catches byte-identical redelivery for
+    pennies, the shingle screen pays its gram join only on genuinely
+    new content — the two-tier shape the published web pipelines run."""
+    from .corpus_index import neardup_screen_sink
     from .drift_monitor import source_drift_sink
 
     dirs = corpus_ingest_dirs(work_dir)
     screen = corpus_dedup_sink(dirs["dedup_index"], dirs["accepted"])
+    near = (
+        neardup_screen_sink(
+            dirs["shingle_index"], dirs["near_accepted"], dirs["near_audit"]
+        )
+        if near_dedup
+        else None
+    )
     curate = curation_sink(dirs["curated"], centroids, quality_min)
     index = vector_index_sink(dirs["vector_index"])
     tindex = text_index_sink(dirs["text_index"])
@@ -134,6 +159,11 @@ def corpus_ingest_epoch(
             admitted = batch_df.sparkSession.read.parquet(
                 os.path.join(dirs["accepted"], f"batch_id={batch_id}")
             )
+            if near is not None:
+                near(admitted, batch_id)
+                admitted = batch_df.sparkSession.read.parquet(
+                    os.path.join(dirs["near_accepted"], f"batch_id={batch_id}")
+                )
             curate(admitted, batch_id)
             index(
                 admitted.select(F.col("doc_id").alias("vec_id"), "embedding"),
@@ -158,6 +188,7 @@ def start_corpus_ingest(
     drift_reference: dict[int, float] | None = None,
     drift_budget_bits: float = 1.0,
     span_screen: bool = False,
+    near_dedup: bool = False,
 ) -> StreamingQuery:
     """Start the composed ingestion stream over a parquet document feed.
     `centroids` / `quality_min` / `drift_reference` are the
@@ -172,6 +203,7 @@ def start_corpus_ingest(
         drift_reference,
         drift_budget_bits,
         span_screen,
+        near_dedup,
     )
     return (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
@@ -259,6 +291,9 @@ def corpus_retract(
         "dedup_index": 0,
         "gram_index": 0,
         "span_audit": 0,
+        "near_accepted": 0,
+        "near_audit": 0,
+        "shingle_index": 0,
     }
 
     def swap_rewrite(part_dir: str, df, partition_by: list[str] | None) -> None:
@@ -341,6 +376,42 @@ def corpus_retract(
             removed["span_audit"] += sdf.count() - skept.count()
             swap_rewrite(spart, skept, None)
             sdf.unpersist()
+
+        # Optional near-dup stores (near_dedup=True runs): the victims'
+        # rows leave near_accepted (text) and the shingle index (their
+        # content-derived gram rows) — removing the shingles makes the
+        # victims' content NEAR-unknown again, the same re-admission
+        # contract the exact screen's hash removal guarantees. The audit
+        # drops rows where the victim is EITHER side: a row's jaccard is
+        # a function of both docs' content, so a dup_of reference to the
+        # victim is as content-derived as the victim's own row.
+        npart = os.path.join(dirs["near_accepted"], f"batch_id={b}")
+        if os.path.isdir(npart):
+            ndf = spark.read.parquet(npart).persist()
+            nkept = ndf.filter(~F.col("doc_id").isin(ids))
+            removed["near_accepted"] += ndf.count() - nkept.count()
+            swap_rewrite(npart, nkept, None)
+            ndf.unpersist()
+        apart = os.path.join(dirs["near_audit"], f"batch_id={b}")
+        if os.path.isdir(apart):
+            adf = spark.read.schema(
+                "doc_id long, dup_of long, jaccard double, phase string"
+            ).parquet(apart).persist()
+            akept = adf.filter(
+                ~F.col("doc_id").isin(ids) & ~F.col("dup_of").isin(ids)
+            )
+            removed["near_audit"] += adf.count() - akept.count()
+            swap_rewrite(apart, akept, None)
+            adf.unpersist()
+        shpart = os.path.join(dirs["shingle_index"], f"src_batch={b}")
+        if os.path.isdir(shpart):
+            shdf = spark.read.schema("doc_id long, g long, n_g long").parquet(
+                shpart
+            ).persist()
+            shkept = shdf.filter(~F.col("doc_id").isin(ids))
+            removed["shingle_index"] += shdf.count() - shkept.count()
+            swap_rewrite(shpart, shkept, None)
+            shdf.unpersist()
         if gv is not None:
             # Folded generation: subtract the victims' gram counts from
             # src_batch=0 (exactly the counts the fold would hold had the

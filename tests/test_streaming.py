@@ -1759,3 +1759,368 @@ class TestCapstoneSpanScreen:
         )
         got = TestSpanScreenSink._audit(spark, audit_dir)[1]
         assert got[1][0] == 8 and got[2][0] == 8  # mutual coverage intact
+
+
+class TestNearDupScreenSink:
+    """streaming/corpus_index.py::neardup_screen_sink (r8) — ingestion-time
+    near-duplicate screening against the persistent shingle index (the
+    streaming form of llm_incremental_dedup's shingle screen)."""
+
+    DOC_SCHEMA = "doc_id long, text string"
+
+    # 30-word base; END6/START6 edits are sized so that one edit keeps a
+    # pair above the 0.6 Jaccard threshold (J = 22/34 ~ 0.647) while the
+    # two edits COMBINED fall below it (J = 16/40 = 0.4) — the geometry
+    # the within-batch chain test needs.
+    BASE = " ".join(f"t{i}" for i in range(1, 31))
+    END6 = " ".join(f"t{i}" for i in range(1, 25)) + " x25 x26 x27 x28 x29 x30"
+    BOTH6 = "y1 y2 y3 y4 y5 y6 " + " ".join(f"t{i}" for i in range(7, 25)) + " x25 x26 x27 x28 x29 x30"
+    UNRELATED = " ".join(f"u{i}" for i in range(1, 31))
+
+    @staticmethod
+    def _jac(a: str, b: str) -> float:
+        def sh(t):
+            ws = t.split()
+            return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        sa, sb = sh(a), sh(b)
+        return len(sa & sb) / len(sa | sb)
+
+    @staticmethod
+    def _ids(spark, d, b):
+        p = os.path.join(d, f"batch_id={b}")
+        if not os.path.isdir(p):
+            return None
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long").parquet(p).collect()
+        )
+
+    def test_fixture_geometry(self):
+        """The planted Jaccards sit where the tests assume."""
+        assert self._jac(self.BASE, self.END6) >= 0.6
+        assert self._jac(self.END6, self.BOTH6) >= 0.6
+        assert self._jac(self.BASE, self.BOTH6) < 0.6
+        assert self._jac(self.BASE, self.UNRELATED) == 0.0
+
+    def test_cross_epoch_screen_replay_and_zero_row_epoch(self, spark, tmp_path):
+        """An epoch-2 near-dup of an epoch-1 admit is rejected with a
+        corpus-phase audit row naming its best match; unrelated content
+        passes; a replayed epoch reproduces byte-identical accepted/
+        audit/index contributions; and a zero-shingle epoch (short docs)
+        leaves a zero-row index partition later screens survive."""
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            neardup_screen_sink,
+        )
+
+        idx = str(tmp_path / "shingle_index")
+        acc = str(tmp_path / "near_accepted")
+        aud = str(tmp_path / "near_audit")
+        sink = neardup_screen_sink(idx, acc, aud)
+
+        sink(
+            spark.createDataFrame(
+                [(1, self.BASE), (2, self.UNRELATED)], self.DOC_SCHEMA
+            ),
+            0,
+        )
+        assert self._ids(spark, acc, 0) == [1, 2]
+
+        # epoch 1: short docs only — no shingles, all admitted
+        sink(spark.createDataFrame([(10, "a b"), (11, None)], self.DOC_SCHEMA), 1)
+        assert self._ids(spark, acc, 1) == [10, 11]
+
+        # epoch 2: near-dup of doc 1 rejected via the index; fresh doc in
+        sink(
+            spark.createDataFrame(
+                [(20, self.END6), (21, "fresh words " + " ".join(f"f{i}" for i in range(20)))],
+                self.DOC_SCHEMA,
+            ),
+            2,
+        )
+        assert self._ids(spark, acc, 2) == [21]
+        audit = {
+            r["doc_id"]: r.asDict()
+            for r in spark.read.parquet(os.path.join(aud, "batch_id=2")).collect()
+        }
+        assert set(audit) == {20}
+        assert audit[20]["dup_of"] == 1 and audit[20]["phase"] == "corpus"
+        assert abs(audit[20]["jaccard"] - round(22 / 34, 6)) < 1e-9
+
+        # replay epoch 2 verbatim: all three stores byte-identical
+        before = {
+            d: sorted(map(tuple, spark.read.parquet(d).collect()))
+            for d in (idx, acc, aud)
+        }
+        sink(
+            spark.createDataFrame(
+                [(20, self.END6), (21, "fresh words " + " ".join(f"f{i}" for i in range(20)))],
+                self.DOC_SCHEMA,
+            ),
+            2,
+        )
+        after = {
+            d: sorted(map(tuple, spark.read.parquet(d).collect()))
+            for d in (idx, acc, aud)
+        }
+        assert after == before
+
+    def test_within_batch_priority_contract(self, spark, tmp_path):
+        """Within one epoch the screen is a single priority-ordered pass
+        (the llm_semdedup keep-contract): a doc is rejected when a
+        LOWER-id corpus-screen survivor is a near-dup, regardless of that
+        neighbor's own within-batch fate — here C (near-dup of B only)
+        is rejected even though B itself was rejected against A."""
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            neardup_screen_sink,
+        )
+
+        idx = str(tmp_path / "shingle_index")
+        acc = str(tmp_path / "near_accepted")
+        aud = str(tmp_path / "near_audit")
+        sink = neardup_screen_sink(idx, acc, aud)
+        sink(
+            spark.createDataFrame(
+                [(1, self.BASE), (2, self.END6), (3, self.BOTH6), (4, self.UNRELATED)],
+                self.DOC_SCHEMA,
+            ),
+            0,
+        )
+        assert self._ids(spark, acc, 0) == [1, 4]
+        audit = {
+            r["doc_id"]: r.asDict()
+            for r in spark.read.parquet(os.path.join(aud, "batch_id=0")).collect()
+        }
+        assert audit[2]["dup_of"] == 1 and audit[2]["phase"] == "batch"
+        assert audit[3]["dup_of"] == 2 and audit[3]["phase"] == "batch"
+        # only survivors' shingles were admitted
+        admitted = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long").parquet(idx).collect()
+        }
+        assert admitted == {1, 4}
+
+    def test_stream_matches_independent_python_reference(self, spark, tmp_path):
+        """Batch-vs-stream equivalence: streaming a 3-epoch corpus through
+        the sink accepts exactly the set an independent Python
+        implementation of the documented contract accepts."""
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            neardup_screen_sink,
+        )
+
+        def variant(base: str, n_edits: int, tag: str) -> str:
+            ws = base.split()
+            for k in range(n_edits):
+                ws[len(ws) - 1 - k] = f"{tag}{k}"
+            return " ".join(ws)
+
+        texts = {}
+        docs_per_epoch = []
+        did = 0
+        for e in range(3):
+            rows = []
+            for j in range(8):
+                did += 1
+                base = " ".join(f"w{e}_{j}_{i}" for i in range(24))
+                if (did % 3) == 0 and did > 3:
+                    # near-dup of an EARLIER doc (2 end edits on 24 words
+                    # of an existing text: J = 18/26 ~ 0.69 >= 0.6)
+                    src = ((did * 7) % (did - 1)) + 1
+                    rows.append((did, variant(texts[src], 2, f"e{did}")))
+                else:
+                    rows.append((did, base))
+                texts[did] = rows[-1][1]
+            docs_per_epoch.append(rows)
+
+        def shingles(t):
+            ws = t.split()
+            return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)} if len(ws) >= 3 else set()
+
+        def jac(a, b):
+            sa, sb = shingles(a), shingles(b)
+            return len(sa & sb) / len(sa | sb) if (sa or sb) else 0.0
+
+        expected_accept = set()
+        index_docs = []  # admitted doc ids, in admission order
+        for rows in docs_per_epoch:
+            survivors = []
+            for i, t in rows:  # corpus screen
+                if not any(jac(t, texts[c]) >= 0.6 for c in index_docs):
+                    survivors.append(i)
+            kept = []
+            for i in survivors:  # within-batch: lower-id survivor wins
+                if not any(
+                    j < i and jac(texts[i], texts[j]) >= 0.6 for j in survivors
+                ):
+                    kept.append(i)
+                # note: rejected docs still participate as `j` above iff
+                # they are corpus-screen survivors — the one-pass contract
+            expected_accept.update(kept)
+            index_docs.extend(kept)
+
+        idx = str(tmp_path / "shingle_index")
+        acc = str(tmp_path / "near_accepted")
+        aud = str(tmp_path / "near_audit")
+        sink = neardup_screen_sink(idx, acc, aud)
+        got = set()
+        for b, rows in enumerate(docs_per_epoch):
+            sink(spark.createDataFrame(rows, self.DOC_SCHEMA), b)
+            got.update(self._ids(spark, acc, b))
+        assert got == expected_accept
+        assert len(got) < did  # the fixture actually rejected something
+
+
+class TestCapstoneNearDedup:
+    """corpus_pipeline.py with near_dedup=True: the near screen gates every
+    downstream store, and RTBF makes a victim's content near-unknown
+    again."""
+
+    def test_near_screen_gates_downstream_and_rtbf_unknows(self, spark, tmp_path):
+        import time
+
+        from data_ingestion_experiment_otp_spark.streaming import drive
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_ingest_epoch,
+            corpus_retract,
+            start_corpus_ingest,
+        )
+
+        base = TestNearDupScreenSink.BASE
+        end6 = TestNearDupScreenSink.END6
+        unrelated = TestNearDupScreenSink.UNRELATED
+        vec = lambda s: [float(s)] + [0.0] * 63  # noqa: E731
+        batches = [
+            [
+                (1, "web", len(base), base, vec(1)),
+                (2, "web", len(unrelated), unrelated, vec(2)),
+            ],
+            [
+                # 3 = exact redelivery of 1 (exact screen's kill);
+                # 4 = near-dup of 1 (near screen's kill); 5 = fresh
+                (3, "web", len(base), base, vec(3)),
+                (4, "web", len(end6), end6, vec(4)),
+                (5, "forum", 20, " ".join(f"q{i}" for i in range(25)), vec(5)),
+            ],
+        ]
+        in_dir = str(tmp_path / "feed")
+        for rows in batches:
+            spark.createDataFrame(
+                rows, TestStreamingCorpusPipeline.SCHEMA
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+            time.sleep(0.05)
+
+        cents = (
+            spark.createDataFrame(
+                [(0, vec(1)), (1, vec(2))], "vec_id long, embedding array<float>"
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+        work = str(tmp_path / "work")
+        q = start_corpus_ingest(
+            spark,
+            in_dir,
+            work,
+            cents,
+            {"*": 0.0},
+            str(tmp_path / "ckpt"),
+            near_dedup=True,
+        )
+        drive.drain(q)
+
+        dirs = corpus_ingest_dirs(work)
+        accepted = {
+            r["doc_id"] for r in spark.read.parquet(dirs["accepted"]).collect()
+        }
+        near_accepted = {
+            r["doc_id"] for r in spark.read.parquet(dirs["near_accepted"]).collect()
+        }
+        assert accepted == {1, 2, 4, 5}  # exact screen killed 3 only
+        assert near_accepted == {1, 2, 5}  # near screen killed 4
+        # every downstream store holds exactly the near-survivors
+        curated = {
+            r["doc_id"] for r in spark.read.parquet(dirs["curated"]).collect()
+        }
+        assert curated <= near_accepted and 4 not in curated
+        from data_ingestion_experiment_otp_spark.streaming.vector_index import (
+            index_stats,
+        )
+
+        assert index_stats(spark, dirs["vector_index"])["vec_rows"] == 3
+        tdocs = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .option("basePath", dirs["text_index"])
+            .parquet(os.path.join(dirs["text_index"], "doclen"))
+            .collect()
+        }
+        assert tdocs == near_accepted
+
+        # RTBF: retract doc 1 — its shingles leave the index, so a fresh
+        # near-dup of its content is UNKNOWN again and gets admitted.
+        # The probe is a DIFFERENT end-6 edit of BASE (z-words): not
+        # byte-identical to the near-rejected doc 4 (whose hash rightly
+        # still blocks exact redelivery), and doc 4's shingles were never
+        # admitted, so only the retracted doc 1 could match it.
+        z6 = " ".join(f"t{i}" for i in range(1, 25)) + " z25 z26 z27 z28 z29 z30"
+        removed = corpus_retract(spark, work, [1])
+        assert removed["near_accepted"] == 1
+        assert removed["shingle_index"] > 0
+        left = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(dirs["shingle_index"])
+            .collect()
+        }
+        assert 1 not in left
+        epoch = corpus_ingest_epoch(work, cents, {"*": 0.0}, near_dedup=True)
+        epoch(
+            spark.createDataFrame(
+                [(9, "web", len(z6), z6, vec(9))],
+                TestStreamingCorpusPipeline.SCHEMA,
+            ),
+            5,
+        )
+        assert TestNearDupScreenSink._ids(
+            spark, dirs["near_accepted"], 5
+        ) == [9]
+
+    def test_off_by_default(self, spark, tmp_path):
+        """near_dedup=False (the default) writes none of the three near
+        stores and admits near-dups exactly as before."""
+        import time
+
+        from data_ingestion_experiment_otp_spark.streaming import drive
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            start_corpus_ingest,
+        )
+
+        base = TestNearDupScreenSink.BASE
+        end6 = TestNearDupScreenSink.END6
+        vec = lambda s: [float(s)] + [0.0] * 63  # noqa: E731
+        in_dir = str(tmp_path / "feed")
+        spark.createDataFrame(
+            [(1, "web", len(base), base, vec(1)), (2, "web", len(end6), end6, vec(2))],
+            TestStreamingCorpusPipeline.SCHEMA,
+        ).coalesce(1).write.parquet(in_dir)
+        time.sleep(0.05)
+        cents = (
+            spark.createDataFrame(
+                [(0, vec(1))], "vec_id long, embedding array<float>"
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+        work = str(tmp_path / "work")
+        q = start_corpus_ingest(
+            spark, in_dir, work, cents, {"*": 0.0}, str(tmp_path / "ckpt")
+        )
+        drive.drain(q)
+        dirs = corpus_ingest_dirs(work)
+        assert not os.path.isdir(dirs["shingle_index"])
+        assert not os.path.isdir(dirs["near_accepted"])
+        curated = {
+            r["doc_id"] for r in spark.read.parquet(dirs["curated"]).collect()
+        }
+        assert {1, 2} <= curated  # both admitted: no near screen ran
