@@ -100,6 +100,12 @@ HEADLINE = [
     "llm_dup_spans",
     "llm_semdedup",
     "llm_char_dup_spans",
+    # r8 additions: the production-merge-budget trainer (N=256; first rep
+    # pays the one-time cold train + artifact persist — the bm25_indexed
+    # precedent — so min-of-reps records the artifact-served cost) and
+    # the multi-probe SemDeDup screen
+    "llm_bpe_train_scaled",
+    "llm_semdedup_probe2",
 ]
 
 

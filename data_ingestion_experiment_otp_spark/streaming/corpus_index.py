@@ -379,3 +379,35 @@ def neardup_screen_sink(
         )
 
     return screen
+
+
+def compact_shingle_index(spark, shingle_index_dir: str, out_dir: str) -> None:
+    """Fold the near-dup screen's epoch-accumulated shingle partitions
+    into a single ``src_batch=0`` generation at `out_dir` — the shingle
+    analog of `compact_span_index`, so a long-running ingest stops paying
+    epochs × files per screen.
+
+    Unlike the span index there is nothing to aggregate: rows are
+    per-doc (doc_id, g, n_g) facts, so the fold is a file collapse
+    (cluster by gram key so the screen's equi-join probes fewer row
+    groups). Screening against the folded generation is byte-identical —
+    the sink consumes the row set, and every folded epoch is < any
+    future batch_id, so the ``src_batch < batch_id`` replay guard admits
+    the whole folded history. Rows keep their doc_id, so RTBF stays a
+    plain per-doc filter: the ``_COMPACTED`` marker just tells
+    `corpus_retract` to rewrite the folded generation instead of the
+    victims' original epoch partitions."""
+    idx = (
+        spark.read.schema(SHINGLE_INDEX_SCHEMA)
+        .option("basePath", shingle_index_dir)
+        .parquet(shingle_index_dir)
+    )
+    (
+        idx.repartition("g")
+        .select("doc_id", "g", "n_g", F.lit(0).alias("src_batch"))
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("src_batch")
+        .parquet(out_dir)
+    )
+    open(os.path.join(out_dir, "_COMPACTED"), "w").close()

@@ -412,6 +412,7 @@ def corpus_retract(
             removed["shingle_index"] += shdf.count() - shkept.count()
             swap_rewrite(shpart, shkept, None)
             shdf.unpersist()
+
         if gv is not None:
             # Folded generation: subtract the victims' gram counts from
             # src_batch=0 (exactly the counts the fold would hold had the
@@ -486,6 +487,28 @@ def corpus_retract(
             removed["dedup_index"] += idf.count() - ikept.count()
             swap_rewrite(ipart, ikept, None)
             idf.unpersist()
+
+
+    # Compacted shingle generation (compact_shingle_index): rows kept
+    # their doc_id through the fold, so victims from folded epochs leave
+    # via the same per-doc filter, just against src_batch=0. (When epoch
+    # 0 itself was among the victims' epochs the loop above already
+    # filtered the folded partition and this second pass would remove
+    # nothing, so it is skipped.)
+    shdir = dirs["shingle_index"]
+    shgen = os.path.join(shdir, "src_batch=0")
+    if (
+        os.path.isfile(os.path.join(shdir, "_COMPACTED"))
+        and os.path.isdir(shgen)
+        and 0 not in epochs
+    ):
+        shdf = spark.read.schema("doc_id long, g long, n_g long").parquet(
+            shgen
+        ).persist()
+        shkept = shdf.filter(~F.col("doc_id").isin(ids))
+        removed["shingle_index"] += shdf.count() - shkept.count()
+        swap_rewrite(shgen, shkept, None)
+        shdf.unpersist()
 
     # Serving indexes: physically remove the docs' rows from every epoch
     # partition that held them. Epoch DISCOVERY reads the store root with

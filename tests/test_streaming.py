@@ -2124,3 +2124,148 @@ class TestCapstoneNearDedup:
             r["doc_id"] for r in spark.read.parquet(dirs["curated"]).collect()
         }
         assert {1, 2} <= curated  # both admitted: no near screen ran
+
+
+class TestShingleIndexCompaction:
+    """corpus_index.py::compact_shingle_index (r8): the near-dup index's
+    generation fold — file collapse, byte-identical screening, and RTBF
+    against the folded generation."""
+
+    def test_fold_preserves_screening_and_collapses_files(self, spark, tmp_path):
+        import glob
+        import shutil
+
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            compact_shingle_index,
+            neardup_screen_sink,
+        )
+
+        S = TestNearDupScreenSink
+        batches = [
+            [(1, S.BASE), (2, S.UNRELATED)],
+            [(3, " ".join(f"m{i}" for i in range(24)))],
+            [(4, " ".join(f"n{i}" for i in range(24)))],
+        ]
+        probe = [(9, S.END6), (10, " ".join(f"p{i}" for i in range(24)))]
+
+        stores = {}
+        for path in ("a", "b"):
+            idx = str(tmp_path / f"idx_{path}")
+            acc = str(tmp_path / f"acc_{path}")
+            aud = str(tmp_path / f"aud_{path}")
+            sink = neardup_screen_sink(idx, acc, aud)
+            for b, rows in enumerate(batches):
+                sink(spark.createDataFrame(rows, S.DOC_SCHEMA), b)
+            stores[path] = (idx, acc, aud, sink)
+
+        idx_b, acc_b, aud_b, sink_b = stores["b"]
+        files_before = glob.glob(f"{idx_b}/src_batch=*/*.parquet")
+        gen2 = str(tmp_path / "idx_b_gen2")
+        compact_shingle_index(spark, idx_b, gen2)
+        shutil.rmtree(idx_b)
+        os.rename(gen2, idx_b)
+        files_after = glob.glob(f"{idx_b}/src_batch=*/*.parquet")
+        assert {os.path.basename(os.path.dirname(f)) for f in files_after} == {
+            "src_batch=0"
+        }
+        assert os.path.isfile(os.path.join(idx_b, "_COMPACTED"))
+        # same row set survives the fold
+        rows_a = sorted(
+            (r["doc_id"], r["g"], r["n_g"])
+            for r in spark.read.parquet(stores["a"][0]).collect()
+        )
+        rows_b = sorted(
+            (r["doc_id"], r["g"], r["n_g"])
+            for r in spark.read.parquet(idx_b).collect()
+        )
+        assert rows_a == rows_b
+
+        # identical probe epoch against stack vs folded generation
+        idx_a, acc_a, aud_a, sink_a = stores["a"]
+        sink_a(spark.createDataFrame(probe, S.DOC_SCHEMA), 3)
+        sink_b(spark.createDataFrame(probe, S.DOC_SCHEMA), 3)
+        for da, db in ((acc_a, acc_b), (aud_a, aud_b)):
+            ra = sorted(
+                map(tuple, spark.read.parquet(os.path.join(da, "batch_id=3")).collect())
+            )
+            rb = sorted(
+                map(tuple, spark.read.parquet(os.path.join(db, "batch_id=3")).collect())
+            )
+            assert ra == rb
+        # the probe's near-dup was actually rejected (the fold screened)
+        assert TestNearDupScreenSink._ids(spark, acc_b, 3) == [10]
+
+    def test_rtbf_after_fold(self, spark, tmp_path):
+        """Retraction against the folded generation: the victim's rows
+        leave src_batch=0 and its content is near-unknown again."""
+        import shutil
+        import time
+
+        from data_ingestion_experiment_otp_spark.streaming import drive
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            compact_shingle_index,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_ingest_epoch,
+            corpus_retract,
+            start_corpus_ingest,
+        )
+
+        S = TestNearDupScreenSink
+        vec = lambda s: [float(s)] + [0.0] * 63  # noqa: E731
+        in_dir = str(tmp_path / "feed")
+        batches = [
+            [(1, "web", len(S.BASE), S.BASE, vec(1))],
+            [(2, "web", len(S.UNRELATED), S.UNRELATED, vec(2))],
+        ]
+        for rows in batches:
+            spark.createDataFrame(
+                rows, TestStreamingCorpusPipeline.SCHEMA
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+            time.sleep(0.05)
+        cents = (
+            spark.createDataFrame(
+                [(0, vec(1))], "vec_id long, embedding array<float>"
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+        work = str(tmp_path / "work")
+        q = start_corpus_ingest(
+            spark,
+            in_dir,
+            work,
+            cents,
+            {"*": 0.0},
+            str(tmp_path / "ckpt"),
+            near_dedup=True,
+        )
+        drive.drain(q)
+        dirs = corpus_ingest_dirs(work)
+
+        gen2 = str(tmp_path / "sh_gen2")
+        compact_shingle_index(spark, dirs["shingle_index"], gen2)
+        shutil.rmtree(dirs["shingle_index"])
+        os.rename(gen2, dirs["shingle_index"])
+
+        removed = corpus_retract(spark, work, [1])
+        assert removed["shingle_index"] > 0
+        left = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(dirs["shingle_index"])
+            .collect()
+        }
+        assert left == {2}
+
+        # a near-dup of the victim's content is unknown again
+        epoch = corpus_ingest_epoch(work, cents, {"*": 0.0}, near_dedup=True)
+        epoch(
+            spark.createDataFrame(
+                [(9, "web", len(S.END6), S.END6, vec(9))],
+                TestStreamingCorpusPipeline.SCHEMA,
+            ),
+            7,
+        )
+        assert TestNearDupScreenSink._ids(spark, dirs["near_accepted"], 7) == [9]
