@@ -212,3 +212,76 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "semdedup_drop_rate",
         dominant.alias("dominant_script"),
     )
+
+
+_CORPUS_DIFF_ORACLE = """
+    WITH old AS (
+      SELECT doc_id, sha256(text) AS h
+      FROM documents WHERE doc_id % 10 < 9
+    ),
+    new AS (
+      SELECT doc_id,
+             sha256(CASE WHEN doc_id % 20 = 5 THEN text || ' v2' ELSE text END) AS h
+      FROM documents WHERE doc_id % 10 > 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           o.h AS old_hash, n.h AS new_hash
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+    """
+
+
+@register(
+    "llm_corpus_diff",
+    oracle=_CORPUS_DIFF_ORACLE,
+    tags=("llm", "audit", "versioning"),
+)
+def llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release corpus diff: the added/removed/changed manifest
+    a dataset release ships beside its card (what changed since v1 — the
+    artifact reproducibility audits and incremental re-training read).
+    Two corpus versions are simulated deterministically from the fixture
+    (v1 = doc_id%10<9; v2 = doc_id%10>0, with doc_id%20==5 re-crawled
+    with edited text), content-compared by sha256, UNCHANGED rows
+    excluded — the output is sparse in the stable corpus mass, which is
+    what makes the diff shippable at 100 TB (the full outer join on the
+    doc key is one co-partitioned sort-merge join; the hash comparison
+    moves 32-byte digests, never text; a null-text doc hashes NULL on
+    both sides and compares as unchanged). Cross-engine exact: Spark
+    `sha2(...,256)` == DuckDB `sha256` (lowercase hex), and the
+    three-branch status logic is shared verbatim."""
+    d = load(spark, sf_dir, "documents")
+    # presence is keyed on the DOC id, not hash nullity: a null-text doc
+    # hashes NULL, and added/removed must still report it (the oracle's
+    # o.doc_id IS NULL test) while a both-sides null-hash doc compares
+    # as unchanged (NULL <> NULL excludes it in both engines)
+    old = d.filter(F.col("doc_id") % 10 < 9).select(
+        F.col("doc_id").alias("o_id"), F.sha2("text", 256).alias("old_hash")
+    )
+    new = d.filter(F.col("doc_id") % 10 > 0).select(
+        F.col("doc_id").alias("n_id"),
+        F.sha2(
+            F.when(
+                F.col("doc_id") % 20 == 5, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+            256,
+        ).alias("new_hash"),
+    )
+    j = old.join(new, old["o_id"] == new["n_id"], "full_outer")
+    status = (
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.coalesce("o_id", "n_id").alias("doc_id"),
+        status.alias("status"),
+        "old_hash",
+        "new_hash",
+    ).filter(
+        F.col("status").isin("added", "removed")
+        | (F.col("old_hash") != F.col("new_hash"))
+    )

@@ -14,6 +14,7 @@ selection ORACLE-CHECKABLE, which engine-specific hashes cannot.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..plans.registry import register
 from ..sources.catalog import load
@@ -292,4 +293,92 @@ def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < int(_MOD * 0.1), F.lit("val"))
         .otherwise(F.lit("train"))
         .alias("split"),
+    )
+
+
+from .text_analysis import QC_ORACLE as _QC_ORACLE  # noqa: E402  (no cycle: text_analysis imports only registry/catalog/retrieval)
+
+_CURRICULUM_PHASES = 4
+_CURRICULUM_ORACLE = f"""
+    WITH qc AS (SELECT doc_id, margin FROM ({{QC}})),
+    tot AS (SELECT count(*) AS total FROM qc),
+    r AS (
+      SELECT doc_id, margin,
+             row_number() OVER (ORDER BY margin, doc_id) AS ord
+      FROM qc
+    )
+    SELECT r.doc_id, r.margin, CAST(r.ord AS BIGINT) AS ord,
+           ((r.ord - 1) * {_CURRICULUM_PHASES}) // tot.total + 1 AS phase
+    FROM r, tot
+    """.format(QC=_QC_ORACLE)
+
+
+@register(
+    "llm_curriculum",
+    oracle=_CURRICULUM_ORACLE,
+    tags=("llm", "sampling", "curriculum"),
+)
+def llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum ordering: every scored document gets a
+    deterministic global training ordinal by ASCENDING classifier margin
+    (`llm_quality_classifier`'s integer-exact score, ties to doc_id) and
+    an equal-size phase id 1..4 — the curriculum-learning data schedule
+    (noisy-tolerant warmup first, cleanest data in the final phase; the
+    anneal-to-quality recipe the published pretraining runs describe).
+    Integer-exact end to end, so it carries the full cross-engine hash
+    oracle — no rounding grid anywhere.
+
+    Scale shape: the naive form is `row_number() OVER (ORDER BY margin)`
+    — a single-partition global window, the classic 100 TB cliff. This
+    uses `sort_global_index`'s two-phase partition-offset pattern keyed
+    on the margin: explicit range bins from a min/max aggregate (NOT
+    repartitionByRange — its sampled boundaries differ between the
+    offsets job and the final job), per-bin counts prefix-summed on the
+    driver (bounded by the bin count), and a perfectly parallel
+    per-bin window. Bins are monotone in margin, so bin order IS
+    curriculum order. The phase id is pure arithmetic on the ordinal
+    (floor((ord-1)·P/total)), shared verbatim with the oracle. The
+    compact (doc_id, margin) relation is lazily localCheckpointed: three
+    consumers (bounds, counts, final) would otherwise re-run the
+    classifier scan per branch."""
+    from .text_analysis import llm_quality_classifier
+
+    n_bins = 8
+    scored = (
+        llm_quality_classifier(spark, sf_dir)
+        .select("doc_id", "margin")
+        .localCheckpoint(eager=False)
+    )
+    bounds = scored.agg(
+        F.min("margin").alias("lo"), F.max("margin").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return spark.createDataFrame(
+            [], "doc_id long, margin long, ord long, phase long"
+        )
+    lo, span = int(bounds["lo"]), int(bounds["hi"]) - int(bounds["lo"]) + 1
+    pid = F.least(
+        F.lit(n_bins - 1), ((F.col("margin") - lo) * n_bins / span).cast("int")
+    ).alias("pid")
+    part = scored.select("doc_id", "margin", pid)
+    counts = part.groupBy("pid").agg(F.count("*").alias("n")).orderBy("pid").collect()
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["pid"]] = acc
+        acc += r["n"]
+    total = acc
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("pid").orderBy("margin", "doc_id")
+    ord_col = (off[F.col("pid")] + F.row_number().over(w)).cast("long")
+    return part.select(
+        "doc_id",
+        "margin",
+        ord_col.alias("ord"),
+    ).select(
+        "doc_id",
+        "margin",
+        "ord",
+        (
+            F.expr(f"((ord - 1) * {_CURRICULUM_PHASES}) div {max(total, 1)}") + 1
+        ).alias("phase"),
     )
