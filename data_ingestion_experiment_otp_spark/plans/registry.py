@@ -229,6 +229,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         statemachine,
         text_analysis,
+        unigram,
         windows,
     )
     from ..plans import dataprep, flagship  # noqa: F401
