@@ -106,10 +106,15 @@ HEADLINE = [
     # the multi-probe SemDeDup screen
     "llm_bpe_train_scaled",
     "llm_semdedup_probe2",
+    # r8b additions: the unigram tokenizer family (artifact-served, like
+    # the BPE cells), curriculum ordering, and the release diff
+    "llm_unigram_encode",
+    "llm_curriculum",
+    "llm_corpus_diff",
 ]
 
 
-def bench_corpus_ingest(spark, sf_dir: str) -> tuple[float, float]:
+def bench_corpus_ingest(spark, sf_dir: str) -> tuple[float, float, float, float]:
     """Streaming-capstone throughput cell (r5 judge task 9): drive the
     corpus-ingest epoch function (dedup screen -> curation -> vector index
     -> text index, the exact composition start_corpus_ingest runs per
@@ -144,20 +149,34 @@ def bench_corpus_ingest(spark, sf_dir: str) -> tuple[float, float]:
         .select("vec_id", "embedding")
         .collect()
     )
-    work = tempfile.mkdtemp(prefix="bench_corpus_ingest_")
-    epoch = corpus_ingest_epoch(work, cents, {"*": 0.0})
-    runs = []
+    def drive(**kw):
+        work = tempfile.mkdtemp(prefix="bench_corpus_ingest_")
+        epoch = corpus_ingest_epoch(work, cents, {"*": 0.0}, **kw)
+        runs = []
+        try:
+            for b in range(3):
+                part = feed.filter(F.pmod("doc_id", F.lit(3)) == b)
+                t0 = time.perf_counter()
+                epoch(part, b)
+                runs.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        return min(runs)
+
     try:
-        for b in range(3):
-            part = feed.filter(F.pmod("doc_id", F.lit(3)) == b)
-            t0 = time.perf_counter()
-            epoch(part, b)
-            runs.append(time.perf_counter() - t0)
+        best = drive()
+        # the full eight-store composition (r8): + duplicated-substring
+        # screen and the persistent-shingle near-dup screen — the cost of
+        # turning every ingest-time screen on at once
+        best_full = drive(span_screen=True, near_dedup=True)
     finally:
         feed.unpersist()
-        shutil.rmtree(work, ignore_errors=True)
-    best = min(runs)
-    return round(best, 3), round((n_docs / 3) / best, 1)
+    return (
+        round(best, 3),
+        round((n_docs / 3) / best, 1),
+        round(best_full, 3),
+        round((n_docs / 3) / best_full, 1),
+    )
 
 
 def main() -> None:
@@ -216,8 +235,9 @@ def main() -> None:
         # (BENCH_HISTORY.md discipline)
         spread[name] = round(warm_spread(runs[name]), 1)
 
-    ingest_sec, ingest_dps = bench_corpus_ingest(spark, sf_dir)
+    ingest_sec, ingest_dps, full_sec, full_dps = bench_corpus_ingest(spark, sf_dir)
     timings["corpus_ingest_epoch"] = ingest_sec
+    timings["corpus_ingest_full_screens"] = full_sec
 
     total = round(sum(timings.values()), 3)
     # Auxiliary detail goes to STDERR: the driver's bench capture keeps a
@@ -225,7 +245,7 @@ def main() -> None:
     # spread_pct) overflowed it, truncating the JSON ("parsed": null in
     # BENCH_r05.json). Stdout carries exactly ONE compact JSON line.
     print(
-        json.dumps({"spread_pct": spread, "reps": reps, "ingest_docs_per_sec": ingest_dps}),
+        json.dumps({"spread_pct": spread, "reps": reps, "ingest_docs_per_sec": ingest_dps, "full_screens_docs_per_sec": full_dps}),
         file=sys.stderr,
     )
     print(
