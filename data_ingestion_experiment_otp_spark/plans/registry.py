@@ -123,10 +123,15 @@ DRIVER_ORDER: tuple[str, ...] = (
     # AND iterates the same _shingle_pair_counts relation on the Spark
     # side, so a driver hash-pass on the cluster fixpoint is hash evidence
     # for the pair pass by composition (exact oracle retained in pytest
-    # parity). Its slot carries llm_dup_spans below — the suffix-array
-    # dedup family (substring-granularity detection + removal), a NEW
-    # dedup capability rather than a covered constituent.
-    "llm_dup_spans",
+    # parity). Its slot carried llm_dup_spans in r7; llm_dup_spans is in
+    # turn driver-demoted (r8): llm_dataset_card splices _DUP_SPANS_ORACLE
+    # verbatim into its dup_span_rate column AND composes llm_dup_spans on
+    # the Spark side, so the card's driver hash-pass is hash evidence for
+    # the span pass by composition (exact oracle retained in pytest
+    # parity at 3 SFs). The slot carries llm_corpus_diff below — the
+    # release-versioning capability (added/removed/changed manifest), new
+    # surface rather than a covered constituent.
+    "llm_corpus_diff",
     # r5: asymmetric containment (overlap coefficient) — the
     # subset-duplicate case Jaccard structurally misses; full hash oracle
     "llm_containment_dedup",
@@ -136,7 +141,16 @@ DRIVER_ORDER: tuple[str, ...] = (
     # its real verification is the hamming-locality invariant in pytest.
     # The freed slot carries snk_jdbc's full write→read oracle instead.
     "llm_embed_cosine_dedup",
-    "llm_dedup_clusters",
+    # llm_dedup_clusters is driver-demoted (r8): llm_dataset_card splices
+    # its recursive-CTE fixpoint verbatim into neardup_rate AND composes
+    # llm_dedup_clusters on the Spark side, so the card slot hash-covers
+    # the cluster fixpoint (and, transitively, the ngram pair pass) by
+    # composition; exact oracle retained in pytest parity at 3 SFs. Its
+    # slot carries llm_curriculum below — curriculum ordering over the
+    # classifier margin, whose oracle additionally splices the
+    # quality-classifier SQL verbatim (driver-hash evidence for the model
+    # gate, previously pytest-only).
+    "llm_curriculum",
     "llm_incremental_dedup",
     # §2.10 similarity / multimodal
     "llm_sim_topk",
