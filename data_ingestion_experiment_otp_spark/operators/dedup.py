@@ -1096,12 +1096,56 @@ def _char_pair_counts(
         )
         tok = tok.join(rare, "w")
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = tok.alias("a"), tok.alias("b")
-    inter = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    # Pair generation was a gram-keyed SELF-JOIN here through r7. That
+    # join EXPANDS — ~332k capped tok rows at sf0.1 become Σ df²/2 ≈ 770M
+    # gram-pair rows — and AQE plans the probe stage from the INPUT
+    # bytes (~10 MB), so run-to-run it sometimes executed the whole
+    # expansion + partial aggregation in ONE task (observed live: a
+    # bimodal 4 s / 28 s cell with byte-identical plans; REST stage
+    # metrics showed tasks=1 on the join stage in every slow run — the
+    # historical "cache-sensitive" spread on this cell was exactly this).
+    # The in-group expansion below generates the identical pair multiset
+    # with no join: per gram, the SORTED distinct doc list (exact, since
+    # grams are array_distinct per doc), then doc_a paired with every
+    # later element via a two-level explode — the second explode slices
+    # at most df elements per row, so generate buffers stay bounded by
+    # the df cap even at the absolute ceiling. The explicit
+    # REPARTITION_BY_NUM by gram is the part AQE cannot coalesce: the
+    # expansion always runs at full width, and the df cap keeps per-gram
+    # pair volume (hence partition balance) bounded at any corpus size.
+    if capped:
+        n_wide = 2 * max(2, spark.sparkContext.defaultParallelism)
+        grouped = (
+            tok.groupBy("w")
+            .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+            .filter(F.size("ds") >= 2)
+            .repartition(n_wide, "w")
+        )
+        inter = (
+            grouped.select("ds", F.posexplode("ds").alias("i0", "doc_a"))
+            .select(
+                "doc_a",
+                F.explode(F.expr("slice(ds, i0 + 2, size(ds))")).alias("doc_b"),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        # The UNCAPPED form keeps the join: without the df cap the gram
+        # doc-lists are corpus-sized and the collect_set/array path costs
+        # 4x the pipelined join (measured 35 s vs 8 s at sf0.1). This
+        # form is the fixture/oracle tier — degenerate toward all-pairs
+        # by design, never the scale path (docstring above).
+        a, b = tok.alias("a"), tok.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.w") == F.col("b.w"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return inter.join(sa, "doc_a").join(sb, "doc_b")
