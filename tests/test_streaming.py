@@ -2269,3 +2269,131 @@ class TestShingleIndexCompaction:
             7,
         )
         assert TestNearDupScreenSink._ids(spark, dirs["near_accepted"], 7) == [9]
+
+
+class TestCapstoneAllStages:
+    """The full eight-store composition: every optional stage on at once
+    (drift + span screen + near-dup screen) — the stages must not
+    interfere, and a replayed epoch must reproduce every store
+    byte-identically."""
+
+    def test_all_stages_compose_and_replay_byte_identical(self, spark, tmp_path):
+        import glob
+        import time
+
+        from data_ingestion_experiment_otp_spark.streaming import drive
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_ingest_epoch,
+            start_corpus_ingest,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.drift_monitor import (
+            calibrate_reference,
+        )
+
+        base = TestNearDupScreenSink.BASE
+        end6 = TestNearDupScreenSink.END6
+        unrelated = TestNearDupScreenSink.UNRELATED
+        span8 = TestSpanScreenSink.SPAN8
+        vec = lambda s: [float(s)] + [0.0] * 63  # noqa: E731
+        batches = [
+            [
+                (1, "web", len(base), base, vec(1)),
+                (2, "web", len(unrelated), unrelated, vec(2)),
+                (3, "web", 40, f"a1 a2 {span8} a3 a4 a5", vec(3)),
+            ],
+            [
+                (4, "web", len(base), base, vec(4)),      # exact dup of 1
+                (5, "web", len(end6), end6, vec(5)),       # near dup of 1
+                (6, "forum", 40, f"b1 b2 {span8} b3 b4 b5", vec(6)),  # span repeat
+                (7, "forum", 30, " ".join(f"q{i}" for i in range(20)), vec(7)),
+            ],
+        ]
+        in_dir = str(tmp_path / "feed")
+        for rows in batches:
+            spark.createDataFrame(
+                rows, TestStreamingCorpusPipeline.SCHEMA
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+            time.sleep(0.05)
+        ref = calibrate_reference(
+            spark.createDataFrame(
+                [(i, r[3]) for i, r in enumerate(batches[0])],
+                "doc_id long, text string",
+            )
+        )
+        cents = (
+            spark.createDataFrame(
+                [(0, vec(1)), (1, vec(2))], "vec_id long, embedding array<float>"
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+        work = str(tmp_path / "work")
+        q = start_corpus_ingest(
+            spark,
+            in_dir,
+            work,
+            cents,
+            {"*": 0.0},
+            str(tmp_path / "ckpt"),
+            drift_reference=ref,
+            span_screen=True,
+            near_dedup=True,
+        )
+        drive.drain(q)
+        dirs = corpus_ingest_dirs(work)
+
+        # every one of the 11 stores materialized
+        for k, d in dirs.items():
+            assert os.path.isdir(d), k
+        # stage interactions: 4 exact-killed, 5 near-killed, 6 admitted
+        # with its span COVERED (epoch-1 doc 3 planted the grams)
+        near_accepted = {
+            r["doc_id"] for r in spark.read.parquet(dirs["near_accepted"]).collect()
+        }
+        assert near_accepted == {1, 2, 3, 6, 7}
+        audit = {
+            r["doc_id"]: r["dup_tokens"]
+            for r in spark.read.parquet(
+                os.path.join(dirs["span_audit"], "batch_id=1")
+            ).collect()
+        }
+        assert audit[6] == 8 and audit[7] == 0
+        # drift rows exist for both sources in epoch 1
+        drift_rows = {
+            r["source"]
+            for r in spark.read.parquet(
+                os.path.join(dirs["drift_audit"], "batch_id=1")
+            ).collect()
+        }
+        assert drift_rows == {"web", "forum"}
+
+        # replay epoch 1 verbatim: all stores byte-identical
+        # text/vector indexes hold multiple sub-tables; snapshot each
+        # leaf table separately (a root read raises
+        # CONFLICTING_DIRECTORY_STRUCTURES by design)
+        def leaf_tables(d):
+            subs = [
+                e
+                for e in sorted(os.listdir(d))
+                if os.path.isdir(os.path.join(d, e)) and "=" not in e
+            ]
+            return [os.path.join(d, e) for e in subs] if subs else [d]
+
+        def snapshot():
+            out = {}
+            for k, d in sorted(dirs.items()):
+                for t in leaf_tables(d):
+                    out[f"{k}/{os.path.basename(t)}"] = sorted(
+                        map(tuple, spark.read.parquet(t).collect())
+                    )
+            return out
+
+        before = snapshot()
+        epoch = corpus_ingest_epoch(
+            work, cents, {"*": 0.0}, ref, 1.0, True, True
+        )
+        epoch(
+            spark.createDataFrame(batches[1], TestStreamingCorpusPipeline.SCHEMA), 1
+        )
+        assert snapshot() == before
