@@ -369,3 +369,61 @@ def llm_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("uni_tokens").alias("uni_tokens"),
         )
     )
+
+
+@register(
+    "llm_unigram_decode",
+    oracle=None,  # inverts the EM-trained vocabulary (non-SQL tier); the
+    # sha256 round-trip is pinned against the raw corpus in pytest
+    tags=("llm", "text", "unigram"),
+)
+def llm_unigram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode — the round-trip closing the unigram tier the way
+    `llm_bpe_decode` closes the BPE tier: re-derive each word's piece-id
+    sequence, invert ids back through the vocabulary, reassemble pieces
+    in position order, rebuild each document's text, and emit the decoded
+    sha256 plus ``lossless`` (decoded == the original's space-normalized
+    words — Viterbi segmentation is a partition of the word, so the tier
+    is lossless by construction; this operator PROVES the implementation
+    is, pinned in pytest against sha256 of the raw corpus computed
+    outside the engine).
+
+    Scale shape: identical to the BPE decode — the inversion runs over
+    the vocabulary-bounded artifact relations; corpus-sized work is one
+    scan + a word-keyed join + one per-doc ordered reassembly."""
+    wordsyms, vocab = _artifact_frames(spark, sf_dir)
+    wordpos = wordsyms.select("w", F.posexplode("syms").alias("pos0", "piece"))
+    wordids = wordpos.join(F.broadcast(vocab.select("piece", "tok_id")), "piece").select(
+        "w", "pos0", "tok_id"
+    )
+    inv = vocab.select("tok_id", F.col("piece").alias("dec_piece"))
+    decwords = (
+        wordids.join(F.broadcast(inv), "tok_id")
+        .groupBy("w")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos0", "dec_piece"))),
+                    lambda s: s["dec_piece"],
+                ),
+                "",
+            ).alias("dec_w")
+        )
+    )
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    dw = d.select("doc_id", F.posexplode(ws).alias("pos", "w"))
+    joined = dw.join(decwords, "w")
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "dec_w", "w")))
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.array_join(F.transform(ordered, lambda s: s["dec_w"]), " ").alias("dec_text"),
+        F.array_join(F.transform(ordered, lambda s: s["w"]), " ").alias("orig_text"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        F.length("dec_text").cast("long").alias("dec_n_chars"),
+        F.sha2("dec_text", 256).alias("dec_sha"),
+        (F.col("dec_text") == F.col("orig_text")).alias("lossless"),
+    )

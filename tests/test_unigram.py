@@ -327,3 +327,31 @@ class TestFixtureGates:
                 # the plan string elides long paths, so match the store
                 # root rather than the full artifact file name
                 assert "spark_graft_unigram_store" in ln, ln
+
+
+class TestDecodeRoundTrip:
+    def test_decode_is_lossless_and_matches_outside_sha(self, spark, sf_dir):
+        """Every fixture doc decodes losslessly, and the decoded sha256
+        equals a reference computed OUTSIDE both engines from the raw
+        corpus (space-normalized words)."""
+        import hashlib
+
+        rows = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            ).collect()
+        }
+        want = {}
+        for doc_id, t in rows.items():
+            wsx = [w for w in (t or "").split(" ") if w]
+            if wsx:
+                norm = " ".join(wsx)
+                want[doc_id] = hashlib.sha256(norm.encode()).hexdigest()
+        got = {
+            r["doc_id"]: (r["dec_sha"], r["lossless"])
+            for r in SPECS["llm_unigram_decode"].fn(spark, sf_dir).collect()
+        }
+        assert set(got) == set(want)
+        for doc_id, sha in want.items():
+            assert got[doc_id] == (sha, True), doc_id
