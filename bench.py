@@ -109,6 +109,7 @@ HEADLINE = [
     # r8b additions: the unigram tokenizer family (artifact-served, like
     # the BPE cells), curriculum ordering, and the release diff
     "llm_unigram_encode",
+    "llm_unigram_decode",
     "llm_curriculum",
     "llm_corpus_diff",
 ]
