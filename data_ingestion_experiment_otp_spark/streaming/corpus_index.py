@@ -120,14 +120,34 @@ def compact_span_index(spark, gram_index_dir: str, out_dir: str) -> None:
     underscore-prefixed file, invisible to Spark's file index): the
     marker tells `corpus_retract` that per-epoch provenance is folded,
     switching RTBF from per-epoch recount to gram-count SUBTRACTION.
+    The marker's CONTENT is the JSON list of epoch ids the fold consumed
+    (r9, ADVICE): retraction must subtract only for victims from epochs
+    that actually contributed grams — an epoch ingested with
+    span_screen=False never did, and subtracting its victims' grams
+    would under-count unrelated docs sharing them.
     Same quiesce discipline as every generation swap here: a replay of a
     folded epoch must not race the swap (the replay guard would re-admit
     grams the fold already counted)."""
+    import json
+
     idx = (
         spark.read.schema(GRAM_INDEX_SCHEMA)
         .option("basePath", gram_index_dir)
         .parquet(gram_index_dir)
     )
+    folded_set = {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(gram_index_dir)
+        if e.startswith("src_batch=")
+    }
+    prior_marker = os.path.join(gram_index_dir, "_COMPACTED")
+    if os.path.isfile(prior_marker):  # re-fold: union the prior fold's epochs
+        try:
+            with open(prior_marker) as fh:
+                folded_set |= {int(e) for e in json.load(fh)}
+        except (ValueError, OSError):
+            pass
+    folded = sorted(folded_set)
     (
         idx.groupBy("g")
         .agg(F.sum("n").alias("n"))
@@ -137,7 +157,8 @@ def compact_span_index(spark, gram_index_dir: str, out_dir: str) -> None:
         .partitionBy("src_batch")
         .parquet(out_dir)
     )
-    open(os.path.join(out_dir, "_COMPACTED"), "w").close()
+    with open(os.path.join(out_dir, "_COMPACTED"), "w") as fh:
+        json.dump(folded, fh)
 
 
 def span_screen_sink(

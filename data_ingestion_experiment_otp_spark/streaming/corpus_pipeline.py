@@ -323,25 +323,60 @@ def corpus_retract(
 
     gdir = dirs["gram_index"]
     gram_compacted = os.path.isfile(os.path.join(gdir, "_COMPACTED"))
+    # Folded-epoch provenance (ADVICE r8): the _COMPACTED marker records
+    # WHICH epochs the fold consumed, so subtraction fires only for
+    # victims from epochs that actually contributed grams — an epoch
+    # ingested with span_screen=False never did, and subtracting its
+    # victims' grams would under-count unrelated docs sharing them. A
+    # legacy empty marker (pre-r9 folds) falls back to the old
+    # partition-absence heuristic, documented as the weaker contract.
+    folded_epochs: set[int] | None = None
+    if gram_compacted:
+        import json
+
+        try:
+            with open(os.path.join(gdir, "_COMPACTED")) as fh:
+                folded_epochs = {int(e) for e in json.load(fh)}
+        except (ValueError, OSError):
+            folded_epochs = None
 
     for b in epochs:
         part = os.path.join(dirs["accepted"], f"batch_id={b}")
         df = spark.read.parquet(part).persist()
         kept = df.filter(~F.col("doc_id").isin(ids))
         removed["accepted"] += df.count() - kept.count()
+        # The relation the span screen actually indexed (ADVICE r8, high):
+        # with near_dedup on, span_screen_sink consumed near_accepted, not
+        # accepted — a near-REJECTED victim contributed no grams, so both
+        # the subtraction and the recount below must derive from the
+        # near_accepted partition when it exists.
+        npart = os.path.join(dirs["near_accepted"], f"batch_id={b}")
+        span_src_is_near = os.path.isdir(npart)
         # Compacted gram index: per-epoch provenance is folded, so RTBF
         # switches from recount to SUBTRACTING the victims' gram counts —
-        # computed from the OLD accepted rows and materialized BEFORE the
-        # swap below rewrites the files the persisted frame hangs off.
+        # computed from the OLD span-source rows and materialized BEFORE
+        # the swaps below rewrite the files the persisted frame hangs off.
         gv = None
         gpart = os.path.join(gdir, f"src_batch={b}")
-        if gram_compacted and (b == 0 or not os.path.isdir(gpart)):
+        epoch_folded = (
+            (b in folded_epochs)
+            if folded_epochs is not None
+            else (b == 0 or not os.path.isdir(gpart))
+        )
+        if gram_compacted and epoch_folded:
             from ..operators.dedup import _span_pos_grams, _span_toks
 
+            span_src = (
+                spark.read.schema("doc_id long, text string").parquet(npart)
+                if span_src_is_near
+                else df
+            )
             gv = (
                 _span_pos_grams(
                     _span_toks(
-                        df.filter(F.col("doc_id").isin(ids)).select("doc_id", "text")
+                        span_src.filter(F.col("doc_id").isin(ids)).select(
+                            "doc_id", "text"
+                        )
                     )
                 )
                 .groupBy("g")
@@ -452,10 +487,15 @@ def corpus_retract(
             # files, where schema inference fails and wedges retraction —
             # the GRAM_INDEX_SCHEMA / test_zero_row_epoch convention.
             # Parquet column pruning makes the 2-column schema free.
+            # Recount from the REWRITTEN span source: near_accepted when
+            # the near screen ran (the relation span_screen_sink actually
+            # consumed — ADVICE r8 high), else accepted.
             gnew = (
                 _span_pos_grams(
                     _span_toks(
-                        spark.read.schema("doc_id long, text string").parquet(part)
+                        spark.read.schema("doc_id long, text string").parquet(
+                            npart if span_src_is_near else part
+                        )
                     )
                 )
                 .groupBy("g")

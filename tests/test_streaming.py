@@ -2397,3 +2397,179 @@ class TestCapstoneAllStages:
             spark.createDataFrame(batches[1], TestStreamingCorpusPipeline.SCHEMA), 1
         )
         assert snapshot() == before
+
+
+class TestRetractionWithBothScreens:
+    """corpus_retract with span_screen AND near_dedup on (ADVICE r8,
+    high): the span sink indexed only near_accepted docs, so retraction's
+    gram recount/subtraction must derive from that relation too — a
+    near-REJECTED victim contributed no grams and its retraction must
+    leave the gram index untouched, while the recount of a survivor's
+    epoch must not re-add near-rejected docs' never-admitted grams."""
+
+    @staticmethod
+    def _grams(spark, gdir):
+        return {
+            (r["g"], r["src_batch"]): r["n"]
+            for r in spark.read.schema(
+                "g long, n long, src_batch long"
+            )
+            .option("basePath", gdir)
+            .parquet(gdir)
+            .collect()
+        }
+
+    @staticmethod
+    def _ingest(spark, work, span_screen=True, near_dedup=True):
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_epoch,
+        )
+
+        vec = lambda s: [float(s)] + [0.0] * 63  # noqa: E731
+        cents = (
+            spark.createDataFrame(
+                [(0, vec(1))], "vec_id long, embedding array<float>"
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+        epoch = corpus_ingest_epoch(
+            work, cents, {"*": 0.0}, span_screen=span_screen, near_dedup=near_dedup
+        )
+
+        def run(batch_id, rows):
+            epoch(
+                spark.createDataFrame(
+                    [(i, "web", len(t), t, vec(i)) for i, t in rows],
+                    TestStreamingCorpusPipeline.SCHEMA,
+                ),
+                batch_id,
+            )
+
+        return run
+
+    def _setup(self, spark, tmp_path):
+        """Epoch 0: base + unrelated. Epoch 1: near-dup of base (near-
+        REJECTED → never span-indexed) + a fresh survivor."""
+        S = TestNearDupScreenSink
+        work = str(tmp_path / "work")
+        run = self._ingest(spark, work)
+        run(0, [(1, S.BASE), (2, S.UNRELATED)])
+        fresh = " ".join(f"f{i}" for i in range(24))
+        run(1, [(5, S.END6), (6, fresh)])
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+        )
+
+        dirs = corpus_ingest_dirs(work)
+        near1 = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(os.path.join(dirs["near_accepted"], "batch_id=1"))
+            .collect()
+        }
+        assert near1 == {6}  # 5 was near-rejected: never reached the span sink
+        return work, dirs
+
+    def test_retracting_near_rejected_victim_leaves_gram_index_untouched(
+        self, spark, tmp_path
+    ):
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_retract,
+        )
+
+        work, dirs = self._setup(spark, tmp_path)
+        before = self._grams(spark, dirs["gram_index"])
+        removed = corpus_retract(spark, work, [5])
+        assert removed["accepted"] == 1  # exact screen had admitted it
+        assert removed["gram_index"] == 0
+        assert self._grams(spark, dirs["gram_index"]) == before
+
+    def test_recount_of_survivor_epoch_excludes_near_rejected_grams(
+        self, spark, tmp_path
+    ):
+        """Retract the near-ACCEPTED doc 6: epoch 1's gram partition is
+        recounted and must come back EMPTY — the near-rejected doc 5 is
+        still in `accepted` but never contributed grams."""
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_retract,
+        )
+
+        work, dirs = self._setup(spark, tmp_path)
+        removed = corpus_retract(spark, work, [6])
+        assert removed["gram_index"] > 0
+        after = self._grams(spark, dirs["gram_index"])
+        assert not any(sb == 1 for (_, sb) in after)  # epoch-1 grams all gone
+        assert any(sb == 0 for (_, sb) in after)  # epoch-0 grams intact
+
+    def test_subtraction_after_fold_uses_near_accepted(self, spark, tmp_path):
+        """Compacted generation: subtracting a near-rejected victim must
+        subtract NOTHING (it shares grams with its near-original, whose
+        counts would otherwise be corrupted); subtracting the survivor
+        removes exactly its grams."""
+        import shutil
+
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            compact_span_index,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_retract,
+        )
+
+        work, dirs = self._setup(spark, tmp_path)
+        gen2 = str(tmp_path / "gram_gen2")
+        compact_span_index(spark, dirs["gram_index"], gen2)
+        shutil.rmtree(dirs["gram_index"])
+        os.rename(gen2, dirs["gram_index"])
+
+        before = self._grams(spark, dirs["gram_index"])
+        removed = corpus_retract(spark, work, [5])  # near-rejected victim
+        assert removed["gram_index"] == 0
+        assert self._grams(spark, dirs["gram_index"]) == before
+
+        removed = corpus_retract(spark, work, [6])  # the epoch-1 survivor
+        assert removed["gram_index"] > 0
+        after = self._grams(spark, dirs["gram_index"])
+        # doc 6's text is disjoint from epoch 0's: exactly its grams left
+        assert sum(after.values()) == sum(before.values()) - removed["gram_index"]
+
+    def test_fold_marker_scopes_subtraction_to_folded_epochs(
+        self, spark, tmp_path
+    ):
+        """ADVICE r8 (medium): an epoch ingested with span_screen=False
+        never contributed grams — after a fold, retracting its docs must
+        not subtract their (shared) grams from the folded generation."""
+        import shutil
+
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            compact_span_index,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_retract,
+        )
+
+        S = TestSpanScreenSink
+        work = str(tmp_path / "work")
+        # epoch 0 WITH the span screen: doc 1 plants span8's grams
+        run_on = self._ingest(spark, work, span_screen=True, near_dedup=False)
+        run_on(0, [(1, f"a1 a2 {S.SPAN8} a3 a4 a5")])
+        # epoch 1 WITHOUT it: doc 9 repeats the same span, adds no grams
+        run_off = self._ingest(spark, work, span_screen=False, near_dedup=False)
+        run_off(1, [(9, f"b1 b2 {S.SPAN8} b3 b4 b5")])
+
+        dirs = corpus_ingest_dirs(work)
+        gen2 = str(tmp_path / "gram_gen2")
+        compact_span_index(spark, dirs["gram_index"], gen2)
+        shutil.rmtree(dirs["gram_index"])
+        os.rename(gen2, dirs["gram_index"])
+        import json
+
+        with open(os.path.join(dirs["gram_index"], "_COMPACTED")) as fh:
+            assert json.load(fh) == [0]
+
+        before = self._grams(spark, dirs["gram_index"])
+        removed = corpus_retract(spark, work, [9])
+        assert removed["accepted"] == 1
+        assert removed["gram_index"] == 0  # epoch 1 was never folded
+        assert self._grams(spark, dirs["gram_index"]) == before
