@@ -379,17 +379,58 @@ _SEG_SCHEMA = "w string, n long, seg string"
 _VOCAB_SCHEMA = "sym string, tok_id long"
 
 
-def _artifact_key(sf_dir: str, n_merges: int, top_v: int, min_freq: int) -> str:
-    import hashlib
+def _store_root(name: str) -> str:
+    """Per-user artifact store root (ADVICE r8): tempfile.gettempdir() is
+    world-shared, so an unqualified store name would trust another user's
+    pre-existing _COMMITTED directory (or collide on permissions).
+    Namespacing by uid/username keeps the train-once/serve-forever cache
+    private; the directory is created 0o700."""
+    import os
+    import tempfile
+
+    try:
+        import getpass
+
+        user = getpass.getuser()
+    except Exception:
+        user = "user"
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    root = os.path.join(tempfile.gettempdir(), f"{name}-{user}-{uid}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return root
+
+
+def corpus_signature(sf_dir: str) -> str:
+    """Content signature of the documents table: per-FILE (name, size,
+    mtime_ns) for the parquet directory — strictly stronger than the
+    single directory-stat it replaces (a corpus edit that preserved the
+    dir's mtime+size previously served a stale tokenizer — ADVICE r8).
+    Still O(listdir), no data scan, as train-once serving requires."""
     import os
 
     p = os.path.join(sf_dir, "documents.parquet")
     try:
+        if os.path.isdir(p):
+            parts = sorted(
+                (e, st.st_size, st.st_mtime_ns)
+                for e in os.listdir(p)
+                for st in (os.stat(os.path.join(p, e)),)
+            )
+            return "|".join(f"{n}:{s}:{m}" for n, s, m in parts) or "empty"
         st = os.stat(p)
-        sig = f"{st.st_mtime_ns}:{st.st_size}"
+        return f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
-        sig = "absent"
-    raw = f"{os.path.abspath(sf_dir)}|{sig}|{n_merges}|{top_v}|{min_freq}"
+        return "absent"
+
+
+def _artifact_key(sf_dir: str, n_merges: int, top_v: int, min_freq: int) -> str:
+    import hashlib
+    import os
+
+    raw = (
+        f"{os.path.abspath(sf_dir)}|{corpus_signature(sf_dir)}"
+        f"|{n_merges}|{top_v}|{min_freq}"
+    )
     return hashlib.sha256(raw.encode()).hexdigest()[:20]
 
 
@@ -406,13 +447,11 @@ def _bpe_artifact(
     serving entry afterwards reads only the tokenizer-sized store."""
     import os
     import shutil
-    import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_bpe_store")
+    root = _store_root("spark_graft_bpe_store")
     final = os.path.join(root, _artifact_key(sf_dir, n_merges, top_v, min_freq))
     if os.path.isfile(os.path.join(final, "_COMMITTED")):
         return final
-    os.makedirs(root, exist_ok=True)
     tmp = f"{final}.build{os.getpid()}"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)

@@ -288,9 +288,14 @@ def assign_to_centroids(vec: DataFrame, cents: list) -> DataFrame:
                 continue
             V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.round(
-                    (V @ Cm.T) / (np.linalg.norm(V, axis=1, keepdims=True) * c_norm[None, :]), 6
+                raw = (V @ Cm.T) / (
+                    np.linalg.norm(V, axis=1, keepdims=True) * c_norm[None, :]
                 )
+                # half-up to the 1e-6 grid — the SemDeDup tier's shared
+                # rounding (matches DuckDB round(); np.round is half-to-
+                # even and can flip vs the oracle at exact half-boundary
+                # cosines — ADVICE r8)
+                sims = np.floor(np.abs(raw) * 1e6 + 0.5) * np.sign(raw) / 1e6
             # argmax with ties -> lowest centroid id; NaN (zero-norm row)
             # sorts below every real cosine via the -2.0 sentinel
             key = np.where(np.isnan(sims), -2.0, sims)

@@ -163,12 +163,16 @@ def _train(spark: SparkSession, sf_dir: str, top_v: int = _TRAIN_TOP_V):
     words = _word_counts(spark, sf_dir).localCheckpoint(eager=False)
     rows = words.orderBy(F.desc("n"), "w").limit(top_v).collect()
     # distinct characters over the FULL word table: bounded by the script
-    # repertoire, so the collect is constant-size at any corpus scale
+    # repertoire, so the collect is constant-size at any corpus scale.
+    # split on "" is codepoint-atomic AND includes line terminators —
+    # the lookahead form ((?!^)(?=.)) it replaces missed newlines (Java
+    # `.` excludes them) and split surrogate pairs, so a word with
+    # either outside the top-V table missed the char-coverage floor and
+    # silently segmented to empty — ADVICE r8.
     all_chars = [
         r["c"]
-        for r in words.select(
-            F.explode(F.split("w", "(?!^)(?=.)")).alias("c")
-        )
+        for r in words.select(F.explode(F.split("w", "")).alias("c"))
+        .filter(F.col("c") != "")
         .distinct()
         .collect()
     ]
@@ -201,15 +205,11 @@ def _artifact_key(sf_dir: str, top_v: int) -> str:
     import hashlib
     import os
 
-    p = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(p)
-        sig = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        sig = "absent"
+    from .bpe import corpus_signature
+
     raw = (
-        f"unigram|{os.path.abspath(sf_dir)}|{sig}|{top_v}|{_UNI_TARGET_MULTI}"
-        f"|{_UNI_ROUNDS}|{_UNI_MAX_LEN}|{_UNI_SEED_CAP}"
+        f"unigram|{os.path.abspath(sf_dir)}|{corpus_signature(sf_dir)}|{top_v}"
+        f"|{_UNI_TARGET_MULTI}|{_UNI_ROUNDS}|{_UNI_MAX_LEN}|{_UNI_SEED_CAP}"
     )
     return hashlib.sha256(raw.encode()).hexdigest()[:20]
 
@@ -217,16 +217,17 @@ def _artifact_key(sf_dir: str, top_v: int) -> str:
 def _unigram_artifact(spark: SparkSession, sf_dir: str, top_v: int = _TRAIN_TOP_V) -> str:
     """Train-once / serve-forever (the bpe._bpe_artifact pattern verbatim:
     _COMMITTED marker, build-then-rename promotion, concurrent builders
-    race benignly because training is deterministic)."""
+    race benignly because training is deterministic; per-user store root
+    + per-file corpus signature — bpe._store_root / corpus_signature)."""
     import os
     import shutil
-    import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_unigram_store")
+    from .bpe import _store_root
+
+    root = _store_root("spark_graft_unigram_store")
     final = os.path.join(root, _artifact_key(sf_dir, top_v))
     if os.path.isfile(os.path.join(final, "_COMMITTED")):
         return final
-    os.makedirs(root, exist_ok=True)
     tmp = f"{final}.build{os.getpid()}"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)

@@ -180,6 +180,33 @@ class TestPlantedSemantics:
         for ch in "xyz":
             assert ch in vocab
 
+    def test_newline_and_astral_chars_outside_top_v_stay_segmentable(
+        self, spark, tmp_path
+    ):
+        """ADVICE r8: the distinct-char aggregate must see line
+        terminators (Java `.` excludes them without (?s)) and non-BMP
+        characters in words BEYOND the top-V table — otherwise the
+        char-coverage floor misses them and the word silently segments
+        to empty, breaking the every-word-segmentable guarantee."""
+        from data_ingestion_experiment_otp_spark.operators.unigram import _train
+
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf, exist_ok=True)
+        # words split on ' ' only, so "a\nb" is one word; top_v=2 keeps
+        # only the two common words — the probe words ride in solely via
+        # the distinct-char aggregate
+        texts = ["common words common words common words", "a\nb x\U0001F600y"]
+        spark.createDataFrame(
+            [(i, "s", "en", len(t), t) for i, t in enumerate(texts)],
+            "doc_id long, source string, lang string, n_chars long, text string",
+        ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+        seg_df, vocab = _train(spark, sf, top_v=2)
+        assert "\n" in vocab and "\U0001F600" in vocab
+        segs = {r["w"]: r["seg"] for r in seg_df.collect()}
+        for w in ("a\nb", "x\U0001F600y"):
+            pieces = [p for p in segs[w].split("\x1f") if p]
+            assert pieces and "".join(pieces) == w
+
     def test_exact_integer_vs_fraction_viterbi_agree(self):
         """The operator's cross-multiplied integer Viterbi and the
         reference's Fraction Viterbi are the same function — swept over
