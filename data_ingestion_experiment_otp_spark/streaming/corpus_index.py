@@ -235,11 +235,22 @@ def span_screen_sink(
     return screen
 
 
-SHINGLE_INDEX_SCHEMA = T.StructType(
+# The near-dup index's two sub-stores (r9): band keys for candidate
+# generation (8 rows/doc, 16 bytes each) and the per-doc hashed gram SET
+# sidecar for exact verification (1 row/doc).
+SHINGLE_BANDS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("g", T.LongType()),
-        T.StructField("n_g", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("src_batch", T.LongType()),
+    ]
+)
+SHINGLE_GRAMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("hs", T.ArrayType(T.IntegerType())),
+        T.StructField("n_g", T.IntegerType()),
         T.StructField("src_batch", T.LongType()),
     ]
 )
@@ -253,136 +264,113 @@ NEAR_AUDIT_SCHEMA = T.StructType(
     ]
 )
 
+# Band buckets larger than this fall back to star edges against the
+# bucket's min-doc_id representative — the same reduction
+# _minhash_band_pairs applies (dedup.py), which is what bounds candidate
+# volume under boilerplate skew.
+_NEARDUP_BUCKET_CAP = 32
+
 
 def neardup_screen_sink(
-    shingle_index_dir: str, accepted_dir: str, audit_dir: str, threshold: float | None = None
+    shingle_index_dir: str,
+    accepted_dir: str,
+    audit_dir: str,
+    threshold: float | None = None,
+    bucket_cap: int = _NEARDUP_BUCKET_CAP,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function: ingestion-time NEAR-duplicate screening —
-    the streaming form of operators/dedup.py::llm_incremental_dedup's
-    shingle screen, against a persistent per-doc shingle index (r8; the
-    exact-hash screen above catches redelivery, this one catches the
-    re-crawl-with-boilerplate-edits case the exact hash misses).
+    the streaming form of the batch tier's banded-MinHash near-dup path
+    (`llm_minhash_banded`, operators/dedup.py), against a persistent
+    BANDED shingle index (r8 introduced the screen over raw gram keys;
+    r9 adopts the banded construction the batch tier already owned — the
+    raw-gram join was the engine's one unbounded quadratic: candidate
+    volume was Σ(batch_df × index_df) over shared grams, exploding at
+    ingest time exactly on the boilerplate-heavy corpora a near-dup
+    screen exists for).
 
-    Per epoch, two screens with one deterministic priority contract:
+    Construction, shared verbatim with `llm_minhash_banded` (the word
+    hash `_WHS_SPARK`, shingle-hash polynomial `_HS_SPARK`, permutation
+    family `_PERM`, and the Arrow intersect verify kernel
+    `_jaccard_verify_kernel`):
 
-    1. CORPUS screen — each batch doc's word-3-gram shingle-hash set
-       (`_SHINGLE_HASHES_SPARK`, shared verbatim with the batch
-       operators) is joined on the gram key against prior epochs'
-       admitted shingles; Jaccard >= threshold against ANY indexed doc
-       rejects the batch doc. Per-doc set sizes ride DENORMALIZED on the
-       index rows (`n_g`), so the screen never re-aggregates the index.
-    2. WITHIN-BATCH screen — among corpus-screen survivors, a doc is
-       rejected when a LOWER-doc_id survivor is a near-dup (one
-       priority-ordered pass, the `llm_semdedup` keep-contract: the
-       lower-id neighbor's own fate does not resurrect the higher-id
-       doc — no iteration, no connected components at ingest time).
+    1. per doc: word-3-gram shingle hashes -> 8 MinHash permutations ->
+       8 band keys of size 1 (an ingest SCREEN wants recall: r=1 gives
+       P[candidate] = 1-(1-j)^8 = 0.9993 at j=0.6 vs 0.83 for the batch
+       operator's r=2 — false candidates only cost verify work, which
+       the exact kernel and the bucket cap bound);
+    2. CORPUS screen — batch band keys equi-join prior epochs' band
+       keys; buckets with more than `bucket_cap` indexed members
+       contribute only their min-doc_id representative (star edges), so
+       per batch doc candidates <= 8·bucket_cap regardless of index
+       skew. Candidates are exact-verified on the hashed gram SETS
+       (grams sidecar), so rejection still means true Jaccard >=
+       threshold — banding adds only bounded-probability false
+       negatives, never false positives.
+    3. WITHIN-BATCH screen — among corpus-screen survivors, the same
+       banded construction self-joined; a doc is rejected when a
+       LOWER-doc_id survivor verifies as a near-dup (one priority-
+       ordered pass, the `llm_semdedup` keep-contract: the lower-id
+       neighbor's own fate does not resurrect the higher-id doc).
 
     Survivors land in a batchId-keyed accepted directory and their
-    (doc_id, g, n_g) rows are admitted into the epoch's own
-    ``src_batch=N`` index partition; rejected docs land in a batchId-
-    keyed audit (doc_id, best-matching dup_of, jaccard on the 1e-6
-    half-up grid, phase 'corpus'|'batch') — ids and scores only, no
-    text. Docs with fewer than 3 words have empty shingle sets and are
-    always admitted here (they cannot reach a positive Jaccard; exact
-    redelivery of short docs is the exact screen's job).
+    band keys + gram set are admitted into the epoch's own
+    ``src_batch=N`` partitions of the two index sub-stores; rejected
+    docs land in a batchId-keyed audit (doc_id, best-matching dup_of,
+    jaccard on the 1e-6 half-up grid, phase 'corpus'|'batch') — ids and
+    scores only, no text. Docs with fewer than 3 words have empty
+    shingle sets and are always admitted here (they cannot reach a
+    positive Jaccard; exact redelivery of short docs is the exact
+    screen's job).
 
     Replay safety is the module's standard contract: the corpus screen
     reads only ``src_batch < batch_id`` partitions (partition-pruned),
-    and all three writes are epoch-scoped overwrites — a replayed epoch
+    and all writes are epoch-scoped overwrites — a replayed epoch
     reproduces byte-identical accepted/audit/index contributions.
 
-    Scale shape: index rows are (8-byte gram hash, doc_id, n_g) — no
-    text, O(distinct shingles) ~ O(tokens) per admitted doc, the same
-    weight class as the span-gram index; the probe is one gram-keyed
-    equi-join whose candidate volume is bounded by shared-shingle pairs
-    (shingles are near-unique across unrelated docs). Boilerplate-heavy
-    corpora skew the gram key — the df-cap (llm_ngram_jaccard_capped)
-    and banded-MinHash (llm_minhash_banded) mitigations compose here
-    unchanged; at that point the index stores band keys instead of raw
-    shingles and state drops to O(bands) per doc."""
-    from ..operators.dedup import _JACCARD_THRESHOLD, _SHINGLE_HASHES_SPARK
+    Scale shape: moving state per admitted doc is 8 band keys + one
+    int32 gram-set row (no text, no positions); the probe joins on band
+    keys whose per-key fan-out is capped, so per-epoch candidate volume
+    is <= 8·bucket_cap·|batch| BY CONSTRUCTION — linear in the batch,
+    independent of index size and key skew. The verify stage moves gram
+    sets only for candidate doc ids."""
+    from ..operators.dedup import (
+        _JACCARD_THRESHOLD,
+        _band_explode,
+        _banded_screen_audit,
+        _minhash_sig,
+    )
 
     thr = _JACCARD_THRESHOLD if threshold is None else float(threshold)
+    bands_dir = os.path.join(shingle_index_dir, "bands")
+    grams_dir = os.path.join(shingle_index_dir, "grams")
 
     def screen(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
 
-        ws = F.filter(F.split("text", " "), lambda w: w != "")
-        hs = (
-            batch_df.select("doc_id", ws.alias("ws"))
-            .filter(F.size("ws") >= 3)
-            .select("doc_id", F.expr(_SHINGLE_HASHES_SPARK).alias("hs"))
-        )
-        bsh = hs.select(
-            "doc_id", F.size("hs").alias("n_g"), F.explode("hs").alias("g")
+        bsig = _minhash_sig(batch_df).localCheckpoint(eager=False)
+        if os.path.isdir(bands_dir) and any(
+            e.startswith("src_batch=") for e in os.listdir(bands_dir)
+        ):
+            ibands = (
+                spark.read.schema(SHINGLE_BANDS_SCHEMA)
+                .option("basePath", bands_dir)
+                .parquet(bands_dir)
+                .filter(F.col("src_batch") < batch_id)  # replay: ignore own epoch
+                .select("doc_id", "band", "v")
+            )
+            igrams = (
+                spark.read.schema(SHINGLE_GRAMS_SCHEMA)
+                .option("basePath", grams_dir)
+                .parquet(grams_dir)
+                .filter(F.col("src_batch") < batch_id)
+                .select("doc_id", "hs")
+            )
+        else:
+            ibands = igrams = None
+        audit = _banded_screen_audit(
+            bsig, ibands, igrams, thr, bucket_cap
         ).localCheckpoint(eager=False)
 
-        jac = F.col("n_common") / (F.col("nb") + F.col("nc") - F.col("n_common"))
-        grid = F.floor(jac * 1e6 + F.lit(0.5)) / 1e6  # the repo's half-up grid
-
-        def best_match(pairs: DataFrame) -> DataFrame:
-            """(doc_id, dup_of, jaccard): the highest-Jaccard qualifying
-            neighbor per rejected doc, ties to the lower neighbor id."""
-            return (
-                pairs.filter(jac >= thr)
-                .groupBy("doc_id")
-                .agg(
-                    F.min(F.struct((-jac).alias("nj"), F.col("nbr").alias("id"))).alias(
-                        "m"
-                    ),
-                    F.max(grid).alias("jaccard"),
-                )
-                .select("doc_id", F.col("m.id").alias("dup_of"), "jaccard")
-            )
-
-        if os.path.isdir(shingle_index_dir) and any(
-            e.startswith("src_batch=") for e in os.listdir(shingle_index_dir)
-        ):
-            prior = (
-                spark.read.schema(SHINGLE_INDEX_SCHEMA)
-                .option("basePath", shingle_index_dir)
-                .parquet(shingle_index_dir)
-                .filter(F.col("src_batch") < batch_id)  # replay: ignore own epoch
-            )
-            cpairs = (
-                bsh.alias("b")
-                .join(prior.alias("c"), F.col("b.g") == F.col("c.g"))
-                .groupBy(
-                    F.col("b.doc_id").alias("doc_id"),
-                    F.col("c.doc_id").alias("nbr"),
-                )
-                .agg(
-                    F.count("*").alias("n_common"),
-                    F.first("b.n_g").alias("nb"),
-                    F.first("c.n_g").alias("nc"),
-                )
-            )
-            rej_corpus = best_match(cpairs).withColumn("phase", F.lit("corpus"))
-        else:
-            rej_corpus = spark.createDataFrame([], NEAR_AUDIT_SCHEMA)
-        rej_corpus = rej_corpus.localCheckpoint(eager=False)
-
-        surv = bsh.join(rej_corpus.select("doc_id"), "doc_id", "left_anti")
-        bpairs = (
-            surv.alias("a")
-            .join(
-                surv.alias("b"),
-                (F.col("a.g") == F.col("b.g"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .groupBy(
-                F.col("b.doc_id").alias("doc_id"),
-                F.col("a.doc_id").alias("nbr"),
-            )
-            .agg(
-                F.count("*").alias("n_common"),
-                F.first("b.n_g").alias("nb"),
-                F.first("a.n_g").alias("nc"),
-            )
-        )
-        rej_batch = best_match(bpairs).withColumn("phase", F.lit("batch"))
-
-        audit = rej_corpus.unionByName(rej_batch).localCheckpoint(eager=False)
         audit.write.mode("overwrite").parquet(
             os.path.join(audit_dir, f"batch_id={batch_id}")
         )
@@ -390,45 +378,68 @@ def neardup_screen_sink(
         accepted.write.mode("overwrite").parquet(
             os.path.join(accepted_dir, f"batch_id={batch_id}")
         )
+        keep = bsig.join(audit.select("doc_id"), "doc_id", "left_anti")
         (
-            bsh.join(audit.select("doc_id"), "doc_id", "left_anti")
-            .select("doc_id", "g", "n_g", F.lit(batch_id).alias("src_batch"))
+            _band_explode(keep)
+            .select("doc_id", "band", "v", F.lit(batch_id).alias("src_batch"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("src_batch")
-            .parquet(shingle_index_dir)
+            .parquet(bands_dir)
+        )
+        (
+            keep.select("doc_id", "hs", "n_g", F.lit(batch_id).alias("src_batch"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("src_batch")
+            .parquet(grams_dir)
         )
 
     return screen
 
 
 def compact_shingle_index(spark, shingle_index_dir: str, out_dir: str) -> None:
-    """Fold the near-dup screen's epoch-accumulated shingle partitions
-    into a single ``src_batch=0`` generation at `out_dir` — the shingle
-    analog of `compact_span_index`, so a long-running ingest stops paying
+    """Fold the near-dup screen's epoch-accumulated partitions (both
+    sub-stores: band keys and gram-set sidecar) into single
+    ``src_batch=0`` generations at `out_dir` — the shingle analog of
+    `compact_span_index`, so a long-running ingest stops paying
     epochs × files per screen.
 
     Unlike the span index there is nothing to aggregate: rows are
-    per-doc (doc_id, g, n_g) facts, so the fold is a file collapse
-    (cluster by gram key so the screen's equi-join probes fewer row
-    groups). Screening against the folded generation is byte-identical —
-    the sink consumes the row set, and every folded epoch is < any
-    future batch_id, so the ``src_batch < batch_id`` replay guard admits
-    the whole folded history. Rows keep their doc_id, so RTBF stays a
-    plain per-doc filter: the ``_COMPACTED`` marker just tells
-    `corpus_retract` to rewrite the folded generation instead of the
+    per-doc facts, so the fold is a file collapse (bands clustered by
+    the band key so the screen's equi-join probes fewer row groups;
+    grams by doc_id so the verify stage's candidate-id join does).
+    Screening against the folded generation is byte-identical — the
+    sink consumes the row set, and every folded epoch is < any future
+    batch_id, so the ``src_batch < batch_id`` replay guard admits the
+    whole folded history. Rows keep their doc_id, so RTBF stays a plain
+    per-doc filter: the ``_COMPACTED`` marker just tells
+    `corpus_retract` to rewrite the folded generations instead of the
     victims' original epoch partitions."""
-    idx = (
-        spark.read.schema(SHINGLE_INDEX_SCHEMA)
-        .option("basePath", shingle_index_dir)
-        .parquet(shingle_index_dir)
+    bands = (
+        spark.read.schema(SHINGLE_BANDS_SCHEMA)
+        .option("basePath", os.path.join(shingle_index_dir, "bands"))
+        .parquet(os.path.join(shingle_index_dir, "bands"))
     )
     (
-        idx.repartition("g")
-        .select("doc_id", "g", "n_g", F.lit(0).alias("src_batch"))
+        bands.repartition("band", "v")
+        .select("doc_id", "band", "v", F.lit(0).alias("src_batch"))
         .write.mode("overwrite")
         .option("compression", "zstd")
         .partitionBy("src_batch")
-        .parquet(out_dir)
+        .parquet(os.path.join(out_dir, "bands"))
+    )
+    grams = (
+        spark.read.schema(SHINGLE_GRAMS_SCHEMA)
+        .option("basePath", os.path.join(shingle_index_dir, "grams"))
+        .parquet(os.path.join(shingle_index_dir, "grams"))
+    )
+    (
+        grams.repartition("doc_id")
+        .select("doc_id", "hs", "n_g", F.lit(0).alias("src_batch"))
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("src_batch")
+        .parquet(os.path.join(out_dir, "grams"))
     )
     open(os.path.join(out_dir, "_COMPACTED"), "w").close()

@@ -438,15 +438,22 @@ def corpus_retract(
             removed["near_audit"] += adf.count() - akept.count()
             swap_rewrite(apart, akept, None)
             adf.unpersist()
-        shpart = os.path.join(dirs["shingle_index"], f"src_batch={b}")
-        if os.path.isdir(shpart):
-            shdf = spark.read.schema("doc_id long, g long, n_g long").parquet(
-                shpart
-            ).persist()
-            shkept = shdf.filter(~F.col("doc_id").isin(ids))
-            removed["shingle_index"] += shdf.count() - shkept.count()
-            swap_rewrite(shpart, shkept, None)
-            shdf.unpersist()
+        # Both near-dup index sub-stores (bands + gram-set sidecar, r9):
+        # rows are per-doc facts in each, so RTBF is the same per-doc
+        # filter on both.
+        for sub, schema in (
+            ("bands", "doc_id long, band int, v long"),
+            ("grams", "doc_id long, hs array<int>, n_g int"),
+        ):
+            shpart = os.path.join(
+                dirs["shingle_index"], sub, f"src_batch={b}"
+            )
+            if os.path.isdir(shpart):
+                shdf = spark.read.schema(schema).parquet(shpart).persist()
+                shkept = shdf.filter(~F.col("doc_id").isin(ids))
+                removed["shingle_index"] += shdf.count() - shkept.count()
+                swap_rewrite(shpart, shkept, None)
+                shdf.unpersist()
 
         if gv is not None:
             # Folded generation: subtract the victims' gram counts from
@@ -536,19 +543,19 @@ def corpus_retract(
     # filtered the folded partition and this second pass would remove
     # nothing, so it is skipped.)
     shdir = dirs["shingle_index"]
-    shgen = os.path.join(shdir, "src_batch=0")
-    if (
-        os.path.isfile(os.path.join(shdir, "_COMPACTED"))
-        and os.path.isdir(shgen)
-        and 0 not in epochs
-    ):
-        shdf = spark.read.schema("doc_id long, g long, n_g long").parquet(
-            shgen
-        ).persist()
-        shkept = shdf.filter(~F.col("doc_id").isin(ids))
-        removed["shingle_index"] += shdf.count() - shkept.count()
-        swap_rewrite(shgen, shkept, None)
-        shdf.unpersist()
+    if os.path.isfile(os.path.join(shdir, "_COMPACTED")) and 0 not in epochs:
+        for sub, schema in (
+            ("bands", "doc_id long, band int, v long"),
+            ("grams", "doc_id long, hs array<int>, n_g int"),
+        ):
+            shgen = os.path.join(shdir, sub, "src_batch=0")
+            if not os.path.isdir(shgen):
+                continue
+            shdf = spark.read.schema(schema).parquet(shgen).persist()
+            shkept = shdf.filter(~F.col("doc_id").isin(ids))
+            removed["shingle_index"] += shdf.count() - shkept.count()
+            swap_rewrite(shgen, shkept, None)
+            shdf.unpersist()
 
     # Serving indexes: physically remove the docs' rows from every epoch
     # partition that held them. Epoch DISCOVERY reads the store root with

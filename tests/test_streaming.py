@@ -1761,10 +1761,49 @@ class TestCapstoneSpanScreen:
         assert got[1][0] == 8 and got[2][0] == 8  # mutual coverage intact
 
 
+def _mh_hs(text: str) -> list[int]:
+    """Independent Python rendering of the screen's documented hashed-
+    shingle arithmetic (bpe-style word hash -> shingle polynomial mod P —
+    the llm_minhash_banded construction)."""
+    P = 1_000_000_007
+    ws = [w for w in (text or "").split(" ") if w]
+    if len(ws) < 3:
+        return []
+    whs = [
+        ord(w[0]) * 961
+        + (ord(w[1]) if len(w) >= 2 else 0) * 31
+        + ord(w[-1]) * 17
+        + len(w)
+        for w in ws
+    ]
+    out, seen = [], set()
+    for i in range(len(whs) - 2):
+        h = ((whs[i] * 131 + whs[i + 1]) * 131 + whs[i + 2]) % P
+        if h not in seen:
+            seen.add(h)
+            out.append(h)
+    return out
+
+
+def _mh_bands(hs: list[int]) -> set[tuple[int, int]]:
+    """8 band keys of size 1 from the shared permutation family."""
+    from data_ingestion_experiment_otp_spark.operators.dedup import _P, _PERM
+
+    return {
+        (i, min((a * x + b) % _P for x in hs)) for i, (a, b) in enumerate(_PERM)
+    }
+
+
+def _mh_jac(a: str, b: str) -> float:
+    sa, sb = set(_mh_hs(a)), set(_mh_hs(b))
+    return len(sa & sb) / len(sa | sb) if (sa or sb) else 0.0
+
+
 class TestNearDupScreenSink:
-    """streaming/corpus_index.py::neardup_screen_sink (r8) — ingestion-time
-    near-duplicate screening against the persistent shingle index (the
-    streaming form of llm_incremental_dedup's shingle screen)."""
+    """streaming/corpus_index.py::neardup_screen_sink — ingestion-time
+    near-duplicate screening against the persistent BANDED shingle index
+    (r9: the streaming form of llm_minhash_banded's construction; r8's
+    raw-gram join form is gone)."""
 
     DOC_SCHEMA = "doc_id long, text string"
 
@@ -1795,12 +1834,29 @@ class TestNearDupScreenSink:
             for r in spark.read.schema("doc_id long").parquet(p).collect()
         )
 
+    @staticmethod
+    def _indexed_docs(spark, idx):
+        """doc_ids present in the gram-set sidecar sub-store."""
+        return {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(os.path.join(idx, "grams"))
+            .collect()
+        }
+
     def test_fixture_geometry(self):
-        """The planted Jaccards sit where the tests assume."""
+        """The planted Jaccards sit where the tests assume — on both the
+        string shingles and the screen's hashed shingles (no collisions
+        perturb the fixture), and every >=0.6 pair shares a band key (the
+        screen is deterministic, so banding recall is checkable)."""
         assert self._jac(self.BASE, self.END6) >= 0.6
         assert self._jac(self.END6, self.BOTH6) >= 0.6
         assert self._jac(self.BASE, self.BOTH6) < 0.6
         assert self._jac(self.BASE, self.UNRELATED) == 0.0
+        assert abs(_mh_jac(self.BASE, self.END6) - 22 / 34) < 1e-9
+        assert abs(_mh_jac(self.END6, self.BOTH6) - 22 / 34) < 1e-9
+        assert _mh_bands(_mh_hs(self.BASE)) & _mh_bands(_mh_hs(self.END6))
+        assert _mh_bands(_mh_hs(self.END6)) & _mh_bands(_mh_hs(self.BOTH6))
 
     def test_cross_epoch_screen_replay_and_zero_row_epoch(self, spark, tmp_path):
         """An epoch-2 near-dup of an epoch-1 admit is rejected with a
@@ -1846,11 +1902,21 @@ class TestNearDupScreenSink:
         assert audit[20]["dup_of"] == 1 and audit[20]["phase"] == "corpus"
         assert abs(audit[20]["jaccard"] - round(22 / 34, 6)) < 1e-9
 
-        # replay epoch 2 verbatim: all three stores byte-identical
-        before = {
-            d: sorted(map(tuple, spark.read.parquet(d).collect()))
-            for d in (idx, acc, aud)
-        }
+        # replay epoch 2 verbatim: all four stores byte-identical (the
+        # index's two sub-stores snapshot separately — a root read mixes
+        # directory structures by design)
+        def snap():
+            return {
+                d: sorted(map(tuple, spark.read.parquet(d).collect()))
+                for d in (
+                    os.path.join(idx, "bands"),
+                    os.path.join(idx, "grams"),
+                    acc,
+                    aud,
+                )
+            }
+
+        before = snap()
         sink(
             spark.createDataFrame(
                 [(20, self.END6), (21, "fresh words " + " ".join(f"f{i}" for i in range(20)))],
@@ -1858,11 +1924,7 @@ class TestNearDupScreenSink:
             ),
             2,
         )
-        after = {
-            d: sorted(map(tuple, spark.read.parquet(d).collect()))
-            for d in (idx, acc, aud)
-        }
-        assert after == before
+        assert snap() == before
 
     def test_within_batch_priority_contract(self, spark, tmp_path):
         """Within one epoch the screen is a single priority-ordered pass
@@ -1892,18 +1954,18 @@ class TestNearDupScreenSink:
         }
         assert audit[2]["dup_of"] == 1 and audit[2]["phase"] == "batch"
         assert audit[3]["dup_of"] == 2 and audit[3]["phase"] == "batch"
-        # only survivors' shingles were admitted
-        admitted = {
-            r["doc_id"]
-            for r in spark.read.schema("doc_id long").parquet(idx).collect()
-        }
-        assert admitted == {1, 4}
+        # only survivors' bands/grams were admitted
+        assert self._indexed_docs(spark, idx) == {1, 4}
 
     def test_stream_matches_independent_python_reference(self, spark, tmp_path):
         """Batch-vs-stream equivalence: streaming a 3-epoch corpus through
         the sink accepts exactly the set an independent Python
-        implementation of the documented contract accepts."""
+        implementation of the documented BANDED contract accepts —
+        candidates from band-key agreement (bucket-capped with star edges
+        to the min-id member), exact Jaccard verification on the hashed
+        shingle sets."""
         from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            _NEARDUP_BUCKET_CAP,
             neardup_screen_sink,
         )
 
@@ -1931,26 +1993,59 @@ class TestNearDupScreenSink:
                 texts[did] = rows[-1][1]
             docs_per_epoch.append(rows)
 
-        def shingles(t):
-            ws = t.split()
-            return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)} if len(ws) >= 3 else set()
+        hsets = {i: set(_mh_hs(t)) for i, t in texts.items()}
+        bands = {i: _mh_bands(sorted(hsets[i])) for i in texts if hsets[i]}
 
         def jac(a, b):
-            sa, sb = shingles(a), shingles(b)
+            sa, sb = hsets[a], hsets[b]
             return len(sa & sb) / len(sa | sb) if (sa or sb) else 0.0
+
+        def candidates(i, pool):
+            """Banded candidate set of doc i against `pool` (doc ids),
+            with the bucket cap's star-edge fallback."""
+            by_key = {}
+            for c in pool:
+                for bk in bands.get(c, ()):
+                    by_key.setdefault(bk, []).append(c)
+            out = set()
+            for bk in bands.get(i, ()):
+                members = by_key.get(bk, [])
+                if len(members) <= _NEARDUP_BUCKET_CAP:
+                    out.update(members)
+                else:
+                    out.add(min(members))
+            return out
 
         expected_accept = set()
         index_docs = []  # admitted doc ids, in admission order
         for rows in docs_per_epoch:
             survivors = []
-            for i, t in rows:  # corpus screen
-                if not any(jac(t, texts[c]) >= 0.6 for c in index_docs):
-                    survivors.append(i)
-            kept = []
-            for i in survivors:  # within-batch: lower-id survivor wins
+            for i, _t in rows:  # corpus screen: banded candidates, exact verify
                 if not any(
-                    j < i and jac(texts[i], texts[j]) >= 0.6 for j in survivors
+                    jac(i, c) >= 0.6 for c in candidates(i, index_docs)
                 ):
+                    survivors.append(i)
+            # within-batch: buckets over ALL survivors (the engine caps on
+            # the full survivor bucket), directed pairs higher -> lower
+            by_key = {}
+            for c in survivors:
+                for bk in bands.get(c, ()):
+                    by_key.setdefault(bk, []).append(c)
+            nbrs = {i: set() for i in survivors}
+            for members in by_key.values():
+                if len(members) <= _NEARDUP_BUCKET_CAP:
+                    for a in members:
+                        for b2 in members:
+                            if a < b2:
+                                nbrs[b2].add(a)
+                else:
+                    rep = min(members)
+                    for m in members:
+                        if m > rep:
+                            nbrs[m].add(rep)
+            kept = []
+            for i in survivors:  # lower-id survivor wins
+                if not any(jac(i, j) >= 0.6 for j in nbrs[i]):
                     kept.append(i)
                 # note: rejected docs still participate as `j` above iff
                 # they are corpus-screen survivors — the one-pass contract
@@ -1967,6 +2062,109 @@ class TestNearDupScreenSink:
             got.update(self._ids(spark, acc, b))
         assert got == expected_accept
         assert len(got) < did  # the fixture actually rejected something
+
+
+class TestNearDupBandedScale:
+    """The reason the screen is banded (r9, judge task 1): on a
+    boilerplate-heavy corpus the raw-shingle join's candidate volume is
+    Σ(batch_df × index_df) over shared grams — quadratic in the
+    boilerplate population — while the banded form's is
+    <= bands·bucket_cap per batch doc BY CONSTRUCTION. Both counts are
+    computed on a planted skew epoch and asserted."""
+
+    HEADER = " ".join(f"h{i}" for i in range(12))  # 12-word boilerplate
+
+    @staticmethod
+    def _tail_word(i: int, k: int) -> str:
+        """Unique-per-(doc, position) word whose identity survives the
+        screen's probe-based word hash (first/second/last char + length
+        all carry the payload — words differing only in middle chars
+        would collide and inflate hashed Jaccard)."""
+        a = chr(97 + i % 26)
+        b = chr(97 + (i // 26) % 26)
+        c = chr(97 + k % 26)
+        return a + b + "x" * (2 + (i // 676) % 3) + c
+
+    @classmethod
+    def _doc_text(cls, i: int) -> str:
+        return cls.HEADER + " " + " ".join(
+            cls._tail_word(i, k) for k in range(12)
+        )
+
+    def test_skew_epoch_candidates_bounded_and_recall_kept(self, spark, tmp_path):
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            _NEARDUP_BUCKET_CAP,
+            neardup_screen_sink,
+        )
+
+        n_index, n_batch = 150, 10
+        idx = str(tmp_path / "shingle_index")
+        acc = str(tmp_path / "near_accepted")
+        aud = str(tmp_path / "near_audit")
+        sink = neardup_screen_sink(idx, acc, aud)
+
+        # epoch 0: 150 docs sharing the header, unique tails (pairwise
+        # J = 10/34 ~ 0.29 < 0.6 -> all admitted, index heavily skewed
+        # on the header grams)
+        e0 = [(i, self._doc_text(i)) for i in range(1, n_index + 1)]
+        sink(spark.createDataFrame(e0, TestNearDupScreenSink.DOC_SCHEMA), 0)
+        assert len(TestNearDupScreenSink._ids(spark, acc, 0)) == n_index
+
+        # epoch 1: 8 fresh header-sharing docs + 2 true near-dups of
+        # indexed docs (2 tail edits: J = 18/26 ~ 0.69)
+        def near_dup_of(src: int, new_id: int) -> str:
+            ws = self._doc_text(src).split()
+            ws[-1], ws[-2] = f"e{new_id}a", f"e{new_id}b"
+            return " ".join(ws)
+
+        e1 = [(1000 + j, self._doc_text(1000 + j)) for j in range(n_batch - 2)]
+        e1 += [(2001, near_dup_of(7, 2001)), (2002, near_dup_of(42, 2002))]
+        # determinism check: both planted pairs share a band key
+        for nid, src in ((2001, 7), (2002, 42)):
+            t_new = dict(e1)[nid]
+            t_src = self._doc_text(src)
+            assert _mh_jac(t_new, t_src) >= 0.6
+            assert _mh_bands(_mh_hs(t_new)) & _mh_bands(_mh_hs(t_src))
+
+        # candidate-volume accounting over the planted epoch, both forms
+        hsets = {i: set(_mh_hs(t)) for i, t in e0}
+        bands_by_key: dict = {}
+        for i, _t in e0:
+            for bk in _mh_bands(sorted(hsets[i])):
+                bands_by_key.setdefault(bk, []).append(i)
+        raw_by_gram: dict = {}
+        for i, _t in e0:
+            for g in hsets[i]:
+                raw_by_gram[g] = raw_by_gram.get(g, 0) + 1
+        raw_candidates = banded_candidates = 0
+        for i, t in e1:
+            for g in set(_mh_hs(t)):
+                raw_candidates += raw_by_gram.get(g, 0)
+            cands = set()
+            for bk in _mh_bands(_mh_hs(t)):
+                members = bands_by_key.get(bk, [])
+                if len(members) <= _NEARDUP_BUCKET_CAP:
+                    cands.update(members)
+                else:
+                    cands.add(min(members))
+            banded_candidates += len(cands)
+        # raw form: every batch doc meets every indexed doc through the
+        # 10 shared header grams -> >= 10·150·10 gram-pair hits
+        assert raw_candidates >= 10 * n_index * n_batch
+        # banded form: linear bound, independent of the skew
+        assert banded_candidates <= len(e1) * 8 * _NEARDUP_BUCKET_CAP
+        assert banded_candidates < raw_candidates / 10
+
+        # and the screen still catches both planted near-dups (recall),
+        # admitting everything else (precision: exact verify)
+        sink(spark.createDataFrame(e1, TestNearDupScreenSink.DOC_SCHEMA), 1)
+        got = TestNearDupScreenSink._ids(spark, acc, 1)
+        assert got == sorted(i for i, _t in e1 if i < 2000)
+        audit = {
+            r["doc_id"]: r["dup_of"]
+            for r in spark.read.parquet(os.path.join(aud, "batch_id=1")).collect()
+        }
+        assert audit == {2001: 7, 2002: 42}
 
 
 class TestCapstoneNearDedup:
@@ -2066,13 +2264,9 @@ class TestCapstoneNearDedup:
         removed = corpus_retract(spark, work, [1])
         assert removed["near_accepted"] == 1
         assert removed["shingle_index"] > 0
-        left = {
-            r["doc_id"]
-            for r in spark.read.schema("doc_id long")
-            .parquet(dirs["shingle_index"])
-            .collect()
-        }
-        assert 1 not in left
+        assert 1 not in TestNearDupScreenSink._indexed_docs(
+            spark, dirs["shingle_index"]
+        )
         epoch = corpus_ingest_epoch(work, cents, {"*": 0.0}, near_dedup=True)
         epoch(
             spark.createDataFrame(
@@ -2159,26 +2353,30 @@ class TestShingleIndexCompaction:
             stores[path] = (idx, acc, aud, sink)
 
         idx_b, acc_b, aud_b, sink_b = stores["b"]
-        files_before = glob.glob(f"{idx_b}/src_batch=*/*.parquet")
         gen2 = str(tmp_path / "idx_b_gen2")
         compact_shingle_index(spark, idx_b, gen2)
         shutil.rmtree(idx_b)
         os.rename(gen2, idx_b)
-        files_after = glob.glob(f"{idx_b}/src_batch=*/*.parquet")
-        assert {os.path.basename(os.path.dirname(f)) for f in files_after} == {
-            "src_batch=0"
-        }
+        for sub in ("bands", "grams"):
+            files_after = glob.glob(f"{idx_b}/{sub}/src_batch=*/*.parquet")
+            assert {
+                os.path.basename(os.path.dirname(f)) for f in files_after
+            } == {"src_batch=0"}, sub
         assert os.path.isfile(os.path.join(idx_b, "_COMPACTED"))
-        # same row set survives the fold
-        rows_a = sorted(
-            (r["doc_id"], r["g"], r["n_g"])
-            for r in spark.read.parquet(stores["a"][0]).collect()
-        )
-        rows_b = sorted(
-            (r["doc_id"], r["g"], r["n_g"])
-            for r in spark.read.parquet(idx_b).collect()
-        )
-        assert rows_a == rows_b
+
+        # same row set survives the fold, in both sub-stores
+        def rows(idx):
+            bands = sorted(
+                (r["doc_id"], r["band"], r["v"])
+                for r in spark.read.parquet(os.path.join(idx, "bands")).collect()
+            )
+            grams = sorted(
+                (r["doc_id"], tuple(sorted(r["hs"])), r["n_g"])
+                for r in spark.read.parquet(os.path.join(idx, "grams")).collect()
+            )
+            return bands, grams
+
+        assert rows(stores["a"][0]) == rows(idx_b)
 
         # identical probe epoch against stack vs folded generation
         idx_a, acc_a, aud_a, sink_a = stores["a"]
@@ -2251,13 +2449,9 @@ class TestShingleIndexCompaction:
 
         removed = corpus_retract(spark, work, [1])
         assert removed["shingle_index"] > 0
-        left = {
-            r["doc_id"]
-            for r in spark.read.schema("doc_id long")
-            .parquet(dirs["shingle_index"])
-            .collect()
-        }
-        assert left == {2}
+        assert TestNearDupScreenSink._indexed_docs(
+            spark, dirs["shingle_index"]
+        ) == {2}
 
         # a near-dup of the victim's content is unknown again
         epoch = corpus_ingest_epoch(work, cents, {"*": 0.0}, near_dedup=True)
