@@ -112,6 +112,14 @@ HEADLINE = [
     "llm_unigram_decode",
     "llm_curriculum",
     "llm_corpus_diff",
+    # r9 additions: the banded near-dup screen (batch form of the
+    # streaming ingest screen — candidates <= 8·cap per batch doc by
+    # construction), the scale-true SemDeDup capstone slot, and the
+    # production-vocab unigram trainer (cold train on first rep, the
+    # bpe_train_scaled precedent)
+    "llm_neardup_screen",
+    "pipeline_curation_semdedup",
+    "llm_unigram_train_scaled",
 ]
 
 

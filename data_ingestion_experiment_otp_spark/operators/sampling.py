@@ -313,6 +313,111 @@ _CURRICULUM_ORACLE = f"""
     """.format(QC=_QC_ORACLE)
 
 
+_MAX_LONG = (1 << 63) - 1
+
+
+def _ordinal_bins(scored: DataFrame, n_bins: int) -> DataFrame:
+    """(doc_id, margin, pid): monotone binning of (margin, doc_id) into
+    ~n_bins QUANTILE bins (r9, judge task 3). Boundaries come from
+    `percentile_approx(margin)`, so mass — not value range — sets bin
+    widths; a margin value spanning multiple quantile slots (the ties an
+    integer classifier score produces — the case where the r8 fixed
+    value-range bins collapsed into one wide-task sort) is sub-split by
+    doc_id percentiles WITHIN that value. Every cut is a (margin,
+    doc_id) pair and pid counts cuts lexicographically <= the row's own
+    pair, so pid order IS global (margin, doc_id) order — binning can
+    never change the emitted ordinal, only balance the tasks that
+    compute it. Boundary quality affects BALANCE only, never bytes.
+
+    Cost: two bounded aggregates (the sketch, plus doc_id percentiles
+    restricted to heavy values) and a scan-side filter over <= n_bins
+    literal structs per row."""
+    spark = scored.sparkSession
+    probs = [i / n_bins for i in range(1, n_bins)]
+    bs = scored.agg(
+        F.percentile_approx("margin", F.array(*[F.lit(p) for p in probs])).alias(
+            "bs"
+        )
+    ).collect()[0]["bs"]
+    if bs is None:
+        return scored.select("doc_id", "margin", F.lit(0).alias("pid")).limit(0)
+    from collections import Counter
+
+    mult = Counter(int(m) for m in bs)
+    heavy = sorted(m for m, c in mult.items() if c >= 2)
+    sub: dict[int, list[int]] = {}
+    if heavy:
+        rows = (
+            scored.filter(F.col("margin").isin(heavy))
+            .groupBy("margin")
+            .agg(
+                F.percentile_approx(
+                    "doc_id",
+                    F.array(*[F.lit(j / n_bins) for j in range(1, n_bins)]),
+                ).alias("ds")
+            )
+            .collect()
+        )
+        by_m = {int(r["margin"]): [int(d) for d in r["ds"]] for r in rows}
+        for m in heavy:
+            c = mult[m]
+            ds = by_m.get(m, [])
+            # c quantile slots cover up to (c+1)/n_bins of the mass ->
+            # c internal cuts (c+1 sub-bins), spread over the value's
+            # own doc_id distribution
+            step = max(1, len(ds) // (c + 1))
+            sub[m] = sorted(set(ds[step - 1 :: step][:c]))
+    cuts: list[tuple[int, int]] = []
+    for m in sorted(mult):
+        cuts.extend((m, d) for d in sub.get(m, []))
+        cuts.append((m, _MAX_LONG))
+    cut_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cm).cast("long").alias("m"), F.lit(cd).cast("long").alias("d")
+            )
+            for cm, cd in cuts
+        ]
+    )
+    pid = F.size(
+        F.filter(
+            cut_arr,
+            lambda b: (b["m"] < F.col("margin"))
+            | ((b["m"] == F.col("margin")) & (b["d"] <= F.col("doc_id"))),
+        )
+    )
+    return scored.select("doc_id", "margin", pid.alias("pid"))
+
+
+def _global_ordinal(part: DataFrame, n_phases: int) -> DataFrame:
+    """Two-phase partition-offset global ordinal over a binned (doc_id,
+    margin, pid) relation: per-bin counts prefix-summed on the driver
+    (bounded by the bin count), then a perfectly parallel per-bin
+    window — `sort_global_index`'s pattern. Phase id is pure integer
+    arithmetic on the ordinal, shared verbatim with the oracle."""
+    counts = part.groupBy("pid").agg(F.count("*").alias("n")).orderBy("pid").collect()
+    if not counts:
+        return part.sparkSession.createDataFrame(
+            [], "doc_id long, margin long, ord long, phase long"
+        )
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["pid"]] = acc
+        acc += r["n"]
+    total = acc
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("pid").orderBy("margin", "doc_id")
+    ord_col = (off[F.col("pid")] + F.row_number().over(w)).cast("long")
+    return part.select("doc_id", "margin", ord_col.alias("ord")).select(
+        "doc_id",
+        "margin",
+        "ord",
+        (F.expr(f"((ord - 1) * {n_phases}) div {max(total, 1)}") + 1).alias(
+            "phase"
+        ),
+    )
+
+
 @register(
     "llm_curriculum",
     oracle=_CURRICULUM_ORACLE,
@@ -330,55 +435,22 @@ def llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the naive form is `row_number() OVER (ORDER BY margin)`
     — a single-partition global window, the classic 100 TB cliff. This
-    uses `sort_global_index`'s two-phase partition-offset pattern keyed
-    on the margin: explicit range bins from a min/max aggregate (NOT
-    repartitionByRange — its sampled boundaries differ between the
-    offsets job and the final job), per-bin counts prefix-summed on the
-    driver (bounded by the bin count), and a perfectly parallel
-    per-bin window. Bins are monotone in margin, so bin order IS
-    curriculum order. The phase id is pure arithmetic on the ordinal
-    (floor((ord-1)·P/total)), shared verbatim with the oracle. The
-    compact (doc_id, margin) relation is lazily localCheckpointed: three
-    consumers (bounds, counts, final) would otherwise re-run the
-    classifier scan per branch."""
+    uses the two-phase partition-offset pattern over QUANTILE bins with
+    tie sub-splitting (`_ordinal_bins`, r9: the r8 fixed value-range
+    bins put an all-one-value margin corpus — ties are the NORM for an
+    integer classifier score — into one wide-task sort; quantile cuts
+    on (margin, doc_id) pairs keep tasks balanced under any skew while
+    provably never changing the emitted bytes), then per-bin counts
+    prefix-summed on the driver and a perfectly parallel per-bin window
+    (`_global_ordinal`). The compact (doc_id, margin) relation is
+    lazily localCheckpointed: three consumers (sketch, counts, final)
+    would otherwise re-run the classifier scan per branch."""
     from .text_analysis import llm_quality_classifier
 
-    n_bins = 8
+    n_bins = max(8, spark.sparkContext.defaultParallelism * 2)
     scored = (
         llm_quality_classifier(spark, sf_dir)
         .select("doc_id", "margin")
         .localCheckpoint(eager=False)
     )
-    bounds = scored.agg(
-        F.min("margin").alias("lo"), F.max("margin").alias("hi")
-    ).collect()[0]
-    if bounds["lo"] is None:
-        return spark.createDataFrame(
-            [], "doc_id long, margin long, ord long, phase long"
-        )
-    lo, span = int(bounds["lo"]), int(bounds["hi"]) - int(bounds["lo"]) + 1
-    pid = F.least(
-        F.lit(n_bins - 1), ((F.col("margin") - lo) * n_bins / span).cast("int")
-    ).alias("pid")
-    part = scored.select("doc_id", "margin", pid)
-    counts = part.groupBy("pid").agg(F.count("*").alias("n")).orderBy("pid").collect()
-    offsets, acc = {}, 0
-    for r in counts:
-        offsets[r["pid"]] = acc
-        acc += r["n"]
-    total = acc
-    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    w = Window.partitionBy("pid").orderBy("margin", "doc_id")
-    ord_col = (off[F.col("pid")] + F.row_number().over(w)).cast("long")
-    return part.select(
-        "doc_id",
-        "margin",
-        ord_col.alias("ord"),
-    ).select(
-        "doc_id",
-        "margin",
-        "ord",
-        (
-            F.expr(f"((ord - 1) * {_CURRICULUM_PHASES}) div {max(total, 1)}") + 1
-        ).alias("phase"),
-    )
+    return _global_ordinal(_ordinal_bins(scored, n_bins), _CURRICULUM_PHASES)

@@ -443,6 +443,24 @@ _IVF_TRAIN_CAP = 2048
 _IVF_ITERS = 10
 
 
+def _hash_ordered_sample(vec: DataFrame, cap: int) -> list:
+    """Bounded trainer sample in the package's Lehmer-hash order of
+    vec_id (r9, judge task 5): deterministic AND unbiased — an id-ordered
+    head is biased whenever ingest order correlates with content (it
+    usually does: a crawl ingests source-by-source), so a model trained
+    on the first ids by value sees only the corpus's earliest slice. The
+    hash order is a fixed pseudo-random permutation of ids, so the same
+    TakeOrderedAndProject collect returns a uniform slice, still a pure
+    function of the data (independent of partitioning — the r4 contract
+    spark.ml's kmeans|| broke)."""
+    from .clustering import _HASH_MOD, _HASH_MULT2
+
+    lehmer = ((F.col("vec_id") % _HASH_MOD) * _HASH_MULT2) % _HASH_MOD
+    return [
+        r["v"] for r in vec.orderBy(lehmer, "vec_id").limit(cap).select("v").collect()
+    ]
+
+
 def _ivf_train(X, k: int, seed: int = 42):
     """Seeded Lloyd k-means over a numpy sample (full-dim twin of
     _pq_train's per-subspace loop, same empty-cluster guard). Determinism
@@ -475,7 +493,7 @@ def _ivf_train(X, k: int, seed: int = 42):
 @register("llm_sim_ivf", oracle=None, tags=("llm", "similarity", "approx"))
 def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN — the coarse-quantizer family beside sign-LSH: a
-    seeded Lloyd k-means over a bounded id-ordered sample partitions the
+    seeded Lloyd k-means over a bounded hash-ordered sample partitions the
     corpus into _IVF_CELLS cells (the inverted file), each query probes
     its _IVF_NPROBE nearest centroids, and exact cosine re-ranks only the
     probed cells.
@@ -483,7 +501,8 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the coarse quantizer is trained driver-side on
     min(corpus, _IVF_TRAIN_CAP) rows fetched by TakeOrderedAndProject —
     the standard sample-trained IVF contract (FAISS trains on a sample
-    for the same reason), and the id-ordering makes the model a pure
+    for the same reason), and the Lehmer-hash ordering makes the model a
+    pure
     function of the data, independent of input partitioning (spark.ml
     KMeans was not: its kmeans|| init samples per partition, so
     repartition(7) moved the centroids and the results — caught by the
@@ -500,9 +519,7 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_vectors(spark, sf_dir)
     vec = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    sample = [
-        r["v"] for r in vec.orderBy("vec_id").limit(_IVF_TRAIN_CAP).select("v").collect()
-    ]
+    sample = _hash_ordered_sample(vec, _IVF_TRAIN_CAP)
     if not sample:
         # nothing to cluster: schema-correct empty result
         return spark.createDataFrame(
@@ -636,10 +653,7 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_vectors(spark, sf_dir)
     vec = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
-    sample = [
-        r["v"]
-        for r in vec.sort("vec_id").limit(_PQ_TRAIN_CAP).collect()
-    ]
+    sample = _hash_ordered_sample(vec, _PQ_TRAIN_CAP)
     if not sample:
         # nothing to train codebooks on: schema-correct empty result
         return spark.createDataFrame(
@@ -754,7 +768,7 @@ def llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate cosine is q·c (exact, one scalar per probed cell,
     computed driver-side into the probe frame) + ADC(q, r-codes) (M
     table lookups). Both models are trained driver-side on the same
-    id-ordered bounded sample — a pure function of the data,
+    hash-ordered bounded sample — a pure function of the data,
     partition-order independent like llm_sim_ivf (r4).
 
     Scale shape: one Arrow pass assigns cells and encodes residual codes
@@ -773,9 +787,7 @@ def llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_vectors(spark, sf_dir)
     vec = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    sample = [
-        r["v"] for r in vec.orderBy("vec_id").limit(_PQ_TRAIN_CAP).select("v").collect()
-    ]
+    sample = _hash_ordered_sample(vec, _PQ_TRAIN_CAP)
     empty = "query_id long, vec_id long, cosine double, rn int"
     if not sample:
         return spark.createDataFrame([], empty)

@@ -135,7 +135,16 @@ DRIVER_ORDER: tuple[str, ...] = (
     # r5: asymmetric containment (overlap coefficient) — the
     # subset-duplicate case Jaccard structurally misses; full hash oracle
     "llm_containment_dedup",
-    "llm_minhash_banded",
+    # llm_minhash_banded is driver-demoted (r9): llm_neardup_screen below
+    # exercises the identical banded-MinHash arithmetic end-to-end (same
+    # word hash, shingle polynomial, _PERM permutation family, and the
+    # Arrow exact-verify kernel shared verbatim via _minhash_sig /
+    # _jaccard_verify_kernel), so a driver hash-pass on the screen is
+    # hash evidence for the construction; the band-size-2 pair-mining
+    # form keeps its exact oracle in pytest parity at 3 SFs. The slot
+    # carries the r9 capability: the banded near-dup SCREEN (the batch
+    # form of the streaming ingest screen, weak #1's fix), full oracle.
+    "llm_neardup_screen",
     # llm_simhash is registered but driver-demoted: it is rows-only by
     # nature (Murmur3 engine hash), so the driver adds only a row count —
     # its real verification is the hamming-locality invariant in pytest.
@@ -193,12 +202,19 @@ DRIVER_ORDER: tuple[str, ...] = (
     # composed capstone: the end-to-end LLM dataprep pipeline (dedup →
     # quality gate → chunk → shard), hash-checked against one DuckDB query
     "pipeline_llm_dataprep",
-    # composed capstone (r4 promotion): the semantic-curation funnel —
-    # repetition gate → per-source quality gate → nearest-centroid
-    # assignment → per-cluster cap. One driver slot hash-covers the five
-    # r3 §2.10 rows it composes (llm_repetition_signals, both quality
-    # gates, llm_cluster_assign, llm_cluster_balance; see COVERAGE.md).
-    "pipeline_semantic_curation",
+    # composed capstone (r4 promoted pipeline_semantic_curation; r9
+    # upgrades the slot to its SEMDEDUP variant): the semantic-curation
+    # funnel — repetition gate → per-source quality gate → nearest-
+    # centroid assignment → per-cluster cap — FILTERED to the SemDeDup
+    # keep-set. Its oracle splices _CURATION_ORACLE verbatim (everything
+    # the old slot hash-covered: llm_repetition_signals, both quality
+    # gates, llm_cluster_assign, llm_cluster_balance) PLUS
+    # _SEMDEDUP_ORACLE verbatim — which replays the r9 scale-true
+    # distributed k-means trainer (seeds, every Lloyd iteration over the
+    # full corpus, k = N/target) and the within-cluster drop predicate.
+    # One slot, both tiers driver-hash-covered; pipeline_semantic_curation
+    # and llm_semdedup keep their exact oracles in pytest parity at 3 SFs.
+    "pipeline_curation_semdedup",
     # r6: the per-source dataset card — composes llm_gopher_rules +
     # llm_script_id (their oracle SQL spliced verbatim), so this one slot
     # hash-covers the r6 audit tier the way pipeline_semantic_curation

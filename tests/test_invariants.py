@@ -1165,3 +1165,114 @@ class TestCurationSemdedupVariant:
             for r in specs["pipeline_curation_semdedup"].fn(spark, sf_dir).collect()
         }
         assert var == {r for r in cur if r[0] in keeps}
+
+
+class TestCurriculumSkewProofBins:
+    """r9 (judge task 3): the curriculum ordinal's quantile bins with tie
+    sub-splitting — an all-equal-margin corpus (ties are the NORM for an
+    integer classifier score) must spread across tasks instead of
+    collapsing into one wide-task sort, while the emitted (ord, phase)
+    stays exactly the (margin, doc_id) rank regardless of binning."""
+
+    def _scored(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, margin long")
+
+    def test_all_equal_margins_balanced_and_byte_identical(self, spark):
+        from data_ingestion_experiment_otp_spark.operators.sampling import (
+            _global_ordinal,
+            _ordinal_bins,
+        )
+
+        n, n_bins = 20000, 16
+        # scrambled unique doc ids (multiplicative permutation mod prime)
+        rows = [((i * 48271) % 1000003, 5) for i in range(n)]
+        part = _ordinal_bins(self._scored(spark, rows), n_bins)
+        counts = {
+            r["pid"]: r["n"]
+            for r in part.groupBy("pid").agg(F.count("*").alias("n")).collect()
+        }
+        assert sum(counts.values()) == n
+        assert len(counts) >= n_bins // 2  # the single value actually split
+        assert max(counts.values()) <= 2 * n / n_bins  # no wide task
+        out = _global_ordinal(part, 4)
+        got = sorted((r["ord"], r["doc_id"]) for r in out.collect())
+        want = [(k + 1, d) for k, (d, _m) in enumerate(sorted(rows))]
+        assert got == want  # ordinal == rank by (margin, doc_id), exactly
+
+    def test_mixed_skew_and_unskewed_agree_with_naive_rank(self, spark):
+        from data_ingestion_experiment_otp_spark.operators.sampling import (
+            _CURRICULUM_PHASES,
+            _global_ordinal,
+            _ordinal_bins,
+        )
+
+        n, n_bins = 5000, 16
+        # 90% of the mass on margin=5, the rest spread over 0..9
+        rows = [
+            ((i * 48271) % 1000003, 5 if i % 10 else i % 10)
+            for i in range(n)
+        ]
+        part = _ordinal_bins(self._scored(spark, rows), n_bins)
+        counts = [
+            r["n"] for r in part.groupBy("pid").agg(F.count("*").alias("n")).collect()
+        ]
+        assert max(counts) <= 2 * n / n_bins
+        out = {
+            r["doc_id"]: (r["ord"], r["phase"])
+            for r in _global_ordinal(part, _CURRICULUM_PHASES).collect()
+        }
+        ranked = sorted(rows, key=lambda t: (t[1], t[0]))
+        total = len(ranked)
+        for k, (d, _m) in enumerate(ranked):
+            want_phase = ((k) * _CURRICULUM_PHASES) // total + 1
+            assert out[d] == (k + 1, want_phase), d
+
+
+class TestHashOrderedTrainerSample:
+    """r9 (judge task 5): bounded trainer samples are taken in the
+    package's Lehmer-hash order of vec_id, not id order — on a corpus
+    whose ingest order correlates with content (a crawl lands source by
+    source), the id-ordered head sees ONE region and the trained
+    quantizer goes blind to the rest; the hash-ordered sample is a
+    uniform slice of the same size."""
+
+    def test_content_correlated_ids_bias_id_order_not_hash_order(self, spark):
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.operators.similarity import (
+            _IVF_TRAIN_CAP,
+            _hash_ordered_sample,
+            _ivf_train,
+        )
+
+        dim = 8
+
+        def blob(axis, n, start_id):
+            rows = []
+            for t in range(n):
+                v = [0.0] * dim
+                v[axis] = 1.0
+                v[(axis + 1) % dim] = 0.01 * (t % 7)
+                rows.append((start_id + t, v))
+            return rows
+
+        # ids 0..2047 are all blob-0 content; ids 2048.. all blob-3 —
+        # exactly the ingest-order correlation the hash order defeats
+        rows = blob(0, _IVF_TRAIN_CAP, 0) + blob(3, _IVF_TRAIN_CAP, _IVF_TRAIN_CAP)
+        vec = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+        id_sample = [
+            r["v"]
+            for r in vec.orderBy("vec_id").limit(_IVF_TRAIN_CAP).select("v").collect()
+        ]
+        hash_sample = _hash_ordered_sample(vec, _IVF_TRAIN_CAP)
+        assert all(v[0] == 1.0 for v in id_sample)  # id head: blob 0 only
+        frac3 = sum(1 for v in hash_sample if v[3] == 1.0) / len(hash_sample)
+        assert 0.4 < frac3 < 0.6  # hash slice: both regions, near-even
+
+        # the hash-trained quantizer covers blob 3; the id-trained is blind
+        probe = np.zeros(dim)
+        probe[3] = 1.0
+        d_id = ((_ivf_train(np.asarray(id_sample), 4) - probe) ** 2).sum(1).min()
+        d_hash = ((_ivf_train(np.asarray(hash_sample), 4) - probe) ** 2).sum(1).min()
+        assert d_hash < 0.01 < d_id

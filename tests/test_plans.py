@@ -723,8 +723,11 @@ class TestR7Plans:
         for ln in scans:
             if ln in corpus_scans:
                 continue
-            assert "word_segs.parquet" in ln or "vocab.parquet" in ln, ln
-        assert "word_segs.parquet" in final and "vocab.parquet" in final, final
+            # match on the store basename sans extension: the executed
+            # plan truncates long Location paths, and the per-user store
+            # root (r9) pushes ".parquet" past the truncation limit
+            assert "word_segs" in ln or "vocab" in ln, ln
+        assert "word_segs" in final and "vocab" in final, final
 
     def test_tokenize_pack_exchanges_are_text_free(self, spark, sf_dir):
         """Neither text nor any symbol/token ARRAY may cross an Exchange

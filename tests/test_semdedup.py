@@ -19,7 +19,7 @@ import pytest
 
 from data_ingestion_experiment_otp_spark.operators.clustering import (
     _HASH_MOD,
-    _HASH_MULT,
+    _HASH_MULT2,
     _SEMDEDUP_THRESHOLD,
     llm_semdedup,
     llm_semdedup_probe2,
@@ -31,7 +31,7 @@ SPECS = all_queries()
 
 
 def lehmer_order(ids):
-    return sorted(ids, key=lambda i: ((i % _HASH_MOD) * _HASH_MULT % _HASH_MOD, i))
+    return sorted(ids, key=lambda i: ((i % _HASH_MOD) * _HASH_MULT2 % _HASH_MOD, i))
 
 
 def _plant(spark, tmp_path, rows):
@@ -244,14 +244,60 @@ class TestFixtureBlindness:
 
 
 class TestScaledK:
-    def test_k_scales_with_corpus(self, spark):
-        """k = clamp(floor(sqrt(N)), 8, 64): 22 clusters at sf0.001/0.01
-        (N=500), 44 at sf0.1 (N=2000) — the paper's clusters-grow-with-
-        corpus regime, visible in the output's distinct cluster count."""
+    def test_k_scales_with_corpus_and_cluster_sizes_stay_flat(self, spark):
+        """k = ceil(N / target): 16 clusters at sf0.001/0.01 (N=500), 63
+        at sf0.1 (N=2000) — the paper's clusters-grow-with-corpus regime
+        (r9: no k cap), so the MEAN cluster size stays at ~target across
+        a 4x corpus growth instead of growing linearly."""
         from data_ingestion_experiment_otp_spark.operators.clustering import (
+            _SEM_TARGET_CLUSTER,
             _sem_centroids,
         )
 
-        for sf, n_expect in (("sf0.001", 22), ("sf0.1", 44)):
+        from pyspark.sql import functions as F
+
+        from data_ingestion_experiment_otp_spark.operators.clustering import (
+            _sem_assignment,
+        )
+
+        for sf, n, k_expect in (("sf0.001", 500, 16), ("sf0.1", 2000, 63)):
             cents = _sem_centroids(spark, f"/root/testdata/{sf}")
-            assert len(cents) == n_expect, (sf, len(cents))
+            assert len(cents) == k_expect, (sf, len(cents))
+            assert n / len(cents) <= _SEM_TARGET_CLUSTER + 1
+            # cluster-size histogram: the per-cluster quadratic's base
+            # stays bounded as the corpus grows (the whole point of
+            # k ∝ N) — mean size ~target at BOTH SFs, max size within a
+            # small factor of it (trained k-means is not perfectly
+            # balanced; the cap composes via llm_cluster_balance)
+            sizes = [
+                r["n"]
+                for r in _sem_assignment(spark, f"/root/testdata/{sf}")
+                .groupBy("cluster_id")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            ]
+            assert sum(sizes) == n
+            assert max(sizes) <= 8 * _SEM_TARGET_CLUSTER, (sf, max(sizes))
+
+    def test_distributed_trainer_matches_driver_reference(self, spark):
+        """`_sem_train` (distributed Lloyd: broadcast centroids, partial
+        sums, driver reduce) is BIT-IDENTICAL to the driver-local
+        reference `sem_kmeans` over the same rows, at any partitioning —
+        float32-valued embeddings make every double sum exact, so fold
+        order cannot move a mean."""
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.operators.clustering import (
+            _sem_train,
+        )
+        from data_ingestion_experiment_otp_spark.operators.similarity import (
+            load_vectors,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        vec = load_vectors(spark, sf)
+        rows = vec.select("vec_id", "embedding").collect()
+        ref = sem_kmeans([(r["vec_id"], r["embedding"]) for r in rows], k=16)
+        for parts in (1, 7):
+            got = _sem_train(vec.repartition(parts), k=16)
+            assert np.array_equal(got, ref), parts
