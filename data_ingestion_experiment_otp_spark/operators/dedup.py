@@ -1747,6 +1747,95 @@ def llm_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCREEN_RECALL_ORACLE = f"""
+    WITH screen AS MATERIALIZED ({_NEARDUP_SCREEN_ORACLE}),
+    banded AS (SELECT DISTINCT doc_id FROM screen WHERE phase = 'corpus'),
+    ews AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    ehs AS (
+      SELECT doc_id, {_HS_DUCK} AS hs
+      FROM (SELECT doc_id, {_WHS_DUCK} AS whs FROM ews WHERE len(ws) >= 3)
+    ),
+    eg AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS g FROM ehs),
+    exact AS (
+      SELECT DISTINCT doc_a AS doc_id FROM (
+        SELECT b.doc_id AS doc_a, count(*) AS ic, max(b.n) AS na, max(c.n) AS nb
+        FROM eg b JOIN eg c ON b.g = c.g
+        WHERE b.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+        GROUP BY b.doc_id, c.doc_id
+      ) WHERE ic / (na + nb - ic) >= {_JACCARD_THRESHOLD}
+    )
+    SELECT CASE WHEN b.doc_id IS NOT NULL AND e.doc_id IS NOT NULL THEN 'both'
+                WHEN e.doc_id IS NOT NULL THEN 'screen_false_negative'
+                ELSE 'screen_extra' END AS status,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM banded b FULL OUTER JOIN exact e ON e.doc_id = b.doc_id
+    GROUP BY 1
+    """
+
+
+@register(
+    "llm_screen_recall_eval",
+    oracle=_SCREEN_RECALL_ORACLE,
+    tags=("llm", "dedup", "eval", "screen"),
+)
+def llm_screen_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall evaluation of the banded near-dup SCREEN against exact
+    ground truth — `llm_dedup_strategy_eval`'s methodology applied to the
+    ingest screen (r9): full-outer join the screen's corpus-phase reject
+    set against the docs an EXACT inverted-index pass would reject
+    (hashed-shingle Jaccard >= threshold vs any indexed doc) and count
+    agreement classes. 'screen_false_negative' rows are batch docs whose
+    every shared band missed (bounded by (1-j)^8 per pair, plus
+    oversized-bucket star-edge misses); 'screen_extra' stays empty
+    because candidates are exact-verified before rejection. Both sides
+    carry exact cross-engine arithmetic, so the MEASURED recall is a
+    hash-checked number, not a claim. On the fixture corpus the screen's
+    reject set equals the exact screen's at sf0.001 and sf0.01 (pinned
+    in tests/test_invariants.py)."""
+    banded = (
+        llm_neardup_screen(spark, sf_dir)
+        .filter(F.col("phase") == "corpus")
+        .select("doc_id")
+        .distinct()
+        .withColumn("in_banded", F.lit(True))
+    )
+    sig = _minhash_sig(load_split(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    g = sig.select("doc_id", F.size("hs").alias("n"), F.explode("hs").alias("g"))
+    bg = g.filter(F.col("doc_id") % 10 >= 8)
+    cg = g.filter(F.col("doc_id") % 10 < 8)
+    jac = F.col("ic") / (F.col("na") + F.col("nb") - F.col("ic"))
+    exact = (
+        bg.alias("b")
+        .join(cg.alias("c"), F.col("b.g") == F.col("c.g"))
+        .groupBy(F.col("b.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_c"))
+        .agg(
+            F.count("*").alias("ic"),
+            F.max("b.n").alias("na"),
+            F.max("c.n").alias("nb"),
+        )
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("in_exact", F.lit(True))
+    )
+    joined = banded.join(exact, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("in_banded").isNotNull() & F.col("in_exact").isNotNull(), "both")
+        .when(F.col("in_exact").isNotNull(), "screen_false_negative")
+        .otherwise("screen_extra")
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 @register(
     "llm_char_minhash_banded",
     oracle=_CHAR_BANDED_ORACLE,
