@@ -1569,15 +1569,24 @@ def _banded_screen_audit(
        verifies, regardless of that neighbor's own fate (the one-pass
        llm_semdedup keep-contract)."""
     spark = bsig.sparkSession
-    bbands = _band_explode(bsig)
+    bbands = _band_explode(bsig).localCheckpoint(eager=False)
     hs_a = bsig.select("doc_id", F.col("hs").alias("hs_a"))
 
     if ibands is not None:
-        istats = ibands.groupBy("band", "v").agg(
+        # Scale shape of the probe (r9): the batch side is small by
+        # contract (a micro-batch / the probe slice), so every index-side
+        # relation is pre-filtered by a BROADCAST semi-join on the batch's
+        # own keys BEFORE any aggregation or join — the index is scanned
+        # but never shuffled per epoch. Bucket stats (m, rep) computed on
+        # the semi-joined subset are identical for the surviving keys
+        # (the subset holds ALL index rows of each matching key).
+        bkeys = bbands.select("band", "v").distinct()
+        ib = ibands.join(F.broadcast(bkeys), ["band", "v"], "left_semi")
+        istats = ib.groupBy("band", "v").agg(
             F.count("*").alias("m"), F.min("doc_id").alias("rep")
         )
         cand_small = bbands.join(
-            ibands.join(istats, ["band", "v"])
+            ib.join(istats, ["band", "v"])
             .filter(F.col("m") <= bucket_cap)
             .select("band", "v", F.col("doc_id").alias("doc_b")),
             ["band", "v"],
@@ -1588,8 +1597,16 @@ def _banded_screen_audit(
             ),
             ["band", "v"],
         ).select(F.col("doc_id").alias("doc_a"), "doc_b")
-        cand = cand_small.union(cand_star).distinct()
-        rej_corpus = _screen_reject(cand, hs_a, igrams, thr, "corpus")
+        cand = cand_small.union(cand_star).distinct().localCheckpoint(eager=False)
+        # gram sets move only for candidate neighbor ids (bounded at
+        # 8·bucket_cap·|batch|), again via broadcast semi-join — the
+        # sidecar never shuffles either
+        ig = igrams.join(
+            F.broadcast(cand.select(F.col("doc_b").alias("doc_id")).distinct()),
+            "doc_id",
+            "left_semi",
+        )
+        rej_corpus = _screen_reject(cand, hs_a, ig, thr, "corpus")
     else:
         rej_corpus = spark.createDataFrame(
             [], "doc_id long, dup_of long, jaccard double, phase string"

@@ -454,3 +454,171 @@ def llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     return _global_ordinal(_ordinal_bins(scored, n_bins), _CURRICULUM_PHASES)
+
+
+# Mixture weighting (r9): temperature and epoch-cap constants. τ = 0.7 is
+# the multilingual-sampling exponent (Conneau & Lample's XLM recipe,
+# reused by mT5/BLOOM data mixing): τ < 1 upsamples small sources toward
+# uniform without letting one giant source dominate. The epoch cap of 4
+# is Muennighoff et al. 2023's data-constrained scaling result (repeating
+# tokens beyond ~4 epochs stops buying loss).
+_MIX_TAU = 0.7
+_MIX_EPOCH_CAP = 4.0
+_MIX_QUALITY_FLOOR = 0.5
+
+_MIXTURE_ORACLE = f"""
+    WITH q AS ({{QUALITY}}),
+    tok AS (
+      SELECT doc_id, source,
+             coalesce(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS toks,
+             sha256(text) AS h
+      FROM documents
+    ),
+    keep AS (
+      SELECT *, doc_id = min(doc_id) OVER (PARTITION BY h) AS keeper FROM tok
+    ),
+    per AS (
+      SELECT k.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(k.toks), 0) AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(CASE WHEN k.keeper THEN k.toks END), 0) AS BIGINT)
+               AS unique_tokens,
+             CAST(coalesce(sum(CASE WHEN k.keeper
+                                     AND q.quality >= {_MIX_QUALITY_FLOOR}
+                                    THEN k.toks END), 0) AS BIGINT)
+               AS quality_unique_tokens
+      FROM keep k JOIN q ON q.doc_id = k.doc_id
+      GROUP BY k.source
+    ),
+    tot AS (
+      SELECT sum(pow(quality_unique_tokens, {_MIX_TAU})) AS z,
+             CAST(sum(quality_unique_tokens) AS BIGINT) AS b
+      FROM per
+    )
+    SELECT source, n_docs, n_tokens, unique_tokens, quality_unique_tokens,
+           CASE WHEN tot.z > 0
+                THEN round(pow(quality_unique_tokens, {_MIX_TAU}) / tot.z, 6)
+                ELSE 0.0 END AS weight,
+           CASE WHEN quality_unique_tokens = 0 OR tot.z = 0 THEN 0.0
+                ELSE round(least({_MIX_EPOCH_CAP},
+                       pow(quality_unique_tokens, {_MIX_TAU}) / tot.z * tot.b
+                       / quality_unique_tokens), 6)
+           END AS epochs
+    FROM per, tot
+    """
+
+
+@register(
+    "llm_mixture_weights",
+    oracle=None,  # set below: splices text_analysis.QUALITY_SQL_CTE (deferred
+    # to avoid an import cycle at module load)
+    tags=("llm", "sampling", "mixture"),
+)
+def llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-mixture weights — the step between curation and
+    the dataloader that published pipelines run by hand (The Pile's
+    per-set epochs, BLOOM/mT5's temperature sampling): each source's
+    EFFECTIVE mass is its unique (exact-dedup keeper) tokens that pass
+    the absolute quality floor, and sampling weights are
+    temperature-scaled on that mass (w_s ∝ mass_s^τ, τ={tau} — upsamples
+    small clean sources toward uniform without letting one giant crawl
+    dominate). `epochs` converts the weight into per-source repeat
+    factors under the corpus's own total-unique-token budget, capped at
+    {cap} (Muennighoff et al.'s data-constrained scaling bound): small
+    upweighted sources repeat, the dominant source trains
+    sub-1-epoch.
+
+    Scale shape: one scan computes per-doc tokens + content hash +
+    quality; the keeper flag is a window over the 32-byte hash (the
+    exact-dedup shuffle); per-source aggregation is k rows, and the
+    normalization is a 1-row cross join — nothing but the dedup shuffle
+    moves data. Cross-engine: integer token masses, pow/round on the
+    1e-6 grid (the ln-oracle precedent)."""
+    from .text_analysis import quality_expr
+
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    per_doc = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        ws.alias("words"),
+        F.coalesce(F.size(ws), F.lit(0)).alias("toks"),
+        F.sha2("text", 256).alias("h"),
+    ).withColumn("quality", quality_expr())
+    wh = Window.partitionBy("h")
+    per_doc = per_doc.withColumn(
+        "keeper", F.col("doc_id") == F.min("doc_id").over(wh)
+    )
+    per = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("toks"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.sum(F.when(F.col("keeper"), F.col("toks"))), F.lit(0))
+        .cast("long")
+        .alias("unique_tokens"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("keeper")
+                    & (F.col("quality") >= _MIX_QUALITY_FLOOR),
+                    F.col("toks"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("quality_unique_tokens"),
+    )
+    tot = per.agg(
+        F.sum(F.pow("quality_unique_tokens", F.lit(_MIX_TAU))).alias("z"),
+        F.sum("quality_unique_tokens").cast("long").alias("b"),
+    )
+    # z = 0 (every source empty after the floor, e.g. an all-null corpus)
+    # guards the normalization: weights and epochs collapse to 0.0 on
+    # both engines instead of an ANSI divide-by-zero
+    share = F.when(
+        F.col("z") > 0,
+        F.pow("quality_unique_tokens", F.lit(_MIX_TAU)) / F.col("z"),
+    ).otherwise(F.lit(0.0))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "unique_tokens",
+        "quality_unique_tokens",
+        F.round(share, 6).alias("weight"),
+        F.when(F.col("quality_unique_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.least(
+                    F.lit(_MIX_EPOCH_CAP),
+                    share * F.col("b") / F.col("quality_unique_tokens"),
+                ),
+                6,
+            )
+        )
+        .alias("epochs"),
+    )
+
+
+llm_mixture_weights.__doc__ = llm_mixture_weights.__doc__.format(
+    tau=_MIX_TAU, cap=_MIX_EPOCH_CAP
+)
+
+
+def _finalize_mixture_oracle() -> None:
+    """Splice text_analysis.QUALITY_SQL_CTE into the registered oracle
+    after both modules exist (registration happens at import; the CTE
+    import here would otherwise be circular)."""
+    from dataclasses import replace
+
+    from ..plans import registry
+    from .text_analysis import QUALITY_SQL_CTE
+
+    spec = registry._REGISTRY["llm_mixture_weights"]
+    registry._REGISTRY["llm_mixture_weights"] = replace(
+        spec, oracle=_MIXTURE_ORACLE.format(QUALITY=QUALITY_SQL_CTE)
+    )
+
+
+_finalize_mixture_oracle()
