@@ -779,3 +779,26 @@ class TestR7cPlans:
             if "embedding#" in m.group(0)
         ]
         assert len(emb_exchanges) <= 1, emb_exchanges
+
+
+class TestR9Plans:
+    def test_neardup_screen_probe_never_merge_joins_the_index(self, spark, sf_dir):
+        """The banded screen's probe (r9): every index-side relation is
+        pre-filtered by a broadcast semi-join on the batch's own keys,
+        so the executed plan carries only broadcast joins — no
+        sort-merge/shuffled-hash join ever consumes the index side, and
+        no cross product exists. (The remaining hash Exchanges partition
+        batch-derived or candidate-key-filtered relations only — the
+        screen's documented per-epoch bound.)"""
+        df = SPECS["llm_neardup_screen"].fn(spark, sf_dir)
+        df.collect()
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "SortMergeJoin" not in final, final
+        assert "ShuffledHashJoin" not in final, final
+        assert "CartesianProduct" not in final
+        assert final.count("BroadcastHashJoin") >= 4
