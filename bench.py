@@ -120,6 +120,10 @@ HEADLINE = [
     "llm_neardup_screen",
     "pipeline_curation_semdedup",
     "llm_unigram_train_scaled",
+    # r9 second batch: the screen recall audit and the mixture-weights
+    # stage (both single-scan-class cells)
+    "llm_screen_recall_eval",
+    "llm_mixture_weights",
 ]
 
 

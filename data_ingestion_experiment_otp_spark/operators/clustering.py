@@ -753,25 +753,40 @@ def _sem_train(vec: DataFrame, k: int, iters: int = _SEM_ITERS):
                 a = np.lexsort((np.broadcast_to(k_ids, key.shape), -key), axis=1)[
                     :, 0
                 ]
-                out_cid, out_n, out_s = [], [], []
+                out_cid, out_s = [], []
                 for j in np.unique(a):
                     mask = a == j
                     out_cid.append(int(j))
-                    out_n.append(int(mask.sum()))
-                    out_s.append(X[mask].sum(axis=0).tolist())
-                yield pd.DataFrame({"cid": out_cid, "n": out_n, "s": out_s})
+                    # member count rides as slot 0 of the sum vector, so
+                    # the whole partial reduces in ONE distributed agg
+                    out_s.append(
+                        [float(mask.sum())] + X[mask].sum(axis=0).tolist()
+                    )
+                yield pd.DataFrame({"cid": out_cid, "s": out_s})
 
-        rows = v.mapInPandas(
-            partials, "cid long, n long, s array<double>"
-        ).collect()
+        # reduce the per-partition partials DISTRIBUTED-first (sum per
+        # (cid, dim) — exact for float32-valued inputs in any fold
+        # order, counts exact as doubles below 2^53), so the driver
+        # receives exactly k×(d+1) scalars — never partitions×k rows
+        # (the treeAggregate property; at 50k clusters × 1000 executors
+        # the raw partials would be 50M rows, while k×(d+1) is the
+        # centroid matrix itself)
+        rows = (
+            v.mapInPandas(partials, "cid long, s array<double>")
+            .select("cid", F.posexplode("s").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("val").alias("val"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))).alias("dv")
+            )
+            .collect()
+        )
         new_c = C.copy()
-        agg: dict[int, tuple[int, "np.ndarray"]] = {}
         for r in rows:
-            n0, s0 = agg.get(r["cid"], (0, np.zeros(C.shape[1])))
-            agg[r["cid"]] = (n0 + r["n"], s0 + np.array(r["s"]))
-        for j, (n, s) in agg.items():
-            mu = s / n
-            new_c[j] = np.floor(np.abs(mu) * 1e6 + 0.5) * np.sign(mu) / 1e6
+            vec = np.array([d["val"] for d in r["dv"]])
+            mu = vec[1:] / vec[0]
+            new_c[r["cid"]] = np.floor(np.abs(mu) * 1e6 + 0.5) * np.sign(mu) / 1e6
         C = new_c
     return C
 
