@@ -1811,7 +1811,14 @@ def llm_screen_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry exact cross-engine arithmetic, so the MEASURED recall is a
     hash-checked number, not a claim. On the fixture corpus the screen's
     reject set equals the exact screen's at sf0.001 and sf0.01 (pinned
-    in tests/test_invariants.py)."""
+    in tests/test_invariants.py).
+
+    Scale posture, deliberate: the ground-truth side runs the exact
+    inverted-index pair join the screen exists to avoid — this entry is
+    the TUNING/audit methodology (run on a sample or fixture tier before
+    trusting the band/cap knobs at scale, exactly like
+    llm_dedup_strategy_eval), not a production stage; the screen itself
+    never pays this cost."""
     banded = (
         llm_neardup_screen(spark, sf_dir)
         .filter(F.col("phase") == "corpus")
