@@ -2064,6 +2064,133 @@ class TestNearDupScreenSink:
         assert len(got) < did  # the fixture actually rejected something
 
 
+class TestBandedScreenRandomizedDifferential:
+    """Seeded randomized sweep of the full audit contract (r9): the
+    engine's `_banded_screen_audit` vs a from-scratch Python replica of
+    the documented spec — band candidates with bucket-cap star edges
+    (cap=2 here, so star fallbacks actually fire), exact verification,
+    per-phase argmax with the grid/tie contract — over corpora random
+    enough to produce organic near-dups, shared buckets, and ties."""
+
+    CAP = 2
+
+    @staticmethod
+    def _replica(batch: dict, index: dict, thr: float, cap: int) -> dict:
+        def grid(x):
+            import math
+
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        hs = {i: set(_mh_hs(t)) for i, t in {**batch, **index}.items()}
+        bands = {i: _mh_bands(sorted(h)) for i, h in hs.items() if h}
+
+        def jac(a, b):
+            sa, sb = hs[a], hs[b]
+            return len(sa & sb) / len(sa | sb)
+
+        def cands_from(i, pool):
+            by_key: dict = {}
+            for c in pool:
+                for bk in bands.get(c, ()):
+                    by_key.setdefault(bk, []).append(c)
+            out = set()
+            for bk in bands.get(i, ()):
+                members = by_key.get(bk, [])
+                if len(members) <= cap:
+                    out.update(members)
+                else:
+                    out.add(min(members))
+            return out
+
+        def best(i, cands):
+            verified = [
+                (grid(jac(i, c)), c) for c in cands if jac(i, c) >= thr
+            ]
+            if not verified:
+                return None
+            j = max(v[0] for v in verified)
+            return (min(c for v, c in verified if v == j), j)
+
+        audit = {}
+        ipool = [i for i in index if bands.get(i)]
+        for i in sorted(batch):
+            if not bands.get(i):
+                continue
+            m = best(i, cands_from(i, ipool))
+            if m:
+                audit[i] = (m[0], m[1], "corpus")
+        survivors = [i for i in sorted(batch) if bands.get(i) and i not in audit]
+        by_key: dict = {}
+        for c in survivors:
+            for bk in bands[c]:
+                by_key.setdefault(bk, []).append(c)
+        nbrs = {i: set() for i in survivors}
+        for members in by_key.values():
+            if len(members) <= cap:
+                for a in members:
+                    for b in members:
+                        if a < b:
+                            nbrs[b].add(a)
+            else:
+                rep = min(members)
+                for m in members:
+                    if m > rep:
+                        nbrs[m].add(rep)
+        for i in survivors:
+            m = best(i, nbrs[i])
+            if m:
+                audit[i] = (m[0], m[1], "batch")
+        return audit
+
+    def test_randomized_corpora_match_replica(self, spark):
+        import random
+
+        from data_ingestion_experiment_otp_spark.operators.dedup import (
+            _JACCARD_THRESHOLD,
+            _band_explode,
+            _banded_screen_audit,
+            _minhash_sig,
+        )
+
+        for seed in range(5):
+            rng = random.Random(seed)
+            vocab = [f"w{k}" for k in range(12)]
+            texts = {}
+            ids = rng.sample(range(1, 500), 16)
+            for i in ids:
+                texts[i] = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 18)))
+            # plant a couple of explicit near-dups of earlier docs
+            for i in ids[10:13]:
+                src = rng.choice(ids[:8])
+                ws = texts[src].split()
+                if len(ws) >= 4:
+                    ws[-1] = f"e{i}"
+                    texts[i] = " ".join(ws)
+            index = {i: texts[i] for i in ids[: len(ids) // 2]}
+            batch = {i: texts[i] for i in ids[len(ids) // 2 :]}
+
+            bdf = spark.createDataFrame(
+                list(batch.items()), "doc_id long, text string"
+            )
+            idf = spark.createDataFrame(
+                list(index.items()), "doc_id long, text string"
+            )
+            bsig = _minhash_sig(bdf).localCheckpoint(eager=False)
+            isig = _minhash_sig(idf)
+            got = {
+                r["doc_id"]: (r["dup_of"], r["jaccard"], r["phase"])
+                for r in _banded_screen_audit(
+                    bsig,
+                    _band_explode(isig),
+                    isig.select("doc_id", "hs"),
+                    _JACCARD_THRESHOLD,
+                    bucket_cap=self.CAP,
+                ).collect()
+            }
+            want = self._replica(batch, index, _JACCARD_THRESHOLD, self.CAP)
+            assert got == want, (seed, got, want)
+
+
 class TestNearDupBandedScale:
     """The reason the screen is banded (r9, judge task 1): on a
     boilerplate-heavy corpus the raw-shingle join's candidate volume is
