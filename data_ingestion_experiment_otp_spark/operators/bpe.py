@@ -384,8 +384,20 @@ def _store_root(name: str) -> str:
     world-shared, so an unqualified store name would trust another user's
     pre-existing _COMMITTED directory (or collide on permissions).
     Namespacing by uid/username keeps the train-once/serve-forever cache
-    private; the directory is created 0o700."""
+    private; the directory is created 0o700.
+
+    ADVICE r9 hardening: makedirs(mode=0o700, exist_ok=True) applies the
+    mode only on CREATION — another local user could pre-create the
+    predictable uid-suffixed path and plant a _COMMITTED artifact the
+    serving entries would then trust (cache poisoning via pre-creation,
+    which the uid suffix alone does not prevent). So after makedirs the
+    root is stat'ed tempfile-style: it must be a non-symlink directory we
+    own with no group/other permission bits. A root failing the check is
+    NOT served from — the store falls back to a fresh mkdtemp root
+    (private by construction; per-process, so caching degrades to
+    train-per-process rather than trusting foreign bytes)."""
     import os
+    import stat
     import tempfile
 
     try:
@@ -397,30 +409,85 @@ def _store_root(name: str) -> str:
     uid = os.getuid() if hasattr(os, "getuid") else 0
     root = os.path.join(tempfile.gettempdir(), f"{name}-{user}-{uid}")
     os.makedirs(root, mode=0o700, exist_ok=True)
-    return root
+    st = os.lstat(root)
+    if (
+        stat.S_ISDIR(st.st_mode)
+        and (not hasattr(os, "getuid") or st.st_uid == uid)
+        and not (st.st_mode & 0o077)
+    ):
+        return root
+    import warnings
+
+    warnings.warn(
+        f"artifact store root {root} is not a private directory we own "
+        "(possible pre-creation by another user); falling back to a "
+        "process-private root",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    fallback = _PROCESS_ROOTS.get(name)
+    if fallback is None or not os.path.isdir(fallback):
+        fallback = tempfile.mkdtemp(prefix=f"{name}-")
+        _PROCESS_ROOTS[name] = fallback
+    return fallback
 
 
-def corpus_signature(sf_dir: str) -> str:
-    """Content signature of the documents table: per-FILE (name, size,
+# Process-private fallback roots (one per store name), used only when the
+# shared per-user root fails the ownership/permission check above.
+_PROCESS_ROOTS: dict[str, str] = {}
+
+
+def corpus_signature(sf_dir: str, table: str = "documents") -> str:
+    """Content signature of one fixture table (default: documents — the
+    tokenizer stores' corpus; the SemDeDup centroid store keys on
+    embeddings): per-FILE (name, size,
     mtime_ns) for the parquet directory — strictly stronger than the
     single directory-stat it replaces (a corpus edit that preserved the
     dir's mtime+size previously served a stale tokenizer — ADVICE r8).
-    Still O(listdir), no data scan, as train-once serving requires."""
+    Still O(listdir), no data scan, as train-once serving requires.
+
+    ADVICE r9: a per-file OSError (a file deleted between listdir and
+    stat while the corpus directory is being rewritten) must NOT collapse
+    to the same key as a genuinely missing corpus — that aliases a
+    mid-rewrite state with 'absent' and can serve or commit a stale
+    artifact under the other state's key. A torn listing is retried
+    once (rewrites are fast); if still torn, the failing filename rides
+    into the signature as a distinct error token, so the mid-rewrite
+    snapshot keys its OWN (never-again-matching) generation instead of
+    impersonating another corpus state."""
     import os
 
-    p = os.path.join(sf_dir, "documents.parquet")
+    p = os.path.join(sf_dir, f"{table}.parquet")
+
+    def snap() -> str:
+        parts = []
+        for e in os.listdir(p):
+            try:
+                st = os.stat(os.path.join(p, e))
+            except OSError:
+                raise _TornListing(e) from None
+            parts.append((e, st.st_size, st.st_mtime_ns))
+        return "|".join(f"{n}:{s}:{m}" for n, s, m in sorted(parts)) or "empty"
+
     try:
         if os.path.isdir(p):
-            parts = sorted(
-                (e, st.st_size, st.st_mtime_ns)
-                for e in os.listdir(p)
-                for st in (os.stat(os.path.join(p, e)),)
-            )
-            return "|".join(f"{n}:{s}:{m}" for n, s, m in parts) or "empty"
+            try:
+                return snap()
+            except _TornListing:
+                try:
+                    return snap()  # one retry: rewrites settle quickly
+                except _TornListing as torn:
+                    import time
+
+                    return f"torn:{torn.args[0]}:{time.time_ns()}"
         st = os.stat(p)
         return f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         return "absent"
+
+
+class _TornListing(Exception):
+    """A file vanished between listdir and stat (corpus mid-rewrite)."""
 
 
 def _artifact_key(sf_dir: str, n_merges: int, top_v: int, min_freq: int) -> str:

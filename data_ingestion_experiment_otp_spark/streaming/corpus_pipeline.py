@@ -338,6 +338,25 @@ def corpus_retract(
             with open(os.path.join(gdir, "_COMPACTED")) as fh:
                 folded_epochs = {int(e) for e in json.load(fh)}
         except (ValueError, OSError):
+            # Legacy/unreadable marker (pre-r9 folds wrote an empty file):
+            # per-epoch provenance is LOST, so the partition-absence
+            # heuristic below can still misattribute a span_screen=False
+            # epoch as folded and over-subtract shared grams (ADVICE r9).
+            # Surface it loudly so operators re-fold (compact_span_index
+            # regenerates the provenance) instead of silently carrying
+            # the weaker contract forever.
+            import warnings
+
+            warnings.warn(
+                f"gram index {gdir} has an unreadable/legacy _COMPACTED "
+                "marker: folded-epoch provenance is unknown, so RTBF gram "
+                "subtraction falls back to the partition-absence heuristic "
+                "(epochs ingested with span_screen=False may be "
+                "over-subtracted). Re-run compact_span_index to regenerate "
+                "the provenance marker.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             folded_epochs = None
 
     for b in epochs:
