@@ -31,11 +31,28 @@ from collections.abc import Callable
 _ALLOWED_GLOBAL_TYPES = (int, float, str, bytes, bool, tuple, frozenset, type(None))
 
 
+def _global_loads(code) -> set[str]:
+    """Names the code object (and nested code objects) actually loads as
+    GLOBALS — from LOAD_GLOBAL instructions, not co_names: co_names also
+    carries ATTRIBUTE names, so a kernel calling ``pd.DataFrame(...)``
+    would otherwise false-positive on a module-level ``DataFrame`` type
+    import (found live wiring the r10 SemDeDup cell kernels)."""
+    import dis
+
+    names = {
+        i.argval for i in dis.get_instructions(code) if i.opname == "LOAD_GLOBAL"
+    }
+    for const in code.co_consts:
+        if hasattr(const, "co_code"):
+            names |= _global_loads(const)
+    return names
+
+
 def ship_by_value(fn: Callable) -> Callable:
     """Return a copy of `fn` that cloudpickle serializes by value."""
     code = fn.__code__
     globs: dict = {"__builtins__": __builtins__}
-    for name in code.co_names:
+    for name in _global_loads(code):
         if name in fn.__globals__:
             val = fn.__globals__[name]
             if not isinstance(val, _ALLOWED_GLOBAL_TYPES):

@@ -762,16 +762,18 @@ class TestR7cPlans:
             assert "text#" not in m.group(0), m.group(0)
 
     def test_semdedup_one_group_shuffle_no_products(self, spark, sf_dir):
-        """SemDeDup's pairwise term lives INSIDE the per-cluster pandas
-        group (FlatMapGroupsInPandas), never in the plan: no cross
-        product; the embeddings parquet is read once per side of the
-        vec_id join (assignment map + payload) and the only
-        embedding-carrying shuffle is the single cluster_id group
-        exchange."""
+        """SemDeDup's pairwise term lives INSIDE the per-cell pandas
+        cogroup (FlatMapCoGroupsInPandas), never in the plan: no cross
+        product; the plan reads exactly two parquet relations — the
+        embeddings scan (coarse-routed scan-side by mapInPandas) and the
+        fine-centroid store — and the only embedding-carrying shuffle is
+        the single cell cogroup exchange (r10: the flat cluster_id group
+        exchange became the cell-keyed cogroup; the coarse matrix rides
+        as an O(√k·d) broadcast variable, invisible to the plan)."""
         p = plan_of(spark, sf_dir, "llm_semdedup")
         ops = ops_of(p)
         assert "CartesianProduct" not in ops and "BroadcastNestedLoopJoin" not in ops, ops
-        assert any("FlatMapGroupsInPandas" in op for op in ops), ops
+        assert any("FlatMapCoGroupsInPandas" in op for op in ops), ops
         assert ops.count("Scan parquet") == 2, ops
         emb_exchanges = [
             m.group(0)
