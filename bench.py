@@ -127,19 +127,24 @@ HEADLINE = [
 ]
 
 
-def bench_corpus_ingest(spark, sf_dir: str) -> tuple[float, float, float, float]:
-    """Streaming-capstone throughput cell (r5 judge task 9): drive the
+def bench_corpus_ingest(spark, sf_dir: str):
+    """Streaming-capstone throughput cells (r5 judge task 9): drive the
     corpus-ingest epoch function (dedup screen -> curation -> vector index
     -> text index, the exact composition start_corpus_ingest runs per
     micro-batch) over the sf corpus in 3 equal epochs against a fresh
-    store root. Returns (min epoch seconds, docs/sec at that epoch) so
-    index/compaction regressions in any of the five stores become visible
-    round-over-round."""
+    store root, in three configurations — base (5 stores), full screens
+    (8 stores: + span + near-dup), and all screens (11 stores: + the r10
+    semantic screen, served from the trained-hierarchy artifact). Returns
+    per-config (min epoch seconds, docs/sec) so index/compaction
+    regressions in any store become visible round-over-round."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
+    from data_ingestion_experiment_otp_spark.operators.clustering import (
+        sem_model_dir,
+    )
     from data_ingestion_experiment_otp_spark.sources.catalog import load
     from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
         corpus_ingest_epoch,
@@ -182,14 +187,24 @@ def bench_corpus_ingest(spark, sf_dir: str) -> tuple[float, float, float, float]
         # screen and the persistent-shingle near-dup screen — the cost of
         # turning every ingest-time screen on at once
         best_full = drive(span_screen=True, near_dedup=True)
+        # the r10 successor: all three dedup screens + span — the model
+        # artifact is served from the committed store (train-once), so
+        # the cell measures the semantic screen's PROBE cost, not training
+        mdl = sem_model_dir(spark, sf_dir)
+        best_all = drive(span_screen=True, near_dedup=True, sem_model=mdl)
     finally:
         feed.unpersist()
-    return (
-        round(best, 3),
-        round((n_docs / 3) / best, 1),
-        round(best_full, 3),
-        round((n_docs / 3) / best_full, 1),
-    )
+    return {
+        "corpus_ingest_epoch": (round(best, 3), round((n_docs / 3) / best, 1)),
+        "corpus_ingest_full_screens": (
+            round(best_full, 3),
+            round((n_docs / 3) / best_full, 1),
+        ),
+        "corpus_ingest_all_screens": (
+            round(best_all, 3),
+            round((n_docs / 3) / best_all, 1),
+        ),
+    }
 
 
 def main() -> None:
@@ -248,9 +263,11 @@ def main() -> None:
         # (BENCH_HISTORY.md discipline)
         spread[name] = round(warm_spread(runs[name]), 1)
 
-    ingest_sec, ingest_dps, full_sec, full_dps = bench_corpus_ingest(spark, sf_dir)
-    timings["corpus_ingest_epoch"] = ingest_sec
-    timings["corpus_ingest_full_screens"] = full_sec
+    ingest = bench_corpus_ingest(spark, sf_dir)
+    dps = {}
+    for cell, (sec, docs_per_sec) in ingest.items():
+        timings[cell] = sec
+        dps[cell] = docs_per_sec
 
     total = round(sum(timings.values()), 3)
     # Auxiliary detail goes to STDERR: the driver's bench capture keeps a
@@ -258,7 +275,7 @@ def main() -> None:
     # spread_pct) overflowed it, truncating the JSON ("parsed": null in
     # BENCH_r05.json). Stdout carries exactly ONE compact JSON line.
     print(
-        json.dumps({"spread_pct": spread, "reps": reps, "ingest_docs_per_sec": ingest_dps, "full_screens_docs_per_sec": full_dps}),
+        json.dumps({"spread_pct": spread, "reps": reps, "ingest_docs_per_sec": dps}),
         file=sys.stderr,
     )
     print(

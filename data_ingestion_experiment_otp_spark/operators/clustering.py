@@ -1106,26 +1106,35 @@ def sem_cell_votes(members, cents):
 _SEM_VOTES_SCHEMA = "vec_id long, cluster_id long, sim double, dropped boolean"
 
 
-def _sem_route(vec: DataFrame, C, probes: int = 1) -> DataFrame:
+def _sem_route(vec: DataFrame, C, probes: int = 1, cell_ids=None) -> DataFrame:
     """(vec_id, probe, cell, embedding): each vector's `probes` nearest
     COARSE cells by grid cosine (probe 1 = primary; ties → lowest cell
     id; zero-norm rows land in the lowest cell via the -2.0 sentinel).
     The coarse matrix is a broadcast variable of O(√k · d) — the ONLY
     centroid state the driver or the broadcast plane ever holds under
     the hierarchy — and each Arrow batch ranks all cells in one BLAS
-    matmul: one scan, zero shuffle, embeddings ride through untouched."""
+    matmul: one scan, zero shuffle, embeddings ride through untouched.
+
+    `cell_ids` (default 0..len(C)-1) names each coarse row's cell: the
+    streaming semantic screen routes only against cells that actually
+    trained a fine model (a coarse centroid can win zero training
+    members), so it passes the trained-cell subset with original ids."""
     import numpy as np
     import pandas as pd
 
     spark = vec.sparkSession
     Cm0 = np.asarray(C, dtype=np.float64)
-    bcast = spark.sparkContext.broadcast(Cm0)
+    ids0 = (
+        np.arange(len(Cm0), dtype=np.int64)
+        if cell_ids is None
+        else np.asarray([int(c) for c in cell_ids], dtype=np.int64)
+    )
+    bcast = spark.sparkContext.broadcast((Cm0, ids0))
     p_req = int(probes)
 
     def route(it):
-        Cm = bcast.value
+        Cm, cids = bcast.value
         cn = np.linalg.norm(Cm, axis=1)
-        cids = np.arange(len(Cm), dtype=np.int64)
         p = min(p_req, len(Cm))
         for pdf in it:
             if len(pdf) == 0 or p == 0:
@@ -1146,7 +1155,8 @@ def _sem_route(vec: DataFrame, C, probes: int = 1) -> DataFrame:
                         {
                             "vec_id": pdf["vec_id"].to_numpy(),
                             "probe": np.full(len(V), r + 1, dtype=np.int32),
-                            "cell": order[:, r].astype(np.int64),
+                            # order holds COLUMN indices; map to cell ids
+                            "cell": cids[order[:, r]],
                             "embedding": emb,
                         }
                     )
@@ -1194,19 +1204,22 @@ def _sem_store_key(sf_dir: str) -> str:
     return hashlib.sha256(raw.encode()).hexdigest()[:20]
 
 
-def _sem_model(spark: SparkSession, sf_dir: str):
-    """(coarse matrix as an ndarray — or None for an empty corpus — and
-    the fine-centroid DataFrame) for the SemDeDup tier, trained once and
-    served from the committed artifact store. The build is the tier's
-    only training work: distributed coarse Lloyd (`_sem_train` with
-    k = ⌈√k_total⌉), one routed scan, and the per-cell fine trainer;
-    every later call reads the tokenizer-sized store (coarse: ⌈√k⌉ rows
-    collected to the driver; fine: a parquet-backed DataFrame that joins
-    by cell and is never collected)."""
+def sem_model_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-absent and return the committed trained-hierarchy
+    artifact directory for this corpus. This path IS the handle the
+    STREAMING semantic screen takes (streaming/corpus_index.py::
+    semdedup_screen_sink): the trained model is a calibrate-once
+    control-plane input there, exactly like the curation sink's
+    centroids — the batch tier trains it, the ingest tier serves it.
+
+    The build is the tier's only training work: distributed coarse
+    Lloyd (`_sem_train` with k = ⌈√k_total⌉), one routed scan, and the
+    per-cell fine trainer; every later call reads the tokenizer-sized
+    store (coarse: ⌈√k⌉ rows collected to the driver; fine: a
+    parquet-backed DataFrame that joins by cell and is never
+    collected)."""
     import os
     import shutil
-
-    import numpy as np
 
     from .bpe import _store_root
 
@@ -1250,19 +1263,35 @@ def _sem_model(spark: SparkSession, sf_dir: str):
                 shutil.rmtree(tmp)
             else:
                 raise
+    return final
+
+
+def load_sem_model(spark: SparkSession, model_dir: str):
+    """(coarse matrix as an ndarray — or None for an empty corpus — and
+    the fine-centroid DataFrame) from a committed artifact directory."""
+    import os
+
+    import numpy as np
+
     crows = (
         spark.read.schema(_SEM_COARSE_SCHEMA)
-        .parquet(os.path.join(final, "coarse.parquet"))
+        .parquet(os.path.join(model_dir, "coarse.parquet"))
         .collect()
     )
     fine = spark.read.schema(_SEM_FINE_SCHEMA).parquet(
-        os.path.join(final, "fine.parquet")
+        os.path.join(model_dir, "fine.parquet")
     )
     if not crows:
         return None, fine
     crows.sort(key=lambda r: r["cid"])
     C = np.array([[float(x) for x in r["cv"]] for r in crows], dtype=np.float64)
     return C, fine
+
+
+def _sem_model(spark: SparkSession, sf_dir: str):
+    """Batch-tier convenience: the loaded (coarse, fine) model for a
+    fixture corpus, trained once and served from the committed store."""
+    return load_sem_model(spark, sem_model_dir(spark, sf_dir))
 
 
 _SEMDEDUP_ORACLE = f"""

@@ -443,3 +443,295 @@ def compact_shingle_index(spark, shingle_index_dir: str, out_dir: str) -> None:
         .parquet(os.path.join(out_dir, "grams"))
     )
     open(os.path.join(out_dir, "_COMPACTED"), "w").close()
+
+
+# The semantic screen's per-cluster vector sidecar (r10): one row per
+# admitted embedded doc — its fine-cluster assignment, priority sim, and
+# the vector itself (the exact-verify payload, the gram-set-sidecar
+# pattern applied to geometry).
+SEM_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("cluster_id", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("sim", T.DoubleType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("src_batch", T.LongType()),
+    ]
+)
+
+SEM_AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dup_of", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+        T.StructField("phase", T.StringType()),
+    ]
+)
+
+# Clusters whose INDEXED membership outgrows this cap contribute only
+# their first-admitted `cap` members to a probe (ordered by admit epoch,
+# then vec_id — deterministic). The trained model sizes clusters at
+# ~_SEM_TARGET_CLUSTER over its training corpus, so the cap only binds
+# under model drift (the ingested distribution outgrowing the
+# calibration) — where it bounds verify work at the cost of
+# bounded-probability false negatives, the same trade the banded
+# screen's bucket cap makes. Recalibrating the model (retrain, swap the
+# artifact dir) is the operator's recall lever.
+_SEM_CLUSTER_CAP = 128
+
+
+def semdedup_screen_sink(
+    model_dir: str,
+    sem_index_dir: str,
+    accepted_dir: str,
+    audit_dir: str,
+    threshold: float | None = None,
+    cluster_cap: int = _SEM_CLUSTER_CAP,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: ingestion-time SEMANTIC (embedding)
+    deduplication — the streaming form of the batch tier's SemDeDup
+    screen (`llm_semdedup`, operators/clustering.py), completing
+    batch/streaming tier parity (the r9 verdict's missing ingest stage:
+    batch curation had all four tiers, the stage ladder stopped at
+    exact + near-dup + span).
+
+    `model_dir` is the committed trained-hierarchy artifact
+    (clustering.sem_model_dir) — a calibrate-once control-plane input,
+    exactly like the curation sink's centroids: the batch tier trains
+    coarse/fine centroids once; every epoch here only PROBES them.
+
+    Per epoch:
+
+    1. ASSIGN — each embedded batch doc routes to its nearest TRAINED
+       coarse cell (broadcast O(√k·d) matrix; cells that won no training
+       members have no fine model and are excluded from routing) and to
+       the nearest fine centroid within it (cell-keyed cogroup against
+       the fine store) — `llm_semdedup`'s exact assignment arithmetic,
+       shared via `_sem_route` / `sem_cell_votes`.
+    2. CORPUS screen — the persistent per-cluster vector sidecar is
+       probed for the batch's OWN cluster ids via a broadcast semi-join
+       (the index is scanned, never shuffled — the banded screen's
+       contract), each probed cluster contributes at most `cluster_cap`
+       first-admitted members, and a batch doc is rejected when an
+       indexed same-cluster member verifies at grid cosine >=
+       threshold. Index priority is first-admitted-wins — an already
+       admitted doc is never retro-dropped, the incremental keep
+       contract every screen here shares.
+    3. WITHIN-BATCH screen — among corpus survivors, `llm_semdedup`'s
+       keep predicate verbatim: a doc is rejected when a same-cluster
+       near-duplicate of higher keep-priority exists (farther from the
+       centroid wins, ties → lower doc_id; the neighbor's own fate does
+       not resurrect the loser). With an empty index and one epoch this
+       makes the streaming keep-set EQUAL to `llm_semdedup`'s over the
+       same corpus and model — pinned in tests.
+
+    Survivors land in a batchId-keyed accepted directory and their
+    (cluster_id, sim, embedding) rows are admitted into the epoch's own
+    ``src_batch=N`` sidecar partition; rejects land in a batchId-keyed
+    audit (doc_id, best-matching dup_of by grid cosine, phase
+    'corpus'|'batch') — ids and scores only, no text. Docs with NULL
+    embeddings carry no geometry: always admitted here, never indexed
+    (the near screen's short-doc convention; exact redelivery is the
+    exact screen's job).
+
+    Replay safety is the module's standard contract: the probe reads
+    only ``src_batch < batch_id`` partitions (partition-pruned) and all
+    writes are epoch-scoped overwrites, so a replayed epoch reproduces
+    byte-identical accepted/audit/sidecar contributions.
+
+    Scale shape: moving state per admitted doc is ONE sidecar row; the
+    probe joins on cluster ids with per-cluster fan-out capped, so
+    per-epoch candidate volume is <= cluster_cap · |batch clusters| BY
+    CONSTRUCTION — independent of index size; the verify stage moves
+    vectors only for probed clusters."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.clustering import (
+        _SEM_VOTES_SCHEMA,
+        _SEMDEDUP_THRESHOLD,
+        _sem_route,
+        load_sem_model,
+        sem_cell_votes,
+    )
+    from ..shipping import ship_by_value
+
+    thr = _SEMDEDUP_THRESHOLD if threshold is None else float(threshold)
+    cache: dict = {}
+
+    def verify_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        """One cluster's exact-verify pass over (batch ∪ probed index)
+        rows: corpus-phase rejects first, then the within-batch priority
+        predicate among corpus survivors. Emits audit rows only."""
+        import numpy as np
+        import pandas as pd
+
+        is_idx = pdf["is_index"].to_numpy(dtype=np.int64) == 1
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        sims = pdf["sim"].to_numpy(dtype=np.float64)
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Mn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            G = Mn @ Mn.T
+            near = np.floor(G * 1e6 + 0.5) >= thr * 1e6
+        np.fill_diagonal(near, False)
+        bidx = np.where(~is_idx)[0]
+        iidx = np.where(is_idx)[0]
+        out = {"doc_id": [], "dup_of": [], "cosine": [], "phase": []}
+        survivors = []
+        for b in bidx:
+            hits = iidx[near[b, iidx]]
+            if len(hits):
+                best = hits[np.lexsort((ids[hits], -G[b, hits]))[0]]
+                out["doc_id"].append(int(ids[b]))
+                out["dup_of"].append(int(ids[best]))
+                out["cosine"].append(
+                    float(np.floor(G[b, best] * 1e6 + 0.5) / 1e6)
+                )
+                out["phase"].append("corpus")
+            else:
+                survivors.append(b)
+        sv = np.array(survivors, dtype=np.int64)
+        sk = np.where(np.isnan(sims), -2.0, sims)
+        for b in sv:
+            others = sv[sv != b]
+            if len(others) == 0:
+                continue
+            outranked = others[
+                near[b, others]
+                & (
+                    (sk[others] < sk[b])
+                    | ((sk[others] == sk[b]) & (ids[others] < ids[b]))
+                )
+            ]
+            if len(outranked):
+                best = outranked[np.lexsort((ids[outranked], -G[b, outranked]))[0]]
+                out["doc_id"].append(int(ids[b]))
+                out["dup_of"].append(int(ids[best]))
+                out["cosine"].append(
+                    float(np.floor(G[b, best] * 1e6 + 0.5) / 1e6)
+                )
+                out["phase"].append("batch")
+        return pd.DataFrame(out).astype(
+            {"doc_id": "int64", "dup_of": "int64", "cosine": "float64", "phase": "object"}
+        )
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        if "model" not in cache:
+            C, fine = load_sem_model(spark, model_dir)
+            if C is not None:
+                trained = sorted(
+                    r["cell"]
+                    for r in fine.select("cell").distinct().collect()
+                )
+                cache["model"] = (C[trained], trained, fine.localCheckpoint())
+            else:
+                cache["model"] = None
+        model = cache["model"]
+
+        emb = batch_df.filter(F.col("embedding").isNotNull()).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        if model is None:
+            assigned = spark.createDataFrame([], _SEM_VOTES_SCHEMA)
+        else:
+            Csub, trained, fine = model
+            routed = _sem_route(emb, Csub, probes=1, cell_ids=trained).select(
+                "vec_id", "cell", "embedding"
+            )
+            assigned = (
+                routed.groupBy("cell")
+                .cogroup(fine.groupBy("cell"))
+                .applyInPandas(ship_by_value(sem_cell_votes), _SEM_VOTES_SCHEMA)
+            )
+        assigned = assigned.select(
+            "vec_id", "cluster_id", "sim",
+        ).join(emb, "vec_id").localCheckpoint(eager=False)
+
+        batch_side = assigned.select(
+            "cluster_id", "vec_id", "sim", "embedding", F.lit(0).alias("is_index")
+        )
+        if os.path.isdir(sem_index_dir) and any(
+            e.startswith("src_batch=") for e in os.listdir(sem_index_dir)
+        ):
+            probe_keys = assigned.select("cluster_id").distinct()
+            cand = (
+                spark.read.schema(SEM_INDEX_SCHEMA)
+                .option("basePath", sem_index_dir)
+                .parquet(sem_index_dir)
+                .filter(F.col("src_batch") < batch_id)  # replay: ignore own epoch
+                .join(F.broadcast(probe_keys), "cluster_id", "semi")
+            )
+            w = Window.partitionBy("cluster_id").orderBy("src_batch", "vec_id")
+            cand = (
+                cand.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= cluster_cap)
+                .select(
+                    "cluster_id", "vec_id", "sim", "embedding",
+                    F.lit(1).alias("is_index"),
+                )
+            )
+            union = batch_side.unionByName(cand)
+        else:
+            union = batch_side
+
+        audit = (
+            union.groupBy("cluster_id")
+            .applyInPandas(
+                verify_cluster,
+                "doc_id long, dup_of long, cosine double, phase string",
+            )
+            .localCheckpoint(eager=False)
+        )
+        audit.write.mode("overwrite").parquet(
+            os.path.join(audit_dir, f"batch_id={batch_id}")
+        )
+        accepted = batch_df.join(audit.select("doc_id"), "doc_id", "left_anti")
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(accepted_dir, f"batch_id={batch_id}")
+        )
+        keep = assigned.join(
+            audit.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+        )
+        (
+            keep.select(
+                "cluster_id", "vec_id", "sim", "embedding",
+                F.lit(batch_id).alias("src_batch"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("src_batch")
+            .parquet(sem_index_dir)
+        )
+
+    return screen
+
+
+def compact_sem_index(spark, sem_index_dir: str, out_dir: str) -> None:
+    """Fold the semantic sidecar's epoch-accumulated partitions into a
+    single ``src_batch=0`` generation — the sem analog of
+    `compact_shingle_index`: rows are per-doc facts, so the fold is a
+    file collapse, clustered by cluster_id so the probe's semi-join
+    prunes row groups. Screening against the folded generation is
+    byte-identical ONLY while per-cluster membership stays under the
+    probe cap (the cap orders candidates by (src_batch, vec_id), and a
+    fold rewrites every row's epoch to 0, making the order pure vec_id —
+    for capped clusters the first-admitted prefix can differ); the
+    marker records the fold for RTBF exactly like the shingle store."""
+    idx = (
+        spark.read.schema(SEM_INDEX_SCHEMA)
+        .option("basePath", sem_index_dir)
+        .parquet(sem_index_dir)
+    )
+    (
+        idx.repartition("cluster_id")
+        .select("cluster_id", "vec_id", "sim", "embedding", F.lit(0).alias("src_batch"))
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("src_batch")
+        .parquet(out_dir)
+    )
+    open(os.path.join(out_dir, "_COMPACTED"), "w").close()

@@ -66,7 +66,9 @@ def corpus_ingest_dirs(work_dir: str) -> dict[str, str]:
     passed to the epoch; gram_index/span_audit the optional seventh and
     eighth, written only with span_screen=True; shingle_index/
     near_accepted/near_audit the near-dup screen's stores, written only
-    with near_dedup=True)."""
+    with near_dedup=True; sem_index/sem_accepted/sem_audit the semantic
+    screen's, written only when a trained sem_model artifact is
+    passed)."""
     return {
         "dedup_index": os.path.join(work_dir, "dedup_index"),
         "accepted": os.path.join(work_dir, "accepted"),
@@ -79,6 +81,9 @@ def corpus_ingest_dirs(work_dir: str) -> dict[str, str]:
         "shingle_index": os.path.join(work_dir, "shingle_index"),
         "near_accepted": os.path.join(work_dir, "near_accepted"),
         "near_audit": os.path.join(work_dir, "near_audit"),
+        "sem_index": os.path.join(work_dir, "sem_index"),
+        "sem_accepted": os.path.join(work_dir, "sem_accepted"),
+        "sem_audit": os.path.join(work_dir, "sem_audit"),
     }
 
 
@@ -90,6 +95,7 @@ def corpus_ingest_epoch(
     drift_budget_bits: float = 1.0,
     span_screen: bool = False,
     near_dedup: bool = False,
+    sem_model: str | None = None,
 ):
     """The per-epoch function: built separately from the stream so a
     replay (same stores, same params, same batch_id) can be driven
@@ -121,8 +127,19 @@ def corpus_ingest_epoch(
     in the ``near_audit``. The two screens deliberately stack in that
     order: the exact hash catches byte-identical redelivery for
     pennies, the shingle screen pays its gram join only on genuinely
-    new content — the two-tier shape the published web pipelines run."""
-    from .corpus_index import neardup_screen_sink
+    new content — the two-tier shape the published web pipelines run.
+
+    With `sem_model` (a committed trained-hierarchy artifact directory —
+    clustering.sem_model_dir, the calibrate-once contract), the SEMANTIC
+    screen (`corpus_index.semdedup_screen_sink`, r10 — stage 7,
+    completing batch/streaming tier parity) runs after the near-dup
+    screen and before every downstream stage: survivors land in
+    ``sem_accepted`` (the relation curation/indexes/spans then consume),
+    rejects in ``sem_audit``, and admitted vectors in the per-cluster
+    ``sem_index`` sidecar. The three screens stack in published order —
+    exact hash, then shingle, then embedding — each paying its cost only
+    on content the cheaper tier passed."""
+    from .corpus_index import neardup_screen_sink, semdedup_screen_sink
     from .drift_monitor import source_drift_sink
 
     dirs = corpus_ingest_dirs(work_dir)
@@ -132,6 +149,13 @@ def corpus_ingest_epoch(
             dirs["shingle_index"], dirs["near_accepted"], dirs["near_audit"]
         )
         if near_dedup
+        else None
+    )
+    sem = (
+        semdedup_screen_sink(
+            sem_model, dirs["sem_index"], dirs["sem_accepted"], dirs["sem_audit"]
+        )
+        if sem_model is not None
         else None
     )
     curate = curation_sink(dirs["curated"], centroids, quality_min)
@@ -164,6 +188,11 @@ def corpus_ingest_epoch(
                 admitted = batch_df.sparkSession.read.parquet(
                     os.path.join(dirs["near_accepted"], f"batch_id={batch_id}")
                 )
+            if sem is not None:
+                sem(admitted, batch_id)
+                admitted = batch_df.sparkSession.read.parquet(
+                    os.path.join(dirs["sem_accepted"], f"batch_id={batch_id}")
+                )
             curate(admitted, batch_id)
             index(
                 admitted.select(F.col("doc_id").alias("vec_id"), "embedding"),
@@ -189,13 +218,15 @@ def start_corpus_ingest(
     drift_budget_bits: float = 1.0,
     span_screen: bool = False,
     near_dedup: bool = False,
+    sem_model: str | None = None,
 ) -> StreamingQuery:
     """Start the composed ingestion stream over a parquet document feed.
-    `centroids` / `quality_min` / `drift_reference` are the
+    `centroids` / `quality_min` / `drift_reference` / `sem_model` are the
     calibrate-once parameters the sinks document (control-plane inputs,
     not per-batch state); with a reference the per-source drift audit
-    becomes the composition's 5th stage, and with `span_screen=True` the
-    duplicated-substring screen its 6th."""
+    becomes the composition's 5th stage, with `span_screen=True` the
+    duplicated-substring screen its 6th, and with a trained `sem_model`
+    artifact the semantic screen its 7th."""
     epoch = corpus_ingest_epoch(
         work_dir,
         centroids,
@@ -204,6 +235,7 @@ def start_corpus_ingest(
         drift_budget_bits,
         span_screen,
         near_dedup,
+        sem_model,
     )
     return (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
@@ -294,6 +326,9 @@ def corpus_retract(
         "near_accepted": 0,
         "near_audit": 0,
         "shingle_index": 0,
+        "sem_accepted": 0,
+        "sem_audit": 0,
+        "sem_index": 0,
     }
 
     def swap_rewrite(part_dir: str, df, partition_by: list[str] | None) -> None:
@@ -364,13 +399,20 @@ def corpus_retract(
         df = spark.read.parquet(part).persist()
         kept = df.filter(~F.col("doc_id").isin(ids))
         removed["accepted"] += df.count() - kept.count()
-        # The relation the span screen actually indexed (ADVICE r8, high):
-        # with near_dedup on, span_screen_sink consumed near_accepted, not
-        # accepted — a near-REJECTED victim contributed no grams, so both
-        # the subtraction and the recount below must derive from the
-        # near_accepted partition when it exists.
+        # The relation the span screen actually indexed (ADVICE r8, high;
+        # extended r10): the stage ladder hands span_screen_sink the LAST
+        # screen's accepted relation — sem_accepted when the semantic
+        # screen ran, else near_accepted, else accepted — and a victim
+        # rejected by any earlier screen contributed no grams, so both
+        # the subtraction and the recount below must derive from that
+        # same relation.
         npart = os.path.join(dirs["near_accepted"], f"batch_id={b}")
-        span_src_is_near = os.path.isdir(npart)
+        sempart = os.path.join(dirs["sem_accepted"], f"batch_id={b}")
+        span_part = (
+            sempart
+            if os.path.isdir(sempart)
+            else (npart if os.path.isdir(npart) else part)
+        )
         # Compacted gram index: per-epoch provenance is folded, so RTBF
         # switches from recount to SUBTRACTING the victims' gram counts —
         # computed from the OLD span-source rows and materialized BEFORE
@@ -386,8 +428,8 @@ def corpus_retract(
             from ..operators.dedup import _span_pos_grams, _span_toks
 
             span_src = (
-                spark.read.schema("doc_id long, text string").parquet(npart)
-                if span_src_is_near
+                spark.read.schema("doc_id long, text string").parquet(span_part)
+                if span_part != part
                 else df
             )
             gv = (
@@ -446,17 +488,33 @@ def corpus_retract(
             removed["near_accepted"] += ndf.count() - nkept.count()
             swap_rewrite(npart, nkept, None)
             ndf.unpersist()
-        apart = os.path.join(dirs["near_audit"], f"batch_id={b}")
-        if os.path.isdir(apart):
-            adf = spark.read.schema(
-                "doc_id long, dup_of long, jaccard double, phase string"
-            ).parquet(apart).persist()
-            akept = adf.filter(
-                ~F.col("doc_id").isin(ids) & ~F.col("dup_of").isin(ids)
-            )
-            removed["near_audit"] += adf.count() - akept.count()
-            swap_rewrite(apart, akept, None)
-            adf.unpersist()
+        # (near_audit and sem_audit are scrubbed in the cross-epoch sweep
+        # below: a dup_of reference to a victim can live in ANY epoch's
+        # audit, not just the victims' admit epochs — r10, found live.)
+        # Semantic-screen stores (r10, sem_model runs): the victims' rows
+        # leave sem_accepted (text + embedding), the audit (EITHER side —
+        # a cosine is a function of both docs' geometry, so a dup_of
+        # reference is as content-derived as the victim's own row), and
+        # the per-cluster sidecar (their embedding + assignment) — making
+        # their content semantically unknown again, the same re-admission
+        # contract every other screen's index removal guarantees.
+        if os.path.isdir(sempart):
+            smdf = spark.read.parquet(sempart).persist()
+            smkept = smdf.filter(~F.col("doc_id").isin(ids))
+            removed["sem_accepted"] += smdf.count() - smkept.count()
+            swap_rewrite(sempart, smkept, None)
+            smdf.unpersist()
+        sipart = os.path.join(dirs["sem_index"], f"src_batch={b}")
+        if os.path.isdir(sipart):
+            sidf = spark.read.schema(
+                "cluster_id long, vec_id long, sim double,"
+                " embedding array<float>"
+            ).parquet(sipart).persist()
+            sikept = sidf.filter(~F.col("vec_id").isin(ids))
+            removed["sem_index"] += sidf.count() - sikept.count()
+            swap_rewrite(sipart, sikept, None)
+            sidf.unpersist()
+
         # Both near-dup index sub-stores (bands + gram-set sidecar, r9):
         # rows are per-doc facts in each, so RTBF is the same per-doc
         # filter on both.
@@ -513,14 +571,14 @@ def corpus_retract(
             # files, where schema inference fails and wedges retraction —
             # the GRAM_INDEX_SCHEMA / test_zero_row_epoch convention.
             # Parquet column pruning makes the 2-column schema free.
-            # Recount from the REWRITTEN span source: near_accepted when
-            # the near screen ran (the relation span_screen_sink actually
-            # consumed — ADVICE r8 high), else accepted.
+            # Recount from the REWRITTEN span source: the last screen's
+            # accepted relation (sem_accepted > near_accepted > accepted
+            # — the relation span_screen_sink actually consumed).
             gnew = (
                 _span_pos_grams(
                     _span_toks(
                         spark.read.schema("doc_id long, text string").parquet(
-                            npart if span_src_is_near else part
+                            span_part
                         )
                     )
                 )
@@ -575,6 +633,61 @@ def corpus_retract(
             removed["shingle_index"] += shdf.count() - shkept.count()
             swap_rewrite(shgen, shkept, None)
             shdf.unpersist()
+
+    # Audit stores (near + semantic): a row's jaccard/cosine is a
+    # function of BOTH docs' content, so rows referencing a victim on
+    # EITHER side leave — and they can live in ANY epoch's audit, not
+    # just the victims' admit epochs (a later epoch's reject names an
+    # earlier admit as dup_of — r10, found live wiring the semantic
+    # capstone). Affected epochs are DISCOVERED from the store root (the
+    # explicit schema names batch_id, a real partition column under
+    # basePath), then each hit partition is rewritten; discovery
+    # guarantees the partitions are non-empty, so the schema'd
+    # per-partition reads cannot hit UNABLE_TO_INFER_SCHEMA.
+    for store, measure in (("near_audit", "jaccard"), ("sem_audit", "cosine")):
+        root = dirs[store]
+        if not os.path.isdir(root):
+            continue
+        aschema = f"doc_id long, dup_of long, {measure} double, phase string"
+        adf = (
+            spark.read.schema(aschema + ", batch_id long")
+            .option("basePath", root)
+            .parquet(root)
+        )
+        hit_epochs = sorted(
+            r["batch_id"]
+            for r in adf.filter(
+                F.col("doc_id").isin(ids) | F.col("dup_of").isin(ids)
+            )
+            .select("batch_id")
+            .distinct()
+            .collect()
+        )
+        for b in hit_epochs:
+            apart = os.path.join(root, f"batch_id={b}")
+            pdf = spark.read.schema(aschema).parquet(apart).persist()
+            akept = pdf.filter(
+                ~F.col("doc_id").isin(ids) & ~F.col("dup_of").isin(ids)
+            )
+            removed[store] += pdf.count() - akept.count()
+            swap_rewrite(apart, akept, None)
+            pdf.unpersist()
+
+    # Compacted semantic sidecar generation (compact_sem_index): rows
+    # kept their vec_id through the fold, so victims from folded epochs
+    # leave via the same per-doc filter against src_batch=0 (skipped when
+    # epoch 0 itself was already filtered above — the shingle pattern).
+    semdir = dirs["sem_index"]
+    if os.path.isfile(os.path.join(semdir, "_COMPACTED")) and 0 not in epochs:
+        semgen = os.path.join(semdir, "src_batch=0")
+        if os.path.isdir(semgen):
+            sgdf = spark.read.schema(
+                "cluster_id long, vec_id long, sim double, embedding array<float>"
+            ).parquet(semgen).persist()
+            sgkept = sgdf.filter(~F.col("vec_id").isin(ids))
+            removed["sem_index"] += sgdf.count() - sgkept.count()
+            swap_rewrite(semgen, sgkept, None)
+            sgdf.unpersist()
 
     # Serving indexes: physically remove the docs' rows from every epoch
     # partition that held them. Epoch DISCOVERY reads the store root with

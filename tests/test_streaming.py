@@ -2894,3 +2894,492 @@ class TestRetractionWithBothScreens:
         assert removed["accepted"] == 1
         assert removed["gram_index"] == 0  # epoch 1 was never folded
         assert self._grams(spark, dirs["gram_index"]) == before
+
+
+class TestSemDedupScreenSink:
+    """streaming/corpus_index.py::semdedup_screen_sink (r10) — ingestion-
+    time SEMANTIC dedup: probe the trained coarse/fine hierarchy, verify
+    within-cluster against the persistent vector sidecar, llm_semdedup's
+    keep contract."""
+
+    DOC_SCHEMA = "doc_id long, text string, embedding array<float>"
+
+    @staticmethod
+    def _fv(xs):
+        return [float(x) for x in xs]
+
+    @classmethod
+    def _planted(cls):
+        """The test_semdedup planted geometry: 8 basis directions, exact
+        embedding dup pairs (10/11, 50/51), a zero-norm row (30)."""
+        def basis(i, dim=8):
+            v = [0.0] * dim
+            v[i] = 1.0
+            return v
+
+        rows = [(i, basis(i)) for i in range(8)]
+        rows += [
+            (10, cls._fv([0.9, 0.1, 0, 0, 0, 0, 0, 0])),
+            (11, cls._fv([0.9, 0.1, 0, 0, 0, 0, 0, 0])),
+            (30, [0.0] * 8),
+            (50, cls._fv([0, 0, 0, 0.8, 0.2, 0, 0, 0])),
+            (51, cls._fv([0, 0, 0, 0.8, 0.2, 0, 0, 0])),
+        ]
+        return rows
+
+    @staticmethod
+    def _train(spark, where, rows):
+        from data_ingestion_experiment_otp_spark.operators.clustering import (
+            sem_model_dir,
+        )
+
+        sf = str(where)
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(1).write.parquet(os.path.join(sf, "embeddings.parquet"))
+        return sem_model_dir(spark, sf)
+
+    @staticmethod
+    def _acc(spark, d, b):
+        p = os.path.join(d, f"batch_id={b}")
+        if not os.path.isdir(p):
+            return None
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long").parquet(p).collect()
+        )
+
+    def test_single_epoch_keepset_equals_llm_semdedup(self, spark, tmp_path):
+        """Batch/streaming tier parity (the r10 Done pin): over one epoch
+        with an empty sidecar, the streaming screen's keep-set EQUALS
+        `llm_semdedup`'s over the same corpus and trained model — the
+        within-batch pass is the batch screen's predicate verbatim.
+        Docs without an embedding are admitted besides (no geometry to
+        screen; the near screen's short-doc convention). A replayed
+        epoch reproduces byte-identical accepted/audit/sidecar rows."""
+        from data_ingestion_experiment_otp_spark.operators.clustering import (
+            llm_semdedup,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            semdedup_screen_sink,
+        )
+
+        rows = self._planted()
+        sf = tmp_path / "corpus"
+        mdl = self._train(spark, sf, rows)
+        kept = sorted(
+            r["vec_id"]
+            for r in llm_semdedup(spark, str(sf)).collect()
+            if r["kept"]
+        )
+
+        work = str(tmp_path / "work")
+        idx, acc, aud = (
+            os.path.join(work, d) for d in ("sem_index", "acc", "aud")
+        )
+        sink = semdedup_screen_sink(mdl, idx, acc, aud)
+        docs = spark.createDataFrame(
+            [(i, f"text {i}", v) for i, v in rows] + [(99, "no emb", None)],
+            self.DOC_SCHEMA,
+        )
+        sink(docs, 0)
+        assert self._acc(spark, acc, 0) == sorted(kept + [99])
+        # exact-dup groups: only the first-priority member survives
+        audit = {
+            r["doc_id"]: r.asDict()
+            for r in spark.read.parquet(os.path.join(aud, "batch_id=0")).collect()
+        }
+        assert {11, 51} <= set(audit)
+        assert audit[11]["phase"] == "batch" and audit[11]["dup_of"] == 10
+        assert audit[51]["phase"] == "batch" and audit[51]["dup_of"] == 50
+
+        def snap():
+            return {
+                d: sorted(map(tuple, spark.read.parquet(d).collect()))
+                for d in (idx, acc, aud)
+            }
+
+        before = snap()
+        sink(docs, 0)
+        assert snap() == before
+
+    def test_cross_epoch_rejection_and_first_admitted_priority(
+        self, spark, tmp_path
+    ):
+        """An epoch-1 semantic near-dup of an epoch-0 admit is rejected
+        with a corpus-phase audit row naming the best indexed match —
+        the already-admitted doc is never retro-dropped (first-admitted
+        wins, the incremental keep contract); orthogonal content passes;
+        and the zero-norm row can never match anything."""
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            semdedup_screen_sink,
+        )
+
+        rows = self._planted()
+        mdl = self._train(spark, tmp_path / "corpus", rows)
+        work = str(tmp_path / "work")
+        idx, acc, aud = (
+            os.path.join(work, d) for d in ("sem_index", "acc", "aud")
+        )
+        sink = semdedup_screen_sink(mdl, idx, acc, aud)
+        sink(
+            spark.createDataFrame(
+                [(1, "t1", self._fv([0, 1, 0, 0, 0, 0, 0, 0]))], self.DOC_SCHEMA
+            ),
+            0,
+        )
+        assert self._acc(spark, acc, 0) == [1]
+        sink(
+            spark.createDataFrame(
+                [
+                    # cosine to doc 1 = 0.995 >= 0.4 -> corpus reject
+                    (20, "t20", self._fv([0.1, 0.99, 0, 0, 0, 0, 0, 0])),
+                    # orthogonal -> admitted
+                    (21, "t21", self._fv([0, 0, 0, 0, 0, 0, 1, 0])),
+                    # zero-norm -> NaN cosine, admitted
+                    (22, "t22", [0.0] * 8),
+                ],
+                self.DOC_SCHEMA,
+            ),
+            1,
+        )
+        assert self._acc(spark, acc, 1) == [21, 22]
+        audit = {
+            r["doc_id"]: r.asDict()
+            for r in spark.read.parquet(os.path.join(aud, "batch_id=1")).collect()
+        }
+        assert set(audit) == {20}
+        assert audit[20]["dup_of"] == 1 and audit[20]["phase"] == "corpus"
+        # the epoch-0 admit is still in the sidecar (never retro-dropped)
+        assert 1 in {
+            r["vec_id"]
+            for r in spark.read.schema("vec_id long")
+            .parquet(idx)
+            .collect()
+        }
+
+    def test_stream_matches_independent_python_replica(self, spark, tmp_path):
+        """Three epochs of deterministic vectors vs an INDEPENDENT pure-
+        Python replica of the documented contract (route to the nearest
+        trained coarse cell, fine-assign within it, corpus screen vs the
+        capped first-admitted sidecar, within-batch priority predicate)
+        — accepted ids, audit (doc_id, dup_of, phase), and sidecar
+        membership must agree epoch for epoch."""
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.operators.clustering import (
+            _SEM_CELL_MULT,
+            _SEMDEDUP_THRESHOLD,
+            load_sem_model,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            semdedup_screen_sink,
+        )
+
+        def vec(i):
+            # deterministic multi-cluster geometry: 4 anchor directions
+            # with small per-doc jitter, so near-dups straddle epochs
+            base = np.zeros(4)
+            base[i % 4] = 1.0
+            base[(i * 7 + 1) % 4] += ((i * 37) % 11) / 30.0
+            return [float(x) for x in base]
+
+        train_rows = [(i, vec(i)) for i in range(24)]
+        mdl = self._train(spark, tmp_path / "corpus", train_rows)
+        C, fine_df = load_sem_model(spark, mdl)
+        fine = {}
+        for r in fine_df.collect():
+            fine.setdefault(r["cell"], []).append(
+                (r["fid"], np.array(r["cv"], dtype=np.float64))
+            )
+        cells = sorted(fine)
+        Csub = C[cells]
+
+        def grid(x):
+            return np.floor(np.abs(x) * 1e6 + 0.5) * np.sign(x) / 1e6
+
+        def cos(a, b):
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            if na == 0 or nb == 0:
+                return float("nan")
+            return float(a @ b / (na * nb))
+
+        def assign(v):
+            # nearest trained coarse cell, then nearest fine centroid
+            best_cell, bkey = None, (-3.0, None)
+            for j, c in enumerate(cells):
+                s = grid(np.array([cos(v, C[c])]))[0]
+                key = (-2.0 if np.isnan(s) else s, -c)
+                if best_cell is None or key > bkey:
+                    best_cell, bkey = c, key
+            best_fid, bkey2, bsim = None, None, None
+            for fid, cv in sorted(fine[best_cell]):
+                s = grid(np.array([cos(v, cv)]))[0]
+                key = (-2.0 if np.isnan(s) else s, -fid)
+                if best_fid is None or key > bkey2:
+                    best_fid, bkey2, bsim = fid, key, s
+            return best_cell * _SEM_CELL_MULT + best_fid, bsim
+
+        epochs = [
+            [(i, vec(i)) for i in range(0, 8)],
+            [(i, vec(i - 100)) for i in range(100, 110)],  # dups of 0..9
+            [(i, vec(i)) for i in range(200, 212)],
+        ]
+        index: dict = {}  # cluster -> [(vec_id, sim, vec)] in admit order
+        thr = _SEMDEDUP_THRESHOLD
+
+        def replica_epoch(rows):
+            assigned = []
+            for i, v in rows:
+                cid, s = assign(np.array(v, dtype=np.float64))
+                assigned.append((i, cid, s, np.array(v, dtype=np.float64)))
+            audit, survivors = [], []
+            for i, cid, s, v in assigned:
+                hits = [
+                    (grid(np.array([cos(v, iv)]))[0], ivid)
+                    for ivid, _, iv in index.get(cid, [])[:128]
+                ]
+                hits = [(c, ivid) for c, ivid in hits if not np.isnan(c) and c >= thr]
+                if hits:
+                    best = max(hits, key=lambda h: (h[0], -h[1]))
+                    audit.append((i, best[1], "corpus"))
+                else:
+                    survivors.append((i, cid, s, v))
+            accepted = []
+            for i, cid, s, v in survivors:
+                sk = -2.0 if np.isnan(s) else s
+                outranked = []
+                for j, cj, sj, vj in survivors:
+                    if j == i or cj != cid:
+                        continue
+                    c = grid(np.array([cos(v, vj)]))[0]
+                    if np.isnan(c) or c < thr:
+                        continue
+                    sjk = -2.0 if np.isnan(sj) else sj
+                    if sjk < sk or (sjk == sk and j < i):
+                        outranked.append((c, j))
+                if outranked:
+                    best = max(outranked, key=lambda h: (h[0], -h[1]))
+                    audit.append((i, best[1], "batch"))
+                else:
+                    accepted.append(i)
+            for i, cid, s, v in survivors:
+                if i in accepted:
+                    index.setdefault(cid, []).append((i, s, v))
+            return sorted(accepted), sorted(audit)
+
+        work = str(tmp_path / "work")
+        idx, acc, aud = (
+            os.path.join(work, d) for d in ("sem_index", "acc", "aud")
+        )
+        sink = semdedup_screen_sink(mdl, idx, acc, aud)
+        for b, rows in enumerate(epochs):
+            exp_acc, exp_aud = replica_epoch(rows)
+            sink(
+                spark.createDataFrame(
+                    [(i, f"t{i}", v) for i, v in rows], self.DOC_SCHEMA
+                ),
+                b,
+            )
+            assert self._acc(spark, acc, b) == exp_acc, b
+            got_aud = sorted(
+                (r["doc_id"], r["dup_of"], r["phase"])
+                for r in spark.read.parquet(
+                    os.path.join(aud, f"batch_id={b}")
+                ).collect()
+            )
+            assert got_aud == exp_aud, b
+        got_index = {
+            r["vec_id"]
+            for r in spark.read.schema("vec_id long").parquet(idx).collect()
+        }
+        assert got_index == {i for rows in index.values() for i, _, _ in rows}
+
+
+class TestCapstoneSemDedup:
+    """corpus_pipeline.py with a trained sem_model: the semantic screen is
+    stage 7, gating every downstream store; RTBF makes a victim's content
+    semantically unknown again."""
+
+    def test_sem_screen_gates_downstream_and_rtbf_unknows(self, spark, tmp_path):
+        import time
+
+        from data_ingestion_experiment_otp_spark.streaming import drive
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_ingest_epoch,
+            corpus_retract,
+            start_corpus_ingest,
+        )
+
+        base = TestNearDupScreenSink.BASE
+        end6 = TestNearDupScreenSink.END6
+        unrelated = TestNearDupScreenSink.UNRELATED
+        fresh = " ".join(f"q{i}" for i in range(25))
+        fresh2 = " ".join(f"w{i}" for i in range(25))
+
+        def basis(i, dim=64):
+            v = [0.0] * dim
+            v[i] = 1.0
+            return v
+
+        fv = TestSemDedupScreenSink._fv
+        # model trained on 64-dim planted geometry (calibrate-once; the
+        # vector-index stage downstream assumes the fixture's 64 dims)
+        mdl = TestSemDedupScreenSink._train(
+            spark,
+            tmp_path / "calib",
+            [(i, basis(i % 8)) for i in range(8)]
+            + [(10, fv([0.9, 0.1] + [0.0] * 62)),
+               (11, fv([0.9, 0.1] + [0.0] * 62)),
+               (30, [0.0] * 64),
+               (50, fv([0, 0, 0, 0.8, 0.2] + [0.0] * 59))],
+        )
+
+        batches = [
+            [
+                (1, "web", len(base), base, basis(0)),
+                (2, "web", len(unrelated), unrelated, basis(1)),
+            ],
+            [
+                # 3 = exact redelivery of 1 (exact screen's kill);
+                # 4 = near-dup TEXT of 1 (near screen's kill);
+                # 5 = fresh text, orthogonal vector (passes all three);
+                # 6 = fresh text, vector ~ doc 1's (SEM screen's kill)
+                (3, "web", len(base), base, basis(2)),
+                (4, "web", len(end6), end6, basis(3)),
+                (5, "forum", len(fresh), fresh, basis(4)),
+                (6, "forum", len(fresh2), fresh2, fv([0.95, 0.05] + [0.0] * 62)),
+            ],
+        ]
+        in_dir = str(tmp_path / "feed")
+        for rows in batches:
+            spark.createDataFrame(
+                rows, TestStreamingCorpusPipeline.SCHEMA
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+            time.sleep(0.05)
+
+        cents = (
+            spark.createDataFrame(
+                [(0, basis(0)), (1, basis(1))],
+                "vec_id long, embedding array<float>",
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+        work = str(tmp_path / "work")
+        q = start_corpus_ingest(
+            spark,
+            in_dir,
+            work,
+            cents,
+            {"*": 0.0},
+            str(tmp_path / "ckpt"),
+            near_dedup=True,
+            sem_model=mdl,
+        )
+        drive.drain(q)
+
+        dirs = corpus_ingest_dirs(work)
+        near_accepted = {
+            r["doc_id"] for r in spark.read.parquet(dirs["near_accepted"]).collect()
+        }
+        sem_accepted = {
+            r["doc_id"] for r in spark.read.parquet(dirs["sem_accepted"]).collect()
+        }
+        assert near_accepted == {1, 2, 5, 6}  # near screen killed 4
+        assert sem_accepted == {1, 2, 5}  # sem screen killed 6
+        audit = {
+            r["doc_id"]: r.asDict()
+            for r in spark.read.schema(
+                "doc_id long, dup_of long, cosine double, phase string"
+            )
+            .parquet(dirs["sem_audit"])
+            .collect()
+        }
+        assert set(audit) == {6}
+        assert audit[6]["dup_of"] == 1 and audit[6]["phase"] == "corpus"
+        # every downstream store holds exactly the sem-survivors
+        curated = {
+            r["doc_id"] for r in spark.read.parquet(dirs["curated"]).collect()
+        }
+        assert curated <= sem_accepted and 6 not in curated
+        from data_ingestion_experiment_otp_spark.streaming.vector_index import (
+            index_stats,
+        )
+
+        assert index_stats(spark, dirs["vector_index"])["vec_rows"] == 3
+        tdocs = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .option("basePath", dirs["text_index"])
+            .parquet(os.path.join(dirs["text_index"], "doclen"))
+            .collect()
+        }
+        assert tdocs == sem_accepted
+
+        # RTBF: retract doc 1 — its vector leaves the sidecar, so a
+        # fresh doc with doc-6-like geometry is semantically UNKNOWN
+        # again and gets admitted (doc 6's own vector was never indexed).
+        removed = corpus_retract(spark, work, [1])
+        assert removed["sem_accepted"] == 1
+        assert removed["sem_index"] == 1
+        assert removed["sem_audit"] == 1  # the dup_of=1 reference goes too
+        epoch = corpus_ingest_epoch(
+            work, cents, {"*": 0.0}, near_dedup=True, sem_model=mdl
+        )
+        epoch(
+            spark.createDataFrame(
+                [(9, "web", 20, " ".join(f"z{i}" for i in range(25)),
+                  fv([0.96, 0.04] + [0.0] * 62))],
+                TestStreamingCorpusPipeline.SCHEMA,
+            ),
+            5,
+        )
+        assert TestNearDupScreenSink._ids(spark, dirs["sem_accepted"], 5) == [9]
+
+    def test_off_by_default(self, spark, tmp_path):
+        """No sem_model (the default) writes none of the three semantic
+        stores and admits semantic dups exactly as before."""
+        import time
+
+        from data_ingestion_experiment_otp_spark.streaming import drive
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            start_corpus_ingest,
+        )
+
+        def basis(i, dim=64):
+            v = [0.0] * dim
+            v[i] = 1.0
+            return v
+
+        fv = TestSemDedupScreenSink._fv
+        in_dir = str(tmp_path / "feed")
+        spark.createDataFrame(
+            [
+                (1, "web", 9, "alpha one", basis(0)),
+                (2, "web", 9, "beta twos", fv([0.95, 0.05] + [0.0] * 62)),
+            ],
+            TestStreamingCorpusPipeline.SCHEMA,
+        ).coalesce(1).write.parquet(in_dir)
+        time.sleep(0.05)
+        cents = (
+            spark.createDataFrame(
+                [(0, basis(0))], "vec_id long, embedding array<float>"
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+        work = str(tmp_path / "work")
+        q = start_corpus_ingest(
+            spark, in_dir, work, cents, {"*": 0.0}, str(tmp_path / "ckpt")
+        )
+        drive.drain(q)
+        dirs = corpus_ingest_dirs(work)
+        assert not os.path.isdir(dirs["sem_index"])
+        assert not os.path.isdir(dirs["sem_accepted"])
+        curated = {
+            r["doc_id"] for r in spark.read.parquet(dirs["curated"]).collect()
+        }
+        assert {1, 2} <= curated  # both admitted: no semantic screen ran
