@@ -124,6 +124,12 @@ HEADLINE = [
     # stage (both single-scan-class cells)
     "llm_screen_recall_eval",
     "llm_mixture_weights",
+    # r10 additions: the in-engine classifier trainer (6 distributed
+    # perceptron iterations over the corpus feature set) and its fit
+    # audit; the hierarchical SemDeDup cells above now serve from the
+    # trained-centroid artifact store (first rep pays the cold train)
+    "llm_quality_classifier_train",
+    "llm_classifier_train_eval",
 ]
 
 

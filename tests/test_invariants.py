@@ -972,6 +972,11 @@ class TestOrderIndependenceSweep:
         "llm_char_dup_spans",
         # r7c: exact-pair truth × deterministic screen, pure count output
         "llm_semdedup_eval",
+        # r10: perceptron training is pure int64 — margins, violator
+        # sets, gradient sums, weights; a partition boundary can only
+        # reorder exact-integer additions
+        "llm_quality_classifier_train",
+        "llm_classifier_train_eval",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):
