@@ -2593,10 +2593,10 @@ class TestShingleIndexCompaction:
 
 
 class TestCapstoneAllStages:
-    """The full eight-store composition: every optional stage on at once
-    (drift + span screen + near-dup screen) — the stages must not
-    interfere, and a replayed epoch must reproduce every store
-    byte-identically."""
+    """The full composition: every optional stage on at once (drift +
+    span screen + near-dup screen + the r10 semantic screen — all 14
+    stores) — the stages must not interfere, and a replayed epoch must
+    reproduce every store byte-identically."""
 
     def test_all_stages_compose_and_replay_byte_identical(self, spark, tmp_path):
         import glob
@@ -2616,7 +2616,11 @@ class TestCapstoneAllStages:
         end6 = TestNearDupScreenSink.END6
         unrelated = TestNearDupScreenSink.UNRELATED
         span8 = TestSpanScreenSink.SPAN8
-        vec = lambda s: [float(s)] + [0.0] * 63  # noqa: E731
+        # distinct basis DIRECTIONS (a scalar-multiple family would make
+        # every pair cosine-1.0 and the semantic screen would kill the
+        # whole feed); doc 8 is the planted SEMANTIC dup of doc 1
+        vec = lambda s: [0.0] * s + [1.0] + [0.0] * (63 - s)  # noqa: E731
+        fv = TestSemDedupScreenSink._fv
         batches = [
             [
                 (1, "web", len(base), base, vec(1)),
@@ -2628,8 +2632,16 @@ class TestCapstoneAllStages:
                 (5, "web", len(end6), end6, vec(5)),       # near dup of 1
                 (6, "forum", 40, f"b1 b2 {span8} b3 b4 b5", vec(6)),  # span repeat
                 (7, "forum", 30, " ".join(f"q{i}" for i in range(20)), vec(7)),
+                # fresh text, vector ~ doc 1's direction -> stage 7's kill
+                (8, "forum", 30, " ".join(f"c{i}" for i in range(20)),
+                 fv([0.0, 0.96, 0.04] + [0.0] * 61)),
             ],
         ]
+        mdl = TestSemDedupScreenSink._train(
+            spark,
+            tmp_path / "calib",
+            [(i, vec(i)) for i in range(10)],
+        )
         in_dir = str(tmp_path / "feed")
         for rows in batches:
             spark.createDataFrame(
@@ -2660,19 +2672,35 @@ class TestCapstoneAllStages:
             drift_reference=ref,
             span_screen=True,
             near_dedup=True,
+            sem_model=mdl,
         )
         drive.drain(q)
         dirs = corpus_ingest_dirs(work)
 
-        # every one of the 11 stores materialized
+        # every one of the 14 stores materialized
         for k, d in dirs.items():
             assert os.path.isdir(d), k
-        # stage interactions: 4 exact-killed, 5 near-killed, 6 admitted
-        # with its span COVERED (epoch-1 doc 3 planted the grams)
+        # stage interactions: 4 exact-killed, 5 near-killed, 8 SEM-killed
+        # (fresh text, doc-1-like geometry), 6 admitted with its span
+        # COVERED (epoch-0 doc 3 planted the grams)
         near_accepted = {
             r["doc_id"] for r in spark.read.parquet(dirs["near_accepted"]).collect()
         }
-        assert near_accepted == {1, 2, 3, 6, 7}
+        assert near_accepted == {1, 2, 3, 6, 7, 8}
+        sem_accepted = {
+            r["doc_id"] for r in spark.read.parquet(dirs["sem_accepted"]).collect()
+        }
+        assert sem_accepted == {1, 2, 3, 6, 7}
+        sem_audit = {
+            r["doc_id"]: r.asDict()
+            for r in spark.read.schema(
+                "doc_id long, dup_of long, cosine double, phase string"
+            )
+            .parquet(dirs["sem_audit"])
+            .collect()
+        }
+        assert set(sem_audit) == {8}
+        assert sem_audit[8]["dup_of"] == 1 and sem_audit[8]["phase"] == "corpus"
         audit = {
             r["doc_id"]: r["dup_tokens"]
             for r in spark.read.parquet(
@@ -2712,7 +2740,7 @@ class TestCapstoneAllStages:
 
         before = snapshot()
         epoch = corpus_ingest_epoch(
-            work, cents, {"*": 0.0}, ref, 1.0, True, True
+            work, cents, {"*": 0.0}, ref, 1.0, True, True, mdl
         )
         epoch(
             spark.createDataFrame(batches[1], TestStreamingCorpusPipeline.SCHEMA), 1
