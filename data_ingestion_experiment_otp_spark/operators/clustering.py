@@ -956,6 +956,13 @@ def sem_fine_train(pdf):
     DataFrame keyed by cell; no driver collect, no broadcast, which is
     the whole point of the hierarchy (the r9 verdict's last Θ(N) seam).
 
+    Per-group memory shape (the hierarchy's executor-side bound): one
+    cell holds ~N/√k = target·√k vectors, so the Arrow frame is
+    target·√k·d·8 B — ~90 MB at 10⁹ vectors (√k ≈ 5.5k, d = 64), inside
+    a normal executor budget; the dial is the coarse count (kc ∝ k^(2/3)
+    trades broadcast growth for smaller cells) — stated here so the
+    trade is explicit rather than discovered at OOM.
+
     Self-contained (numpy/pandas imported in the body, only scalar
     constants captured) so `ship_by_value` can send it to workers that
     cannot import this package — the shipping.py contract."""
