@@ -3086,42 +3086,39 @@ class TestSemDedupScreenSink:
             .collect()
         }
 
-    def test_stream_matches_independent_python_replica(self, spark, tmp_path):
-        """Three epochs of deterministic vectors vs an INDEPENDENT pure-
-        Python replica of the documented contract (route to the nearest
-        trained coarse cell, fine-assign within it, corpus screen vs the
-        capped first-admitted sidecar, within-batch priority predicate)
-        — accepted ids, audit (doc_id, dup_of, phase), and sidecar
-        membership must agree epoch for epoch."""
+    @staticmethod
+    def _load_replica_model(spark, mdl):
+        """(C, fine dict cell -> [(fid, cv)]) from the committed artifact,
+        for the pure-Python replica."""
         import numpy as np
 
         from data_ingestion_experiment_otp_spark.operators.clustering import (
-            _SEM_CELL_MULT,
-            _SEMDEDUP_THRESHOLD,
             load_sem_model,
         )
-        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
-            semdedup_screen_sink,
-        )
 
-        def vec(i):
-            # deterministic multi-cluster geometry: 4 anchor directions
-            # with small per-doc jitter, so near-dups straddle epochs
-            base = np.zeros(4)
-            base[i % 4] = 1.0
-            base[(i * 7 + 1) % 4] += ((i * 37) % 11) / 30.0
-            return [float(x) for x in base]
-
-        train_rows = [(i, vec(i)) for i in range(24)]
-        mdl = self._train(spark, tmp_path / "corpus", train_rows)
         C, fine_df = load_sem_model(spark, mdl)
         fine = {}
         for r in fine_df.collect():
             fine.setdefault(r["cell"], []).append(
                 (r["fid"], np.array(r["cv"], dtype=np.float64))
             )
+        return C, fine
+
+    @staticmethod
+    def _replica_epochs(C, fine, epochs, thr, cap):
+        """INDEPENDENT pure-Python replica of the documented screen
+        contract — route to the nearest TRAINED coarse cell, fine-assign
+        within it, corpus screen vs the cap-bounded first-admitted
+        sidecar, within-batch priority predicate — over a list of
+        epochs. Returns ([(accepted, audit)] per epoch, final sidecar
+        member set)."""
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.operators.clustering import (
+            _SEM_CELL_MULT,
+        )
+
         cells = sorted(fine)
-        Csub = C[cells]
 
         def grid(x):
             return np.floor(np.abs(x) * 1e6 + 0.5) * np.sign(x) / 1e6
@@ -3133,9 +3130,8 @@ class TestSemDedupScreenSink:
             return float(a @ b / (na * nb))
 
         def assign(v):
-            # nearest trained coarse cell, then nearest fine centroid
             best_cell, bkey = None, (-3.0, None)
-            for j, c in enumerate(cells):
+            for c in cells:
                 s = grid(np.array([cos(v, C[c])]))[0]
                 key = (-2.0 if np.isnan(s) else s, -c)
                 if best_cell is None or key > bkey:
@@ -3148,26 +3144,24 @@ class TestSemDedupScreenSink:
                     best_fid, bkey2, bsim = fid, key, s
             return best_cell * _SEM_CELL_MULT + best_fid, bsim
 
-        epochs = [
-            [(i, vec(i)) for i in range(0, 8)],
-            [(i, vec(i - 100)) for i in range(100, 110)],  # dups of 0..9
-            [(i, vec(i)) for i in range(200, 212)],
-        ]
         index: dict = {}  # cluster -> [(vec_id, sim, vec)] in admit order
-        thr = _SEMDEDUP_THRESHOLD
-
-        def replica_epoch(rows):
+        out = []
+        for rows in epochs:
             assigned = []
             for i, v in rows:
                 cid, s = assign(np.array(v, dtype=np.float64))
                 assigned.append((i, cid, s, np.array(v, dtype=np.float64)))
             audit, survivors = [], []
             for i, cid, s, v in assigned:
+                # cap = first-admitted members, ordered (epoch, vec_id) —
+                # admit order IS that order here
                 hits = [
                     (grid(np.array([cos(v, iv)]))[0], ivid)
-                    for ivid, _, iv in index.get(cid, [])[:128]
+                    for ivid, _, iv in index.get(cid, [])[:cap]
                 ]
-                hits = [(c, ivid) for c, ivid in hits if not np.isnan(c) and c >= thr]
+                hits = [
+                    (c, ivid) for c, ivid in hits if not np.isnan(c) and c >= thr
+                ]
                 if hits:
                     best = max(hits, key=lambda h: (h[0], -h[1]))
                     audit.append((i, best[1], "corpus"))
@@ -3194,21 +3188,36 @@ class TestSemDedupScreenSink:
             for i, cid, s, v in survivors:
                 if i in accepted:
                     index.setdefault(cid, []).append((i, s, v))
-            return sorted(accepted), sorted(audit)
+            out.append((sorted(accepted), sorted(audit)))
+        members = {i for rows in index.values() for i, _, _ in rows}
+        return out, members
 
-        work = str(tmp_path / "work")
+    def _drive_and_compare(self, spark, work, mdl, epochs, cap):
+        """Drive the sink over `epochs` and assert accepted/audit/sidecar
+        equal the replica's, epoch for epoch."""
+        from data_ingestion_experiment_otp_spark.operators.clustering import (
+            _SEMDEDUP_THRESHOLD,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            semdedup_screen_sink,
+        )
+
+        C, fine = self._load_replica_model(spark, mdl)
+        want, want_members = self._replica_epochs(
+            C, fine, epochs, _SEMDEDUP_THRESHOLD, cap
+        )
         idx, acc, aud = (
             os.path.join(work, d) for d in ("sem_index", "acc", "aud")
         )
-        sink = semdedup_screen_sink(mdl, idx, acc, aud)
+        sink = semdedup_screen_sink(mdl, idx, acc, aud, cluster_cap=cap)
         for b, rows in enumerate(epochs):
-            exp_acc, exp_aud = replica_epoch(rows)
             sink(
                 spark.createDataFrame(
                     [(i, f"t{i}", v) for i, v in rows], self.DOC_SCHEMA
                 ),
                 b,
             )
+            exp_acc, exp_aud = want[b]
             assert self._acc(spark, acc, b) == exp_acc, b
             got_aud = sorted(
                 (r["doc_id"], r["dup_of"], r["phase"])
@@ -3221,7 +3230,76 @@ class TestSemDedupScreenSink:
             r["vec_id"]
             for r in spark.read.schema("vec_id long").parquet(idx).collect()
         }
-        assert got_index == {i for rows in index.values() for i, _, _ in rows}
+        assert got_index == want_members
+
+    def test_stream_matches_independent_python_replica(self, spark, tmp_path):
+        """Three epochs of deterministic vectors vs the INDEPENDENT pure-
+        Python replica of the documented contract — accepted ids, audit
+        (doc_id, dup_of, phase), and sidecar membership must agree epoch
+        for epoch."""
+        import numpy as np
+
+        def vec(i):
+            # deterministic multi-cluster geometry: 4 anchor directions
+            # with small per-doc jitter, so near-dups straddle epochs
+            base = np.zeros(4)
+            base[i % 4] = 1.0
+            base[(i * 7 + 1) % 4] += ((i * 37) % 11) / 30.0
+            return [float(x) for x in base]
+
+        mdl = self._train(
+            spark, tmp_path / "corpus", [(i, vec(i)) for i in range(24)]
+        )
+        epochs = [
+            [(i, vec(i)) for i in range(0, 8)],
+            [(i, vec(i - 100)) for i in range(100, 110)],  # dups of 0..9
+            [(i, vec(i)) for i in range(200, 212)],
+        ]
+        self._drive_and_compare(spark, str(tmp_path / "work"), mdl, epochs, 128)
+
+    def test_randomized_corpora_match_replica(self, spark, tmp_path):
+        """Seeded randomized sweep of the full screen contract (the r9
+        banded-screen sweep's methodology applied to the semantic tier):
+        5 random corpora — anchor-mixture vectors with planted
+        cross-epoch near-dups and the occasional zero-norm row — driven
+        3 epochs each with cluster_cap=2, so the first-admitted
+        candidate cap actually binds, vs the from-scratch replica."""
+        import random
+
+        import numpy as np
+
+        for seed in range(5):
+            rng = random.Random(seed)
+
+            def rvec(dim=6):
+                v = [0.0] * dim
+                v[rng.randrange(3)] = 1.0  # 3 anchor directions
+                v[rng.randrange(dim)] += rng.randint(0, 8) / 16.0
+                return [float(x) for x in v]
+
+            ids = rng.sample(range(1, 900), 27)
+            vecs = {i: rvec() for i in ids}
+            # planted cross-epoch near-dups: later docs copy earlier
+            # docs' vectors with a small deterministic nudge
+            for i in ids[18:24]:
+                src = rng.choice(ids[:9])
+                v = list(vecs[src])
+                v[rng.randrange(6)] += rng.randint(0, 3) / 64.0
+                vecs[i] = [float(x) for x in v]
+            vecs[ids[26]] = [0.0] * 6  # zero-norm: never matches, admitted
+            mdl = self._train(
+                spark,
+                tmp_path / f"corpus{seed}",
+                [(i, vecs[i]) for i in ids[:18]],
+            )
+            epochs = [
+                [(i, vecs[i]) for i in sorted(ids[:9])],
+                [(i, vecs[i]) for i in sorted(ids[9:18])],
+                [(i, vecs[i]) for i in sorted(ids[18:])],
+            ]
+            self._drive_and_compare(
+                spark, str(tmp_path / f"work{seed}"), mdl, epochs, 2
+            )
 
 
 class TestCapstoneSemDedup:
