@@ -446,15 +446,20 @@ def compact_shingle_index(spark, shingle_index_dir: str, out_dir: str) -> None:
 
 
 # The semantic screen's per-cluster vector sidecar (r10): one row per
-# admitted embedded doc — its fine-cluster assignment, priority sim, and
-# the vector itself (the exact-verify payload, the gram-set-sidecar
-# pattern applied to geometry).
+# admitted embedded doc — its fine-cluster assignment, priority sim, the
+# vector itself (the exact-verify payload, the gram-set-sidecar pattern
+# applied to geometry), and `adm`, the ADMIT epoch as a data column:
+# src_batch is a partition column that compaction rewrites to 0, but the
+# probe's candidate cap orders by first-admitted — carrying the admit
+# epoch in the rows keeps that order (and therefore screening, even on
+# cap-bound clusters) byte-identical across a fold.
 SEM_INDEX_SCHEMA = T.StructType(
     [
         T.StructField("cluster_id", T.LongType()),
         T.StructField("vec_id", T.LongType()),
         T.StructField("sim", T.DoubleType()),
         T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("adm", T.LongType()),
         T.StructField("src_batch", T.LongType()),
     ]
 )
@@ -665,7 +670,10 @@ def semdedup_screen_sink(
                 .filter(F.col("src_batch") < batch_id)  # replay: ignore own epoch
                 .join(F.broadcast(probe_keys), "cluster_id", "semi")
             )
-            w = Window.partitionBy("cluster_id").orderBy("src_batch", "vec_id")
+            # first-admitted order via the adm DATA column (not the
+            # src_batch partition value, which a fold rewrites to 0) —
+            # keeps cap-bound screening byte-identical across compaction
+            w = Window.partitionBy("cluster_id").orderBy("adm", "vec_id")
             cand = (
                 cand.withColumn("rk", F.row_number().over(w))
                 .filter(F.col("rk") <= cluster_cap)
@@ -699,6 +707,7 @@ def semdedup_screen_sink(
         (
             keep.select(
                 "cluster_id", "vec_id", "sim", "embedding",
+                F.lit(batch_id).alias("adm"),
                 F.lit(batch_id).alias("src_batch"),
             )
             .write.mode("overwrite")
@@ -716,11 +725,12 @@ def compact_sem_index(spark, sem_index_dir: str, out_dir: str) -> None:
     `compact_shingle_index`: rows are per-doc facts, so the fold is a
     file collapse, clustered by cluster_id so the probe's semi-join
     prunes row groups. Screening against the folded generation is
-    byte-identical ONLY while per-cluster membership stays under the
-    probe cap (the cap orders candidates by (src_batch, vec_id), and a
-    fold rewrites every row's epoch to 0, making the order pure vec_id —
-    for capped clusters the first-admitted prefix can differ); the
-    marker records the fold for RTBF exactly like the shingle store."""
+    byte-identical UNCONDITIONALLY — including on clusters where the
+    probe cap binds — because the candidate order is the ``adm`` admit-
+    epoch DATA column, which the fold carries through unchanged (the
+    src_batch partition value it rewrites to 0 is only the replay
+    guard's key); the marker records the fold for RTBF exactly like the
+    shingle store."""
     idx = (
         spark.read.schema(SEM_INDEX_SCHEMA)
         .option("basePath", sem_index_dir)
@@ -728,7 +738,10 @@ def compact_sem_index(spark, sem_index_dir: str, out_dir: str) -> None:
     )
     (
         idx.repartition("cluster_id")
-        .select("cluster_id", "vec_id", "sim", "embedding", F.lit(0).alias("src_batch"))
+        .select(
+            "cluster_id", "vec_id", "sim", "embedding", "adm",
+            F.lit(0).alias("src_batch"),
+        )
         .write.mode("overwrite")
         .option("compression", "zstd")
         .partitionBy("src_batch")

@@ -506,9 +506,12 @@ def corpus_retract(
             smdf.unpersist()
         sipart = os.path.join(dirs["sem_index"], f"src_batch={b}")
         if os.path.isdir(sipart):
+            # adm must ride through the rewrite: an explicit schema that
+            # omitted it would silently prune the admit-order column from
+            # the rewritten files (the r5 schema-evolution lesson)
             sidf = spark.read.schema(
                 "cluster_id long, vec_id long, sim double,"
-                " embedding array<float>"
+                " embedding array<float>, adm long"
             ).parquet(sipart).persist()
             sikept = sidf.filter(~F.col("vec_id").isin(ids))
             removed["sem_index"] += sidf.count() - sikept.count()
@@ -682,7 +685,8 @@ def corpus_retract(
         semgen = os.path.join(semdir, "src_batch=0")
         if os.path.isdir(semgen):
             sgdf = spark.read.schema(
-                "cluster_id long, vec_id long, sim double, embedding array<float>"
+                "cluster_id long, vec_id long, sim double,"
+                " embedding array<float>, adm long"
             ).parquet(semgen).persist()
             sgkept = sgdf.filter(~F.col("vec_id").isin(ids))
             removed["sem_index"] += sgdf.count() - sgkept.count()

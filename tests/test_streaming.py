@@ -3489,3 +3489,126 @@ class TestCapstoneSemDedup:
             r["doc_id"] for r in spark.read.parquet(dirs["curated"]).collect()
         }
         assert {1, 2} <= curated  # both admitted: no semantic screen ran
+
+
+class TestSemIndexCompaction:
+    """corpus_index.py::compact_sem_index (r10): folding the semantic
+    sidecar must preserve screening BYTE-IDENTICALLY even on clusters
+    where the probe cap binds — the candidate order is the `adm` admit-
+    epoch data column, which the fold carries through (src_batch, the
+    partition value it rewrites to 0, is only the replay guard's key)."""
+
+    def test_fold_preserves_screening_under_binding_cap(self, spark, tmp_path):
+        import shutil
+
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            compact_sem_index,
+            semdedup_screen_sink,
+        )
+
+        def basis(i, dim=12):
+            v = [0.0] * dim
+            v[i] = 1.0
+            return v
+
+        # trained cells over 12 orthogonal directions: per-cell fine
+        # budgets are 1 (cells hold < 32 members), so cluster == cell and
+        # same-cell members are mutually orthogonal (never near-dups)
+        mdl = TestSemDedupScreenSink._train(
+            spark, tmp_path / "calib", [(i, basis(i)) for i in range(12)]
+        )
+        C, fine = TestSemDedupScreenSink._load_replica_model(spark, mdl)
+        cells = sorted(fine)
+
+        def cell_of(v):
+            v = np.array(v, dtype=np.float64)
+            best, bkey = None, None
+            for c in cells:
+                cv = C[c]
+                s = float(v @ cv / (np.linalg.norm(v) * np.linalg.norm(cv)))
+                key = (np.floor(abs(s) * 1e6 + 0.5) * np.sign(s) / 1e6, -c)
+                if best is None or key > bkey:
+                    best, bkey = c, key
+            return best
+
+        groups: dict = {}
+        for d in range(12):
+            groups.setdefault(cell_of(basis(d)), []).append(d)
+        dirs3 = next(ds for ds in groups.values() if len(ds) >= 3)[:3]
+
+        # admit the three same-cluster directions across three epochs
+        # with vec_ids DESCENDING, so admit order INVERTS vec_id order —
+        # exactly the case where a fold losing the admit epoch would
+        # reorder the cap's first-admitted prefix
+        fv = TestSemDedupScreenSink._fv
+        work = str(tmp_path / "work")
+        idx, acc, aud = (
+            os.path.join(work, d) for d in ("sem_index", "acc", "aud")
+        )
+        sink = semdedup_screen_sink(mdl, idx, acc, aud, cluster_cap=2)
+        for b, (vid, d) in enumerate(zip((300, 200, 100), dirs3)):
+            sink(
+                spark.createDataFrame(
+                    [(vid, f"t{vid}", basis(d))],
+                    TestSemDedupScreenSink.DOC_SCHEMA,
+                ),
+                b,
+            )
+        assert {
+            r["vec_id"]
+            for r in spark.read.schema("vec_id long").parquet(idx).collect()
+        } == {300, 200, 100}
+
+        # probe batch: near the FIRST-admitted member (rejected — it is
+        # inside the cap-2 candidate prefix) and near the THIRD-admitted
+        # member (ADMITTED — cap-shadowed; under a vec_id-ordered fold
+        # vec 100 would lead the prefix and flip this outcome)
+        def near(d, other):
+            v = [0.0] * 12
+            v[d] = 0.95
+            v[other] = 0.05
+            return fv(v)
+
+        probe = spark.createDataFrame(
+            [
+                (900, "p1", near(dirs3[0], dirs3[1])),
+                (901, "p2", near(dirs3[2], dirs3[0])),
+            ],
+            TestSemDedupScreenSink.DOC_SCHEMA,
+        )
+
+        def run(index_dir, tag):
+            a = os.path.join(str(tmp_path), f"acc_{tag}")
+            u = os.path.join(str(tmp_path), f"aud_{tag}")
+            s = semdedup_screen_sink(mdl, index_dir, a, u, cluster_cap=2)
+            s(probe, 3)
+            accd = sorted(
+                r["doc_id"]
+                for r in spark.read.schema("doc_id long")
+                .parquet(os.path.join(a, "batch_id=3"))
+                .collect()
+            )
+            audr = sorted(
+                map(tuple, spark.read.parquet(os.path.join(u, "batch_id=3")).collect())
+            )
+            return accd, audr
+
+        stacked_idx = os.path.join(str(tmp_path), "idx_stacked")
+        shutil.copytree(idx, stacked_idx)
+        folded_idx = os.path.join(str(tmp_path), "idx_folded")
+        compact_sem_index(spark, idx, folded_idx)
+        assert os.path.isfile(os.path.join(folded_idx, "_COMPACTED"))
+        assert [
+            e for e in sorted(os.listdir(folded_idx)) if e.startswith("src_batch=")
+        ] == ["src_batch=0"]
+
+        got_stacked = run(stacked_idx, "stacked")
+        got_folded = run(folded_idx, "folded")
+        assert got_stacked == got_folded
+        acc3, aud3 = got_stacked
+        # the cap genuinely decided: 900 rejected against the first
+        # admit, 901 admitted because its match is cap-shadowed
+        assert acc3 == [901]
+        assert [(r[0], r[1], r[3]) for r in aud3] == [(900, 300, "corpus")]
