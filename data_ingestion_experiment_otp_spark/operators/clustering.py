@@ -1301,6 +1301,41 @@ def _sem_model(spark: SparkSession, sf_dir: str):
     return load_sem_model(spark, sem_model_dir(spark, sf_dir))
 
 
+def load_sem_model_trained(spark: SparkSession, model_dir: str):
+    """(coarse matrix restricted to TRAINED cells, their cell ids, the
+    checkpointed fine DataFrame) — or None for an empty model. The form
+    every serving consumer that routes ARBITRARY vectors wants: a coarse
+    cell that won no training members has no fine model, so routing must
+    exclude it (the streaming semantic screen and the vector drift
+    monitor both hold this triple in their per-sink cache)."""
+    C, fine = load_sem_model(spark, model_dir)
+    if C is None:
+        return None
+    trained = sorted(r["cell"] for r in fine.select("cell").distinct().collect())
+    if not trained:
+        return None
+    return C[trained], trained, fine.localCheckpoint()
+
+
+def sem_fine_assign(vec: DataFrame, Csub, trained_cells, fine) -> DataFrame:
+    """(vec_id, cluster_id, sim): hierarchical fine assignment of an
+    arbitrary (vec_id, embedding) frame against a loaded trained model —
+    broadcast coarse route over the trained cells (O(√k·d)) + one
+    cell-keyed cogroup against the fine table. Shared by the streaming
+    semantic screen's assign stage and the vector drift monitor."""
+    from ..shipping import ship_by_value
+
+    routed = _sem_route(vec, Csub, probes=1, cell_ids=trained_cells).select(
+        "vec_id", "cell", "embedding"
+    )
+    return (
+        routed.groupBy("cell")
+        .cogroup(fine.groupBy("cell"))
+        .applyInPandas(ship_by_value(sem_cell_votes), _SEM_VOTES_SCHEMA)
+        .select("vec_id", "cluster_id", "sim")
+    )
+
+
 _SEMDEDUP_ORACLE = f"""
     WITH {_sem_hier_ctes()},
     m AS MATERIALIZED (

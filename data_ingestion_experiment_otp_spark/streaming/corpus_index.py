@@ -555,11 +555,9 @@ def semdedup_screen_sink(
     from ..operators.clustering import (
         _SEM_VOTES_SCHEMA,
         _SEMDEDUP_THRESHOLD,
-        _sem_route,
-        load_sem_model,
-        sem_cell_votes,
+        load_sem_model_trained,
+        sem_fine_assign,
     )
-    from ..shipping import ship_by_value
 
     thr = _SEMDEDUP_THRESHOLD if threshold is None else float(threshold)
     cache: dict = {}
@@ -626,15 +624,7 @@ def semdedup_screen_sink(
 
         spark = batch_df.sparkSession
         if "model" not in cache:
-            C, fine = load_sem_model(spark, model_dir)
-            if C is not None:
-                trained = sorted(
-                    r["cell"]
-                    for r in fine.select("cell").distinct().collect()
-                )
-                cache["model"] = (C[trained], trained, fine.localCheckpoint())
-            else:
-                cache["model"] = None
+            cache["model"] = load_sem_model_trained(spark, model_dir)
         model = cache["model"]
 
         emb = batch_df.filter(F.col("embedding").isNotNull()).select(
@@ -643,15 +633,7 @@ def semdedup_screen_sink(
         if model is None:
             assigned = spark.createDataFrame([], _SEM_VOTES_SCHEMA)
         else:
-            Csub, trained, fine = model
-            routed = _sem_route(emb, Csub, probes=1, cell_ids=trained).select(
-                "vec_id", "cell", "embedding"
-            )
-            assigned = (
-                routed.groupBy("cell")
-                .cogroup(fine.groupBy("cell"))
-                .applyInPandas(ship_by_value(sem_cell_votes), _SEM_VOTES_SCHEMA)
-            )
+            assigned = sem_fine_assign(emb, *model)
         assigned = assigned.select(
             "vec_id", "cluster_id", "sim",
         ).join(emb, "vec_id").localCheckpoint(eager=False)

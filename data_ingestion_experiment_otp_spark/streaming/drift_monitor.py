@@ -278,3 +278,158 @@ def source_drift_sink(
 
 def read_source_audit(spark: SparkSession, monitor_dir: str) -> DataFrame:
     return spark.read.schema(_SOURCE_AUDIT_SCHEMA).parquet(monitor_dir)
+
+
+# --- Vector (embedding) drift (r10) -----------------------------------------
+#
+# The text monitors above watch the TOKEN distribution; the corpus's
+# other modality — the embedding column every semantic stage consumes —
+# was unmonitored. An upstream embedding-model swap, a feed's topic
+# shift, or a pipeline bug that zeroes/rescales vectors all move the
+# distribution of SEMANTIC-CLUSTER assignments long before any text
+# signal fires (the text can be byte-identical while the vectors are
+# garbage). This monitor scores, per epoch and per source, the KL
+# between the batch's fine-cluster assignment distribution and a
+# calibrated reference — the clusters come from the SAME trained
+# coarse/fine hierarchy the SemDeDup tier serves (clustering.
+# sem_model_dir), so "drift" is measured in exactly the buckets the
+# curation pipeline acts on.
+
+_VECTOR_AUDIT_SCHEMA = (
+    "source string, n_vecs long, n_offhead long, kl_bits double, "
+    "drifted boolean, batch_id int"
+)
+
+
+def calibrate_vector_reference(
+    vec: DataFrame, model_dir: str, top_k: int = _REF_TOP_K
+) -> dict:
+    """Reference fine-CLUSTER distribution from a calibration corpus
+    (vec_id, embedding) frame against a committed trained-hierarchy
+    artifact: {cluster_id: probability} for the top-`top_k` clusters by
+    mass (count desc, cluster_id asc tie-break) plus the aggregated tail
+    bucket — `calibrate_reference`'s truncated form with cluster ids as
+    keys, so the driver/broadcast holds O(top_k) even when k_total is at
+    the 65536 cap. Control-plane, computed once; the sink applies it per
+    batch."""
+    from ..operators.clustering import load_sem_model_trained, sem_fine_assign
+
+    spark = vec.sparkSession
+    model = load_sem_model_trained(spark, model_dir)
+    if model is None:
+        return {_TAIL_KEY: (None, 0)}
+    assigned = sem_fine_assign(
+        vec.filter(F.col("embedding").isNotNull()).select("vec_id", "embedding"),
+        *model,
+    )
+    counts = assigned.groupBy("cluster_id").agg(F.count("*").alias("c"))
+    head = counts.orderBy(F.col("c").desc(), "cluster_id").limit(top_k).collect()
+    tot = counts.agg(
+        F.sum("c").alias("total_c"), F.count("*").alias("n_terms")
+    ).collect()[0]
+    total = float(tot["total_c"] or 0) or 1.0
+    reference: dict = {r["cluster_id"]: r["c"] / total for r in head}
+    tail_terms = int(tot["n_terms"] or 0) - len(head)
+    tail_c = int(tot["total_c"] or 0) - sum(r["c"] for r in head)
+    reference[_TAIL_KEY] = (
+        (tail_c / total / tail_terms) if tail_terms > 0 else None,
+        tail_terms,
+    )
+    return reference
+
+
+def vector_drift_sink(
+    monitor_dir: str,
+    model_dir: str,
+    reference: dict,
+    kl_budget_bits: float = 1.0,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: per-SOURCE embedding-drift monitor — the
+    vector-modality twin of `source_drift_sink`. Each epoch, every
+    embedded doc in the micro-batch is assigned to its fine semantic
+    cluster against the trained hierarchy (broadcast O(√k·d) coarse
+    route + one cell cogroup — the serving path the SemDeDup screen
+    uses), and each source stratum's cluster distribution is scored as
+    KL(batch ‖ reference) in bits/vector with the same factored
+    one-aggregate form and truncated-head floor as the token monitors.
+    One audit row per (source, epoch): vector count, off-head mass
+    (clusters outside the calibrated head — a brand-new semantic region
+    is itself the strongest drift signal), kl_bits, drifted flag.
+
+    Docs without an embedding carry no geometry and stay out of the
+    distribution (the semantic screen's convention); scored on the RAW
+    batch when composed, for the same reason the text monitor is — a
+    feed re-sending old content is drift the screened stream would
+    hide. BatchId-keyed dynamic-overwrite writes, replay-safe; the
+    model and reference frames are cached once per sink (the
+    calibrate-once contract)."""
+    from ..operators.clustering import load_sem_model_trained, sem_fine_assign
+
+    cache: dict = {}
+    head, floor_p = _split_reference(reference)
+
+    def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if "model" not in cache:
+            cache["model"] = load_sem_model_trained(spark, model_dir)
+        if "ref" not in cache:
+            cache["ref"] = spark.createDataFrame(
+                [(int(k), float(v)) for k, v in head],
+                "cluster_id long, p_ref double",
+            ).cache()
+        model = cache["model"]
+        srcs = batch_df.select(F.col("doc_id").alias("vec_id"), "source")
+        if model is None:
+            assigned = spark.createDataFrame(
+                [], "vec_id long, cluster_id long, sim double"
+            )
+        else:
+            assigned = sem_fine_assign(
+                batch_df.filter(F.col("embedding").isNotNull()).select(
+                    F.col("doc_id").alias("vec_id"), "embedding"
+                ),
+                *model,
+            )
+        counts = (
+            assigned.join(srcs, "vec_id")
+            .groupBy("source", "cluster_id")
+            .agg(F.count("*").cast("double").alias("c"))
+        )
+        scored = counts.join(F.broadcast(cache["ref"]), "cluster_id", "left")
+        raw = F.sum(
+            F.col("c")
+            * (
+                F.log(F.col("c") / F.coalesce(F.col("p_ref"), F.lit(floor_p)))
+                / F.log(F.lit(2.0))
+            )
+        )
+        per_source = scored.groupBy("source").agg(
+            F.sum("c").cast("long").alias("n_vecs"),
+            F.sum(F.when(F.col("p_ref").isNull(), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_offhead"),
+            raw.alias("_raw"),
+        )
+        kl = F.round(
+            F.col("_raw") / F.col("n_vecs") - F.log2(F.col("n_vecs")), 6
+        )
+        (
+            per_source.select(
+                "source",
+                "n_vecs",
+                "n_offhead",
+                kl.alias("kl_bits"),
+                (kl > kl_budget_bits).alias("drifted"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(monitor_dir)
+        )
+
+    return monitor_batch
+
+
+def read_vector_audit(spark: SparkSession, monitor_dir: str) -> DataFrame:
+    return spark.read.schema(_VECTOR_AUDIT_SCHEMA).parquet(monitor_dir)

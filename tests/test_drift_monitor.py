@@ -285,3 +285,211 @@ class TestCapstoneDriftStage:
         epoch(spark.createDataFrame(rows0, schema), 0)
         after = sorted(map(tuple, read_source_audit(spark, dirs["drift_audit"]).collect()))
         assert before == after
+
+
+class TestVectorDrift:
+    """streaming/drift_monitor.py::vector_drift_sink (r10) — per-source
+    EMBEDDING drift against the trained hierarchy's fine-cluster
+    distribution: the vector-modality twin of the token monitors."""
+
+    DOC_SCHEMA = "doc_id long, source string, text string, embedding array<float>"
+
+    @staticmethod
+    def _basis(i, dim=8):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+
+    @classmethod
+    def _model_and_reference(cls, spark, tmp_path):
+        """Train the hierarchy on an anchor corpus split evenly over two
+        directions and calibrate the cluster reference on it (a 50/50
+        two-cluster reference, asserted in the tests that rely on it)."""
+        import os
+
+        from data_ingestion_experiment_otp_spark.operators.clustering import (
+            sem_model_dir,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.drift_monitor import (
+            calibrate_vector_reference,
+        )
+
+        rows = [(i, cls._basis(i % 2)) for i in range(30)]
+        sf = str(tmp_path / "calib")
+        vec_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        vec_df.coalesce(1).write.parquet(os.path.join(sf, "embeddings.parquet"))
+        mdl = sem_model_dir(spark, sf)
+        ref = calibrate_vector_reference(vec_df, mdl)
+        return mdl, ref
+
+    def test_shifted_source_flagged_stable_source_green(self, spark, tmp_path):
+        """A source whose cluster distribution CONCENTRATES away from
+        the calibrated mixture is flagged while a source still emitting
+        the mixture stays green in the SAME epoch; docs without
+        embeddings stay out of the distribution; off-head mass is
+        counted against a truncated reference; a replayed epoch rewrites
+        identical rows."""
+        import os
+
+        from data_ingestion_experiment_otp_spark.streaming.drift_monitor import (
+            _TAIL_KEY,
+            calibrate_vector_reference,
+            read_vector_audit,
+            vector_drift_sink,
+        )
+
+        mdl, ref = self._model_and_reference(spark, tmp_path)
+        head = {k: v for k, v in ref.items() if k != _TAIL_KEY}
+        # the anchor corpus trains to a 2-cluster 50/50 reference here —
+        # the concentration KL below (1.0 bit exactly) depends on it
+        assert sorted(head.values()) == [0.5, 0.5], head
+        mon = str(tmp_path / "vector_drift")
+        sink = vector_drift_sink(mon, mdl, ref, kl_budget_bits=0.5)
+
+        # epoch 0: both sources emit the calibrated mixture (dirs 0/1
+        # alternating = the two reference clusters at their 50/50 mass)
+        # direction decoupled from source: each source emits BOTH
+        # reference clusters at their calibrated 50/50 mass
+        mix = [
+            (100 + i, "web" if i % 2 else "forum", "t", self._basis((i // 2) % 2))
+            for i in range(12)
+        ]
+        sink(
+            spark.createDataFrame(
+                mix + [(999, "web", "no geometry", None)], self.DOC_SCHEMA
+            ),
+            0,
+        )
+        rows0 = {
+            r["source"]: r.asDict()
+            for r in read_vector_audit(spark, mon)
+            .filter("batch_id = 0")
+            .collect()
+        }
+        assert set(rows0) == {"web", "forum"}
+        assert not rows0["web"]["drifted"] and not rows0["forum"]["drifted"]
+        # the null-embedding doc is excluded from web's vector count
+        assert rows0["web"]["n_vecs"] == 6
+        assert rows0["web"]["n_offhead"] == 0
+
+        # epoch 1: forum CONCENTRATES into one cluster (all vectors in
+        # one 0.5-mass bucket -> KL = 1.0 bit exactly, over the 0.5
+        # budget); web keeps the mixture (~0 bits)
+        shifted = [
+            (200 + i, "forum", "t", self._basis(1)) for i in range(8)
+        ] + [(300 + i, "web", "t", self._basis(i % 2)) for i in range(6)]
+        sink(spark.createDataFrame(shifted, self.DOC_SCHEMA), 1)
+        rows1 = {
+            r["source"]: r.asDict()
+            for r in read_vector_audit(spark, mon)
+            .filter("batch_id = 1")
+            .collect()
+        }
+        assert rows1["forum"]["drifted"], rows1
+        assert abs(rows1["forum"]["kl_bits"] - 1.0) < 1e-6
+        assert not rows1["web"]["drifted"], rows1
+        assert rows1["forum"]["kl_bits"] > rows1["web"]["kl_bits"]
+
+        # replay epoch 1 verbatim: byte-identical audit rows
+        before = sorted(
+            map(tuple, spark.read.parquet(os.path.join(mon, "batch_id=1")).collect())
+        )
+        sink(spark.createDataFrame(shifted, self.DOC_SCHEMA), 1)
+        after = sorted(
+            map(tuple, spark.read.parquet(os.path.join(mon, "batch_id=1")).collect())
+        )
+        assert after == before
+
+        # off-head mass: against a top_k=1 TRUNCATED reference (one head
+        # cluster + the other as the tail), a batch concentrated in the
+        # tail cluster reports its whole mass as off-head
+        vec_df = spark.createDataFrame(
+            [(i, self._basis(i % 2)) for i in range(30)],
+            "vec_id long, embedding array<float>",
+        )
+        ref1 = calibrate_vector_reference(vec_df, mdl, top_k=1)
+        head1 = {k: v for k, v in ref1.items() if k != _TAIL_KEY}
+        assert len(head1) == 1 and ref1[_TAIL_KEY][1] == 1
+        mon2 = str(tmp_path / "vector_drift_trunc")
+        sink2 = vector_drift_sink(mon2, mdl, ref1, kl_budget_bits=0.5)
+        # emit only vectors of the NON-head cluster: try dir 0, fall back
+        # to dir 1 — exactly one of them is the tail cluster
+        for d in (0, 1):
+            sink2(
+                spark.createDataFrame(
+                    [(500 + i, "web", "t", self._basis(d)) for i in range(4)],
+                    self.DOC_SCHEMA,
+                ),
+                d,
+            )
+        offheads = {
+            r["batch_id"]: r["n_offhead"]
+            for r in read_vector_audit(spark, mon2).collect()
+        }
+        assert sorted(offheads.values()) == [0, 4], offheads
+
+    def test_reference_matches_hand_distribution(self, spark, tmp_path):
+        """The calibrated reference is the exact fine-cluster mass
+        distribution of the calibration corpus (head covers everything
+        at this scale; tail empty), and an in-distribution epoch's KL is
+        ~0 while a uniform-over-one-cluster epoch's matches the closed
+        form -log2(p_ref(cluster))."""
+        import math
+
+        from data_ingestion_experiment_otp_spark.operators.clustering import (
+            load_sem_model_trained,
+            sem_fine_assign,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.drift_monitor import (
+            _TAIL_KEY,
+            read_vector_audit,
+            vector_drift_sink,
+        )
+
+        mdl, ref = self._model_and_reference(spark, tmp_path)
+        head = {k: v for k, v in ref.items() if k != _TAIL_KEY}
+        assert abs(sum(head.values()) - 1.0) < 1e-9
+        assert ref[_TAIL_KEY] == (None, 0)
+
+        # every mass bucket is a real cluster of the trained model
+        model = load_sem_model_trained(spark, mdl)
+        assigned = sem_fine_assign(
+            spark.createDataFrame(
+                [(i, self._basis(i % 2)) for i in range(30)],
+                "vec_id long, embedding array<float>",
+            ),
+            *model,
+        )
+        from collections import Counter
+
+        got = Counter(r["cluster_id"] for r in assigned.collect())
+        assert {k: c / 30 for k, c in got.items()} == head
+
+        # single-cluster epoch: KL = -log2(p_ref) exactly
+        target = min(head)  # deterministic pick
+        mon = str(tmp_path / "mon2")
+        sink = vector_drift_sink(mon, mdl, ref, kl_budget_bits=0.1)
+        # find a basis direction landing in `target`
+        probe_dir = next(
+            d
+            for d in range(2)
+            if next(
+                r["cluster_id"]
+                for r in sem_fine_assign(
+                    spark.createDataFrame(
+                        [(0, self._basis(d))], "vec_id long, embedding array<float>"
+                    ),
+                    *model,
+                ).collect()
+            )
+            == target
+        )
+        sink(
+            spark.createDataFrame(
+                [(i, "web", "t", self._basis(probe_dir)) for i in range(5)],
+                self.DOC_SCHEMA,
+            ),
+            0,
+        )
+        row = read_vector_audit(spark, mon).filter("batch_id = 0").collect()[0]
+        assert abs(row["kl_bits"] - round(-math.log2(head[target]), 6)) < 1e-6
