@@ -395,7 +395,17 @@ def _store_root(name: str) -> str:
     own with no group/other permission bits. A root failing the check is
     NOT served from — the store falls back to a fresh mkdtemp root
     (private by construction; per-process, so caching degrades to
-    train-per-process rather than trusting foreign bytes)."""
+    train-per-process rather than trusting foreign bytes).
+
+    ADVICE r10: the mode-bit requirement is meaningful only where the
+    POSIX owner/group/other model holds — on platforms or filesystems
+    that don't preserve 0o700 (Windows; some mounts report 0o777) an
+    unconditional check made EVERY call warn and fall back, silently
+    turning train-once caching into train-per-process. The bit check is
+    therefore gated on POSIX (``hasattr(os, "getuid")``, exactly like
+    the uid check), a failing root gets one ``chmod(0o700)``-and-recheck
+    (a root we own that merely lost its bits is repairable, not
+    hostile), and the warning fires once per root per process."""
     import os
     import stat
     import tempfile
@@ -406,25 +416,33 @@ def _store_root(name: str) -> str:
         user = getpass.getuser()
     except Exception:
         user = "user"
-    uid = os.getuid() if hasattr(os, "getuid") else 0
+    posix = hasattr(os, "getuid")
+    uid = os.getuid() if posix else 0
     root = os.path.join(tempfile.gettempdir(), f"{name}-{user}-{uid}")
     os.makedirs(root, mode=0o700, exist_ok=True)
     st = os.lstat(root)
-    if (
-        stat.S_ISDIR(st.st_mode)
-        and (not hasattr(os, "getuid") or st.st_uid == uid)
-        and not (st.st_mode & 0o077)
-    ):
+    ok = stat.S_ISDIR(st.st_mode) and (not posix or st.st_uid == uid)
+    if ok and posix and (st.st_mode & 0o077):
+        # repairable: we own it (checked above) but the bits are loose
+        try:
+            os.chmod(root, 0o700)
+            st = os.lstat(root)
+        except OSError:
+            pass
+        ok = not (st.st_mode & 0o077)
+    if ok:
         return root
-    import warnings
+    if root not in _WARNED_ROOTS:
+        import warnings
 
-    warnings.warn(
-        f"artifact store root {root} is not a private directory we own "
-        "(possible pre-creation by another user); falling back to a "
-        "process-private root",
-        RuntimeWarning,
-        stacklevel=2,
-    )
+        warnings.warn(
+            f"artifact store root {root} is not a private directory we "
+            "own (possible pre-creation by another user); falling back "
+            "to a process-private root",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        _WARNED_ROOTS.add(root)
     fallback = _PROCESS_ROOTS.get(name)
     if fallback is None or not os.path.isdir(fallback):
         fallback = tempfile.mkdtemp(prefix=f"{name}-")
@@ -435,6 +453,57 @@ def _store_root(name: str) -> str:
 # Process-private fallback roots (one per store name), used only when the
 # shared per-user root fails the ownership/permission check above.
 _PROCESS_ROOTS: dict[str, str] = {}
+
+# Roots already warned about this process (ADVICE r10: warn once per root,
+# not once per artifact call).
+_WARNED_ROOTS: set[str] = set()
+
+
+def _build_root(name: str, sig: str) -> str:
+    """The directory an artifact build for signature `sig` commits into.
+
+    Normally the shared per-user store root — but a TORN corpus
+    signature (`torn:<file>:<ns>`, a mid-rewrite snapshot whose key can
+    never match again) must NOT commit there: every consumer call during
+    a prolonged rewrite would otherwise train and commit a brand-new
+    never-reusable generation, growing the shared store without bound
+    (ADVICE r10). Torn builds go to a fresh process-private mkdtemp
+    instead — correct results, caching deliberately skipped for the one
+    call, nothing persisted under the shared root."""
+    import tempfile
+
+    if sig.startswith("torn:"):
+        return tempfile.mkdtemp(prefix=f"{name}-torn-")
+    return _store_root(name)
+
+
+def _sweep_stale_builds(root: str, max_age_s: float = 3600.0) -> None:
+    """Remove crashed builders' leaked `<key>.build<pid>` temp dirs from a
+    store root (ADVICE r10: a builder that dies mid-build leaves its tmp
+    dir — a full parquet model — in the shared root indefinitely; the
+    old cleanup only fired when the SAME pid rebuilt the SAME key). Any
+    build dir untouched for `max_age_s` is from a dead builder — live
+    builds finish in seconds and their writes keep the mtime fresh —
+    so it is swept on the next build attempt in that root. Concurrent
+    sweepers race benignly (missing paths are skipped)."""
+    import os
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    now = time.time()
+    for e in entries:
+        if ".build" not in e:
+            continue
+        p = os.path.join(root, e)
+        try:
+            if os.path.isdir(p) and now - os.path.getmtime(p) > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def corpus_signature(sf_dir: str, table: str = "documents") -> str:
@@ -454,7 +523,11 @@ def corpus_signature(sf_dir: str, table: str = "documents") -> str:
     once (rewrites are fast); if still torn, the failing filename rides
     into the signature as a distinct error token, so the mid-rewrite
     snapshot keys its OWN (never-again-matching) generation instead of
-    impersonating another corpus state."""
+    impersonating another corpus state. Torn tokens are deliberately
+    never-reusable, so the store builders route them to a
+    process-private mkdtemp via `_build_root` (ADVICE r10) — a
+    pathological long rewrite costs train-per-call, never unbounded
+    shared-store growth."""
     import os
 
     p = os.path.join(sf_dir, f"{table}.parquet")
@@ -490,14 +563,18 @@ class _TornListing(Exception):
     """A file vanished between listdir and stat (corpus mid-rewrite)."""
 
 
-def _artifact_key(sf_dir: str, n_merges: int, top_v: int, min_freq: int) -> str:
+def _artifact_key(
+    sf_dir: str, n_merges: int, top_v: int, min_freq: int, sig: str | None = None
+) -> str:
+    """`sig` lets the builder pass the ONE signature snapshot it already
+    took (ADVICE r10): recomputing here could see a settled listing after
+    the builder saw a torn one, splitting key and commit decision."""
     import hashlib
     import os
 
-    raw = (
-        f"{os.path.abspath(sf_dir)}|{corpus_signature(sf_dir)}"
-        f"|{n_merges}|{top_v}|{min_freq}"
-    )
+    if sig is None:
+        sig = corpus_signature(sf_dir)
+    raw = f"{os.path.abspath(sf_dir)}|{sig}|{n_merges}|{top_v}|{min_freq}"
     return hashlib.sha256(raw.encode()).hexdigest()[:20]
 
 
@@ -515,10 +592,12 @@ def _bpe_artifact(
     import os
     import shutil
 
-    root = _store_root("spark_graft_bpe_store")
-    final = os.path.join(root, _artifact_key(sf_dir, n_merges, top_v, min_freq))
+    sig = corpus_signature(sf_dir)
+    root = _build_root("spark_graft_bpe_store", sig)
+    final = os.path.join(root, _artifact_key(sf_dir, n_merges, top_v, min_freq, sig))
     if os.path.isfile(os.path.join(final, "_COMMITTED")):
         return final
+    _sweep_stale_builds(root)
     tmp = f"{final}.build{os.getpid()}"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)

@@ -1019,7 +1019,13 @@ def sem_cell_votes(members, cents):
     Emits (vec_id, cluster_id = cell·2³² + fid, sim, dropped) — one row
     per member. The pairwise term is (fine cluster)² inside the pandas
     group, never in the plan; with k ∝ N the base stays ~target as the
-    corpus grows. Self-contained for ship_by_value (shipping.py)."""
+    corpus grows. Self-contained for ship_by_value (shipping.py).
+
+    Consumers that never read `dropped` use the assignment-only sibling
+    `sem_cell_assign` (ADVICE r10) — its assignment block is this
+    kernel's verbatim (self-containment forbids sharing a helper) and a
+    randomized parity test pins the two equal on (vec_id, cluster_id,
+    sim)."""
     import numpy as np
     import pandas as pd
 
@@ -1113,6 +1119,77 @@ def sem_cell_votes(members, cents):
 _SEM_VOTES_SCHEMA = "vec_id long, cluster_id long, sim double, dropped boolean"
 
 
+def sem_cell_assign(members, cents):
+    """One coarse cell's fine ASSIGNMENT, as a cogrouped kernel — the
+    assignment-only sibling of `sem_cell_votes` (ADVICE r10): the
+    serving paths that never consume `dropped` (the streaming semantic
+    screen's assign stage, the vector drift monitor every epoch, the
+    drift calibrator) were paying the full O(cluster-size²) pairwise
+    Gram/vote matrix per batch just to discard its column. This kernel
+    stops at nearest-fine-centroid and emits (vec_id, cluster_id =
+    cell·2³² + fid, sim).
+
+    The assignment block (grid cosine, ascending-fid tie order,
+    zero-norm NaN → -2.0 sentinel, the empty-cents stale-store raise for
+    primary members) is `sem_cell_votes`'s VERBATIM — duplicated rather
+    than shared because ship_by_value kernels must be self-contained
+    (shipping.py: a captured module-global function would pickle by
+    reference and break worker import); tests/test_clustering_invariants
+    pins the two kernels' (vec_id, cluster_id, sim) output equal on
+    randomized cells so the copies cannot drift."""
+    import numpy as np
+    import pandas as pd
+
+    if len(members) == 0:
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "cluster_id": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
+        )
+    if len(cents) == 0:
+        if "psim" in members.columns:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "cluster_id": pd.Series(dtype="int64"),
+                    "sim": pd.Series(dtype="float64"),
+                }
+            )
+        raise RuntimeError(
+            "semdedup cell kernel: primary members arrived for a cell "
+            "with no trained fine centroids — the centroid store is "
+            "stale for this corpus"
+        )
+    ids = members["vec_id"].to_numpy(dtype=np.int64)
+    X = np.stack(members["embedding"].to_numpy()).astype(np.float64)
+    fids = cents["fid"].to_numpy(dtype=np.int64)
+    C = np.stack(cents["cv"].to_numpy()).astype(np.float64)
+    o = np.argsort(fids)  # tie-breaks need ascending-fid order
+    fids, C = fids[o], C[o]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        raw = (X @ C.T) / (
+            np.linalg.norm(X, axis=1, keepdims=True)
+            * np.linalg.norm(C, axis=1)[None, :]
+        )
+        sims = np.floor(np.abs(raw) * 1e6 + 0.5) * np.sign(raw) / 1e6
+    key = np.where(np.isnan(sims), -2.0, sims)
+    a = np.lexsort((np.broadcast_to(fids, key.shape), -key), axis=1)[:, 0]
+    rows = np.arange(len(ids))
+    cell = np.int64(members["cell"].iloc[0])
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "cluster_id": cell * _SEM_CELL_MULT + fids[a],
+            "sim": sims[rows, a],
+        }
+    )
+
+
+_SEM_ASSIGN_SCHEMA = "vec_id long, cluster_id long, sim double"
+
+
 def _sem_route(vec: DataFrame, C, probes: int = 1, cell_ids=None) -> DataFrame:
     """(vec_id, probe, cell, embedding): each vector's `probes` nearest
     COARSE cells by grid cosine (probe 1 = primary; ties → lowest cell
@@ -1197,15 +1274,17 @@ _SEM_COARSE_SCHEMA = "cid long, cv array<double>"
 _SEM_FINE_SCHEMA = "cell long, fid long, cv array<double>"
 
 
-def _sem_store_key(sf_dir: str) -> str:
+def _sem_store_key(sf_dir: str, sig: str | None = None) -> str:
     import hashlib
     import os
 
     from .bpe import corpus_signature
 
+    if sig is None:
+        sig = corpus_signature(sf_dir, "embeddings")
     raw = (
         f"hier1|{os.path.abspath(sf_dir)}"
-        f"|{corpus_signature(sf_dir, 'embeddings')}"
+        f"|{sig}"
         f"|{_SEM_TARGET_CLUSTER}|{_SEM_ITERS}|{_SEM_K_MIN}|{_SEM_K_DRIVER_CAP}"
     )
     return hashlib.sha256(raw.encode()).hexdigest()[:20]
@@ -1228,11 +1307,13 @@ def sem_model_dir(spark: SparkSession, sf_dir: str) -> str:
     import os
     import shutil
 
-    from .bpe import _store_root
+    from .bpe import _build_root, _sweep_stale_builds, corpus_signature
 
-    root = _store_root("spark_graft_sem_store")
-    final = os.path.join(root, _sem_store_key(sf_dir))
+    sig = corpus_signature(sf_dir, "embeddings")
+    root = _build_root("spark_graft_sem_store", sig)
+    final = os.path.join(root, _sem_store_key(sf_dir, sig))
     if not os.path.isfile(os.path.join(final, "_COMMITTED")):
+        _sweep_stale_builds(root)
         tmp = f"{final}.build{os.getpid()}"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
@@ -1322,7 +1403,12 @@ def sem_fine_assign(vec: DataFrame, Csub, trained_cells, fine) -> DataFrame:
     arbitrary (vec_id, embedding) frame against a loaded trained model —
     broadcast coarse route over the trained cells (O(√k·d)) + one
     cell-keyed cogroup against the fine table. Shared by the streaming
-    semantic screen's assign stage and the vector drift monitor."""
+    semantic screen's assign stage and the vector drift monitor.
+
+    Runs the assignment-only kernel (`sem_cell_assign`, ADVICE r10):
+    none of this path's consumers read the SemDeDup drop votes, so the
+    per-batch O(cluster²) pairwise Gram work `sem_cell_votes` does on
+    top of assignment is skipped entirely on this hot serving path."""
     from ..shipping import ship_by_value
 
     routed = _sem_route(vec, Csub, probes=1, cell_ids=trained_cells).select(
@@ -1331,8 +1417,7 @@ def sem_fine_assign(vec: DataFrame, Csub, trained_cells, fine) -> DataFrame:
     return (
         routed.groupBy("cell")
         .cogroup(fine.groupBy("cell"))
-        .applyInPandas(ship_by_value(sem_cell_votes), _SEM_VOTES_SCHEMA)
-        .select("vec_id", "cluster_id", "sim")
+        .applyInPandas(ship_by_value(sem_cell_assign), _SEM_ASSIGN_SCHEMA)
     )
 
 

@@ -211,15 +211,21 @@ def _train(
 
 
 def _artifact_key(
-    sf_dir: str, top_v: int, target_multi: int, seed_cap: int
+    sf_dir: str,
+    top_v: int,
+    target_multi: int,
+    seed_cap: int,
+    sig: str | None = None,
 ) -> str:
     import hashlib
     import os
 
     from .bpe import corpus_signature
 
+    if sig is None:
+        sig = corpus_signature(sf_dir)
     raw = (
-        f"unigram|{os.path.abspath(sf_dir)}|{corpus_signature(sf_dir)}|{top_v}"
+        f"unigram|{os.path.abspath(sf_dir)}|{sig}|{top_v}"
         f"|{target_multi}|{_UNI_ROUNDS}|{_UNI_MAX_LEN}|{seed_cap}"
     )
     return hashlib.sha256(raw.encode()).hexdigest()[:20]
@@ -239,14 +245,16 @@ def _unigram_artifact(
     import os
     import shutil
 
-    from .bpe import _store_root
+    from .bpe import _build_root, _sweep_stale_builds, corpus_signature
 
-    root = _store_root("spark_graft_unigram_store")
+    sig = corpus_signature(sf_dir)
+    root = _build_root("spark_graft_unigram_store", sig)
     final = os.path.join(
-        root, _artifact_key(sf_dir, top_v, target_multi, seed_cap)
+        root, _artifact_key(sf_dir, top_v, target_multi, seed_cap, sig)
     )
     if os.path.isfile(os.path.join(final, "_COMMITTED")):
         return final
+    _sweep_stale_builds(root)
     tmp = f"{final}.build{os.getpid()}"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)

@@ -539,10 +539,23 @@ def semdedup_screen_sink(
     (the near screen's short-doc convention; exact redelivery is the
     exact screen's job).
 
-    Replay safety is the module's standard contract: the probe reads
-    only ``src_batch < batch_id`` partitions (partition-pruned) and all
-    writes are epoch-scoped overwrites, so a replayed epoch reproduces
-    byte-identical accepted/audit/sidecar contributions.
+    Replay safety is the module's standard contract, guarded on the
+    ``adm`` ADMIT-EPOCH data column (``adm < batch_id``; ``src_batch <
+    batch_id`` rides along only for partition pruning): all writes are
+    epoch-scoped overwrites, so a replayed epoch reproduces
+    byte-identical accepted/audit/sidecar contributions — and because
+    compaction carries ``adm`` through while rewriting only the
+    src_batch partition value, replay stays byte-identical against a
+    FOLDED sidecar too (ADVICE r10: the previous src_batch-only guard
+    made an old epoch self-match at cosine 1.0 after a fold; replay and
+    compaction now compose, unlike the shingle index whose rows carry no
+    admit column and keep the pre-fold-only caveat). The WRITE side
+    keeps the module's quiesce discipline: a replayed folded epoch
+    re-admits its rows into a fresh ``src_batch=N`` partition beside the
+    fold's ``src_batch=0`` copy of the same rows, so quiesce replays
+    across a generation swap exactly like the span index — the adm guard
+    makes the replay's OUTPUT exact, not the duplicate sidecar rows it
+    leaves behind.
 
     Scale shape: moving state per admitted doc is ONE sidecar row; the
     probe joins on cluster ids with per-cluster fan-out capped, so
@@ -553,7 +566,7 @@ def semdedup_screen_sink(
     import pandas as pd
 
     from ..operators.clustering import (
-        _SEM_VOTES_SCHEMA,
+        _SEM_ASSIGN_SCHEMA,
         _SEMDEDUP_THRESHOLD,
         load_sem_model_trained,
         sem_fine_assign,
@@ -631,7 +644,7 @@ def semdedup_screen_sink(
             F.col("doc_id").alias("vec_id"), "embedding"
         )
         if model is None:
-            assigned = spark.createDataFrame([], _SEM_VOTES_SCHEMA)
+            assigned = spark.createDataFrame([], _SEM_ASSIGN_SCHEMA)
         else:
             assigned = sem_fine_assign(emb, *model)
         assigned = assigned.select(
@@ -645,11 +658,24 @@ def semdedup_screen_sink(
             e.startswith("src_batch=") for e in os.listdir(sem_index_dir)
         ):
             probe_keys = assigned.select("cluster_id").distinct()
+            # Replay guard on the adm ADMIT-EPOCH data column, not the
+            # src_batch partition value (ADVICE r10): compaction folds
+            # every partition to src_batch=0 but carries adm through, so
+            # `adm < batch_id` excludes this epoch's own (and any later
+            # epoch's) admits even against a folded sidecar — epoch
+            # replay and compaction COMPOSE (the shingle index, whose
+            # rows carry no admit column, keeps its pre-fold-only replay
+            # caveat). src_batch < batch_id rides along purely as the
+            # partition-pruning predicate: on an unfolded store it is
+            # equivalent (src_batch == adm at write time), on a folded
+            # one it passes everything and adm does the work.
             cand = (
                 spark.read.schema(SEM_INDEX_SCHEMA)
                 .option("basePath", sem_index_dir)
                 .parquet(sem_index_dir)
-                .filter(F.col("src_batch") < batch_id)  # replay: ignore own epoch
+                .filter(
+                    (F.col("src_batch") < batch_id) & (F.col("adm") < batch_id)
+                )
                 .join(F.broadcast(probe_keys), "cluster_id", "semi")
             )
             # first-admitted order via the adm DATA column (not the

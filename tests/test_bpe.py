@@ -428,3 +428,100 @@ class TestFertility:
         assert sum(r["n_bpe_tokens"] for r in fert) == sum(
             r["n_bpe_tokens"] for r in enc
         )
+
+
+class TestArtifactStoreHygiene:
+    """ADVICE r10 store hardening: POSIX-gated permission repair with a
+    once-per-root warning (`_store_root`), torn-signature builds routed
+    to a process-private root (`_build_root` — never-reusable keys must
+    not grow the shared store), and crashed builders' leaked
+    `<key>.build<pid>` temp dirs swept by age (`_sweep_stale_builds`)."""
+
+    def _isolated(self, monkeypatch, tmp_path):
+        import tempfile
+
+        from data_ingestion_experiment_otp_spark.operators import bpe
+
+        monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+        monkeypatch.setattr(bpe, "_PROCESS_ROOTS", {})
+        monkeypatch.setattr(bpe, "_WARNED_ROOTS", set())
+        return bpe
+
+    def test_loose_mode_bits_are_repaired_not_abandoned(
+        self, monkeypatch, tmp_path
+    ):
+        """A root we own that merely lost its 0o700 bits is chmod'ed back
+        and SERVED from — caching must not silently degrade to
+        train-per-process over a repairable state."""
+        import os
+        import warnings
+
+        bpe = self._isolated(monkeypatch, tmp_path)
+        if not hasattr(os, "getuid"):
+            import pytest
+
+            pytest.skip("POSIX-only scenario")
+        first = bpe._store_root("hygiene_store")
+        os.chmod(first, 0o755)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any warning fails the test
+            again = bpe._store_root("hygiene_store")
+        assert again == first
+        assert (os.lstat(first).st_mode & 0o077) == 0
+
+    def test_irreparable_root_warns_once_and_falls_back(
+        self, monkeypatch, tmp_path
+    ):
+        import os
+        import warnings
+
+        bpe = self._isolated(monkeypatch, tmp_path)
+        probe = bpe._store_root("hygiene_bad")  # compute the path shape
+        os.rmdir(probe)
+        real = tmp_path / "elsewhere"
+        real.mkdir()
+        os.symlink(real, probe)  # symlinked root: never trusted
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            fb1 = bpe._store_root("hygiene_bad")
+            fb2 = bpe._store_root("hygiene_bad")
+        assert fb1 == fb2 and fb1 != probe  # stable process-private root
+        runtime = [x for x in w if issubclass(x.category, RuntimeWarning)]
+        assert len(runtime) == 1  # once per root, not once per call
+
+    def test_build_root_routes_torn_signatures_private(
+        self, monkeypatch, tmp_path
+    ):
+        import os
+
+        bpe = self._isolated(monkeypatch, tmp_path)
+        shared = bpe._store_root("hygiene_torn")
+        assert bpe._build_root("hygiene_torn", "abc:123") == shared
+        torn = bpe._build_root("hygiene_torn", "torn:part-0.parquet:99")
+        assert torn != shared
+        assert not torn.startswith(shared + os.sep)
+        assert os.path.isdir(torn)
+        # distinct per call: nothing accumulates under any shared path
+        torn2 = bpe._build_root("hygiene_torn", "torn:part-0.parquet:99")
+        assert torn2 != torn
+
+    def test_stale_builds_swept_fresh_and_foreign_kept(
+        self, monkeypatch, tmp_path
+    ):
+        import os
+        import time
+
+        bpe = self._isolated(monkeypatch, tmp_path)
+        root = bpe._store_root("hygiene_sweep")
+        stale = os.path.join(root, "aaaa.build12345")
+        fresh = os.path.join(root, "bbbb.build67890")
+        committed = os.path.join(root, "cccc")
+        for d in (stale, fresh, committed):
+            os.makedirs(d)
+            open(os.path.join(d, "x"), "w").close()
+        old = time.time() - 7200
+        os.utime(stale, (old, old))
+        bpe._sweep_stale_builds(root)
+        assert not os.path.exists(stale)  # crashed builder's leak: gone
+        assert os.path.isdir(fresh)  # possibly-live build: kept
+        assert os.path.isdir(committed)  # committed generations: untouched

@@ -310,3 +310,93 @@ class TestScaledK:
         for parts in (1, 7):
             got = _sem_train(vec.repartition(parts), k=16)
             assert np.array_equal(got, ref), parts
+
+
+class TestAssignKernelParity:
+    """ADVICE r10: `sem_cell_assign` is the assignment-only sibling of
+    `sem_cell_votes` for serving paths that never consume `dropped`
+    (streaming semantic screen, vector drift monitor, calibrator) —
+    ship_by_value self-containment forbids the two sharing a helper, so
+    the assignment block is duplicated VERBATIM and this parity pin is
+    what keeps the copies from drifting."""
+
+    @staticmethod
+    def _cells(seed):
+        import pandas as pd
+
+        rng = np.random.RandomState(seed)
+        n, k, dim = rng.randint(3, 40), rng.randint(1, 6), 6
+        emb = rng.randn(n, dim)
+        # plant hazards: zero-norm rows and exact-duplicate members
+        if n >= 4:
+            emb[1] = 0.0
+            emb[3] = emb[2]
+        cents = rng.randn(k, dim)
+        if k >= 2:
+            cents[1] = cents[0]  # duplicate centroid: fid tie-break binds
+        members = pd.DataFrame(
+            {
+                "cell": np.full(n, 7, dtype=np.int64),
+                "vec_id": np.arange(100, 100 + n, dtype=np.int64),
+                "embedding": [r.astype(np.float64) for r in emb],
+            }
+        )
+        fine = pd.DataFrame(
+            {
+                "cell": np.full(k, 7, dtype=np.int64),
+                "fid": rng.permutation(k).astype(np.int64),
+                "cv": [r.astype(np.float64) for r in cents],
+            }
+        )
+        return members, fine
+
+    def test_assign_equals_votes_minus_dropped_randomized(self):
+        from data_ingestion_experiment_otp_spark.operators.clustering import (
+            sem_cell_assign,
+            sem_cell_votes,
+        )
+
+        for seed in range(8):
+            members, fine = self._cells(seed)
+            got = sem_cell_assign(members, fine).sort_values("vec_id")
+            want = (
+                sem_cell_votes(members, fine)
+                .drop(columns=["dropped"])
+                .sort_values("vec_id")
+            )
+            assert got["vec_id"].tolist() == want["vec_id"].tolist()
+            assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
+            gs, ws = got["sim"].to_numpy(), want["sim"].to_numpy()
+            assert ((gs == ws) | (np.isnan(gs) & np.isnan(ws))).all(), seed
+
+    def test_degenerate_cells_match(self):
+        import pandas as pd
+
+        from data_ingestion_experiment_otp_spark.operators.clustering import (
+            sem_cell_assign,
+            sem_cell_votes,
+        )
+
+        members, fine = self._cells(0)
+        empty_m = members.iloc[0:0]
+        assert len(sem_cell_assign(empty_m, fine)) == 0
+        assert len(sem_cell_votes(empty_m, fine)) == 0
+        empty_c = fine.iloc[0:0]
+        with pytest.raises(RuntimeError, match="stale"):
+            sem_cell_assign(members, empty_c)
+        with pytest.raises(RuntimeError, match="stale"):
+            sem_cell_votes(members, empty_c)
+        probed = members.assign(psim=0.5)  # visitor path: empty, no raise
+        assert len(sem_cell_assign(probed, empty_c)) == 0
+        assert len(sem_cell_votes(probed, empty_c)) == 0
+
+    def test_assign_kernel_ships_by_value(self):
+        from data_ingestion_experiment_otp_spark.operators.clustering import (
+            sem_cell_assign,
+        )
+        from data_ingestion_experiment_otp_spark.shipping import ship_by_value
+
+        shipped = ship_by_value(sem_cell_assign)  # raises if not self-contained
+        members, fine = self._cells(1)
+        got = shipped(members, fine)
+        assert len(got) == len(members)

@@ -3612,3 +3612,117 @@ class TestSemIndexCompaction:
         # admit, 901 admitted because its match is cap-shadowed
         assert acc3 == [901]
         assert [(r[0], r[1], r[3]) for r in aud3] == [(900, 300, "corpus")]
+
+
+class TestSemReplayAfterFold:
+    """ADVICE r10: the semantic screen's replay guard is the `adm`
+    ADMIT-EPOCH data column (src_batch rides along only for partition
+    pruning), so replaying an old epoch against a swapped-in FOLDED
+    sidecar reproduces byte-identical accepted/audit output. The old
+    src_batch-only guard let the replayed epoch see its own admitted
+    vectors (self-match at cosine 1.0) and any later epoch's — the two
+    store contracts (epoch replay, compaction) did not compose."""
+
+    def test_replay_of_folded_epoch_byte_identical(self, spark, tmp_path):
+        import shutil
+
+        import numpy as np
+
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            compact_sem_index,
+            semdedup_screen_sink,
+        )
+
+        def basis(i, dim=12):
+            v = [0.0] * dim
+            v[i] = 1.0
+            return v
+
+        mdl = TestSemDedupScreenSink._train(
+            spark, tmp_path / "calib", [(i, basis(i)) for i in range(12)]
+        )
+        C, fine = TestSemDedupScreenSink._load_replica_model(spark, mdl)
+        cells = sorted(fine)
+
+        def cell_of(v):
+            v = np.array(v, dtype=np.float64)
+            best, bkey = None, None
+            for c in cells:
+                cv = C[c]
+                s = float(v @ cv / (np.linalg.norm(v) * np.linalg.norm(cv)))
+                key = (np.floor(abs(s) * 1e6 + 0.5) * np.sign(s) / 1e6, -c)
+                if best is None or key > bkey:
+                    best, bkey = c, key
+            return best
+
+        groups: dict = {}
+        for d in range(12):
+            groups.setdefault(cell_of(basis(d)), []).append(d)
+        da, db, dc = next(ds for ds in groups.values() if len(ds) >= 3)[:3]
+
+        fv = TestSemDedupScreenSink._fv
+
+        def near(d, other):
+            v = [0.0] * 12
+            v[d] = 0.95
+            v[other] = 0.05
+            return fv(v)
+
+        # epoch 0: vec 300 (dir a); epoch 1: vec 200 (dir b, orthogonal
+        # to a -> ADMITTED); epoch 2: vec 100 NEAR dir b -> rejected
+        # against 200 (a later-epoch audit reference to the epoch under
+        # replay, plus 200's own folded sidecar row: both hazards the
+        # adm guard must exclude when epoch 1 replays)
+        epochs = [
+            (0, [(300, "t300", fv(basis(da)))]),
+            (1, [(200, "t200", fv(basis(db)))]),
+            (2, [(100, "t100", near(db, dc))]),
+        ]
+        idx, acc, aud = (
+            os.path.join(str(tmp_path), d) for d in ("sem_index", "acc", "aud")
+        )
+        sink = semdedup_screen_sink(mdl, idx, acc, aud, cluster_cap=2)
+        for b, rows in epochs:
+            sink(
+                spark.createDataFrame(rows, TestSemDedupScreenSink.DOC_SCHEMA), b
+            )
+
+        def outputs(acc_dir, aud_dir, b):
+            a = sorted(
+                r["doc_id"]
+                for r in spark.read.schema("doc_id long")
+                .parquet(os.path.join(acc_dir, f"batch_id={b}"))
+                .collect()
+            )
+            u = sorted(
+                map(
+                    tuple,
+                    spark.read.parquet(
+                        os.path.join(aud_dir, f"batch_id={b}")
+                    ).collect(),
+                )
+            )
+            return a, u
+
+        orig1 = outputs(acc, aud, 1)
+        assert orig1[0] == [200] and orig1[1] == []  # admitted, no audit
+        assert outputs(acc, aud, 2)[0] == []  # 100 rejected against 200
+
+        folded = os.path.join(str(tmp_path), "idx_folded")
+        compact_sem_index(spark, idx, folded)
+        replay_idx = os.path.join(str(tmp_path), "idx_replay")
+        shutil.copytree(folded, replay_idx)
+
+        acc_r = os.path.join(str(tmp_path), "acc_replay")
+        aud_r = os.path.join(str(tmp_path), "aud_replay")
+        rsink = semdedup_screen_sink(mdl, replay_idx, acc_r, aud_r, cluster_cap=2)
+        rsink(
+            spark.createDataFrame(epochs[1][1], TestSemDedupScreenSink.DOC_SCHEMA),
+            1,
+        )
+        assert outputs(acc_r, aud_r, 1) == orig1  # byte-identical replay
+        # the replayed sidecar contribution is also identical rows
+        rep = spark.read.schema("vec_id long, adm long").parquet(
+            os.path.join(replay_idx, "src_batch=1")
+        )
+        assert [(r["vec_id"], r["adm"]) for r in rep.collect()] == [(200, 1)]
