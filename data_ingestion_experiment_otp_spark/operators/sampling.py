@@ -606,6 +606,172 @@ llm_mixture_weights.__doc__ = llm_mixture_weights.__doc__.format(
 )
 
 
+# --- DSIR data selection (r11) ---------------------------------------------
+# Importance resampling over hashed n-gram features (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling"): score every raw
+# document by how much more likely its hashed-unigram bag is under the
+# TARGET distribution than under the RAW distribution, and keep the
+# top-scoring slice. The target here is the corpus's own high-quality
+# stratum (quality_expr >= the mixture floor — the same bootstrap the
+# classifier trainer uses); production swaps in e.g. Wikipedia+books as the
+# target table behind the identical plumbing.
+_DSIR_BUCKETS = 256
+_DSIR_KEEP_DEN = 4  # selected = top quarter of each source stratum
+
+_DSIR_ORACLE = """
+    WITH q AS ({QUALITY}),
+    t AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, source,
+             [list_reduce([unicode(substr(w, i, 1)) for i in range(1, len(w) + 1)],
+                          (a, x) -> (a * 31 + x) % {MOD}) % {B} for w in ws] AS bs
+      FROM t WHERE len(ws) > 0
+    ),
+    db AS (SELECT doc_id, source, unnest(bs) AS b FROM h),
+    dbc AS (
+      SELECT doc_id, source, b, count(*)::BIGINT AS cnt
+      FROM db GROUP BY 1, 2, 3
+    ),
+    tgt AS (SELECT doc_id FROM q WHERE quality >= {FLOOR}),
+    cb_r AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS c_r FROM dbc GROUP BY b),
+    cb_t AS (
+      SELECT b, CAST(sum(cnt) AS BIGINT) AS c_t
+      FROM dbc JOIN tgt USING (doc_id) GROUP BY b
+    ),
+    tot AS (
+      SELECT (SELECT coalesce(CAST(sum(c_t) AS BIGINT), 0) FROM cb_t) AS ttot,
+             (SELECT coalesce(CAST(sum(c_r) AS BIGINT), 0) FROM cb_r) AS rtot
+    ),
+    lr AS (
+      SELECT dbc.doc_id, dbc.source,
+             CAST(sum(dbc.cnt) AS BIGINT) AS dl,
+             sum(dbc.cnt * ln(((coalesce(cb_t.c_t, 0) + 1) / (tot.ttot + {B}.0))
+                              / ((cb_r.c_r + 1) / (tot.rtot + {B}.0)))) AS s
+      FROM dbc
+      JOIN cb_r USING (b)
+      LEFT JOIN cb_t USING (b)
+      CROSS JOIN tot
+      GROUP BY 1, 2
+    ),
+    r AS (SELECT doc_id, source, dl, round(s / dl, 6) AS logratio FROM lr),
+    rk AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY logratio DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM r
+    )
+    SELECT doc_id, source, dl, logratio, rk * {DEN} <= n AS selected
+    FROM rk
+    """
+
+
+@register(
+    "llm_dsir_select",
+    oracle=None,  # spliced at module end (_finalize_sampling_oracles)
+    tags=("llm", "sampling", "quality", "dsir"),
+)
+def llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): per-document importance
+    score under hashed-unigram bag-of-words models — logratio =
+    mean_tokens ln(p_target(bucket) / p_raw(bucket)) with add-1
+    smoothing over {B} buckets — and a deterministic top-1/{DEN}
+    per-source selection on (logratio desc, doc_id). The paper samples
+    with Gumbel noise; the deterministic top-k variant is its testable
+    core (the noise is a post-hoc jitter production can re-add). Target
+    distribution = the corpus's own high-quality stratum (quality >=
+    {FLOOR}, the classifier trainer's bootstrap); raw = every document.
+    Token hashing is the quality classifier's codepoint fold (mod
+    {MOD}), so the whole feature space is integer-exact and shared with
+    the served/trained gate family.
+
+    Scale shape: ONE corpus scan computes quality + per-token buckets;
+    per-(doc, bucket) counts are a map-side partial aggregate; both
+    bucket tables are {B} rows — broadcast — and the totals ride in as a
+    1-row broadcast cross join; scoring re-aggregates the (doc, bucket)
+    relation (bounded by {B} rows/doc, not tokens); selection is a
+    per-source window over scalars, never a global sort. Text never
+    leaves the scan. Cross-engine: integer counts, ln on doubles,
+    round-6 final grid (the perplexity precedent); rank ties break by
+    doc_id on the rounded score."""
+    from .text_analysis import quality_expr
+
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    t = d.select("doc_id", "source", "n_chars", ws.alias("words"))
+    q = t.select(
+        "doc_id",
+        "source",
+        F.col("words").alias("ws"),
+        quality_expr().alias("quality"),
+    )
+    from .text_analysis import _QC_HASH_MOD
+
+    bucket_expr = (
+        "transform(ws, w -> aggregate(transform(sequence(1, length(w)), "
+        "i -> cast(ascii(substr(w, i, 1)) as bigint)), 0L, "
+        f"(a, x) -> (a * 31 + x) % {_QC_HASH_MOD}) % {_DSIR_BUCKETS})"
+    )
+    db = q.filter(F.size("ws") > 0).select(
+        "doc_id", "source", "quality", F.explode(F.expr(bucket_expr)).alias("b")
+    )
+    # Four downstream branches (raw buckets, target buckets, both totals,
+    # the per-doc scorer) derive from this relation with DIFFERENT
+    # join-inferred filters, which de-canonicalizes the shared subtree and
+    # defeats AQE exchange reuse — the corpus would be scanned and hashed
+    # once per branch (the perplexity family's r6 lesson). The (doc,
+    # bucket) counts are bounded by B rows per doc — orders of magnitude
+    # smaller than the token stream — so a lazy localCheckpoint pays one
+    # materialization and every branch reads it.
+    dbc = (
+        db.groupBy("doc_id", "source", "quality", "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    cb_r = dbc.groupBy("b").agg(F.sum("cnt").cast("long").alias("c_r"))
+    cb_t = (
+        dbc.filter(F.col("quality") >= _MIX_QUALITY_FLOOR)
+        .groupBy("b")
+        .agg(F.sum("cnt").cast("long").alias("c_t"))
+    )
+    tot = cb_r.agg(
+        F.coalesce(F.sum("c_r"), F.lit(0)).cast("long").alias("rtot")
+    ).crossJoin(
+        cb_t.agg(F.coalesce(F.sum("c_t"), F.lit(0)).cast("long").alias("ttot"))
+    )
+    beta = float(_DSIR_BUCKETS)
+    p_ratio = (
+        (F.coalesce(F.col("c_t"), F.lit(0)) + 1) / (F.col("ttot") + F.lit(beta))
+    ) / ((F.col("c_r") + 1) / (F.col("rtot") + F.lit(beta)))
+    r = (
+        dbc.join(F.broadcast(cb_r), "b")
+        .join(F.broadcast(cb_t), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("cnt").cast("long").alias("dl"),
+            F.round(
+                F.sum(F.col("cnt") * F.log(p_ratio)) / F.sum("cnt"), 6
+            ).alias("logratio"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("logratio").desc(), "doc_id")
+    wn = Window.partitionBy("source")
+    return r.select(
+        "doc_id",
+        "source",
+        "dl",
+        "logratio",
+        (F.row_number().over(w) * _DSIR_KEEP_DEN <= F.count("*").over(wn)).alias(
+            "selected"
+        ),
+    )
+
+
 def _finalize_mixture_oracle() -> None:
     """Splice text_analysis.QUALITY_SQL_CTE into the registered oracle
     after both modules exist (registration happens at import; the CTE
@@ -621,4 +787,33 @@ def _finalize_mixture_oracle() -> None:
     )
 
 
+def _finalize_dsir_oracle() -> None:
+    """Same late splice for llm_dsir_select: its oracle needs the quality
+    CTE (target stratum) and the classifier's hash modulus, both from
+    text_analysis (circular at import time)."""
+    from dataclasses import replace
+
+    from ..plans import registry
+    from .text_analysis import _QC_HASH_MOD, QUALITY_SQL_CTE
+
+    spec = registry._REGISTRY["llm_dsir_select"]
+    registry._REGISTRY["llm_dsir_select"] = replace(
+        spec,
+        oracle=_DSIR_ORACLE.format(
+            QUALITY=QUALITY_SQL_CTE,
+            MOD=_QC_HASH_MOD,
+            B=_DSIR_BUCKETS,
+            FLOOR=_MIX_QUALITY_FLOOR,
+            DEN=_DSIR_KEEP_DEN,
+        ),
+    )
+    llm_dsir_select.__doc__ = llm_dsir_select.__doc__.format(
+        B=_DSIR_BUCKETS,
+        DEN=_DSIR_KEEP_DEN,
+        FLOOR=_MIX_QUALITY_FLOOR,
+        MOD=_QC_HASH_MOD,
+    )
+
+
 _finalize_mixture_oracle()
+_finalize_dsir_oracle()

@@ -840,6 +840,110 @@ def llm_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CCNET_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_PPL_TOKENIZE} AS tk FROM documents
+    ),
+    tok AS (SELECT doc_id, lang, unnest(tk) AS term FROM toks),
+    tf AS (
+      SELECT doc_id, lang, term, count(*)::DOUBLE AS tf
+      FROM tok GROUP BY 1, 2, 3
+    ),
+    vocab AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+    total AS (SELECT sum(c) AS t FROM vocab),
+    bits AS (
+      SELECT tf.doc_id, tf.lang,
+             sum(tf.tf * -(ln(vocab.c / total.t) / ln(2))) AS total_bits,
+             CAST(sum(tf.tf) AS BIGINT) AS dl
+      FROM tf JOIN vocab ON vocab.term = tf.term CROSS JOIN total
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT doc_id, lang, dl, round(total_bits / dl, 6) AS avg_bits
+      FROM bits
+    ),
+    rk AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY lang ORDER BY avg_bits, doc_id)
+               AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM r
+    )
+    SELECT doc_id, lang, dl, avg_bits,
+           CASE WHEN rk * 3 <= n THEN 'head'
+                WHEN rk * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM rk
+    """
+
+
+@register(
+    "llm_ccnet_buckets",
+    oracle=_CCNET_ORACLE,
+    tags=("llm", "text", "quality"),
+)
+def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per LANGUAGE
+    stratum, rank documents by LM perplexity and cut the stratum into
+    terciles — 'head' (lowest perplexity, cleanest), 'middle', 'tail'
+    (the slice CCNet discards or down-weights). This is the published
+    pipeline's actual quality-partitioning step: an absolute perplexity
+    cutoff cannot work across languages because each language model has
+    its own scale, so the split must be rank-based WITHIN the stratum.
+    The LM is `llm_unigram_perplexity`'s exact corpus unigram model
+    (identical tokenizer, identical bits arithmetic — the production
+    form swaps in a trained KenLM behind the same plumbing), so the
+    score column is that operator's avg_bits with `lang` carried along.
+
+    Cut arithmetic is integer-exact: rk·3 ≤ n / rk·3 ≤ 2n over
+    row_number ordered by (avg_bits, doc_id) — avg_bits is on the
+    round-6 grid and ties break by doc_id, so both engines compute the
+    identical permutation and the bucket label is hash-stable. Documents
+    with no tokens carry no perplexity and are absent, matching the
+    underlying scorer.
+
+    Scale shape: the scorer's (one explode scan, map-side partial
+    aggregates, vocab join keyed by term, broadcast 1-row total) plus
+    ONE per-language window — a partitioned sort, never a global one;
+    the window input is (doc_id, lang, dl, avg_bits) scalars, text
+    never leaves the scan."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(_tokenize()).alias("term")
+    ).filter(F.col("term").isNotNull())
+    tf = tok.groupBy("doc_id", "lang", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    bits_per = F.col("tf") * -(F.log(F.col("c") / F.col("t")) / F.log(F.lit(2.0)))
+    r = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").cast("long").alias("dl"),
+            F.round(F.sum(bits_per) / F.sum("tf"), 6).alias("avg_bits"),
+        )
+    )
+    w = W.partitionBy("lang").orderBy("avg_bits", "doc_id")
+    wn = W.partitionBy("lang")
+    rk = F.row_number().over(w)
+    n = F.count("*").over(wn)
+    return r.select(
+        "doc_id",
+        "lang",
+        "dl",
+        "avg_bits",
+        F.when(rk * 3 <= n, F.lit("head"))
+        .when(rk * 3 <= 2 * n, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 _DIVERGENCE_ORACLE = f"""
     WITH toks AS (
       SELECT source, {_PPL_TOKENIZE} AS tk FROM documents

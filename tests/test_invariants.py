@@ -1335,3 +1335,151 @@ class TestNearDupScreenRecall:
             """).fetchall()
         }
         assert banded == exact and len(exact) > 0
+
+
+class TestCcnetBuckets:
+    """r11: CCNet's per-language head/middle/tail perplexity terciles —
+    planted corpus where perplexity order is known by construction, so
+    the bucket labels (not just the hashes) are pinned."""
+
+    DOC = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def _write(self, spark, tmp_path, rows):
+        import os
+
+        d = os.path.join(str(tmp_path), "fixture")
+        spark.createDataFrame(
+            [(i, t, lg, "s0", len(t)) for i, t, lg in rows], self.DOC
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        return d
+
+    def test_common_word_docs_head_rare_docs_tail_per_lang(
+        self, spark, tmp_path
+    ):
+        from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+            llm_ccnet_buckets,
+        )
+
+        rows = []
+        # lang 'aa': 6 docs — 2 of pure common filler (lowest bits: the
+        # corpus-dominant token), 2 mixed, 2 of globally-unique words
+        # (highest bits). Perplexity order is forced by construction.
+        common = "alpha " * 40
+        for i in range(2):
+            rows.append((i, common.strip(), "aa"))
+        for i in range(2, 4):
+            rows.append((i, (common + f"mid{i} " * 8).strip(), "aa"))
+        for i in range(4, 6):
+            uniq = " ".join(f"rare{i}w{j}" for j in range(30))
+            rows.append((i, uniq, "aa"))
+        # lang 'bb': 3 docs, own stratum — terciles computed independently
+        rows.append((10, ("beta " * 50).strip(), "bb"))
+        rows.append((11, ("beta " * 30 + "bmid " * 10).strip(), "bb"))
+        rows.append((12, " ".join(f"brare{j}" for j in range(25)), "bb"))
+
+        d = self._write(spark, tmp_path, rows)
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in llm_ccnet_buckets(spark, d).collect()
+        }
+        assert {got[0], got[1]} == {"head"}
+        assert {got[2], got[3]} == {"middle"}
+        assert {got[4], got[5]} == {"tail"}
+        assert (got[10], got[11], got[12]) == ("head", "middle", "tail")
+
+    def test_tercile_counts_balanced(self, spark, tmp_path):
+        from collections import Counter
+
+        from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+            llm_ccnet_buckets,
+        )
+
+        # 9 docs, one lang, strictly distinct perplexities -> exact 3/3/3
+        rows = [
+            (i, ("base " * (40 - 3 * i) + " ".join(f"u{i}x{j}" for j in range(i))).strip(), "aa")
+            for i in range(9)
+        ]
+        d = self._write(spark, tmp_path, rows)
+        out = llm_ccnet_buckets(spark, d).collect()
+        assert Counter(r["bucket"] for r in out) == {
+            "head": 3, "middle": 3, "tail": 3,
+        }
+
+
+class TestDsirSelect:
+    """r11: DSIR importance selection — a raw document written in the
+    TARGET stratum's vocabulary must outscore one written in junk
+    vocabulary, and selection takes the per-source top quarter."""
+
+    DOC = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def test_target_vocab_docs_outscore_and_get_selected(
+        self, spark, tmp_path
+    ):
+        from data_ingestion_experiment_otp_spark.operators.sampling import (
+            llm_dsir_select,
+        )
+
+        import os
+
+        stops = ["the", "a", "of", "and", "in", "to"]
+        tgt_vocab = [f"clean{j}" for j in range(40)]
+        junk_vocab = [f"junk{j}" for j in range(40)]
+        rows = []
+        # 4 high-quality target docs (n_chars high, all-distinct shared
+        # clean vocab, no stopwords -> quality 1.0 >= floor): the target
+        # distribution occupies only the clean-word buckets
+        for i in range(4):
+            rows.append((i, " ".join(tgt_vocab), "aa", "s0", 999))
+        # 8 raw low-quality docs (stopword-heavy, n_chars=1 -> quality
+        # ~0.46 < floor): 4 written in target vocab, 4 in junk vocab
+        filler = stops * 2  # 12 stopword tokens
+        for i in range(10, 14):
+            rows.append(
+                (i, " ".join(filler + tgt_vocab[:20]), "aa", "s0", 1)
+            )
+        for i in range(20, 24):
+            rows.append(
+                (i, " ".join(filler + junk_vocab[:20]), "aa", "s0", 1)
+            )
+        d = os.path.join(str(tmp_path), "fixture")
+        spark.createDataFrame(rows, self.DOC).coalesce(1).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r["doc_id"]: r for r in llm_dsir_select(spark, d).collect()}
+        assert len(out) == 12
+        # every target-vocab raw doc outscores every junk-vocab raw doc
+        lo_t = min(out[i]["logratio"] for i in range(10, 14))
+        hi_j = max(out[i]["logratio"] for i in range(20, 24))
+        assert lo_t > hi_j
+        # the target-defining docs themselves score highest of all
+        assert min(out[i]["logratio"] for i in range(4)) >= lo_t
+        # top quarter of the 12-doc source = 3 docs, by (logratio, doc_id)
+        sel = sorted(i for i, r in out.items() if r["selected"])
+        ranked = sorted(
+            out.values(), key=lambda r: (-r["logratio"], r["doc_id"])
+        )
+        assert sel == sorted(r["doc_id"] for r in ranked[:3])
+
+    def test_no_target_stratum_degrades_to_uniform_target(
+        self, spark, tmp_path
+    ):
+        from data_ingestion_experiment_otp_spark.operators.sampling import (
+            llm_dsir_select,
+        )
+
+        import os
+
+        # every doc below the quality floor: p_target is the add-1
+        # uniform, so logratio = -KL-ish penalty of the doc's own bucket
+        # mass vs uniform — must run, never divide by zero
+        rows = [
+            (i, " ".join(["w"] * 20), "aa", "s0", 1) for i in range(6)
+        ]
+        d = os.path.join(str(tmp_path), "fixture")
+        spark.createDataFrame(rows, self.DOC).coalesce(1).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = llm_dsir_select(spark, d).collect()
+        assert len(out) == 6
+        assert all(r["logratio"] is not None for r in out)
