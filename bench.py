@@ -139,8 +139,10 @@ def bench_corpus_ingest(spark, sf_dir: str):
     -> text index, the exact composition start_corpus_ingest runs per
     micro-batch) over the sf corpus in 3 equal epochs against a fresh
     store root, in three configurations — base (5 stores), full screens
-    (8 stores: + span + near-dup), and all screens (11 stores: + the r10
-    semantic screen, served from the trained-hierarchy artifact). Returns
+    (8 stores: + span + near-dup), all screens (11 stores: + the r10
+    semantic screen, served from the trained-hierarchy artifact), and all
+    stages (13 stores: + the r11 model quality gate, served from weights
+    the in-engine trainer fits once outside the timing). Returns
     per-config (min epoch seconds, docs/sec) so index/compaction
     regressions in any store become visible round-over-round."""
     import shutil
@@ -198,6 +200,24 @@ def bench_corpus_ingest(spark, sf_dir: str):
         # the cell measures the semantic screen's PROBE cost, not training
         mdl = sem_model_dir(spark, sf_dir)
         best_all = drive(span_screen=True, near_dedup=True, sem_model=mdl)
+        # the r11 successor: every stage on — the trained model gate is a
+        # calibrate-once weight vector (trained here once, outside the
+        # per-epoch timing, the sem_model_dir precedent)
+        from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+            llm_quality_classifier_train,
+        )
+
+        wt = {
+            r["feat"]: r["weight"]
+            for r in llm_quality_classifier_train(spark, sf_dir).collect()
+        }
+        weights = [wt[f] for f in range(len(wt))]
+        best_stages = drive(
+            span_screen=True,
+            near_dedup=True,
+            sem_model=mdl,
+            gate_weights=weights,
+        )
     finally:
         feed.unpersist()
     return {
@@ -209,6 +229,10 @@ def bench_corpus_ingest(spark, sf_dir: str):
         "corpus_ingest_all_screens": (
             round(best_all, 3),
             round((n_docs / 3) / best_all, 1),
+        ),
+        "corpus_ingest_all_stages": (
+            round(best_stages, 3),
+            round((n_docs / 3) / best_stages, 1),
         ),
     }
 

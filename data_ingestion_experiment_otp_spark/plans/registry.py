@@ -192,20 +192,31 @@ DRIVER_ORDER: tuple[str, ...] = (
     # codec is env-stubbed), so its slot carried no hash check; the
     # multimodal §2.10 row's oracle entry is llm_multimodal_cols, and the
     # feature plumbing stays invariant-tested in pytest.
-    # §2.10 semantic clustering (r3 addition): nearest-centroid assignment
-    # as a zero-shuffle map. Takes the slot llm_text_stats held — that §2
-    # row stays hash-covered by the fused llm_text_profile below (and
-    # llm_text_stats itself keeps its exact oracle in pytest parity).
-    "llm_cluster_assign",
+    # llm_cluster_assign is driver-demoted (r11): pipeline_curation_semdedup
+    # below splices _CURATION_ORACLE verbatim, which replays the identical
+    # nearest-centroid assignment (grid cosine, lowest-id tie-break) on the
+    # fixture centroids AND composes assign_to_centroids on the Spark side,
+    # so the capstone's driver hash-pass is hash evidence for the
+    # assignment by composition (exact oracle retained in pytest parity at
+    # 3 SFs). Its slot carries llm_dsir_select below — DSIR importance
+    # selection (hashed-unigram importance weights against the corpus's
+    # high-quality stratum, deterministic per-source top-quarter), new
+    # surface with a full oracle.
+    "llm_dsir_select",
     # §2.10 text analysis / retrieval / sampling
     # r5: BM25 ranked retrieval over the corpus — tf/df/length-normalized
     # scoring with per-query top-k; full hash oracle (rank on round-6
     # scores, doc_id tie-break)
     "llm_bm25_topk",
-    # r6 promotions (judge-directed): exact-unigram LM scoring and
-    # offset-voting phrase search, both carrying full DuckDB oracles since
-    # r5 (pytest-hash-gated at 3 SFs there; now also driver-hash-gated).
-    "llm_unigram_perplexity",
+    # llm_unigram_perplexity is driver-demoted (r11): llm_ccnet_buckets
+    # below computes the IDENTICAL per-doc avg_bits relation (same
+    # tokenizer, same unigram-LM bits arithmetic, same round-6 grid — the
+    # perplexity CTE with lang carried through) before its per-language
+    # tercile cut, so a driver hash-pass on the buckets is hash evidence
+    # for the scorer end-to-end (exact oracle retained in pytest parity
+    # at 3 SFs). Its slot carries the CCNet head/middle/tail split — the
+    # published pipeline's rank-based quality partition, new surface.
+    "llm_ccnet_buckets",
     "llm_phrase_search",
     "llm_text_profile",
     "llm_keyword_extract",

@@ -68,7 +68,8 @@ def corpus_ingest_dirs(work_dir: str) -> dict[str, str]:
     near_accepted/near_audit the near-dup screen's stores, written only
     with near_dedup=True; sem_index/sem_accepted/sem_audit the semantic
     screen's, written only when a trained sem_model artifact is
-    passed)."""
+    passed; gate_accepted/gate_audit the model quality gate's, written
+    only when trained gate_weights are passed)."""
     return {
         "dedup_index": os.path.join(work_dir, "dedup_index"),
         "accepted": os.path.join(work_dir, "accepted"),
@@ -84,6 +85,8 @@ def corpus_ingest_dirs(work_dir: str) -> dict[str, str]:
         "sem_index": os.path.join(work_dir, "sem_index"),
         "sem_accepted": os.path.join(work_dir, "sem_accepted"),
         "sem_audit": os.path.join(work_dir, "sem_audit"),
+        "gate_accepted": os.path.join(work_dir, "gate_accepted"),
+        "gate_audit": os.path.join(work_dir, "gate_audit"),
     }
 
 
@@ -96,6 +99,7 @@ def corpus_ingest_epoch(
     span_screen: bool = False,
     near_dedup: bool = False,
     sem_model: str | None = None,
+    gate_weights: list | None = None,
 ):
     """The per-epoch function: built separately from the stream so a
     replay (same stores, same params, same batch_id) can be driven
@@ -138,8 +142,21 @@ def corpus_ingest_epoch(
     rejects in ``sem_audit``, and admitted vectors in the per-cluster
     ``sem_index`` sidecar. The three screens stack in published order —
     exact hash, then shingle, then embedding — each paying its cost only
-    on content the cheaper tier passed."""
+    on content the cheaper tier passed.
+
+    With `gate_weights` (a trained 129-int weight vector —
+    `llm_quality_classifier_train`'s output, the calibrate-once
+    contract), the MODEL quality gate (`curation.classifier_gate_sink`,
+    r11 — stage 8, closing the train-in-engine / serve-at-ingest loop)
+    runs after the dedup screens and before curation and the serving
+    indexes: survivors land in ``gate_accepted`` (the relation every
+    downstream stage then consumes), rejects in ``gate_audit``. The gate
+    pays its scan only on content all three dedup tiers passed; the
+    heuristic floors inside curation then run on the model's survivors —
+    the two-tier (rules + model) quality shape the published pipelines
+    run, with dedup in front of both."""
     from .corpus_index import neardup_screen_sink, semdedup_screen_sink
+    from .curation import classifier_gate_sink
     from .drift_monitor import source_drift_sink
 
     dirs = corpus_ingest_dirs(work_dir)
@@ -156,6 +173,13 @@ def corpus_ingest_epoch(
             sem_model, dirs["sem_index"], dirs["sem_accepted"], dirs["sem_audit"]
         )
         if sem_model is not None
+        else None
+    )
+    gate = (
+        classifier_gate_sink(
+            gate_weights, dirs["gate_accepted"], dirs["gate_audit"]
+        )
+        if gate_weights is not None
         else None
     )
     curate = curation_sink(dirs["curated"], centroids, quality_min)
@@ -193,6 +217,11 @@ def corpus_ingest_epoch(
                 admitted = batch_df.sparkSession.read.parquet(
                     os.path.join(dirs["sem_accepted"], f"batch_id={batch_id}")
                 )
+            if gate is not None:
+                gate(admitted, batch_id)
+                admitted = batch_df.sparkSession.read.parquet(
+                    os.path.join(dirs["gate_accepted"], f"batch_id={batch_id}")
+                )
             curate(admitted, batch_id)
             index(
                 admitted.select(F.col("doc_id").alias("vec_id"), "embedding"),
@@ -219,14 +248,16 @@ def start_corpus_ingest(
     span_screen: bool = False,
     near_dedup: bool = False,
     sem_model: str | None = None,
+    gate_weights: list | None = None,
 ) -> StreamingQuery:
     """Start the composed ingestion stream over a parquet document feed.
     `centroids` / `quality_min` / `drift_reference` / `sem_model` are the
     calibrate-once parameters the sinks document (control-plane inputs,
     not per-batch state); with a reference the per-source drift audit
     becomes the composition's 5th stage, with `span_screen=True` the
-    duplicated-substring screen its 6th, and with a trained `sem_model`
-    artifact the semantic screen its 7th."""
+    duplicated-substring screen its 6th, with a trained `sem_model`
+    artifact the semantic screen its 7th, and with trained
+    `gate_weights` the model quality gate its 8th."""
     epoch = corpus_ingest_epoch(
         work_dir,
         centroids,
@@ -236,6 +267,7 @@ def start_corpus_ingest(
         span_screen,
         near_dedup,
         sem_model,
+        gate_weights,
     )
     return (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
@@ -258,7 +290,8 @@ def corpus_retract(
     stage-6 span stores when present: the span audit loses the victims'
     rows including their kept_text, and the gram index's per-epoch
     counts are recomputed from the rewritten accepted partition — the
-    counts the sink would have admitted had the victims never arrived) —
+    counts the sink would have admitted had the victims never arrived —
+    plus the stage-8 model-gate stores when present) —
     the control-plane operation a training-data pipeline owes its data
     subjects, end to end. Every store is
     PHYSICALLY rewritten (affected partitions only, write-to-temp +
@@ -329,6 +362,8 @@ def corpus_retract(
         "sem_accepted": 0,
         "sem_audit": 0,
         "sem_index": 0,
+        "gate_accepted": 0,
+        "gate_audit": 0,
     }
 
     def swap_rewrite(part_dir: str, df, partition_by: list[str] | None) -> None:
@@ -408,10 +443,15 @@ def corpus_retract(
         # same relation.
         npart = os.path.join(dirs["near_accepted"], f"batch_id={b}")
         sempart = os.path.join(dirs["sem_accepted"], f"batch_id={b}")
+        gatepart = os.path.join(dirs["gate_accepted"], f"batch_id={b}")
         span_part = (
-            sempart
-            if os.path.isdir(sempart)
-            else (npart if os.path.isdir(npart) else part)
+            gatepart
+            if os.path.isdir(gatepart)
+            else (
+                sempart
+                if os.path.isdir(sempart)
+                else (npart if os.path.isdir(npart) else part)
+            )
         )
         # Compacted gram index: per-epoch provenance is folded, so RTBF
         # switches from recount to SUBTRACTING the victims' gram counts —
@@ -504,6 +544,26 @@ def corpus_retract(
             removed["sem_accepted"] += smdf.count() - smkept.count()
             swap_rewrite(sempart, smkept, None)
             smdf.unpersist()
+        # Model-gate stores (r11, gate_weights runs): the victims' rows
+        # leave gate_accepted (text + embedding) and the audit (doc_id +
+        # margin — the margin is a function of the victim's own content
+        # alone, so unlike the dup audits no other doc's row references
+        # it). The gate keeps no index: nothing to make unknown again.
+        if os.path.isdir(gatepart):
+            gdf_ = spark.read.parquet(gatepart).persist()
+            gkept_ = gdf_.filter(~F.col("doc_id").isin(ids))
+            removed["gate_accepted"] += gdf_.count() - gkept_.count()
+            swap_rewrite(gatepart, gkept_, None)
+            gdf_.unpersist()
+        gapart = os.path.join(dirs["gate_audit"], f"batch_id={b}")
+        if os.path.isdir(gapart):
+            gadf = spark.read.schema("doc_id long, margin long").parquet(
+                gapart
+            ).persist()
+            gakept = gadf.filter(~F.col("doc_id").isin(ids))
+            removed["gate_audit"] += gadf.count() - gakept.count()
+            swap_rewrite(gapart, gakept, None)
+            gadf.unpersist()
         sipart = os.path.join(dirs["sem_index"], f"src_batch={b}")
         if os.path.isdir(sipart):
             # adm must ride through the rewrite: an explicit schema that

@@ -99,6 +99,92 @@ def curation_sink(
     return curate
 
 
+def classifier_gate_sink(
+    weights,
+    accepted_dir: str,
+    audit_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: ingestion-time MODEL quality gate (r11) —
+    serve a TRAINED linear classifier at the stream, completing the
+    train-in-engine / serve-at-ingest loop the r10 trainer opened
+    (`llm_quality_classifier_train` fits the weights in batch; this sink
+    applies them per epoch, the CCNet/RefinedWeb model tier's streaming
+    form). `weights` is the trained weight vector (the trainer's (feat,
+    weight) table flattened to _QCT_FEATS ints — 129 scalars, a
+    calibrate-once control-plane input exactly like the curation sink's
+    centroids and the semantic screen's model_dir; promotion of a newly
+    trained model is a sink swap, the audited decision
+    `llm_classifier_train_eval` exists to gate).
+
+    Per epoch: every doc's margin = fx · w over the served classifier's
+    exact feature space (`qct_features` — hashed unigram + bigram
+    buckets + per-token bias, all int64), keep = margin > 0 (the trained
+    gate's decision rule, `llm_classifier_train_eval`'s predicate
+    verbatim). Docs OUTSIDE the classifier population (null text / no
+    space-tokens) pass through unscored — no features means no model
+    opinion, the same null-geometry-admits convention the near and
+    semantic screens follow. Survivors land in a batchId-keyed accepted
+    directory; rejects in a batchId-keyed audit (doc_id, margin — ids
+    and scores only, no text).
+
+    The gate is STATELESS — no index, no cross-epoch memory — so replay
+    safety is free: epoch-scoped overwrites alone make a replayed epoch
+    byte-identical, and RTBF is a per-epoch row filter on both outputs.
+
+    Scale shape: one Arrow pass over the batch (integer feature fold +
+    one BLAS matvec per Arrow batch against the broadcast-by-closure
+    129-int vector), one anti-join on doc_id scalars — no shuffle
+    carries text, no state grows."""
+    from ..operators.text_analysis import _QCT_FEATS, qct_features
+    from ..shipping import ship_by_value
+
+    wlist = [int(x) for x in weights]
+    if len(wlist) != _QCT_FEATS:
+        raise ValueError(
+            f"classifier gate expects {_QCT_FEATS} weights, got {len(wlist)}"
+        )
+    kernel = ship_by_value(qct_features)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        def score(it):
+            import numpy as np
+            import pandas as pd
+
+            wv = np.array(wlist, dtype=np.int64)
+            for pdf in it:
+                ids, fxs = [], []
+                for i, t in zip(pdf["doc_id"], pdf["text"]):
+                    f = kernel(t)
+                    if f is not None:
+                        ids.append(i)
+                        fxs.append(f)
+                margins = (
+                    np.stack(fxs).astype(np.int64) @ wv if fxs else []
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "margin": pd.Series(margins, dtype="int64"),
+                    }
+                )
+
+        rejects = (
+            batch_df.select("doc_id", "text")
+            .mapInPandas(score, "doc_id long, margin long")
+            .filter(F.col("margin") <= 0)
+            .localCheckpoint(eager=False)
+        )
+        rejects.write.mode("overwrite").parquet(
+            os.path.join(audit_dir, f"batch_id={batch_id}")
+        )
+        accepted = batch_df.join(rejects.select("doc_id"), "doc_id", "left_anti")
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(accepted_dir, f"batch_id={batch_id}")
+        )
+
+    return gate
+
+
 def read_curated(spark, curated_dir: str) -> DataFrame:
     """The curated corpus across all epochs (latest write per epoch wins by
     construction — replays overwrite their own batch_id directory)."""

@@ -2594,9 +2594,12 @@ class TestShingleIndexCompaction:
 
 class TestCapstoneAllStages:
     """The full composition: every optional stage on at once (drift +
-    span screen + near-dup screen + the r10 semantic screen — all 14
-    stores) — the stages must not interfere, and a replayed epoch must
-    reproduce every store byte-identically."""
+    span screen + near-dup screen + the r10 semantic screen + the r11
+    model gate — all 16 stores) — the stages must not interfere, and a
+    replayed epoch must reproduce every store byte-identically. The gate
+    runs with keep-everything weights (bias +1, buckets 0: margin =
+    n_tokens > 0) so the dedup-funnel assertions stay exact; the gate's
+    own decision behavior is TestClassifierGateSink's job."""
 
     def test_all_stages_compose_and_replay_byte_identical(self, spark, tmp_path):
         import glob
@@ -2673,11 +2676,12 @@ class TestCapstoneAllStages:
             span_screen=True,
             near_dedup=True,
             sem_model=mdl,
+            gate_weights=[0] * 128 + [1],
         )
         drive.drain(q)
         dirs = corpus_ingest_dirs(work)
 
-        # every one of the 14 stores materialized
+        # every one of the 16 stores materialized
         for k, d in dirs.items():
             assert os.path.isdir(d), k
         # stage interactions: 4 exact-killed, 5 near-killed, 8 SEM-killed
@@ -2740,7 +2744,8 @@ class TestCapstoneAllStages:
 
         before = snapshot()
         epoch = corpus_ingest_epoch(
-            work, cents, {"*": 0.0}, ref, 1.0, True, True, mdl
+            work, cents, {"*": 0.0}, ref, 1.0, True, True, mdl,
+            [0] * 128 + [1],
         )
         epoch(
             spark.createDataFrame(batches[1], TestStreamingCorpusPipeline.SCHEMA), 1
@@ -3726,3 +3731,244 @@ class TestSemReplayAfterFold:
             os.path.join(replay_idx, "src_batch=1")
         )
         assert [(r["vec_id"], r["adm"]) for r in rep.collect()] == [(200, 1)]
+
+
+class TestClassifierGateSink:
+    """curation.py::classifier_gate_sink (r11) — the trained model
+    quality gate served at ingest (stage 8): margin = fx·w over the
+    classifier feature space, keep = margin > 0, token-less docs pass
+    through unscored, stateless replay, RTBF row filters."""
+
+    SCHEMA = TestStreamingCorpusPipeline.SCHEMA
+
+    KEEP_WORDS = (
+        "the and with that " + " ".join(f"w{j}ord" for j in range(56))
+    )
+    # same token count as KEEP_WORDS (the bias feature cancels in
+    # training, so the bucket weights must do the separating), zero
+    # stopwords -> Gopher labels it drop
+    DROP_WORDS = " ".join(f"zzjunk{j}" for j in range(60))
+
+    @classmethod
+    def _train_weights(cls, spark, where):
+        """Train the gate on a planted corpus whose Gopher labels split:
+        long stop-bearing docs keep (+1), short docs drop (-1)."""
+        import os
+
+        from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+            llm_quality_classifier_train,
+        )
+
+        rows = []
+        for i in range(6):
+            rows.append((i, cls.KEEP_WORDS + f" extra{i}", "xx", "s0", 400))
+        for i in range(6, 12):
+            rows.append((i, cls.DROP_WORDS + f" zz{i}", "xx", "s0", 400))
+        d = os.path.join(str(where), "fixture")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        wt = {
+            r["feat"]: r["weight"]
+            for r in llm_quality_classifier_train(spark, d).collect()
+        }
+        return [wt[f] for f in range(len(wt))]
+
+    @staticmethod
+    def _margin_replica(text, weights):
+        """Independent margin replica: its own fold, bucket and dot-product
+        arithmetic (mirrors the published formula, not the module code)."""
+        ws = [w for w in (text or "").split(" ") if w]
+        if not ws:
+            return None
+        MOD, B = 2097143, 64
+        hs = []
+        for w in ws:
+            a = 0
+            for ch in w:
+                a = (a * 31 + ord(ch)) % MOD
+            hs.append(a)
+        m = 0
+        for h in hs:
+            m += weights[h % B]
+        for i in range(len(hs) - 1):
+            m += weights[B + (hs[i] * 31 + hs[i + 1]) % B]
+        m += weights[2 * B] * len(ws)
+        return m
+
+    def test_gate_matches_trained_predicate_passthrough_and_replay(
+        self, spark, tmp_path
+    ):
+        from data_ingestion_experiment_otp_spark.streaming.curation import (
+            classifier_gate_sink,
+        )
+
+        w = self._train_weights(spark, tmp_path / "calib")
+        docs = [
+            (100, "web", 400, self.KEEP_WORDS + " novel100", [0.1] * 4),
+            (101, "web", 400, self.DROP_WORDS + " zznovel", [0.2] * 4),
+            (102, "web", 0, None, [0.3] * 4),  # null text: pass through
+            (103, "web", 1, "", [0.4] * 4),  # token-less: pass through
+        ]
+        acc = os.path.join(str(tmp_path), "gate_acc")
+        aud = os.path.join(str(tmp_path), "gate_aud")
+        sink = classifier_gate_sink(w, acc, aud)
+        batch = spark.createDataFrame(docs, self.SCHEMA)
+        sink(batch, 0)
+
+        def read(b):
+            a = sorted(
+                r["doc_id"]
+                for r in spark.read.schema("doc_id long")
+                .parquet(os.path.join(acc, f"batch_id={b}"))
+                .collect()
+            )
+            u = sorted(
+                map(
+                    tuple,
+                    spark.read.schema("doc_id long, margin long")
+                    .parquet(os.path.join(aud, f"batch_id={b}"))
+                    .collect(),
+                )
+            )
+            return a, u
+
+        accepted, audit = read(0)
+        # independent replica decides the expected keep set
+        want_keep, want_audit = [], []
+        for i, _s, _n, t, _v in docs:
+            m = self._margin_replica(t, w)
+            if m is None or m > 0:
+                want_keep.append(i)
+            else:
+                want_audit.append((i, m))
+        assert accepted == sorted(want_keep)
+        assert audit == sorted(want_audit)
+        assert 100 in accepted  # the trained gate keeps the keep-shaped doc
+        assert any(i == 101 for i, _ in audit)  # and drops the drop-shaped
+        assert {102, 103} <= set(accepted)  # outside-population passthrough
+
+        sink(batch, 0)  # replay: byte-identical outputs
+        assert read(0) == (accepted, audit)
+
+    def test_capstone_stage8_gates_downstream_rtbf_and_off_by_default(
+        self, spark, tmp_path
+    ):
+        import time
+
+        from data_ingestion_experiment_otp_spark.streaming import drive
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_retract,
+            start_corpus_ingest,
+        )
+
+        w = self._train_weights(spark, tmp_path / "calib")
+
+        def basis(i, dim=64):
+            v = [0.0] * dim
+            v[i] = 1.0
+            return v
+
+        batches = [
+            [
+                (1, "web", 400, self.KEEP_WORDS + " one", basis(0)),
+                (2, "web", 400, self.DROP_WORDS + " zztwo", basis(1)),
+            ],
+            [
+                (3, "web", 400, self.KEEP_WORDS + " three", basis(2)),
+                (4, "web", 400, self.DROP_WORDS + " zzfour", basis(3)),
+            ],
+        ]
+        in_dir = str(tmp_path / "feed")
+        for rows in batches:
+            spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+            time.sleep(0.05)
+        cents = (
+            spark.createDataFrame(
+                [(0, basis(0)), (1, basis(1))],
+                "vec_id long, embedding array<float>",
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+        work = str(tmp_path / "work")
+        q = start_corpus_ingest(
+            spark,
+            in_dir,
+            work,
+            cents,
+            {"*": 0.0},
+            str(tmp_path / "ckpt"),
+            gate_weights=w,
+        )
+        drive.drain(q)
+
+        dirs = corpus_ingest_dirs(work)
+        gate_acc = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(dirs["gate_accepted"])
+            .collect()
+        }
+        assert gate_acc == {1, 3}  # model gate killed the short docs
+        audit_ids = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long, margin long")
+            .parquet(dirs["gate_audit"])
+            .collect()
+        }
+        assert audit_ids == {2, 4}
+        # every downstream store holds only gate survivors
+        curated = {
+            r["doc_id"] for r in spark.read.parquet(dirs["curated"]).collect()
+        }
+        assert curated <= gate_acc
+        tdocs = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(os.path.join(dirs["text_index"], "doclen"))
+            .collect()
+        }
+        assert tdocs == gate_acc
+
+        # RTBF: retract a gate survivor -> leaves gate_accepted; a
+        # gate-rejected doc's audit row goes too
+        removed = corpus_retract(spark, work, [1, 2])
+        assert removed["gate_accepted"] == 1
+        assert removed["gate_audit"] == 1
+        left_acc = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(dirs["gate_accepted"])
+            .collect()
+        }
+        assert left_acc == {3}
+        left_aud = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long, margin long")
+            .parquet(dirs["gate_audit"])
+            .collect()
+        }
+        assert left_aud == {4}
+
+        # off by default: a run without gate_weights writes no gate dirs
+        work2 = str(tmp_path / "work2")
+        q2 = start_corpus_ingest(
+            spark,
+            in_dir,
+            work2,
+            cents,
+            {"*": 0.0},
+            str(tmp_path / "ckpt2"),
+        )
+        drive.drain(q2)
+        d2 = corpus_ingest_dirs(work2)
+        assert not os.path.isdir(d2["gate_accepted"])
+        assert not os.path.isdir(d2["gate_audit"])
+        curated2 = {
+            r["doc_id"] for r in spark.read.parquet(d2["curated"]).collect()
+        }
+        assert curated2 == {1, 2, 3, 4}  # no model gate: all four flow
