@@ -130,6 +130,10 @@ HEADLINE = [
     # trained-centroid artifact store (first rep pays the cold train)
     "llm_quality_classifier_train",
     "llm_classifier_train_eval",
+    # r11 additions: the CCNet per-language perplexity terciles and DSIR
+    # importance selection (both new driver slots with full oracles)
+    "llm_ccnet_buckets",
+    "llm_dsir_select",
 ]
 
 

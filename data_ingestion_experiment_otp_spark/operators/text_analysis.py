@@ -944,6 +944,65 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_ccnet_buckets_approx",
+    # No cross-engine oracle by nature: percentile_approx is an engine-
+    # private sketch. Bounded instead by the pytest invariant comparing
+    # its bucket labels against llm_ccnet_buckets' exact rank terciles
+    # (tests/test_invariants.py::TestCcnetBuckets) — the
+    # llm_quality_gate_approx precedent applied to the CCNet split.
+    oracle=None,
+    tags=("llm", "text", "quality", "approx"),
+)
+def llm_ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the CCNet split: instead of a full per-language
+    rank window (row_number over every scored document — a per-stratum
+    SORT of the whole corpus), compute each language's tercile cut
+    points with percentile_approx — one partial-aggregable pass, sketch
+    state O(1/accuracy) per stratum — broadcast the per-language
+    thresholds back, and label with a scan-side comparison. Two passes
+    over the compact (doc_id, lang, avg_bits) relation, no per-stratum
+    sort, no wide shuffle. The exact rank-tercile twin
+    (llm_ccnet_buckets) doubles as this query's accuracy oracle in
+    pytest: labels agree except within the sketch's error band around
+    the two cut points (exact agreement on fixtures, where strata fit in
+    one sketch)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(_tokenize()).alias("term")
+    ).filter(F.col("term").isNotNull())
+    tf = tok.groupBy("doc_id", "lang", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    bits_per = F.col("tf") * -(F.log(F.col("c") / F.col("t")) / F.log(F.lit(2.0)))
+    r = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").cast("long").alias("dl"),
+            F.round(F.sum(bits_per) / F.sum("tf"), 6).alias("avg_bits"),
+        )
+        .localCheckpoint(eager=False)  # scored once; both passes read it
+    )
+    cuts = r.groupBy("lang").agg(
+        F.percentile_approx("avg_bits", 1.0 / 3.0, 10_000).alias("cut_head"),
+        F.percentile_approx("avg_bits", 2.0 / 3.0, 10_000).alias("cut_mid"),
+    )
+    return r.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "dl",
+        "avg_bits",
+        F.when(F.col("avg_bits") <= F.col("cut_head"), F.lit("head"))
+        .when(F.col("avg_bits") <= F.col("cut_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 _DIVERGENCE_ORACLE = f"""
     WITH toks AS (
       SELECT source, {_PPL_TOKENIZE} AS tk FROM documents

@@ -1483,3 +1483,40 @@ class TestDsirSelect:
         out = llm_dsir_select(spark, d).collect()
         assert len(out) == 6
         assert all(r["logratio"] is not None for r in out)
+
+
+class TestCcnetBucketsApprox:
+    """The sketch-thresholded CCNet split against its exact rank-tercile
+    twin (the llm_quality_gate_approx precedent): on the fixture corpus
+    the labels must agree except possibly at the cut points themselves,
+    and a disagreement can only ever be between ADJACENT classes."""
+
+    ORDER = {"head": 0, "middle": 1, "tail": 2}
+
+    def test_labels_track_exact_terciles(self, spark, sf_dir):
+        from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+            llm_ccnet_buckets,
+            llm_ccnet_buckets_approx,
+        )
+
+        exact = {
+            r["doc_id"]: (r["lang"], r["dl"], r["avg_bits"], r["bucket"])
+            for r in llm_ccnet_buckets(spark, sf_dir).collect()
+        }
+        approx = {
+            r["doc_id"]: (r["lang"], r["dl"], r["avg_bits"], r["bucket"])
+            for r in llm_ccnet_buckets_approx(spark, sf_dir).collect()
+        }
+        assert set(exact) == set(approx) and len(exact) > 0
+        n_disagree = 0
+        for i, (lg, dl, bits, be) in exact.items():
+            lga, dla, bitsa, ba = approx[i]
+            assert (lg, dl, bits) == (lga, dla, bitsa)  # scorer identical
+            if be != ba:
+                n_disagree += 1
+                # never a head<->tail flip: the sketch can only blur a
+                # cut point, not reorder the strata
+                assert abs(self.ORDER[be] - self.ORDER[ba]) == 1, (i, be, ba)
+        # fixture strata fit inside one exact sketch: agreement is
+        # near-total (cut-point floor/ceil wobble only)
+        assert n_disagree <= max(2, len(exact) // 50)
