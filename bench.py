@@ -208,14 +208,10 @@ def bench_corpus_ingest(spark, sf_dir: str):
         # calibrate-once weight vector (trained here once, outside the
         # per-epoch timing, the sem_model_dir precedent)
         from data_ingestion_experiment_otp_spark.operators.text_analysis import (
-            llm_quality_classifier_train,
+            qct_trained_weights,
         )
 
-        wt = {
-            r["feat"]: r["weight"]
-            for r in llm_quality_classifier_train(spark, sf_dir).collect()
-        }
-        weights = [wt[f] for f in range(len(wt))]
+        weights = qct_trained_weights(spark, sf_dir)
         best_stages = drive(
             span_screen=True,
             near_dedup=True,

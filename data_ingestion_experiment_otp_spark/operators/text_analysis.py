@@ -1984,6 +1984,76 @@ def _qct_train(ts: DataFrame):
     return w
 
 
+_QCT_WEIGHTS_SCHEMA = "feat long, weight long"
+
+
+def qct_model_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-absent and return the committed trained-classifier
+    artifact directory for this corpus (r11 — the trained-hierarchy
+    store's pattern applied to the model gate): one distributed
+    perceptron run per (corpus signature, training knobs), every later
+    consumer — `llm_quality_classifier_train`, the fit audit, the
+    streaming `classifier_gate_sink`'s calibrate-once weights — serves
+    the 129-row weight table from the store. Determinism makes serving
+    exact: training is pure int64, so a served table reproduces the
+    fresh-trained hashes (the oracle replays the full training run
+    either way)."""
+    import os
+    import shutil
+
+    from .bpe import _build_root, _sweep_stale_builds, corpus_signature
+
+    sig = corpus_signature(sf_dir)
+    root = _build_root("spark_graft_qct_store", sig)
+    import hashlib
+
+    key = hashlib.sha256(
+        f"qct1|{os.path.abspath(sf_dir)}|{sig}|{_QCT_ITERS}|{_QCT_FEATS}".encode()
+    ).hexdigest()[:20]
+    final = os.path.join(root, key)
+    if os.path.isfile(os.path.join(final, "_COMMITTED")):
+        return final
+    _sweep_stale_builds(root)
+    tmp = f"{final}.build{os.getpid()}"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    ts = _qct_training_set(spark, sf_dir)
+    w = _qct_train(ts)
+    (
+        spark.createDataFrame(
+            [(int(f), int(w[f])) for f in range(_QCT_FEATS)],
+            _QCT_WEIGHTS_SCHEMA,
+        )
+        .coalesce(1)
+        .write.parquet(os.path.join(tmp, "weights.parquet"))
+    )
+    open(os.path.join(tmp, "_COMMITTED"), "w").close()
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        if os.path.isfile(os.path.join(final, "_COMMITTED")):
+            shutil.rmtree(tmp)
+        else:
+            raise
+    return final
+
+
+def qct_trained_weights(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The trained gate's weight vector, served from the committed store
+    (training happens at most once per corpus) — the flat-list form the
+    streaming `classifier_gate_sink` takes as its calibrate-once input."""
+    import os
+
+    d = qct_model_dir(spark, sf_dir)
+    rows = (
+        spark.read.schema(_QCT_WEIGHTS_SCHEMA)
+        .parquet(os.path.join(d, "weights.parquet"))
+        .collect()
+    )
+    wt = {r["feat"]: r["weight"] for r in rows}
+    return [int(wt[f]) for f in range(_QCT_FEATS)]
+
+
 def _qct_ctes() -> str:
     """DuckDB replay of the full training run: the classifier
     population's hashed features (the QC_ORACLE fold verbatim), Gopher
@@ -2089,12 +2159,16 @@ def llm_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials distributed-first (the `_sem_train` shape — the driver
     sees 129 scalars per iteration, never rows). Output: (feat, weight)
     — servable by `llm_quality_classifier`'s zero-shuffle topology
-    as-is."""
-    ts = _qct_training_set(spark, sf_dir)
-    w = _qct_train(ts)
-    return ts.sparkSession.createDataFrame(
-        [(int(f), int(w[f])) for f in range(_QCT_FEATS)],
-        "feat long, weight long",
+    as-is. Served from the committed weight store (r11, `qct_model_dir`
+    — the trained-hierarchy store's pattern): training runs at most once
+    per corpus; re-calls read the 129-row table. Hashes are unchanged by
+    construction (pure-int training is deterministic and parquet-stable),
+    and the oracle replays the full run either way."""
+    import os
+
+    d = qct_model_dir(spark, sf_dir)
+    return spark.read.schema(_QCT_WEIGHTS_SCHEMA).parquet(
+        os.path.join(d, "weights.parquet")
     )
 
 
@@ -2129,11 +2203,13 @@ def llm_classifier_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement means the linear model cannot represent the rule it was
     fitted to; n_false_keep is the volume a promotion would wrongly
     admit). Exact by construction — integer margins, spliced training
-    CTEs — so the audit carries the full hash oracle."""
-    import pandas as pd
+    CTEs — so the audit carries the full hash oracle. Weights serve from
+    the committed store (r11); the scoring scan over the feature set is
+    the audit's own work and remains."""
+    import numpy as np
 
     ts = _qct_training_set(spark, sf_dir)
-    w = _qct_train(ts)
+    w = np.array(qct_trained_weights(spark, sf_dir), dtype=np.int64)
     bw = ts.sparkSession.sparkContext.broadcast(w)
 
     def score(it):

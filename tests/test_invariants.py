@@ -1520,3 +1520,48 @@ class TestCcnetBucketsApprox:
         # fixture strata fit inside one exact sketch: agreement is
         # near-total (cut-point floor/ceil wobble only)
         assert n_disagree <= max(2, len(exact) // 50)
+
+
+class TestQctWeightStore:
+    """r11: the trained classifier's committed weight store
+    (qct_model_dir — the trained-hierarchy store pattern): train once,
+    serve identical weights forever; a changed corpus keys a new
+    generation."""
+
+    DOC = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def _corpus(self, spark, where, tag):
+        import os
+
+        keep = "the and with that " + " ".join(f"w{j}ord{tag}" for j in range(56))
+        drop = " ".join(f"zzjunk{j}{tag}" for j in range(60))
+        rows = [(i, keep + f" k{i}", "xx", "s0", 400) for i in range(4)]
+        rows += [(i, drop + f" d{i}", "xx", "s0", 400) for i in range(4, 8)]
+        d = os.path.join(str(where), f"fixture{tag}")
+        spark.createDataFrame(rows, self.DOC).coalesce(1).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        return d
+
+    def test_train_once_serve_identical_and_key_separation(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+            qct_model_dir,
+            qct_trained_weights,
+        )
+
+        d1 = self._corpus(spark, tmp_path, "a")
+        m1 = qct_model_dir(spark, d1)
+        assert os.path.isfile(os.path.join(m1, "_COMMITTED"))
+        w1 = qct_trained_weights(spark, d1)
+        assert qct_model_dir(spark, d1) == m1  # served, not retrained
+        assert qct_trained_weights(spark, d1) == w1
+        assert len(w1) == 129 and any(x != 0 for x in w1)
+
+        d2 = self._corpus(spark, tmp_path, "b")
+        m2 = qct_model_dir(spark, d2)
+        assert m2 != m1  # different corpus -> different generation
+        assert qct_trained_weights(spark, d2) != w1
