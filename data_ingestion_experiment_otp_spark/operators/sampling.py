@@ -606,6 +606,113 @@ llm_mixture_weights.__doc__ = llm_mixture_weights.__doc__.format(
 )
 
 
+# --- Mixture materialization (r11) ------------------------------------------
+# llm_mixture_weights computes per-source epoch factors; this operator
+# MATERIALIZES them into the dataloader's actual manifest: every doc in the
+# mixture population (quality-floored exact-dedup keepers) is emitted
+# floor(epochs) times, plus one more copy with probability frac(epochs) —
+# decided deterministically by the package's Lehmer hash of doc_id against
+# the 1e-6-grid fractional threshold, so both engines (and any replay)
+# produce the identical manifest. This is the repeat/subsample step
+# data-constrained training actually runs (Muennighoff et al.: small clean
+# sources repeat, the dominant source trains sub-1-epoch).
+
+_MATERIALIZE_ORACLE = f"""
+    WITH mix AS MATERIALIZED ({{MIX}}),
+    q2 AS ({{QUALITY}}),
+    tok2 AS (
+      SELECT doc_id, source,
+             coalesce(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS toks,
+             sha256(text) AS h
+      FROM documents
+    ),
+    keep2 AS (
+      SELECT *, doc_id = min(doc_id) OVER (PARTITION BY h) AS keeper FROM tok2
+    ),
+    pop AS (
+      SELECT k.doc_id, k.source, k.toks
+      FROM keep2 k JOIN q2 ON q2.doc_id = k.doc_id
+      WHERE k.keeper AND q2.quality >= {_MIX_QUALITY_FLOOR}
+    ),
+    n_of AS (
+      SELECT p.doc_id, p.source, p.toks,
+             CAST(floor(m.epochs) AS BIGINT)
+             + CASE WHEN (p.doc_id % {{HMOD}}) * {{HMULT}} % {{HMOD}} % 1000000
+                      < CAST(round((m.epochs - floor(m.epochs)) * 1000000) AS BIGINT)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM pop p JOIN mix m ON m.source = p.source
+    )
+    SELECT doc_id, source, toks, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
+    FROM n_of WHERE n_copies >= 1
+    """
+
+
+@register(
+    "llm_mixture_materialize",
+    oracle=None,  # spliced at module end (_finalize_sampling_oracles)
+    tags=("llm", "sampling", "mixture"),
+)
+def llm_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the training mixture: one output row per (document,
+    epoch copy) the dataloader should consume — `llm_mixture_weights`'s
+    per-source epoch factors turned into an actual manifest. Each doc in
+    the mixture population (quality-floored exact-dedup keepers, the
+    population the weights were computed over) emits floor(epochs) full
+    copies plus one more iff lehmer(doc_id) mod 1e6 falls under the
+    fractional part on the 1e-6 grid — a deterministic per-doc coin that
+    hits the target rate exactly in expectation and is reproducible
+    across engines, replays, and partitionings (no RNG state anywhere).
+
+    Scale shape: the mixture's own single scan + dedup-hash window, then
+    ONE broadcast join of the k-row epochs table and a scan-side
+    explode — output size is the training budget itself (sum of
+    epochs·mass), which is the quantity the manifest exists to bound.
+    Docs whose source trains sub-1-epoch are subsampled by the same
+    coin; rejected docs emit nothing."""
+    from .text_analysis import quality_expr
+
+    from .clustering import _HASH_MOD, _HASH_MULT2
+
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    tok = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        ws.alias("words"),
+        F.coalesce(F.size(ws), F.lit(0)).alias("toks"),
+        F.sha2("text", 256).alias("h"),
+    ).withColumn("quality", quality_expr())
+    wh = Window.partitionBy("h")
+    pop = (
+        tok.withColumn("keeper", F.col("doc_id") == F.min("doc_id").over(wh))
+        .filter(F.col("keeper") & (F.col("quality") >= _MIX_QUALITY_FLOOR))
+        .select("doc_id", "source", "toks")
+    )
+    mix = llm_mixture_weights(spark, sf_dir).select("source", "epochs")
+    e = F.col("epochs")
+    lehmer = (
+        F.col("doc_id") % F.lit(_HASH_MOD) * F.lit(_HASH_MULT2) % F.lit(_HASH_MOD)
+    )
+    thr = F.round((e - F.floor(e)) * 1_000_000, 0).cast("long")
+    n_copies = (
+        F.floor(e).cast("long")
+        + F.when(lehmer % 1_000_000 < thr, F.lit(1)).otherwise(F.lit(0))
+    )
+    n_of = pop.join(F.broadcast(mix), "source").select(
+        "doc_id", "source", "toks", n_copies.alias("n_copies")
+    )
+    return (
+        n_of.filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "toks",
+            F.explode(F.expr("sequence(1L, n_copies)")).alias("copy"),
+        )
+    )
+
+
 # --- DSIR data selection (r11) ---------------------------------------------
 # Importance resampling over hashed n-gram features (Xie et al. 2023, "Data
 # Selection for Language Models via Importance Resampling"): score every raw
@@ -815,5 +922,29 @@ def _finalize_dsir_oracle() -> None:
     )
 
 
+def _finalize_materialize_oracle() -> None:
+    """Splice the FULL mixture oracle (epochs) plus the quality CTE and
+    the Lehmer constants into llm_mixture_materialize's oracle — the
+    manifest replays the whole weights computation, so a driver/pytest
+    hash-pass on it is hash evidence for the mixture tier end to end."""
+    from dataclasses import replace
+
+    from ..plans import registry
+    from .clustering import _HASH_MOD, _HASH_MULT2
+    from .text_analysis import QUALITY_SQL_CTE
+
+    spec = registry._REGISTRY["llm_mixture_materialize"]
+    registry._REGISTRY["llm_mixture_materialize"] = replace(
+        spec,
+        oracle=_MATERIALIZE_ORACLE.format(
+            MIX=_MIXTURE_ORACLE.format(QUALITY=QUALITY_SQL_CTE),
+            QUALITY=QUALITY_SQL_CTE,
+            HMOD=_HASH_MOD,
+            HMULT=_HASH_MULT2,
+        ),
+    )
+
+
 _finalize_mixture_oracle()
 _finalize_dsir_oracle()
+_finalize_materialize_oracle()

@@ -158,11 +158,15 @@ DRIVER_ORDER: tuple[str, ...] = (
     # r10 promotions (judge-directed, the r6-r9 rotation precedent):
     # the banded screen's measured recall (full-outer agreement of the
     # banded vs exact reject sets — `screen_extra` provably empty) and
-    # the per-source training-mixture weights (temperature-scaled over
-    # quality-floored unique tokens). Both carried full oracles in
-    # pytest parity at 3 SFs since r9.
+    # the training-mixture tier. The mixture slot upgrades in r11 to
+    # llm_mixture_materialize (the pipeline_curation_semdedup precedent):
+    # its oracle splices _MIXTURE_ORACLE VERBATIM as a CTE and then
+    # replays the per-doc Lehmer repeat/subsample coin, so one slot
+    # driver-hash-covers BOTH the weights computation and the manifest
+    # materialization (llm_mixture_weights keeps its exact oracle in
+    # pytest parity at 3 SFs).
     "llm_screen_recall_eval",
-    "llm_mixture_weights",
+    "llm_mixture_materialize",
     # llm_simhash is registered but driver-demoted: it is rows-only by
     # nature (Murmur3 engine hash), so the driver adds only a row count —
     # its real verification is the hamming-locality invariant in pytest.

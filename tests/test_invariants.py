@@ -974,9 +974,18 @@ class TestOrderIndependenceSweep:
         "llm_semdedup_eval",
         # r10: perceptron training is pure int64 — margins, violator
         # sets, gradient sums, weights; a partition boundary can only
-        # reorder exact-integer additions
-        "llm_quality_classifier_train",
+        # reorder exact-integer additions. llm_quality_classifier_train
+        # left this canary in r11: it is artifact-served now (no corpus
+        # scan — the documented unseamed set), and the TRAINER's
+        # repartition invariance is pinned directly in
+        # TestQctWeightStore::test_trainer_repartition_invariant.
         "llm_classifier_train_eval",
+        # r11: the CCNet cut ranks on the round-6 bits grid with doc_id
+        # ties (the approx variant is excluded — percentile_approx is a
+        # sketch, the documented bounded class); DSIR sums integer counts
+        # against 256-row broadcast stats and ranks on the round-6 grid
+        "llm_ccnet_buckets",
+        "llm_dsir_select",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):
@@ -1565,3 +1574,77 @@ class TestQctWeightStore:
         m2 = qct_model_dir(spark, d2)
         assert m2 != m1  # different corpus -> different generation
         assert qct_trained_weights(spark, d2) != w1
+
+    def test_trainer_repartition_invariant(self, spark, tmp_path):
+        """The distributed perceptron's learned weights may not depend on
+        input partitioning (pure-int argument — replaces the generic
+        loader-seam canary, which the committed store now bypasses)."""
+        from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+            _qct_train,
+            _qct_training_set,
+        )
+
+        d = self._corpus(spark, tmp_path, "r")
+        ts = _qct_training_set(spark, d)
+        w_plain = _qct_train(ts)
+        w_repart = _qct_train(ts.repartition(7))
+        assert list(w_plain) == list(w_repart)
+
+
+class TestMixtureMaterialize:
+    """r11: the mixture manifest — per-source epoch factors turned into
+    actual (doc, copy) rows by the deterministic Lehmer coin; checked
+    against an independent Python replica of the coin given the weights
+    op's own epochs."""
+
+    DOC = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def test_repeats_track_epochs_and_coin_exactly(self, spark, tmp_path):
+        import math
+        import os
+
+        from data_ingestion_experiment_otp_spark.operators.clustering import (
+            _HASH_MOD,
+            _HASH_MULT2,
+        )
+        from data_ingestion_experiment_otp_spark.operators.sampling import (
+            llm_mixture_materialize,
+            llm_mixture_weights,
+        )
+
+        # small clean source (few docs, all quality 1.0) vs a dominant
+        # source: temperature scaling upsamples the small one (epochs > 1)
+        # and trains the big one sub-1-epoch
+        rows = []
+        clean = " ".join(f"c{j}word" for j in range(60))
+        for i in range(4):
+            rows.append((i, clean + f" s{i}", "aa", "small", 400))
+        for i in range(100, 160):
+            rows.append((i, clean + f" b{i}", "aa", "big", 400))
+        d = os.path.join(str(tmp_path), "fixture")
+        spark.createDataFrame(rows, self.DOC).coalesce(1).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        epochs = {
+            r["source"]: r["epochs"]
+            for r in llm_mixture_weights(spark, d).collect()
+        }
+        assert epochs["small"] > 1.0 > epochs["big"] > 0.0
+
+        got = {}
+        for r in llm_mixture_materialize(spark, d).collect():
+            got[r["doc_id"]] = max(got.get(r["doc_id"], 0), r["copy"])
+        # independent replica of the coin (every planted doc is a keeper
+        # passing the floor: distinct texts, quality 1.0)
+        for i, _t, _lg, src, _n in rows:
+            e = epochs[src]
+            thr = round((e - math.floor(e)) * 1_000_000)
+            h = (i % _HASH_MOD) * _HASH_MULT2 % _HASH_MOD % 1_000_000
+            want = int(math.floor(e)) + (1 if h < thr else 0)
+            assert got.get(i, 0) == want, (i, src, e, want)
+        # and the manifest enumerates copy = 1..n for each doc
+        per_doc = {}
+        for r in llm_mixture_materialize(spark, d).collect():
+            per_doc.setdefault(r["doc_id"], []).append(r["copy"])
+        for i, cs in per_doc.items():
+            assert sorted(cs) == list(range(1, len(cs) + 1))
