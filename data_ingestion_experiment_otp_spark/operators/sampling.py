@@ -805,6 +805,24 @@ def llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves the scan. Cross-engine: integer counts, ln on doubles,
     round-6 final grid (the perplexity precedent); rank ties break by
     doc_id on the rounded score."""
+    r = _dsir_scores(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.col("logratio").desc(), "doc_id")
+    wn = Window.partitionBy("source")
+    return r.select(
+        "doc_id",
+        "source",
+        "dl",
+        "logratio",
+        (F.row_number().over(w) * _DSIR_KEEP_DEN <= F.count("*").over(wn)).alias(
+            "selected"
+        ),
+    )
+
+
+def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, dl, logratio): the DSIR importance scorer shared
+    by the exact rank selection and the approx-threshold scale variant —
+    see llm_dsir_select for the arithmetic and plan shape."""
     from .text_analysis import quality_expr
 
     d = load(spark, sf_dir, "documents")
@@ -854,7 +872,7 @@ def llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_ratio = (
         (F.coalesce(F.col("c_t"), F.lit(0)) + 1) / (F.col("ttot") + F.lit(beta))
     ) / ((F.col("c_r") + 1) / (F.col("rtot") + F.lit(beta)))
-    r = (
+    return (
         dbc.join(F.broadcast(cb_r), "b")
         .join(F.broadcast(cb_t), "b", "left")
         .crossJoin(F.broadcast(tot))
@@ -866,16 +884,40 @@ def llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logratio"),
         )
     )
-    w = Window.partitionBy("source").orderBy(F.col("logratio").desc(), "doc_id")
-    wn = Window.partitionBy("source")
-    return r.select(
+
+
+@register(
+    "llm_dsir_select_approx",
+    # No cross-engine oracle by nature: percentile_approx is an engine-
+    # private sketch. Bounded by the pytest invariant against
+    # llm_dsir_select's exact rank selection (the ccnet_buckets_approx /
+    # quality_gate_approx precedent).
+    oracle=None,
+    tags=("llm", "sampling", "quality", "dsir", "approx"),
+)
+def llm_dsir_select_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of DSIR selection: the exact operator's per-source
+    top-quarter runs a rank window — a per-stratum SORT, which at web
+    scale is a near-global sort because one crawl source dominates the
+    corpus. This variant computes each source's 75th-percentile logratio
+    with percentile_approx (one partial-aggregable pass over the compact
+    scored relation), broadcasts the per-source thresholds back, and
+    selects with a scan-side comparison — no per-stratum sort anywhere.
+    Scores are identical to the exact form (same checkpointed scorer);
+    only the cut differs, by at most the sketch's error band around the
+    threshold (pinned against the exact twin in pytest)."""
+    scored = _dsir_scores(spark, sf_dir)
+    thr = scored.groupBy("source").agg(
+        F.percentile_approx("logratio", 1.0 - 1.0 / _DSIR_KEEP_DEN, 10_000).alias(
+            "thr"
+        )
+    )
+    return scored.join(F.broadcast(thr), "source").select(
         "doc_id",
         "source",
         "dl",
         "logratio",
-        (F.row_number().over(w) * _DSIR_KEEP_DEN <= F.count("*").over(wn)).alias(
-            "selected"
-        ),
+        (F.col("logratio") >= F.col("thr")).alias("selected"),
     )
 
 

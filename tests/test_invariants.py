@@ -1648,3 +1648,60 @@ class TestMixtureMaterialize:
             per_doc.setdefault(r["doc_id"], []).append(r["copy"])
         for i, cs in per_doc.items():
             assert sorted(cs) == list(range(1, len(cs) + 1))
+
+
+class TestDsirSelectApprox:
+    """The sketch-thresholded DSIR selection against its exact rank twin:
+    identical scores, selection agrees except in the sketch's error band
+    around the per-source cut point."""
+
+    def test_selection_tracks_exact_rank(self, spark, sf_dir):
+        from data_ingestion_experiment_otp_spark.operators.sampling import (
+            llm_dsir_select,
+            llm_dsir_select_approx,
+        )
+
+        exact = {
+            r["doc_id"]: (r["source"], r["dl"], r["logratio"], r["selected"])
+            for r in llm_dsir_select(spark, sf_dir).collect()
+        }
+        approx = {
+            r["doc_id"]: (r["source"], r["dl"], r["logratio"], r["selected"])
+            for r in llm_dsir_select_approx(spark, sf_dir).collect()
+        }
+        assert set(exact) == set(approx) and len(exact) > 0
+        for i, (src, dl, lr, _sel) in exact.items():
+            srca, dla, lra, _sela = approx[i]
+            assert (src, dl, lr) == (srca, dla, lra)  # scorer identical
+        # a disagreement is legitimate ONLY at the cut: a threshold
+        # selection cannot break ties the rank selection breaks by
+        # doc_id, so every disagreeing doc's score must lie inside the
+        # exact selection's own boundary band [max rejected, min
+        # selected] for its source (on an all-ties plateau — the sf0.001
+        # fixture — that band is the single tied value and the whole
+        # plateau may flip; with distinct scores the band is empty and
+        # selections must agree everywhere except the cut value itself)
+        bands: dict = {}
+        for i, (src, _dl, lr, sel) in exact.items():
+            lo, hi = bands.get(src, (None, None))
+            if sel:
+                lo = lr if lo is None else min(lo, lr)
+            else:
+                hi = lr if hi is None else max(hi, lr)
+            bands[src] = (lo, hi)
+        for i, (src, _dl, lr, sel) in exact.items():
+            if approx[i][3] != sel:
+                lo, hi = bands[src]
+                assert lo is not None and hi is not None
+                assert hi >= lr >= lo or lo >= lr >= hi, (i, src, lr, lo, hi)
+        # selection never inverts the score order within a source:
+        # every approx-selected doc outscores (or ties) every
+        # approx-rejected doc of the same source
+        per_src: dict = {}
+        for i, (src, _dl, lr, sel) in approx.items():
+            per_src.setdefault(src, []).append((lr, sel))
+        for src, rows in per_src.items():
+            lo_sel = min((lr for lr, sel in rows if sel), default=None)
+            hi_rej = max((lr for lr, sel in rows if not sel), default=None)
+            if lo_sel is not None and hi_rej is not None:
+                assert lo_sel >= hi_rej, src
