@@ -1608,15 +1608,37 @@ _QC_HS = (
     "transform(ws, w -> aggregate(transform(sequence(1, length(w)), "
     f"i -> cast(ascii(substr(w, i, 1)) as bigint)), 0L, (a, x) -> (a * 31 + x) % {_QC_HASH_MOD}))"
 )
-_QC_MARGIN = f"""
-aggregate(hs, 0L, (a, h) -> a + element_at({_QC_W_SPARK}, cast(h % {_QC_BUCKETS} as int) + 1))
+def qc_margin_expr(weights) -> str:
+    """The served classifier's margin fx·w as a pure SQL higher-order
+    expression over an `hs` hashed-token array column, for an ARBITRARY
+    weight vector of 2·buckets unigram/bigram weights plus the per-token
+    bias — the zero-shuffle serving topology with the weights riding in
+    as an array literal (at real model sizes: a broadcast variable). One
+    renderer serves both the fixed shipped model (_QC_MARGIN below) and
+    TRAINED weights (`llm_quality_classifier_train`'s output — the
+    streaming `classifier_gate_sink` serves them through this exact
+    expression, so the ingest gate stays whole-stage-codegen JVM work
+    with zero Python in the hot path)."""
+    ws_ = [int(x) for x in weights]
+    if len(ws_) != 2 * _QC_BUCKETS + 1:
+        raise ValueError(
+            f"margin expression expects {2 * _QC_BUCKETS + 1} weights, "
+            f"got {len(ws_)}"
+        )
+    arr = "array(" + ",".join(f"{x}L" for x in ws_[: 2 * _QC_BUCKETS]) + ")"
+    bias = ws_[2 * _QC_BUCKETS]
+    return f"""
+aggregate(hs, 0L, (a, h) -> a + element_at({arr}, cast(h % {_QC_BUCKETS} as int) + 1))
 + (case when size(hs) >= 2
    then aggregate(sequence(1, size(hs) - 1), 0L,
-                  (a, i) -> a + element_at({_QC_W_SPARK},
+                  (a, i) -> a + element_at({arr},
                       {_QC_BUCKETS} + cast((element_at(hs, i) * 31 + element_at(hs, i + 1)) % {_QC_BUCKETS} as int) + 1))
    else 0L end)
-+ {_QC_BIAS}L * size(hs)
++ {bias}L * size(hs)
 """
+
+
+_QC_MARGIN = qc_margin_expr(_QC_WEIGHTS + (_QC_BIAS,))
 
 
 # Named so pipeline_curation_classified (clustering.py) can splice the

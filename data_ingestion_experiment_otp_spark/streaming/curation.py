@@ -131,46 +131,35 @@ def classifier_gate_sink(
     safety is free: epoch-scoped overwrites alone make a replayed epoch
     byte-identical, and RTBF is a per-epoch row filter on both outputs.
 
-    Scale shape: one Arrow pass over the batch (integer feature fold +
-    one BLAS matvec per Arrow batch against the broadcast-by-closure
-    129-int vector), one anti-join on doc_id scalars — no shuffle
-    carries text, no state grows."""
-    from ..operators.text_analysis import _QCT_FEATS, qct_features
-    from ..shipping import ship_by_value
+    Scale shape: the batch classifier's zero-Python serving topology
+    with the TRAINED weights as the array literal (`qc_margin_expr` —
+    one renderer serves the fixed and the trained model): token-hash
+    fold and the margin sum are higher-order-function reductions inside
+    whole-stage codegen, each fenced behind a one-element Generate so a
+    downstream filter cannot re-inline the fold (llm_quality_classifier's
+    measured 40x lesson); plus one anti-join on doc_id scalars — no
+    shuffle carries text, no Python in the hot path, no state grows."""
+    from ..operators.text_analysis import _QC_HS, _QCT_FEATS, qc_margin_expr
 
     wlist = [int(x) for x in weights]
     if len(wlist) != _QCT_FEATS:
         raise ValueError(
             f"classifier gate expects {_QCT_FEATS} weights, got {len(wlist)}"
         )
-    kernel = ship_by_value(qct_features)
+    margin_expr = qc_margin_expr(wlist)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
-        def score(it):
-            import numpy as np
-            import pandas as pd
-
-            wv = np.array(wlist, dtype=np.int64)
-            for pdf in it:
-                ids, fxs = [], []
-                for i, t in zip(pdf["doc_id"], pdf["text"]):
-                    f = kernel(t)
-                    if f is not None:
-                        ids.append(i)
-                        fxs.append(f)
-                margins = (
-                    np.stack(fxs).astype(np.int64) @ wv if fxs else []
-                )
-                yield pd.DataFrame(
-                    {
-                        "doc_id": pd.Series(ids, dtype="int64"),
-                        "margin": pd.Series(margins, dtype="int64"),
-                    }
-                )
-
+        words = F.filter(F.split("text", " "), lambda w: w != "")
+        hashed = (
+            batch_df.select("doc_id", words.alias("ws"))
+            .filter(F.size("ws") > 0)  # token-less/null docs: pass through
+            .select("doc_id", F.explode(F.array(F.expr(_QC_HS))).alias("hs"))
+        )
         rejects = (
-            batch_df.select("doc_id", "text")
-            .mapInPandas(score, "doc_id long, margin long")
+            hashed.select(
+                "doc_id",
+                F.explode(F.array(F.expr(margin_expr))).alias("margin"),
+            )
             .filter(F.col("margin") <= 0)
             .localCheckpoint(eager=False)
         )
