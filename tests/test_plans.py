@@ -804,3 +804,42 @@ class TestR9Plans:
         assert "ShuffledHashJoin" not in final, final
         assert "CartesianProduct" not in final
         assert final.count("BroadcastHashJoin") >= 4
+
+
+class TestR11Plans:
+    """Plan pins for the r11 driver cells: the CCNet split keeps the
+    perplexity family's one-scan shared-Exchange discipline, and DSIR's
+    four consuming branches read the checkpointed (doc, bucket) relation
+    instead of re-scanning the corpus."""
+
+    def test_ccnet_buckets_single_scan(self, spark, sf_dir):
+        df = SPECS["llm_ccnet_buckets"].fn(spark, sf_dir)
+        df.collect()
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert final.count("FileScan parquet") == 1, final
+        assert final.count("Generate explode") == 1, final
+        assert final.count("ReusedExchange") == 2, final
+
+    def test_dsir_select_zero_rescans(self, spark, sf_dir):
+        """The main job's executed plan holds ZERO parquet scans — the
+        corpus is scanned once into the checkpointed (doc, bucket)
+        relation and the raw-bucket/target-bucket/totals/scorer branches
+        all read the materialized RDD (the bigram-perplexity precedent);
+        both 256-row stats tables and the 1-row totals ride in as
+        broadcasts."""
+        df = SPECS["llm_dsir_select"].fn(spark, sf_dir)
+        df.collect()
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert final.count("FileScan parquet") == 0, final
+        assert final.count("BroadcastHashJoin") >= 2, final
+        assert "SortMergeJoin" not in final, final
