@@ -130,10 +130,13 @@ HEADLINE = [
     # trained-centroid artifact store (first rep pays the cold train)
     "llm_quality_classifier_train",
     "llm_classifier_train_eval",
-    # r11 additions: the CCNet per-language perplexity terciles and DSIR
-    # importance selection (both new driver slots with full oracles)
+    # r11 additions: the CCNet per-language perplexity terciles, DSIR
+    # importance selection, and the mixture manifest (all new driver
+    # slots with full oracles; materialize replaced llm_mixture_weights
+    # in the driver surface — the weights cell stays benched above)
     "llm_ccnet_buckets",
     "llm_dsir_select",
+    "llm_mixture_materialize",
 ]
 
 
