@@ -40,6 +40,13 @@ from pyspark.sql import DataFrame, functions as F, types as T
 INDEX_SCHEMA = T.StructType(
     [
         T.StructField("content_hash", T.StringType()),
+        # adm = ADMIT epoch as a DATA column (r11, the sem sidecar's r10
+        # pattern): src_batch is a partition column that compaction
+        # rewrites to 0, but the replay guard needs the true admit epoch
+        # to survive a fold. Pre-r11 stores lack the column — an explicit
+        # -schema read yields NULL there, and the guard coalesces to the
+        # partition value (identical semantics for unfolded legacy rows).
+        T.StructField("adm", T.LongType()),
         T.StructField("src_batch", T.LongType()),
     ]
 )
@@ -50,7 +57,14 @@ def corpus_dedup_sink(
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function: accept only documents whose content hash is
     not already in the corpus index, then admit their hashes. Within a
-    batch, first occurrence wins (dropDuplicates on the hash)."""
+    batch, first occurrence wins (dropDuplicates on the hash).
+
+    Replay guard (r11): ``coalesce(adm, src_batch) < batch_id`` — the
+    admit epoch rides as a data column the fold carries through, so a
+    replayed epoch reproduces byte-identical output against a COMPACTED
+    index too (compact_dedup_index); ``src_batch < batch_id`` stays as
+    the partition-pruning predicate, and legacy pre-adm rows fall back
+    to the partition value through the coalesce."""
 
     def screen(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -65,7 +79,10 @@ def corpus_dedup_sink(
                 spark.read.schema(INDEX_SCHEMA)
                 .option("basePath", index_dir)
                 .parquet(index_dir)
-                .filter(F.col("src_batch") < batch_id)  # replay: ignore own epoch
+                .filter(
+                    (F.col("src_batch") < batch_id)  # partition pruning
+                    & (F.coalesce(F.col("adm"), F.col("src_batch")) < batch_id)
+                )
                 .select("content_hash")
             )
             fresh = hashed.join(seen, "content_hash", "left_anti")
@@ -80,7 +97,11 @@ def corpus_dedup_sink(
         # into the shared session conf would flip every later partitioned
         # overwrite from truncate to accumulate
         (
-            fresh.select("content_hash", F.lit(batch_id).alias("src_batch"))
+            fresh.select(
+                "content_hash",
+                F.lit(batch_id).alias("adm"),
+                F.lit(batch_id).alias("src_batch"),
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("src_batch")
@@ -88,6 +109,46 @@ def corpus_dedup_sink(
         )
 
     return screen
+
+
+def compact_dedup_index(spark, index_dir: str, out_dir: str) -> None:
+    """Fold the exact-dedup content-hash index's epoch-accumulated
+    partitions into a single ``src_batch=0`` generation — the LAST
+    per-epoch-forever store to gain compaction (r11; text/vector r8,
+    span r8, shingle r9, sem r10): a long-running ingest otherwise pays
+    epochs × files per screen probe on its oldest, hottest index.
+
+    Rows are per-hash facts, so the fold is a file collapse clustered by
+    content_hash (the probe's anti-join key prunes row groups). The true
+    admit epoch is MATERIALIZED into ``adm`` during the fold (legacy
+    pre-adm rows take their partition value), so the sink's
+    ``coalesce(adm, src_batch) < batch_id`` replay guard keeps epoch
+    replay byte-identical against the folded generation — the exact
+    screen composes replay with compaction the way the sem sidecar does,
+    not the shingle index's pre-fold-only caveat. The ``_COMPACTED``
+    marker is content-free by design: RTBF hash removal is
+    content-addressed (a per-hash filter on the folded generation),
+    never epoch-scoped, so no provenance is needed. Same quiesce
+    discipline as every generation swap (the replayed epoch's own
+    partition write lands beside the fold's copy of the same rows)."""
+    idx = (
+        spark.read.schema(INDEX_SCHEMA)
+        .option("basePath", index_dir)
+        .parquet(index_dir)
+    )
+    (
+        idx.repartition("content_hash")
+        .select(
+            "content_hash",
+            F.coalesce(F.col("adm"), F.col("src_batch")).alias("adm"),
+            F.lit(0).alias("src_batch"),
+        )
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("src_batch")
+        .parquet(out_dir)
+    )
+    open(os.path.join(out_dir, "_COMPACTED"), "w").close()
 
 
 GRAM_INDEX_SCHEMA = T.StructType(

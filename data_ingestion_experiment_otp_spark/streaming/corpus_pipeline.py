@@ -657,10 +657,17 @@ def corpus_retract(
             )
             removed["gram_index"] += int(old_n - new_n)
 
-        if hashes:  # all-null-text victims leave no addressable index row
-            ipart = os.path.join(dirs["dedup_index"], f"src_batch={b}")
+        ipart = os.path.join(dirs["dedup_index"], f"src_batch={b}")
+        # all-null-text victims leave no addressable index row; a folded
+        # index (compact_dedup_index) may hold no per-epoch partition —
+        # the post-loop folded-generation pass below covers it
+        if hashes and os.path.isdir(ipart):
+            # adm must ride through the rewrite: an explicit schema that
+            # omitted it would silently prune the admit-epoch column from
+            # the rewritten files (the r5 schema-evolution lesson, same
+            # note as the sem sidecar)
             idf = (
-                spark.read.schema("content_hash string")
+                spark.read.schema("content_hash string, adm long")
                 .parquet(ipart)
                 .persist()
             )
@@ -675,6 +682,31 @@ def corpus_retract(
             swap_rewrite(ipart, ikept, None)
             idf.unpersist()
 
+
+    # Compacted dedup-index generation (compact_dedup_index, r11): hash
+    # rows are content-addressed, so victims from folded epochs leave via
+    # the same per-hash filter against src_batch=0 (skipped when epoch 0
+    # itself was in the loop — it already filtered the folded partition).
+    ddir = dirs["dedup_index"]
+    if (
+        hashes
+        and os.path.isfile(os.path.join(ddir, "_COMPACTED"))
+        and 0 not in epochs
+    ):
+        dgen = os.path.join(ddir, "src_batch=0")
+        if os.path.isdir(dgen):
+            ddf = (
+                spark.read.schema("content_hash string, adm long")
+                .parquet(dgen)
+                .persist()
+            )
+            dkept = ddf.filter(
+                F.col("content_hash").isNull()
+                | ~F.col("content_hash").isin(sorted(hashes))
+            )
+            removed["dedup_index"] += ddf.count() - dkept.count()
+            swap_rewrite(dgen, dkept, None)
+            ddf.unpersist()
 
     # Compacted shingle generation (compact_shingle_index): rows kept
     # their doc_id through the fold, so victims from folded epochs leave

@@ -3972,3 +3972,193 @@ class TestClassifierGateSink:
             r["doc_id"] for r in spark.read.parquet(d2["curated"]).collect()
         }
         assert curated2 == {1, 2, 3, 4}  # no model gate: all four flow
+
+
+class TestDedupIndexCompaction:
+    """corpus_index.py::compact_dedup_index (r11): the exact screen's
+    content-hash index was the last per-epoch-forever store without
+    compaction. The fold must preserve screening byte-identically, and —
+    because the admit epoch now rides as the `adm` data column — epoch
+    REPLAY must compose with compaction too (the sem sidecar's r10
+    contract, which the shingle index cannot offer)."""
+
+    SCHEMA = "doc_id long, text string"
+
+    @staticmethod
+    def _sink(tmp_path, tag):
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            corpus_dedup_sink,
+        )
+
+        idx = os.path.join(str(tmp_path), f"idx_{tag}")
+        acc = os.path.join(str(tmp_path), f"acc_{tag}")
+        return corpus_dedup_sink(idx, acc), idx, acc
+
+    @staticmethod
+    def _acc_ids(spark, acc, b):
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(os.path.join(acc, f"batch_id={b}"))
+            .collect()
+        )
+
+    def test_fold_preserves_screening_and_replay_composes(
+        self, spark, tmp_path
+    ):
+        import shutil
+
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            compact_dedup_index,
+            corpus_dedup_sink,
+        )
+
+        sink, idx, acc = self._sink(tmp_path, "main")
+        epochs = [
+            [(1, "alpha text one"), (2, "beta text two")],
+            [(3, "gamma text three"), (4, "alpha text one")],  # 4 = redelivery
+            [(5, "delta text five")],
+        ]
+        for b, rows in enumerate(epochs):
+            sink(spark.createDataFrame(rows, self.SCHEMA), b)
+        orig1 = self._acc_ids(spark, acc, 1)
+        assert orig1 == [3]  # redelivery of epoch-0 content rejected
+
+        folded = os.path.join(str(tmp_path), "idx_folded")
+        compact_dedup_index(spark, idx, folded)
+        assert os.path.isfile(os.path.join(folded, "_COMPACTED"))
+        assert [
+            e for e in sorted(os.listdir(folded)) if e.startswith("src_batch=")
+        ] == ["src_batch=0"]
+
+        # (a) a NEW epoch screens byte-identically against stack vs fold
+        probe = [(10, "alpha text one"), (11, "epsilon fresh")]
+        outs = []
+        for tag, index_dir in (("stack", idx), ("fold", folded)):
+            cp = os.path.join(str(tmp_path), f"cp_{tag}")
+            shutil.copytree(index_dir, cp)
+            acc2 = os.path.join(str(tmp_path), f"acc2_{tag}")
+            s2 = corpus_dedup_sink(cp, acc2)
+            s2(spark.createDataFrame(probe, self.SCHEMA), 3)
+            outs.append(self._acc_ids(spark, acc2, 3))
+        assert outs[0] == outs[1] == [11]
+
+        # (b) REPLAY of epoch 1 against the folded index reproduces its
+        # original accepted set byte-identically: its own folded rows
+        # (adm=1) and epoch 2's (adm=2) are excluded by the adm guard —
+        # the src_batch-only guard would see src_batch=0 and reject
+        # everything, including the originally-admitted doc 3
+        rp = os.path.join(str(tmp_path), "idx_replay")
+        shutil.copytree(folded, rp)
+        acc3 = os.path.join(str(tmp_path), "acc_replay")
+        s3 = corpus_dedup_sink(rp, acc3)
+        s3(spark.createDataFrame(epochs[1], self.SCHEMA), 1)
+        assert self._acc_ids(spark, acc3, 1) == orig1
+
+    def test_legacy_rows_without_adm_still_screen(self, spark, tmp_path):
+        # a pre-r11 store has no adm column: the guard's coalesce falls
+        # back to the partition value, so legacy hashes keep screening
+        from pyspark.sql import functions as F
+
+        idx = os.path.join(str(tmp_path), "idx_legacy")
+        (
+            spark.createDataFrame(
+                [("h-legacy",)], "content_hash string"
+            )
+            .select("content_hash", F.lit(0).alias("src_batch"))
+            .write.partitionBy("src_batch")
+            .parquet(idx)
+        )
+        # plant the legacy hash as sha2 of a known text
+        legacy_text = "legacy doc body"
+        (
+            spark.createDataFrame([(legacy_text,)], "text string")
+            .select(
+                F.sha2("text", 256).alias("content_hash"),
+                F.lit(0).alias("src_batch"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("src_batch")
+            .parquet(idx)
+        )
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            corpus_dedup_sink,
+        )
+
+        acc = os.path.join(str(tmp_path), "acc_legacy")
+        sink = corpus_dedup_sink(idx, acc)
+        sink(
+            spark.createDataFrame(
+                [(1, legacy_text), (2, "genuinely new")], self.SCHEMA
+            ),
+            1,
+        )
+        assert self._acc_ids(spark, acc, 1) == [2]
+
+    def test_rtbf_after_fold_unknows_content(self, spark, tmp_path):
+        import shutil
+
+        from data_ingestion_experiment_otp_spark.streaming import drive
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            compact_dedup_index,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_ingest_epoch,
+            corpus_retract,
+        )
+
+        def basis(i, dim=64):
+            v = [0.0] * dim
+            v[i] = 1.0
+            return v
+
+        cents = (
+            spark.createDataFrame(
+                [(0, basis(0)), (1, basis(1))],
+                "vec_id long, embedding array<float>",
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+        work = str(tmp_path / "work")
+        epoch = corpus_ingest_epoch(work, cents, {"*": 0.0})
+        feed = [
+            [(1, "web", 10, "victim body", basis(0))],
+            [(2, "web", 10, "survivor body", basis(1))],
+        ]
+        for b, rows in enumerate(feed):
+            epoch(
+                spark.createDataFrame(
+                    rows, TestStreamingCorpusPipeline.SCHEMA
+                ),
+                b,
+            )
+        dirs = corpus_ingest_dirs(work)
+        folded = str(tmp_path / "idx_fold")
+        compact_dedup_index(spark, dirs["dedup_index"], folded)
+        shutil.rmtree(dirs["dedup_index"])
+        shutil.move(folded, dirs["dedup_index"])
+
+        removed = corpus_retract(spark, work, [1])
+        assert removed["dedup_index"] == 1
+        left = spark.read.schema("content_hash string, adm long").parquet(
+            os.path.join(dirs["dedup_index"], "src_batch=0")
+        )
+        assert left.count() == 1  # only the survivor's hash remains
+        # content is unknown again: a re-crawl of the victim's body at a
+        # later epoch is ADMITTED
+        epoch(
+            spark.createDataFrame(
+                [(9, "web", 10, "victim body", basis(0))],
+                TestStreamingCorpusPipeline.SCHEMA,
+            ),
+            5,
+        )
+        accepted5 = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(os.path.join(dirs["accepted"], "batch_id=5"))
+            .collect()
+        }
+        assert accepted5 == {9}
