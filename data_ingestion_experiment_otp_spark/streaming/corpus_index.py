@@ -304,6 +304,10 @@ SHINGLE_BANDS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("band", T.IntegerType()),
         T.StructField("v", T.LongType()),
+        # adm = admit epoch as a data column (r11, uniform across the
+        # index family): survives the fold, so the replay guard does too;
+        # legacy pre-adm rows read NULL and coalesce to src_batch.
+        T.StructField("adm", T.LongType()),
         T.StructField("src_batch", T.LongType()),
     ]
 )
@@ -312,6 +316,7 @@ SHINGLE_GRAMS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("hs", T.ArrayType(T.IntegerType())),
         T.StructField("n_g", T.IntegerType()),
+        T.StructField("adm", T.LongType()),
         T.StructField("src_batch", T.LongType()),
     ]
 )
@@ -383,10 +388,16 @@ def neardup_screen_sink(
     positive Jaccard; exact redelivery of short docs is the exact
     screen's job).
 
-    Replay safety is the module's standard contract: the corpus screen
-    reads only ``src_batch < batch_id`` partitions (partition-pruned),
-    and all writes are epoch-scoped overwrites — a replayed epoch
-    reproduces byte-identical accepted/audit/index contributions.
+    Replay safety is the module's standard contract, guarded on the
+    ``adm`` admit-epoch data column since r11 (``coalesce(adm,
+    src_batch) < batch_id`` — src_batch stays for partition pruning;
+    legacy pre-adm rows coalesce to the partition value): all writes are
+    epoch-scoped overwrites, so a replayed epoch reproduces
+    byte-identical accepted/audit/index contributions — against the
+    FOLDED index too, since compaction carries adm through (the sem
+    sidecar's r10 contract, now uniform across the index family; the
+    span index's gram COUNTS are aggregates with no per-doc identity and
+    keep the pre-fold-only caveat inherently).
 
     Scale shape: moving state per admitted doc is 8 band keys + one
     int32 gram-set row (no text, no positions); the probe joins on band
@@ -412,18 +423,21 @@ def neardup_screen_sink(
         if os.path.isdir(bands_dir) and any(
             e.startswith("src_batch=") for e in os.listdir(bands_dir)
         ):
+            guard = (F.col("src_batch") < batch_id) & (
+                F.coalesce(F.col("adm"), F.col("src_batch")) < batch_id
+            )
             ibands = (
                 spark.read.schema(SHINGLE_BANDS_SCHEMA)
                 .option("basePath", bands_dir)
                 .parquet(bands_dir)
-                .filter(F.col("src_batch") < batch_id)  # replay: ignore own epoch
+                .filter(guard)  # replay: ignore own (and later) epochs
                 .select("doc_id", "band", "v")
             )
             igrams = (
                 spark.read.schema(SHINGLE_GRAMS_SCHEMA)
                 .option("basePath", grams_dir)
                 .parquet(grams_dir)
-                .filter(F.col("src_batch") < batch_id)
+                .filter(guard)
                 .select("doc_id", "hs")
             )
         else:
@@ -442,14 +456,22 @@ def neardup_screen_sink(
         keep = bsig.join(audit.select("doc_id"), "doc_id", "left_anti")
         (
             _band_explode(keep)
-            .select("doc_id", "band", "v", F.lit(batch_id).alias("src_batch"))
+            .select(
+                "doc_id", "band", "v",
+                F.lit(batch_id).alias("adm"),
+                F.lit(batch_id).alias("src_batch"),
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("src_batch")
             .parquet(bands_dir)
         )
         (
-            keep.select("doc_id", "hs", "n_g", F.lit(batch_id).alias("src_batch"))
+            keep.select(
+                "doc_id", "hs", "n_g",
+                F.lit(batch_id).alias("adm"),
+                F.lit(batch_id).alias("src_batch"),
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("src_batch")
@@ -472,9 +494,13 @@ def compact_shingle_index(spark, shingle_index_dir: str, out_dir: str) -> None:
     grams by doc_id so the verify stage's candidate-id join does).
     Screening against the folded generation is byte-identical — the
     sink consumes the row set, and every folded epoch is < any future
-    batch_id, so the ``src_batch < batch_id`` replay guard admits the
-    whole folded history. Rows keep their doc_id, so RTBF stays a plain
-    per-doc filter: the ``_COMPACTED`` marker just tells
+    batch_id, so the replay guard admits the whole folded history. The
+    true admit epoch is MATERIALIZED into ``adm`` during the fold (r11;
+    legacy pre-adm rows take their partition value), so epoch REPLAY
+    composes with compaction as well — the ``coalesce(adm, src_batch) <
+    batch_id`` guard excludes the replayed epoch's own folded rows
+    instead of self-matching on them. Rows keep their doc_id, so RTBF
+    stays a plain per-doc filter: the ``_COMPACTED`` marker just tells
     `corpus_retract` to rewrite the folded generations instead of the
     victims' original epoch partitions."""
     bands = (
@@ -484,7 +510,11 @@ def compact_shingle_index(spark, shingle_index_dir: str, out_dir: str) -> None:
     )
     (
         bands.repartition("band", "v")
-        .select("doc_id", "band", "v", F.lit(0).alias("src_batch"))
+        .select(
+            "doc_id", "band", "v",
+            F.coalesce(F.col("adm"), F.col("src_batch")).alias("adm"),
+            F.lit(0).alias("src_batch"),
+        )
         .write.mode("overwrite")
         .option("compression", "zstd")
         .partitionBy("src_batch")
@@ -497,7 +527,11 @@ def compact_shingle_index(spark, shingle_index_dir: str, out_dir: str) -> None:
     )
     (
         grams.repartition("doc_id")
-        .select("doc_id", "hs", "n_g", F.lit(0).alias("src_batch"))
+        .select(
+            "doc_id", "hs", "n_g",
+            F.coalesce(F.col("adm"), F.col("src_batch")).alias("adm"),
+            F.lit(0).alias("src_batch"),
+        )
         .write.mode("overwrite")
         .option("compression", "zstd")
         .partitionBy("src_batch")
@@ -609,8 +643,10 @@ def semdedup_screen_sink(
     src_batch partition value, replay stays byte-identical against a
     FOLDED sidecar too (ADVICE r10: the previous src_batch-only guard
     made an old epoch self-match at cosine 1.0 after a fold; replay and
-    compaction now compose, unlike the shingle index whose rows carry no
-    admit column and keep the pre-fold-only caveat). The WRITE side
+    compaction now compose — since r11 the shingle index shares this adm
+    contract, so the whole per-doc index family is fold-safe for replay;
+    only the span index's aggregate gram counts keep the pre-fold-only
+    caveat inherently). The WRITE side
     keeps the module's quiesce discipline: a replayed folded epoch
     re-admits its rows into a fresh ``src_batch=N`` partition beside the
     fold's ``src_batch=0`` copy of the same rows, so quiesce replays

@@ -582,8 +582,10 @@ def corpus_retract(
         # rows are per-doc facts in each, so RTBF is the same per-doc
         # filter on both.
         for sub, schema in (
-            ("bands", "doc_id long, band int, v long"),
-            ("grams", "doc_id long, hs array<int>, n_g int"),
+            # adm rides through the rewrites (r11): omitting it from the
+            # explicit schema would prune the admit-epoch column
+            ("bands", "doc_id long, band int, v long, adm long"),
+            ("grams", "doc_id long, hs array<int>, n_g int, adm long"),
         ):
             shpart = os.path.join(
                 dirs["shingle_index"], sub, f"src_batch={b}"
@@ -717,8 +719,8 @@ def corpus_retract(
     shdir = dirs["shingle_index"]
     if os.path.isfile(os.path.join(shdir, "_COMPACTED")) and 0 not in epochs:
         for sub, schema in (
-            ("bands", "doc_id long, band int, v long"),
-            ("grams", "doc_id long, hs array<int>, n_g int"),
+            ("bands", "doc_id long, band int, v long, adm long"),
+            ("grams", "doc_id long, hs array<int>, n_g int, adm long"),
         ):
             shgen = os.path.join(shdir, sub, "src_batch=0")
             if not os.path.isdir(shgen):

@@ -4162,3 +4162,112 @@ class TestDedupIndexCompaction:
             .collect()
         }
         assert accepted5 == {9}
+
+
+class TestShingleFoldReplay:
+    """r11: the shingle sub-stores carry the `adm` admit-epoch data
+    column, so epoch REPLAY composes with compaction for the banded
+    near-dup screen too (previously the sem sidecar's exclusive
+    contract): replaying a folded epoch must reproduce its original
+    accepted/audit output instead of self-matching on its own folded
+    band keys. Legacy pre-adm rows must keep screening via the coalesce
+    fallback."""
+
+    def test_replay_of_folded_epoch_byte_identical(self, spark, tmp_path):
+        import shutil
+
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            compact_shingle_index,
+            neardup_screen_sink,
+        )
+
+        S = TestNearDupScreenSink
+        idx = str(tmp_path / "idx")
+        acc = str(tmp_path / "acc")
+        aud = str(tmp_path / "aud")
+        sink = neardup_screen_sink(idx, acc, aud)
+        epochs = [
+            [(1, S.BASE), (2, S.UNRELATED)],
+            # 3 = fresh; 4 = near-dup of epoch-0's BASE (rejected)
+            [(3, " ".join(f"m{i}" for i in range(24))), (4, S.END6)],
+            [(5, " ".join(f"n{i}" for i in range(24)))],
+        ]
+        for b, rows in enumerate(epochs):
+            sink(spark.createDataFrame(rows, S.DOC_SCHEMA), b)
+        orig_acc1 = S._ids(spark, acc, 1)
+        orig_aud1 = sorted(
+            map(
+                tuple,
+                spark.read.schema(
+                    "doc_id long, dup_of long, jaccard double, phase string"
+                )
+                .parquet(os.path.join(aud, "batch_id=1"))
+                .collect(),
+            )
+        )
+        assert orig_acc1 == [3]
+        assert [(r[0], r[1], r[3]) for r in orig_aud1] == [(4, 1, "corpus")]
+
+        folded = str(tmp_path / "idx_folded")
+        compact_shingle_index(spark, idx, folded)
+        rp = str(tmp_path / "idx_replay")
+        shutil.copytree(folded, rp)
+        acc_r = str(tmp_path / "acc_r")
+        aud_r = str(tmp_path / "aud_r")
+        rsink = neardup_screen_sink(rp, acc_r, aud_r)
+        rsink(spark.createDataFrame(epochs[1], S.DOC_SCHEMA), 1)
+        assert S._ids(spark, acc_r, 1) == orig_acc1
+        got_aud = sorted(
+            map(
+                tuple,
+                spark.read.schema(
+                    "doc_id long, dup_of long, jaccard double, phase string"
+                )
+                .parquet(os.path.join(aud_r, "batch_id=1"))
+                .collect(),
+            )
+        )
+        assert got_aud == orig_aud1  # byte-identical: no self-match on 3
+
+    def test_legacy_rows_without_adm_still_screen(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            neardup_screen_sink,
+        )
+
+        S = TestNearDupScreenSink
+        idx = str(tmp_path / "idx")
+        acc0 = str(tmp_path / "acc0")
+        aud0 = str(tmp_path / "aud0")
+        # build a real epoch-0 index, then strip the adm column in place
+        # to simulate a pre-r11 store
+        sink0 = neardup_screen_sink(idx, acc0, aud0)
+        sink0(spark.createDataFrame([(1, S.BASE)], S.DOC_SCHEMA), 0)
+        for sub, cols in (
+            ("bands", ["doc_id", "band", "v"]),
+            ("grams", ["doc_id", "hs", "n_g"]),
+        ):
+            part = os.path.join(idx, sub, "src_batch=0")
+            legacy = (
+                spark.read.parquet(part).select(*cols).collect()
+            )
+            import shutil
+
+            shutil.rmtree(part)
+            schema = {
+                "bands": "doc_id long, band int, v long",
+                "grams": "doc_id long, hs array<int>, n_g int",
+            }[sub]
+            spark.createDataFrame(legacy, schema).write.parquet(part)
+        acc1 = str(tmp_path / "acc1")
+        aud1 = str(tmp_path / "aud1")
+        sink1 = neardup_screen_sink(idx, acc1, aud1)
+        sink1(
+            spark.createDataFrame(
+                [(9, S.END6), (10, S.UNRELATED)], S.DOC_SCHEMA
+            ),
+            1,
+        )
+        # the legacy-row index still rejects the near-dup of doc 1
+        assert S._ids(spark, acc1, 1) == [10]
