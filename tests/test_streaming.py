@@ -4030,6 +4030,14 @@ class TestDedupIndexCompaction:
         assert [
             e for e in sorted(os.listdir(folded)) if e.startswith("src_batch=")
         ] == ["src_batch=0"]
+        # the fold genuinely collapses the file count (the claim
+        # compaction exists for: a long ingest stops paying
+        # epochs x files per probe)
+        import glob
+
+        n_stack = len(glob.glob(os.path.join(idx, "src_batch=*", "*.parquet")))
+        n_fold = len(glob.glob(os.path.join(folded, "src_batch=0", "*.parquet")))
+        assert 0 < n_fold < n_stack
 
         # (a) a NEW epoch screens byte-identically against stack vs fold
         probe = [(10, "alpha text one"), (11, "epsilon fresh")]
