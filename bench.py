@@ -145,7 +145,7 @@ def bench_corpus_ingest(spark, sf_dir: str):
     corpus-ingest epoch function (dedup screen -> curation -> vector index
     -> text index, the exact composition start_corpus_ingest runs per
     micro-batch) over the sf corpus in 3 equal epochs against a fresh
-    store root, in three configurations — base (5 stores), full screens
+    store root, in four configurations — base (5 stores), full screens
     (8 stores: + span + near-dup), all screens (11 stores: + the r10
     semantic screen, served from the trained-hierarchy artifact), and all
     stages (13 stores: + the r11 model quality gate, served from weights

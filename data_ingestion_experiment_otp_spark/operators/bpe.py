@@ -423,12 +423,21 @@ def _store_root(name: str) -> str:
     st = os.lstat(root)
     ok = stat.S_ISDIR(st.st_mode) and (not posix or st.st_uid == uid)
     if ok and posix and (st.st_mode & 0o077):
-        # repairable: we own it (checked above) but the bits are loose
+        # Repair ONLY an EMPTY root we own: while the bits were loose,
+        # another local user could create entries (a planted _COMMITTED
+        # artifact) in a dir they don't own — chmod fixes the bits, not
+        # possibly-foreign contents, so a non-empty loose root keeps the
+        # never-trust-foreign-bytes fallback below (review r11).
         try:
-            os.chmod(root, 0o700)
-            st = os.lstat(root)
+            empty = next(os.scandir(root), None) is None
         except OSError:
-            pass
+            empty = False
+        if empty:
+            try:
+                os.chmod(root, 0o700)
+                st = os.lstat(root)
+            except OSError:
+                pass
         ok = not (st.st_mode & 0o077)
     if ok:
         return root
@@ -458,6 +467,10 @@ _PROCESS_ROOTS: dict[str, str] = {}
 # not once per artifact call).
 _WARNED_ROOTS: set[str] = set()
 
+# The single live torn-signature build root per store name (review r11:
+# bounds torn-build disk growth to one generation per store per process).
+_TORN_ROOTS: dict[str, str] = {}
+
 
 def _build_root(name: str, sig: str) -> str:
     """The directory an artifact build for signature `sig` commits into.
@@ -470,10 +483,24 @@ def _build_root(name: str, sig: str) -> str:
     (ADVICE r10). Torn builds go to a fresh process-private mkdtemp
     instead — correct results, caching deliberately skipped for the one
     call, nothing persisted under the shared root."""
+    import shutil
     import tempfile
 
     if sig.startswith("torn:"):
-        return tempfile.mkdtemp(prefix=f"{name}-torn-")
+        # Bound the relocation (review r11): a prolonged rewrite makes
+        # EVERY call torn, and one fresh mkdtemp per call would leak one
+        # full trained artifact per call — exactly the unbounded growth
+        # this routing exists to stop, moved to the temp filesystem. At
+        # most ONE torn generation lives per store per process: the
+        # previous one is deleted before the next builds (torn serving
+        # is consume-promptly by contract — the callers read or collect
+        # the artifact before requesting another).
+        prev = _TORN_ROOTS.pop(name, None)
+        if prev is not None:
+            shutil.rmtree(prev, ignore_errors=True)
+        root = tempfile.mkdtemp(prefix=f"{name}-torn-")
+        _TORN_ROOTS[name] = root
+        return root
     return _store_root(name)
 
 
@@ -482,10 +509,17 @@ def _sweep_stale_builds(root: str, max_age_s: float = 3600.0) -> None:
     store root (ADVICE r10: a builder that dies mid-build leaves its tmp
     dir — a full parquet model — in the shared root indefinitely; the
     old cleanup only fired when the SAME pid rebuilt the SAME key). Any
-    build dir untouched for `max_age_s` is from a dead builder — live
-    builds finish in seconds and their writes keep the mtime fresh —
-    so it is swept on the next build attempt in that root. Concurrent
-    sweepers race benignly (missing paths are skipped)."""
+    build dir whose NEWEST mtime anywhere inside it is older than
+    `max_age_s` is from a dead builder, so it is swept on the next build
+    attempt in that root. The age check walks the whole candidate
+    (review r11): a live long build touches files DEEP inside the temp
+    dir (parquet jobs write under `<table>.parquet/_temporary/...`)
+    while the top-level dir's own mtime never refreshes — a
+    top-mtime-only check would sweep a live builder mid-build and let
+    it commit a truncated artifact. Walks are bounded in practice:
+    sweep candidates exist only after a crash, and live temps are
+    walked once per concurrent build attempt. Concurrent sweepers race
+    benignly (missing paths are skipped)."""
     import os
     import shutil
     import time
@@ -495,12 +529,29 @@ def _sweep_stale_builds(root: str, max_age_s: float = 3600.0) -> None:
     except OSError:
         return
     now = time.time()
+
+    def newest_mtime(top: str) -> float:
+        newest = 0.0
+        try:
+            newest = os.path.getmtime(top)
+        except OSError:
+            return now  # vanished/changing: treat as live
+        for dirpath, dirnames, filenames in os.walk(top):
+            for e in dirnames + filenames:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, e))
+                    )
+                except OSError:
+                    return now
+        return newest
+
     for e in entries:
         if ".build" not in e:
             continue
         p = os.path.join(root, e)
         try:
-            if os.path.isdir(p) and now - os.path.getmtime(p) > max_age_s:
+            if os.path.isdir(p) and now - newest_mtime(p) > max_age_s:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             continue

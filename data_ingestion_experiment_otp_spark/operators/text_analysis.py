@@ -783,6 +783,42 @@ _PPL_ORACLE = f"""
     """
 
 
+def _ppl_scores(spark: SparkSession, sf_dir: str, by_lang: bool = False):
+    """The per-document unigram-LM bits relation (doc_id[, lang], dl,
+    avg_bits) shared by llm_unigram_perplexity and both CCNet split
+    forms (review r11: the scorer existed three times; one definition
+    keeps the registry's 'ccnet hash-covers the demoted perplexity
+    entry' argument structurally true). Plan discipline lives HERE once:
+    the explicit isNotNull (semantically a no-op — explode of a regexp
+    match array never yields nulls) aligns every branch's
+    canonicalization so the tf ⋈ vocab join's inferred isnotnull cannot
+    de-canonicalize the shared subtree, and the vocabulary derives from
+    the tf relation (sum(tf) per term == count(*) per term; tf is orders
+    of magnitude smaller than the token stream) — so the corpus is
+    tokenized and exploded exactly ONCE and AQE reuses the one
+    (doc, term) shuffle stage across all branches (executed-plan-pinned
+    in tests/test_plans.py). Same dft-from-tf pattern as the BM25
+    scorer."""
+    grp = ["doc_id", "lang"] if by_lang else ["doc_id"]
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(*grp, F.explode(_tokenize()).alias("term")).filter(
+        F.col("term").isNotNull()
+    )
+    tf = tok.groupBy(*grp, "term").agg(F.count("*").cast("double").alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    bits_per = F.col("tf") * -(F.log(F.col("c") / F.col("t")) / F.log(F.lit(2.0)))
+    return (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(*grp)
+        .agg(
+            F.sum("tf").cast("long").alias("dl"),
+            F.round(F.sum(bits_per) / F.sum("tf"), 6).alias("avg_bits"),
+        )
+    )
+
+
 @register(
     "llm_unigram_perplexity",
     oracle=_PPL_ORACLE,
@@ -967,25 +1003,8 @@ def llm_ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest: labels agree except within the sketch's error band around
     the two cut points (exact agreement on fixtures, where strata fit in
     one sketch)."""
-    d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", "lang", F.explode(_tokenize()).alias("term")
-    ).filter(F.col("term").isNotNull())
-    tf = tok.groupBy("doc_id", "lang", "term").agg(
-        F.count("*").cast("double").alias("tf")
-    )
-    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
-    total = vocab.agg(F.sum("c").alias("t"))
-    bits_per = F.col("tf") * -(F.log(F.col("c") / F.col("t")) / F.log(F.lit(2.0)))
-    r = (
-        tf.join(vocab, "term")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum("tf").cast("long").alias("dl"),
-            F.round(F.sum(bits_per) / F.sum("tf"), 6).alias("avg_bits"),
-        )
-        .localCheckpoint(eager=False)  # scored once; both passes read it
+    r = _ppl_scores(spark, sf_dir, by_lang=True).localCheckpoint(
+        eager=False  # scored once; both threshold passes read it
     )
     cuts = r.groupBy("lang").agg(
         F.percentile_approx("avg_bits", 1.0 / 3.0, 10_000).alias("cut_head"),

@@ -130,7 +130,20 @@ def compact_dedup_index(spark, index_dir: str, out_dir: str) -> None:
     content-addressed (a per-hash filter on the folded generation),
     never epoch-scoped, so no provenance is needed. Same quiesce
     discipline as every generation swap (the replayed epoch's own
-    partition write lands beside the fold's copy of the same rows)."""
+    partition write lands beside the fold's copy of the same rows).
+
+    Checkpoint-reset hazard, named explicitly (review r11): a stream
+    restarted with a FRESH checkpoint renumbers from batch 0, and epoch
+    0's dynamic partition overwrite would TRUNCATE the folded
+    ``src_batch=0`` generation — silently re-admitting all previously
+    seen content. This is an instance of the module-wide rule (every
+    batchId-keyed store here is corrupted by re-running epoch numbers
+    over an existing work dir — accepted/curated/audit partitions get
+    overwritten the same way), but the folded generation makes the blast
+    radius total, so: a checkpoint reset REQUIRES a fresh work dir, and
+    a fold must never be swapped into a pipeline whose checkpoint may
+    restart numbering. The same constraint applies to every compacted
+    store in this family (shingle, sem, span, text, vector)."""
     idx = (
         spark.read.schema(INDEX_SCHEMA)
         .option("basePath", index_dir)

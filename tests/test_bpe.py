@@ -495,15 +495,23 @@ class TestArtifactStoreHygiene:
         import os
 
         bpe = self._isolated(monkeypatch, tmp_path)
+        monkeypatch.setattr(bpe, "_TORN_ROOTS", {})
         shared = bpe._store_root("hygiene_torn")
         assert bpe._build_root("hygiene_torn", "abc:123") == shared
         torn = bpe._build_root("hygiene_torn", "torn:part-0.parquet:99")
         assert torn != shared
         assert not torn.startswith(shared + os.sep)
         assert os.path.isdir(torn)
-        # distinct per call: nothing accumulates under any shared path
-        torn2 = bpe._build_root("hygiene_torn", "torn:part-0.parquet:99")
+        # bounded relocation (review r11): the NEXT torn build for the
+        # same store deletes the previous generation — at most one torn
+        # artifact per store per process, never one per call
+        open(os.path.join(torn, "model.bin"), "w").close()
+        torn2 = bpe._build_root("hygiene_torn", "torn:part-0.parquet:100")
         assert torn2 != torn
+        assert not os.path.exists(torn)  # previous torn generation swept
+        # other stores' torn roots are independent
+        other = bpe._build_root("hygiene_other", "torn:p:1")
+        assert os.path.isdir(torn2) and os.path.isdir(other)
 
     def test_stale_builds_swept_fresh_and_foreign_kept(
         self, monkeypatch, tmp_path
@@ -521,7 +529,18 @@ class TestArtifactStoreHygiene:
             open(os.path.join(d, "x"), "w").close()
         old = time.time() - 7200
         os.utime(stale, (old, old))
+        os.utime(os.path.join(stale, "x"), (old, old))  # recursive check
         bpe._sweep_stale_builds(root)
         assert not os.path.exists(stale)  # crashed builder's leak: gone
         assert os.path.isdir(fresh)  # possibly-live build: kept
         assert os.path.isdir(committed)  # committed generations: untouched
+        # a deep-write-active build is live even when its TOP dir went
+        # stale (parquet jobs write under <table>.parquet/_temporary/...
+        # without touching the top mtime — review r11)
+        deep = os.path.join(root, "dddd.build111")
+        os.makedirs(os.path.join(deep, "t.parquet", "_temporary"))
+        open(os.path.join(deep, "t.parquet", "_temporary", "part"), "w").close()
+        os.utime(deep, (old, old))
+        os.utime(os.path.join(deep, "t.parquet"), (old, old))
+        bpe._sweep_stale_builds(root)
+        assert os.path.isdir(deep)  # fresh deep write keeps it alive
