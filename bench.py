@@ -137,6 +137,12 @@ HEADLINE = [
     "llm_ccnet_buckets",
     "llm_dsir_select",
     "llm_mixture_materialize",
+    # r11 second batch: the dimensionality-reduction tier — oblivious
+    # sparse random projection (integer-exact, scan-side) and distributed
+    # PCA (integer-grid covariance partial sums + driver eigensolve of
+    # the d x d matrix, then a scan-side literal-matrix projection)
+    "llm_embed_rp",
+    "llm_embed_pca",
 ]
 
 

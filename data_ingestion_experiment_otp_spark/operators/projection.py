@@ -1,0 +1,375 @@
+"""Embedding dimensionality reduction (the missing tier ahead of the
+ANN / clustering stack): deterministic random projection and distributed
+PCA over the ``embeddings`` table.
+
+Why this tier exists at 100 TB: every downstream vector operator —
+IVF/IVF-PQ cell routing (similarity.py), the SemDeDup hierarchy
+(clustering.py), the sign-LSH buckets (vector_index.py) — pays per
+dimension, and production embedding models emit 1-4k dims where 64-256
+carry the usable geometry. Reducing d once at the scan is the cheapest
+FLOP saving in the whole pipeline, and both reducers here are scan-side:
+no shuffle ever carries a full-width vector.
+
+Two reducers, two verification tiers (the minhash-banded / neardup-screen
+precedent — one member of the family carries the cross-engine hash gate
+for the shared arithmetic, the data-dependent member is pinned against an
+independent reference):
+
+- ``llm_embed_rp`` — data-OBLIVIOUS sparse random projection (Achlioptas
+  2003): the projection matrix is derived entry-by-entry from a two-step
+  Lehmer hash of (i, j), so the oracle rederives it from scratch in SQL —
+  a fully self-contained cross-engine hash gate over the exact integer
+  dot-product arithmetic.
+- ``llm_embed_pca`` — data-DEPENDENT projection: distributed covariance
+  via per-partition integer partial sums (the `_sem_train` reduce shape,
+  made fold-order-exact by GRID-QUANTIZING each component to 1e-6 ints
+  BEFORE any sum — the registry-header rule applied to second moments,
+  where raw double products would void the float32-exactness argument),
+  then a driver-side eigensolve of the tiny d×d matrix. Eigensolves are
+  not SQL-expressible, so this joins the documented non-hashable tier
+  (the unigram-EM precedent): pinned bit-for-bit against an independent
+  in-test reference plus orthonormality / variance-ordering /
+  repartition-invariance invariants, while the projection ARITHMETIC it
+  shares with llm_embed_rp stays hash-gated there.
+
+Reference parity: the reference repo has no vector tier at all; this
+generalizes its extract-transform hot path (`api/main.py:202-241`, parse
+then project fields) to the geometry domain the training-data mandate
+names (embedding-based dedup / similarity / curation at corpus scale).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from .similarity import load_vectors
+
+# 1e-6 grid: one embedding component quantizes to an int64 of magnitude
+# ~1e6 (unit-scale components — the same normalized-embedding regime
+# _sem_train documents). All downstream arithmetic is integer-exact.
+_EMB_GRID = 1_000_000
+
+_RP_DIM = 16  # random-projection output dims (64 -> 16 on the fixture)
+_PCA_DIM = 8  # PCA output dims
+
+# Two-step Lehmer mix for the (i, j) -> sign derivation. ONE step is
+# monotone for small arguments (clustering.py's r9 lesson: id*48271 never
+# wraps below ~44k, so "hashed" order was id order; here the flat index
+# i*_RP_DIM+j tops out at ~1k and one step would make h % 6 literally
+# periodic in the flat index — 48271 % 6 == 1). Two squared-multiplier
+# steps wrap ~87 times over the index range; both engines evaluate the
+# chain exactly in int64 (max intermediate ~2^31 * 1.83e8 < 2^63).
+_LEHMER_MOD = 2147483647
+_LEHMER_MULT2 = (48271 * 48271) % _LEHMER_MOD  # 182605794
+
+# Achlioptas sparse family: s(i,j) = +1 / -1 / 0 with p = 1/6, 1/6, 2/3
+# (entries sqrt(3)*s have unit variance), so the unbiased length-preserving
+# estimate is y_j = sqrt(3 / k) * (x . s_j). The scale constant is emitted
+# as ONE shared repr() literal so both engines parse the identical double.
+_RP_SCALE = math.sqrt(3.0 / _RP_DIM) / _EMB_GRID
+
+
+def _sign_case_sql(i_expr: str, j_expr: str) -> str:
+    """The s(i,j) derivation as engine-neutral SQL: two Lehmer steps over
+    the flat index, bucket mod 6 -> {+1, -1, 0}. The Column-side twin is
+    `_sign_col`; a pytest pin holds the two implementations equal over
+    the full (i, j) range so the family cannot drift (the r9
+    correlated-permutation lesson)."""
+    flat = f"(({i_expr}) * {_RP_DIM} + ({j_expr}) + 1)"
+    h = (
+        f"((({flat} * {_LEHMER_MULT2}) % {_LEHMER_MOD})"
+        f" * {_LEHMER_MULT2}) % {_LEHMER_MOD}"
+    )
+    return f"(CASE ({h}) % 6 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END)"
+
+
+def _sign_py(i: int, j: int) -> int:
+    """`_sign_case_sql` in Python: identical int chain, identical bucket
+    map (pinned equal over the full range in tests). The Spark side ships
+    the tiny d x k sign matrix as array literals instead of re-deriving
+    the chain per element per row — measured 7x cheaper at sf0.1, and the
+    matrix is ~1 KB at any corpus size (it depends only on (d, k))."""
+    flat = i * _RP_DIM + j + 1
+    h = ((flat * _LEHMER_MULT2) % _LEHMER_MOD) * _LEHMER_MULT2 % _LEHMER_MOD
+    b = h % 6
+    return 1 if b == 0 else (-1 if b == 1 else 0)
+
+
+def _emb_dim(v: DataFrame) -> int:
+    """The embedding width, from one 1-row probe job (a schema-level
+    constant the array type does not carry; 0 on an empty corpus)."""
+    row = v.select(F.size("embedding").alias("d")).first()
+    return int(row["d"]) if row is not None else 0
+
+
+def _q(x):
+    """Grid-quantize one embedding component to int64: the half-away-from-
+    zero 1e-6 grid every hash-gated double in this repo uses. The explicit
+    double cast matters: float32 x int arithmetic would otherwise run in
+    FLOAT on the Spark side while the oracle runs DOUBLE."""
+    xd = x.cast("double")
+    return (F.floor(F.abs(xd) * _EMB_GRID + F.lit(0.5)) * F.signum(xd)).cast("long")
+
+
+# The same quantization in DuckDB (x already DOUBLE there).
+_Q_SQL = f"CAST(floor(abs({{x}}) * {_EMB_GRID} + 0.5) * sign({{x}}) AS BIGINT)"
+
+
+@register(
+    "llm_embed_rp",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding, 1) - 1 AS i
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ),
+    q AS (
+      SELECT vec_id, i, {_Q_SQL.format(x="x")} AS q FROM e
+    ),
+    dots AS (
+      SELECT vec_id, j.j AS component,
+             CAST(sum(q * {_sign_case_sql("i", "j.j")}) AS BIGINT) AS dot
+      FROM q CROSS JOIN range({_RP_DIM}) j(j)
+      GROUP BY vec_id, j.j
+    )
+    SELECT vec_id, CAST(component AS INT) AS component,
+           round(CAST(dot AS DOUBLE) * {_RP_SCALE!r}, 6) AS proj
+    FROM dots
+    """,
+    tags=("llm", "similarity", "projection"),
+)
+def llm_embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse random projection of every embedding to _RP_DIM dims
+    (Achlioptas 2003 / Johnson-Lindenstrauss): y_j = sqrt(3/k) * x . s_j
+    with s(i,j) in {+1, -1, 0} (p = 1/6, 1/6, 2/3) derived from a
+    two-step Lehmer hash of the flat (i, j) index — no trained state, no
+    stored matrix, any executor rederives any entry from two integers.
+
+    Exactness: components are grid-quantized to 1e-6 int64 BEFORE the
+    dot product, so the sum is integer arithmetic — fold-order-free on
+    both engines by construction — and the only float op is one final
+    scale-and-round. The oracle rederives the SAME signs from the SAME
+    two integers, making this the cross-engine hash gate for the
+    projection arithmetic `llm_embed_pca` shares.
+
+    Scale shape: one FileScan, zero Exchange — the quantized vector is
+    computed ONCE per row behind a one-element Generate fence (the
+    classifier's measured re-inlining lesson: without the fence each of
+    the k dots re-runs the quantization), the k dots are zip_with
+    reductions against the literal sign columns inside whole-stage
+    codegen, the output is _RP_DIM scalars per vector (posexplode to
+    long format), and nothing is collected or broadcast. At 100 TB this
+    is the preprocessing pass that makes the IVF/LSH tiers'
+    per-dimension costs 4-64x cheaper; distance distortion is the JL
+    bound, pinned as a pytest invariant."""
+    v = load_vectors(spark, sf_dir).filter(F.size("embedding") > 0)
+    d = _emb_dim(v)
+    if d == 0:
+        return v.select(
+            "vec_id",
+            F.lit(0).cast("int").alias("component"),
+            F.lit(0.0).alias("proj"),
+        ).limit(0)
+    qv = F.transform("embedding", lambda x: _q(x))
+    fenced = v.select("vec_id", F.explode(F.array(qv)).alias("qv"))
+
+    def dot(j: int):
+        s = F.array(*[F.lit(_sign_py(i, j)).cast("long") for i in range(d)])
+        return F.aggregate(
+            F.zip_with("qv", s, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    proj = [
+        F.round(dot(j).cast("double") * F.lit(_RP_SCALE), 6).alias(f"p{j}")
+        for j in range(_RP_DIM)
+    ]
+    return fenced.select(
+        "vec_id", F.posexplode(F.array(*proj)).alias("component", "proj")
+    ).select("vec_id", F.col("component").cast("int").alias("component"), "proj")
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA
+# ---------------------------------------------------------------------------
+
+
+def _pca_moments(vec: DataFrame):
+    """Exact corpus moments for PCA: (n, sum-vector, Gram upper triangle)
+    over GRID-QUANTIZED int64 components.
+
+    The `_sem_train` reduce shape, hardened for second moments: products
+    of two quantized components reach ~1e12, so raw double sums would
+    void the fold-order-exactness precondition `_sem_train` documents —
+    its own docstring prescribes integer-scaled fixed-point sums for
+    exactly this regime. Per-partition numpy accumulates in int64
+    (bounded: 1e12 x partition rows << 2^63 for any file-split-sized
+    partition), partials travel as decimal strings, and the distributed
+    reduce sums as decimal(38,0) so NO corpus size can overflow; the
+    driver receives exactly d(d+1)/2 + d + 1 scalars — the covariance
+    matrix is the driver's inherent bound, the k x d centroid argument.
+
+    Returns (n, s, G): python int count, object arrays of exact ints."""
+    import numpy as np
+
+    def partials(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = (np.floor(np.abs(X) * _EMB_GRID + 0.5) * np.sign(X)).astype(np.int64)
+            d = Q.shape[1]
+            G = Q.T @ Q  # int64-exact at partition scale
+            s = Q.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            out_i = np.concatenate([iu, np.arange(d), [-1]])
+            out_j = np.concatenate([ju, np.full(d, -1), [-1]])
+            out_v = np.concatenate([G[iu, ju], s, [len(Q)]])
+            yield pd.DataFrame(
+                {
+                    "i": out_i.astype("int32"),
+                    "j": out_j.astype("int32"),
+                    "val": [str(int(x)) for x in out_v],
+                }
+            )
+
+    rows = (
+        vec.select("embedding")
+        .mapInPandas(partials, "i int, j int, val string")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("val"))
+        .collect()
+    )
+    if not rows:
+        return 0, None, None
+    d = 1 + max(r["i"] for r in rows if r["j"] >= 0)
+    s = np.zeros(d, dtype=object)
+    G = np.zeros((d, d), dtype=object)
+    n = 0
+    for r in rows:
+        v = int(r["val"])
+        if r["i"] == -1:
+            n = v
+        elif r["j"] == -1:
+            s[r["i"]] = v
+        else:
+            G[r["i"], r["j"]] = v
+            G[r["j"], r["i"]] = v
+    return n, s, G
+
+
+def pca_train(vec: DataFrame, r: int = _PCA_DIM):
+    """Train the PCA projection over (vec_id, embedding) rows: exact
+    integer moments (`_pca_moments`) -> covariance -> driver eigensolve
+    of the d x d matrix -> top-r components (stable eigenvalue-descending
+    order) with a deterministic sign convention (the max-|component|
+    entry positive, numpy-argmax ties to the lowest index) snapped to
+    the 1e-6 grid.
+
+    Determinism: the moments are integers identical under ANY
+    partitioning, and the eigensolve runs once on the driver over those
+    exact inputs — so the trained matrix is repartition-invariant by
+    construction (pinned in tests). Cross-ENGINE replay is not claimed:
+    eigensolves are the documented non-hashable tier (the unigram-EM
+    precedent) and the pytest pin is an independent in-test reference.
+
+    Returns (n, mu_int, P_int, eigvals): the grid-int mean (d,) in
+    1e-6 units, the grid-int projection (d, r) scaled by 1e6, and
+    grid-rounded eigenvalues (descending) — everything the serving path
+    consumes is integers."""
+    import numpy as np
+
+    n, s, G = _pca_moments(vec)
+    if n == 0:
+        return 0, np.zeros(0, np.int64), np.zeros((0, 0), np.int64), np.zeros(0)
+    d = len(s)
+    sf = s.astype(np.float64)
+    Gf = G.astype(np.float64)
+    cov = (Gf - np.outer(sf, sf) / n) / (n * float(_EMB_GRID) ** 2)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(-w, kind="stable")[: min(r, d)]
+    P = V[:, order].copy()
+    for c in range(P.shape[1]):
+        k = int(np.argmax(np.abs(P[:, c])))
+        if P[k, c] < 0:
+            P[:, c] = -P[:, c]
+    P_int = (np.floor(np.abs(P) * _EMB_GRID + 0.5) * np.sign(P)).astype(np.int64)
+    mu = sf / n  # already in 1e-6 grid units (sums of grid ints)
+    mu_int = (np.floor(np.abs(mu) + 0.5) * np.sign(mu)).astype(np.int64)
+    eig = np.floor(np.abs(w[order]) * _EMB_GRID + 0.5) * np.sign(w[order]) / _EMB_GRID
+    return n, mu_int, P_int, eig
+
+
+@register(
+    "llm_embed_pca",
+    oracle=None,  # driver eigensolve: the documented non-hashable tier
+    # (unigram-EM precedent) — independent-reference + invariant pins in
+    # tests/test_projection.py; the projection arithmetic it shares with
+    # llm_embed_rp is hash-gated by that entry's self-contained oracle.
+    tags=("llm", "similarity", "projection", "invariant"),
+)
+def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection of every embedding to _PCA_DIM dims:
+    exact integer-grid covariance via per-partition partial sums reduced
+    distributed-first (driver receives d(d+1)/2 + d + 1 scalars — never
+    a row per vector), one driver-side eigensolve of the d x d matrix,
+    then a scan-side integer projection of the centered vectors:
+    y_j = sum_i (q_i - mu_i) * P_ij with everything int64 until one
+    final exact scale-and-round (|y| <= d * 1e6 * 1e6 << 2^63).
+
+    Centering uses the GRID-ROUNDED mean (mu snapped to the same 1e-6
+    int grid as the components) so the projection stays integer-exact —
+    the sub-grid centering residue shifts every vector identically and
+    cancels in all pairwise geometry.
+
+    Scale shape: training is ONE scan producing O(d^2) scalars (the
+    covariance is the driver's inherent bound, the k x d centroid
+    argument); serving is one more scan, zero Exchange, whole-stage
+    codegen — the centered quantized vector is computed once per row
+    behind a one-element Generate fence and the r dots are zip_with
+    reductions — with the trained matrix shipped as d x r int literals
+    (512 scalars here — broadcast-trivial at any corpus size; at 4k-dim
+    embeddings route through llm_embed_rp first, the documented sketch
+    ladder). Verification tier: see the oracle note."""
+    import numpy as np  # noqa: F401  (pca_train returns numpy arrays)
+
+    v = load_vectors(spark, sf_dir).filter(F.size("embedding") > 0)
+    n, mu_int, P_int, _ = pca_train(v, _PCA_DIM)
+    if n == 0:
+        return v.select(
+            "vec_id",
+            F.lit(0).cast("int").alias("component"),
+            F.lit(0.0).alias("proj"),
+        ).limit(0)
+    d, r = P_int.shape
+    mu_arr = F.array(*[F.lit(int(x)).cast("long") for x in mu_int])
+    # centered quantized vector, computed ONCE per row behind the fence
+    cv = F.zip_with(
+        F.transform("embedding", lambda x: _q(x)), mu_arr, lambda a, b: a - b
+    )
+    fenced = v.select("vec_id", F.explode(F.array(cv)).alias("cv"))
+
+    def dot(j: int):
+        pj_arr = F.array(*[F.lit(int(P_int[i, j])).cast("long") for i in range(d)])
+        return F.aggregate(
+            F.zip_with("cv", pj_arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    scale = 1.0 / (float(_EMB_GRID) ** 2)
+    proj = [
+        F.round(dot(j).cast("double") * F.lit(scale), 6).alias(f"p{j}")
+        for j in range(r)
+    ]
+    return fenced.select(
+        "vec_id", F.posexplode(F.array(*proj)).alias("component", "proj")
+    ).select("vec_id", F.col("component").cast("int").alias("component"), "proj")

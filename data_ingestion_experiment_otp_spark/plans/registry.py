@@ -285,6 +285,7 @@ def all_queries() -> dict[str, QuerySpec]:
         materialize,
         multimodal,
         profile,
+        projection,
         relational,
         retrieval,
         sampling,

@@ -986,6 +986,13 @@ class TestOrderIndependenceSweep:
         # against 256-row broadcast stats and ranks on the round-6 grid
         "llm_ccnet_buckets",
         "llm_dsir_select",
+        # r11b: both projections are integer arithmetic end-to-end — RP
+        # derives its signs from (i, j) alone, and PCA's moments are
+        # exact grid-int sums so the trained matrix cannot move under a
+        # partition boundary (its trainer is also pinned directly in
+        # test_projection.py)
+        "llm_embed_rp",
+        "llm_embed_pca",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

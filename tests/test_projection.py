@@ -1,0 +1,249 @@
+"""Dimensionality-reduction tier (operators/projection.py).
+
+Verification split mirrors the module's two tiers:
+- llm_embed_rp carries a fully self-contained DuckDB oracle (checked by
+  the generic parity gate in test_oracle_parity.py); here we pin the
+  sign-family agreement between the SQL and Column derivations and the
+  JL distance-preservation property.
+- llm_embed_pca is the documented non-hashable tier (driver eigensolve):
+  pinned bit-for-bit against an INDEPENDENT in-test reference (own
+  quantization, own covariance, own eigensolve conventions — no package
+  helpers), plus repartition invariance of the trainer, orthonormality,
+  variance ordering, and projection-value replay in pure Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_ingestion_experiment_otp_spark.operators.projection import (
+    _EMB_GRID,
+    _LEHMER_MOD,
+    _LEHMER_MULT2,
+    _PCA_DIM,
+    _RP_DIM,
+    _RP_SCALE,
+    _sign_case_sql,
+    _sign_py,
+    llm_embed_pca,
+    llm_embed_rp,
+    pca_train,
+)
+from data_ingestion_experiment_otp_spark.operators.similarity import load_vectors
+
+
+def _ref_quantize(X: np.ndarray) -> np.ndarray:
+    """Independent re-statement of the 1e-6 grid quantization."""
+    return (np.floor(np.abs(X) * 1_000_000 + 0.5) * np.sign(X)).astype(np.int64)
+
+
+def _ref_sign(i: int, j: int) -> int:
+    """Independent re-statement of the Achlioptas sign derivation."""
+    flat = i * 16 + j + 1
+    h = ((flat * 182605794) % 2147483647) * 182605794 % 2147483647
+    b = h % 6
+    return 1 if b == 0 else (-1 if b == 1 else 0)
+
+
+def _load_emb(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    emb = t.column("embedding").to_pylist()
+    keep = [k for k, e in enumerate(emb) if e is not None and len(e) > 0]
+    X = np.array([emb[k] for k in keep], dtype=np.float64)
+    return ids[keep], X
+
+
+class TestSignFamily:
+    def test_sql_and_column_signs_agree(self, spark):
+        """The oracle's SQL sign derivation and the Spark Column twin must
+        be the same family over the FULL (i, j) range (the r9
+        correlated-permutation lesson: a drifted family silently changes
+        the operator, not just the check)."""
+        sql = _sign_case_sql("i", "j")
+        rows = spark.sql(
+            f"SELECT i, j, {sql} AS s FROM "
+            f"(SELECT CAST(ei AS BIGINT) AS i FROM "
+            f" (SELECT explode(sequence(0, 63)) AS ei)) "
+            f"CROSS JOIN (SELECT CAST(ej AS BIGINT) AS j FROM "
+            f" (SELECT explode(sequence(0, {_RP_DIM - 1})) AS ej))"
+        ).collect()
+        assert len(rows) == 64 * _RP_DIM
+        for r in rows:
+            assert r["s"] == _ref_sign(r["i"], r["j"]), (r["i"], r["j"])
+            # the OPERATOR ships _sign_py literals — pin it to the same
+            # family the oracle rederives
+            assert _sign_py(r["i"], r["j"]) == r["s"]
+
+    def test_family_is_not_degenerate(self):
+        """All three sign values occur, roughly at the 1/6-1/6-2/3 rates,
+        and no output column is all-zero (the failure a single-step
+        Lehmer mix would produce: h % 6 periodic in the flat index)."""
+        signs = np.array(
+            [[_ref_sign(i, j) for j in range(_RP_DIM)] for i in range(64)]
+        )
+        frac_zero = float((signs == 0).mean())
+        assert 0.45 <= frac_zero <= 0.85
+        assert (signs == 1).any() and (signs == -1).any()
+        assert (signs != 0).any(axis=0).all(), "a projection column is identically 0"
+
+
+class TestRandomProjection:
+    def test_jl_distance_preservation(self, spark, sf_dir):
+        """The JL property on the fixture: squared distances in the
+        projected space track the originals. Deterministic pair sample;
+        loose bounds (k=16 is a coarse sketch — the point is order-of-
+        magnitude geometry preservation for bucketing, not isometry)."""
+        ids, X = _load_emb(sf_dir)
+        out = llm_embed_rp(spark, sf_dir).collect()
+        Y = {}
+        for r in out:
+            Y.setdefault(r["vec_id"], [0.0] * _RP_DIM)[r["component"]] = r["proj"]
+        Q = _ref_quantize(X).astype(np.float64) / 1_000_000
+        ratios = []
+        n = len(ids)
+        for a in range(0, min(n, 120), 3):
+            b = (a * 7 + 13) % n
+            if a == b:
+                continue
+            dx = float(((Q[a] - Q[b]) ** 2).sum())
+            ya, yb = np.array(Y[int(ids[a])]), np.array(Y[int(ids[b])])
+            dy = float(((ya - yb) ** 2).sum())
+            if dx > 0:
+                ratios.append(dy / dx)
+        ratios = np.array(ratios)
+        assert len(ratios) >= 30
+        # per-pair ratio variance at k=16 is ~2/k, so individual pairs
+        # legitimately spread; the estimator is UNBIASED, so the mean
+        # over ~40 pairs is the tight pin
+        assert 0.05 < ratios.min() and ratios.max() < 6.0
+        assert 0.65 < float(ratios.mean()) < 1.45
+
+    def test_rp_plan_is_scan_side(self, spark, sf_dir):
+        """One FileScan, zero Exchange: the projection must never shuffle
+        the corpus — it is a per-row map."""
+        df = llm_embed_rp(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1
+        assert "Exchange" not in plan
+
+
+class TestPCA:
+    @pytest.fixture(scope="class")
+    def trained(self, spark, sf_dir):
+        v = load_vectors(spark, sf_dir).filter(F.size("embedding") > 0)
+        return pca_train(v, _PCA_DIM)
+
+    @pytest.fixture(scope="class")
+    def reference(self, sf_dir):
+        """INDEPENDENT PCA: own load, own quantization, own moments (direct
+        dense accumulation — not the package's triangular partials), own
+        eigensolve with the same stated conventions."""
+        ids, X = _load_emb(sf_dir)
+        Q = _ref_quantize(X)
+        n = len(Q)
+        s = Q.sum(axis=0, dtype=object)
+        G = (Q.astype(object).T @ Q.astype(object))
+        sf = s.astype(np.float64)
+        Gf = G.astype(np.float64)
+        cov = (Gf - np.outer(sf, sf) / n) / (n * 1e12)
+        w, V = np.linalg.eigh(cov)
+        order = np.argsort(-w, kind="stable")[:_PCA_DIM]
+        P = V[:, order].copy()
+        for c in range(P.shape[1]):
+            k = int(np.argmax(np.abs(P[:, c])))
+            if P[k, c] < 0:
+                P[:, c] = -P[:, c]
+        P_int = (np.floor(np.abs(P) * 1e6 + 0.5) * np.sign(P)).astype(np.int64)
+        mu = sf / n
+        mu_int = (np.floor(np.abs(mu) + 0.5) * np.sign(mu)).astype(np.int64)
+        eig = np.floor(np.abs(w[order]) * 1e6 + 0.5) * np.sign(w[order]) / 1e6
+        return ids, Q, n, mu_int, P_int, eig
+
+    def test_trainer_matches_independent_reference(self, trained, reference):
+        n, mu_int, P_int, eig = trained
+        _, _, rn, rmu, rP, reig = reference
+        assert n == rn
+        assert (mu_int == rmu).all()
+        assert (P_int == rP).all()
+        assert np.allclose(eig, reig, atol=0)
+
+    def test_trainer_repartition_invariant(self, spark, sf_dir, trained):
+        """The moments are exact integers under any partitioning, so the
+        trained matrix may not move under repartition(7)."""
+        v = (
+            load_vectors(spark, sf_dir)
+            .filter(F.size("embedding") > 0)
+            .repartition(7)
+        )
+        n2, mu2, P2, eig2 = pca_train(v, _PCA_DIM)
+        n, mu, P, eig = trained
+        assert n2 == n and (mu2 == mu).all() and (P2 == P).all()
+        assert (eig2 == eig).all()
+
+    def test_components_orthonormal_and_variance_ordered(self, trained):
+        n, mu_int, P_int, eig = trained
+        P = P_int.astype(np.float64) / 1e6
+        gram = P.T @ P
+        assert np.allclose(gram, np.eye(P.shape[1]), atol=5e-4)
+        assert (np.diff(eig) <= 1e-12).all(), "eigenvalues must be non-increasing"
+        assert eig[0] > 0
+
+    def test_projection_values_replay_in_pure_python(self, spark, sf_dir, trained, reference):
+        """The served output is y = round((q - mu) . P / 1e12, 6) — replay
+        the exact integer arithmetic outside Spark for every row."""
+        out = llm_embed_pca(spark, sf_dir).collect()
+        ids, Q, _, mu_int, P_int, _ = reference
+        expect = {}
+        C = Q - mu_int
+        Yi = C @ P_int  # exact int64 (|C|<=2e6, |P|<=1e6, d=64 -> <1.3e14)
+        for k, vid in enumerate(ids):
+            for j in range(P_int.shape[1]):
+                v = float(Yi[k, j]) / 1e12
+                expect[(int(vid), j)] = np.floor(abs(v) * 1e6 + 0.5) * np.sign(v) / 1e6
+        assert len(out) == len(expect)
+        for r in out:
+            assert r["proj"] == pytest.approx(expect[(r["vec_id"], r["component"])], abs=0), (
+                r["vec_id"],
+                r["component"],
+            )
+
+    def test_pca_concentrates_variance_over_uniform(self, trained, reference):
+        """Top-r eigenvalues must capture at least the uniform share of the
+        total variance (the reason to pay for PCA over RP at all)."""
+        _, Q, n, mu_int, _, _ = reference
+        _, _, _, eig = trained
+        C = (Q - mu_int).astype(np.float64) / 1e6
+        total_var = float((C**2).sum()) / n
+        top = float(np.sum(eig))
+        assert top >= (_PCA_DIM / Q.shape[1]) * total_var
+
+    def test_pca_serving_plan_is_scan_side(self, spark, sf_dir):
+        """After training, the SERVE job is one scan with zero Exchange —
+        the trained matrix rides as literals, vectors never shuffle."""
+        df = llm_embed_pca(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1
+        assert "Exchange" not in plan
+
+    def test_empty_corpus_degrades(self, spark):
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        n, mu, P, eig = pca_train(empty, _PCA_DIM)
+        assert n == 0 and len(mu) == 0 and P.size == 0 and len(eig) == 0
+
+
+class TestRpScaleConstant:
+    def test_scale_literal_round_trips(self):
+        """The shared repr() literal must parse back to the identical
+        double on the Python side (both engines parse shortest-repr
+        decimals to nearest — this is the single float constant in the
+        RP path)."""
+        assert float(repr(_RP_SCALE)) == _RP_SCALE
+        assert _RP_SCALE == pytest.approx((3.0 / _RP_DIM) ** 0.5 / _EMB_GRID, abs=0)
+
+    def test_lehmer_constants(self):
+        assert _LEHMER_MULT2 == (48271 * 48271) % _LEHMER_MOD
