@@ -69,7 +69,9 @@ def corpus_ingest_dirs(work_dir: str) -> dict[str, str]:
     with near_dedup=True; sem_index/sem_accepted/sem_audit the semantic
     screen's, written only when a trained sem_model artifact is
     passed; gate_accepted/gate_audit the model quality gate's, written
-    only when trained gate_weights are passed)."""
+    only when trained gate_weights are passed;
+    decon_accepted/decon_audit the benchmark decontamination gate's,
+    written only when calibrated decon_hashes are passed)."""
     return {
         "dedup_index": os.path.join(work_dir, "dedup_index"),
         "accepted": os.path.join(work_dir, "accepted"),
@@ -87,6 +89,8 @@ def corpus_ingest_dirs(work_dir: str) -> dict[str, str]:
         "sem_audit": os.path.join(work_dir, "sem_audit"),
         "gate_accepted": os.path.join(work_dir, "gate_accepted"),
         "gate_audit": os.path.join(work_dir, "gate_audit"),
+        "decon_accepted": os.path.join(work_dir, "decon_accepted"),
+        "decon_audit": os.path.join(work_dir, "decon_audit"),
     }
 
 
@@ -100,6 +104,7 @@ def corpus_ingest_epoch(
     near_dedup: bool = False,
     sem_model: str | None = None,
     gate_weights: list | None = None,
+    decon_hashes: list[int] | None = None,
 ):
     """The per-epoch function: built separately from the stream so a
     replay (same stores, same params, same batch_id) can be driven
@@ -154,9 +159,22 @@ def corpus_ingest_epoch(
     pays its scan only on content all three dedup tiers passed; the
     heuristic floors inside curation then run on the model's survivors —
     the two-tier (rules + model) quality shape the published pipelines
-    run, with dedup in front of both."""
+    run, with dedup in front of both.
+
+    With `decon_hashes` (a calibrated benchmark shingle set —
+    `curation.benchmark_shingles`' output, the calibrate-once contract),
+    the benchmark DECONTAMINATION gate (`curation.decon_gate_sink`,
+    r11b — stage 9, the batch `llm_decontaminate` served at ingest) runs
+    LAST in the screen ladder, after every dedup tier and the model
+    gate: survivors land in ``decon_accepted`` (the relation curation,
+    the serving indexes, and the span screen then consume), rejects in
+    ``decon_audit`` with their shared-gram counts. Last is the published
+    post-hoc shape — decontamination audits what will actually be
+    trained on, so the benchmark gram join pays only on docs every
+    cheaper tier admitted, and a contaminated doc can never reach the
+    curated mixture or either serving index."""
     from .corpus_index import neardup_screen_sink, semdedup_screen_sink
-    from .curation import classifier_gate_sink
+    from .curation import classifier_gate_sink, decon_gate_sink
     from .drift_monitor import source_drift_sink
 
     dirs = corpus_ingest_dirs(work_dir)
@@ -180,6 +198,13 @@ def corpus_ingest_epoch(
             gate_weights, dirs["gate_accepted"], dirs["gate_audit"]
         )
         if gate_weights is not None
+        else None
+    )
+    decon = (
+        decon_gate_sink(
+            decon_hashes, dirs["decon_accepted"], dirs["decon_audit"]
+        )
+        if decon_hashes is not None
         else None
     )
     curate = curation_sink(dirs["curated"], centroids, quality_min)
@@ -222,6 +247,11 @@ def corpus_ingest_epoch(
                 admitted = batch_df.sparkSession.read.parquet(
                     os.path.join(dirs["gate_accepted"], f"batch_id={batch_id}")
                 )
+            if decon is not None:
+                decon(admitted, batch_id)
+                admitted = batch_df.sparkSession.read.parquet(
+                    os.path.join(dirs["decon_accepted"], f"batch_id={batch_id}")
+                )
             curate(admitted, batch_id)
             index(
                 admitted.select(F.col("doc_id").alias("vec_id"), "embedding"),
@@ -249,6 +279,7 @@ def start_corpus_ingest(
     near_dedup: bool = False,
     sem_model: str | None = None,
     gate_weights: list | None = None,
+    decon_hashes: list[int] | None = None,
 ) -> StreamingQuery:
     """Start the composed ingestion stream over a parquet document feed.
     `centroids` / `quality_min` / `drift_reference` / `sem_model` are the
@@ -256,8 +287,9 @@ def start_corpus_ingest(
     not per-batch state); with a reference the per-source drift audit
     becomes the composition's 5th stage, with `span_screen=True` the
     duplicated-substring screen its 6th, with a trained `sem_model`
-    artifact the semantic screen its 7th, and with trained
-    `gate_weights` the model quality gate its 8th."""
+    artifact the semantic screen its 7th, with trained `gate_weights`
+    the model quality gate its 8th, and with calibrated `decon_hashes`
+    the benchmark decontamination gate its 9th."""
     epoch = corpus_ingest_epoch(
         work_dir,
         centroids,
@@ -268,6 +300,7 @@ def start_corpus_ingest(
         near_dedup,
         sem_model,
         gate_weights,
+        decon_hashes,
     )
     return (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
@@ -291,7 +324,8 @@ def corpus_retract(
     rows including their kept_text, and the gram index's per-epoch
     counts are recomputed from the rewritten accepted partition — the
     counts the sink would have admitted had the victims never arrived —
-    plus the stage-8 model-gate stores when present) —
+    plus the stage-8 model-gate and stage-9 decontamination-gate stores
+    when present) —
     the control-plane operation a training-data pipeline owes its data
     subjects, end to end. Every store is
     PHYSICALLY rewritten (affected partitions only, write-to-temp +
@@ -364,6 +398,8 @@ def corpus_retract(
         "sem_index": 0,
         "gate_accepted": 0,
         "gate_audit": 0,
+        "decon_accepted": 0,
+        "decon_audit": 0,
     }
 
     def swap_rewrite(part_dir: str, df, partition_by: list[str] | None) -> None:
@@ -435,23 +471,20 @@ def corpus_retract(
         kept = df.filter(~F.col("doc_id").isin(ids))
         removed["accepted"] += df.count() - kept.count()
         # The relation the span screen actually indexed (ADVICE r8, high;
-        # extended r10): the stage ladder hands span_screen_sink the LAST
-        # screen's accepted relation — sem_accepted when the semantic
-        # screen ran, else near_accepted, else accepted — and a victim
+        # extended r10, r11b): the stage ladder hands span_screen_sink the
+        # LAST screen's accepted relation — decon_accepted when the
+        # decontamination gate ran, else gate_accepted, else sem_accepted,
+        # else near_accepted, else accepted — and a victim
         # rejected by any earlier screen contributed no grams, so both
         # the subtraction and the recount below must derive from that
         # same relation.
         npart = os.path.join(dirs["near_accepted"], f"batch_id={b}")
         sempart = os.path.join(dirs["sem_accepted"], f"batch_id={b}")
         gatepart = os.path.join(dirs["gate_accepted"], f"batch_id={b}")
-        span_part = (
-            gatepart
-            if os.path.isdir(gatepart)
-            else (
-                sempart
-                if os.path.isdir(sempart)
-                else (npart if os.path.isdir(npart) else part)
-            )
+        deconpart = os.path.join(dirs["decon_accepted"], f"batch_id={b}")
+        span_part = next(
+            (p for p in (deconpart, gatepart, sempart, npart) if os.path.isdir(p)),
+            part,
         )
         # Compacted gram index: per-epoch provenance is folded, so RTBF
         # switches from recount to SUBTRACTING the victims' gram counts —
@@ -564,6 +597,27 @@ def corpus_retract(
             removed["gate_audit"] += gadf.count() - gakept.count()
             swap_rewrite(gapart, gakept, None)
             gadf.unpersist()
+        # Decontamination-gate stores (r11b, decon_hashes runs): the
+        # victims' rows leave decon_accepted (text + embedding) and the
+        # audit (doc_id + shared-gram count — a function of the victim's
+        # own content and the public benchmark alone, so like the model
+        # gate's margin no other doc's row references it). Stateless
+        # gate: no index to make unknown again.
+        if os.path.isdir(deconpart):
+            dcdf = spark.read.parquet(deconpart).persist()
+            dckept = dcdf.filter(~F.col("doc_id").isin(ids))
+            removed["decon_accepted"] += dcdf.count() - dckept.count()
+            swap_rewrite(deconpart, dckept, None)
+            dcdf.unpersist()
+        dapart = os.path.join(dirs["decon_audit"], f"batch_id={b}")
+        if os.path.isdir(dapart):
+            dadf = spark.read.schema(
+                "doc_id long, n_shared_ngrams long"
+            ).parquet(dapart).persist()
+            dakept = dadf.filter(~F.col("doc_id").isin(ids))
+            removed["decon_audit"] += dadf.count() - dakept.count()
+            swap_rewrite(dapart, dakept, None)
+            dadf.unpersist()
         sipart = os.path.join(dirs["sem_index"], f"src_batch={b}")
         if os.path.isdir(sipart):
             # adm must ride through the rewrite: an explicit schema that
@@ -637,7 +691,7 @@ def corpus_retract(
             # the GRAM_INDEX_SCHEMA / test_zero_row_epoch convention.
             # Parquet column pruning makes the 2-column schema free.
             # Recount from the REWRITTEN span source: the last screen's
-            # accepted relation (sem_accepted > near_accepted > accepted
+            # accepted relation (decon > gate > sem > near > accepted
             # — the relation span_screen_sink actually consumed).
             gnew = (
                 _span_pos_grams(

@@ -174,6 +174,95 @@ def classifier_gate_sink(
     return gate
 
 
+def benchmark_shingles(bench_docs: DataFrame) -> list[int]:
+    """Calibrate step for the decontamination gate: the DISTINCT hashed
+    3-gram shingles of a benchmark suite (a `text` column), as a sorted
+    list of int64s — the gate's calibrate-once control-plane input (the
+    centroids / gate-weights contract).
+
+    Collected to the driver BY CONTRACT: eval benchmarks are human-curated
+    suites, orders of magnitude smaller than the corpus (the published
+    decontamination setups hold every benchmark n-gram in one worker's
+    memory); the gate re-ships the set as a broadcast relation per epoch.
+    The shingle family is operators/dedup's `_SHINGLE_HASHES_SPARK` —
+    shared verbatim with the batch `llm_decontaminate`, so the streaming
+    gate and the batch audit screen on the identical gram space."""
+    from ..operators.dedup import _SHINGLE_HASHES_SPARK
+
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    rows = (
+        bench_docs.select(words.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(F.explode(F.expr(_SHINGLE_HASHES_SPARK)).alias("w"))
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["w"]) for r in rows)
+
+
+def decon_gate_sink(
+    bench_hashes: list[int],
+    accepted_dir: str,
+    audit_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: ingestion-time benchmark DECONTAMINATION
+    gate — the batch `llm_decontaminate` (operators/dedup.py) served at
+    the stream. A training doc sharing ANY 3-gram shingle with the
+    benchmark suite is rejected: survivors land in a batchId-keyed
+    accepted directory, rejects in a batchId-keyed audit carrying
+    (doc_id, n_shared_ngrams) — ids and counts only, no text, the
+    drop/keep decision input the batch form emits.
+
+    `bench_hashes` is the calibrated benchmark shingle set
+    (`benchmark_shingles`' output — a calibrate-once control-plane input
+    exactly like the curation sink's centroids and the model gate's
+    weights; swapping in a new benchmark release is a sink swap). Docs
+    with fewer than 3 tokens (or null text) have no shingles and pass
+    through unscored — no grams means no contamination evidence, the
+    same outside-population convention the model gate follows.
+
+    The gate is STATELESS — no index, no cross-epoch memory — so replay
+    safety is free (epoch-scoped overwrites make a replayed epoch
+    byte-identical) and RTBF is a per-epoch row filter on both outputs.
+
+    Scale shape: one scan-side shingle explode over the batch, one
+    BROADCAST join against the benchmark set (the corpus side never
+    shuffles full rows — only the hit gram rows reach the per-doc
+    count), one anti-join on doc_id scalars. Ordering: the gate runs
+    LAST in the stage ladder (after all dedup screens and the model
+    gate), the published post-hoc shape — decontamination audits what
+    will actually be trained on, so the gram explode pays only on docs
+    every cheaper tier admitted."""
+    from ..operators.dedup import _SHINGLE_HASHES_SPARK
+
+    hs = sorted({int(h) for h in bench_hashes})
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bench = spark.createDataFrame([(h,) for h in hs], "w long")
+        words = F.filter(F.split("text", " "), lambda w: w != "")
+        grams = (
+            batch_df.select("doc_id", words.alias("ws"))
+            .filter(F.size("ws") >= 3)
+            .select("doc_id", F.explode(F.expr(_SHINGLE_HASHES_SPARK)).alias("w"))
+        )
+        rejects = (
+            grams.join(F.broadcast(bench), "w")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("w").alias("n_shared_ngrams"))
+            .localCheckpoint(eager=False)
+        )
+        rejects.write.mode("overwrite").parquet(
+            os.path.join(audit_dir, f"batch_id={batch_id}")
+        )
+        accepted = batch_df.join(rejects.select("doc_id"), "doc_id", "left_anti")
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(accepted_dir, f"batch_id={batch_id}")
+        )
+
+    return gate
+
+
 def read_curated(spark, curated_dir: str) -> DataFrame:
     """The curated corpus across all epochs (latest write per epoch wins by
     construction — replays overwrite their own batch_id directory)."""

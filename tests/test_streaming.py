@@ -3974,6 +3974,253 @@ class TestClassifierGateSink:
         assert curated2 == {1, 2, 3, 4}  # no model gate: all four flow
 
 
+class TestDeconGateSink:
+    """curation.py::decon_gate_sink (r11b) — benchmark decontamination
+    served at ingest (stage 9): a doc sharing ANY 3-gram shingle with the
+    calibrated benchmark set is rejected, short/null docs pass through,
+    stateless replay, RTBF row filters, batch parity with
+    llm_decontaminate on the identical corpus split."""
+
+    SCHEMA = TestStreamingCorpusPipeline.SCHEMA
+
+    BENCH_TEXTS = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "benchmark question alpha beta gamma delta answer key here",
+    ]
+
+    @staticmethod
+    def _bench_hashes(spark, texts):
+        from data_ingestion_experiment_otp_spark.streaming.curation import (
+            benchmark_shingles,
+        )
+
+        bench = spark.createDataFrame([(t,) for t in texts], "text string")
+        return benchmark_shingles(bench)
+
+    @staticmethod
+    def _shared_trigrams(a: str, b: str) -> int:
+        """Independent replica of the contamination measure: distinct
+        3-gram STRING shingles shared (the hash is engine-private; the
+        string gram space is what the batch oracle compares too)."""
+
+        def grams(t):
+            ws = [w for w in (t or "").split(" ") if w]
+            return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+        return len(grams(a) & grams(b))
+
+    def test_gate_matches_batch_decontaminate_and_replay(self, spark, tmp_path):
+        import os
+
+        from data_ingestion_experiment_otp_spark.operators.dedup import (
+            llm_decontaminate,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.curation import (
+            decon_gate_sink,
+        )
+
+        hs = self._bench_hashes(spark, self.BENCH_TEXTS)
+        assert len(hs) == len(set(hs)) and hs == sorted(hs)
+
+        docs = [
+            # shares "jumps over the" + "over the lazy" with benchmark 0
+            (10, "web", 300, "words then jumps over the lazy dog stuff", [0.1] * 4),
+            # shares one gram with benchmark 1
+            (11, "web", 300, "see alpha beta gamma end of line", [0.2] * 4),
+            # clean: no 3-gram overlap
+            (12, "web", 300, "completely fresh training content no overlap at all", [0.3] * 4),
+            (13, "web", 0, None, [0.4] * 4),  # null text: pass through
+            (14, "web", 5, "two words", [0.5] * 4),  # < 3 tokens: pass
+        ]
+        acc = os.path.join(str(tmp_path), "decon_acc")
+        aud = os.path.join(str(tmp_path), "decon_aud")
+        sink = decon_gate_sink(hs, acc, aud)
+        batch = spark.createDataFrame(docs, self.SCHEMA)
+        sink(batch, 0)
+
+        def read(b):
+            a = sorted(
+                r["doc_id"]
+                for r in spark.read.schema("doc_id long")
+                .parquet(os.path.join(acc, f"batch_id={b}"))
+                .collect()
+            )
+            u = sorted(
+                map(
+                    tuple,
+                    spark.read.schema("doc_id long, n_shared_ngrams long")
+                    .parquet(os.path.join(aud, f"batch_id={b}"))
+                    .collect(),
+                )
+            )
+            return a, u
+
+        accepted, audit = read(0)
+        # independent replica decides the expected sets
+        want_audit = []
+        for i, _s, _n, t, _v in docs:
+            shared = sum(
+                self._shared_trigrams(t, bt) for bt in self.BENCH_TEXTS
+            ) if t else 0
+            # distinct across the whole suite (no cross-benchmark dups in
+            # the fixture, so the per-text sum IS the distinct count)
+            if shared > 0:
+                want_audit.append((i, shared))
+        assert audit == sorted(want_audit)
+        assert accepted == sorted(
+            i for i, *_ in docs if i not in {a for a, _ in want_audit}
+        )
+        assert {13, 14} <= set(accepted)  # outside-population passthrough
+
+        sink(batch, 0)  # stateless replay: byte-identical outputs
+        assert read(0) == (accepted, audit)
+
+        # batch parity: llm_decontaminate over a fixture where doc_id%50==0
+        # marks the benchmark — the SAME corpus split, so its contaminated
+        # rows must equal the gate's audit on the train docs
+        fixture = os.path.join(str(tmp_path), "fixture")
+        bench_rows = [
+            (50 * k, t, "xx", "bench", len(t))
+            for k, t in enumerate(self.BENCH_TEXTS)
+        ]
+        train_rows = [(i, t, "xx", "web", n) for i, _s, n, t, _v in docs]
+        spark.createDataFrame(
+            bench_rows + train_rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(fixture, "documents.parquet"))
+        got = sorted(
+            (r["doc_id"], r["n_shared_ngrams"])
+            for r in llm_decontaminate(spark, fixture).collect()
+        )
+        assert got == sorted(want_audit)
+
+    def test_capstone_stage9_gates_downstream_rtbf_and_off_by_default(
+        self, spark, tmp_path
+    ):
+        import os
+        import time
+
+        from data_ingestion_experiment_otp_spark.streaming import drive
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_retract,
+            start_corpus_ingest,
+        )
+
+        hs = self._bench_hashes(spark, self.BENCH_TEXTS)
+
+        def basis(i, dim=64):
+            v = [0.0] * dim
+            v[i] = 1.0
+            return v
+
+        clean = "fresh corpus content with plenty of ordinary training words"
+        dirty = "prefix then the quick brown fox jumps over suffix words"
+        batches = [
+            [
+                (1, "web", 300, clean + " one", basis(0)),
+                (2, "web", 300, dirty + " two", basis(1)),
+            ],
+            [
+                (3, "web", 300, clean + " three", basis(2)),
+                (4, "web", 300, dirty + " four", basis(3)),
+            ],
+        ]
+        in_dir = str(tmp_path / "feed")
+        for rows in batches:
+            spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+            time.sleep(0.05)
+        cents = (
+            spark.createDataFrame(
+                [(0, basis(0)), (1, basis(1))],
+                "vec_id long, embedding array<float>",
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+        work = str(tmp_path / "work")
+        q = start_corpus_ingest(
+            spark,
+            in_dir,
+            work,
+            cents,
+            {"*": 0.0},
+            str(tmp_path / "ckpt"),
+            decon_hashes=hs,
+        )
+        drive.drain(q)
+
+        dirs = corpus_ingest_dirs(work)
+        dec_acc = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(dirs["decon_accepted"])
+            .collect()
+        }
+        assert dec_acc == {1, 3}  # contaminated docs rejected
+        audit = {
+            (r["doc_id"], r["n_shared_ngrams"])
+            for r in spark.read.schema("doc_id long, n_shared_ngrams long")
+            .parquet(dirs["decon_audit"])
+            .collect()
+        }
+        assert {a for a, _ in audit} == {2, 4}
+        assert all(n > 0 for _, n in audit)
+        # every downstream store holds only decon survivors
+        curated = {
+            r["doc_id"] for r in spark.read.parquet(dirs["curated"]).collect()
+        }
+        assert curated <= dec_acc
+        tdocs = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(os.path.join(dirs["text_index"], "doclen"))
+            .collect()
+        }
+        assert tdocs == dec_acc
+
+        # RTBF: a decon survivor leaves decon_accepted; a rejected doc's
+        # audit row goes too
+        removed = corpus_retract(spark, work, [1, 2])
+        assert removed["decon_accepted"] == 1
+        assert removed["decon_audit"] == 1
+        left_acc = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(dirs["decon_accepted"])
+            .collect()
+        }
+        assert left_acc == {3}
+        left_aud = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long, n_shared_ngrams long")
+            .parquet(dirs["decon_audit"])
+            .collect()
+        }
+        assert left_aud == {4}
+
+        # off by default: a run without decon_hashes writes no decon dirs
+        work2 = str(tmp_path / "work2")
+        q2 = start_corpus_ingest(
+            spark,
+            in_dir,
+            work2,
+            cents,
+            {"*": 0.0},
+            str(tmp_path / "ckpt2"),
+        )
+        drive.drain(q2)
+        d2 = corpus_ingest_dirs(work2)
+        assert not os.path.isdir(d2["decon_accepted"])
+        assert not os.path.isdir(d2["decon_audit"])
+        curated2 = {
+            r["doc_id"] for r in spark.read.parquet(d2["curated"]).collect()
+        }
+        assert curated2 == {1, 2, 3, 4}  # no decon gate: all four flow
+
+
 class TestDedupIndexCompaction:
     """corpus_index.py::compact_dedup_index (r11): the exact screen's
     content-hash index was the last per-epoch-forever store without
