@@ -143,6 +143,10 @@ HEADLINE = [
     # the d x d matrix, then a scan-side literal-matrix projection)
     "llm_embed_rp",
     "llm_embed_pca",
+    # (pca is artifact-served: first rep pays the one-time covariance
+    # pass + eigensolve, min-of-reps records the serving scan) and the
+    # two-stage subspace rerank the tier exists to serve
+    "llm_sim_topk_pca",
 ]
 
 
@@ -151,13 +155,15 @@ def bench_corpus_ingest(spark, sf_dir: str):
     corpus-ingest epoch function (dedup screen -> curation -> vector index
     -> text index, the exact composition start_corpus_ingest runs per
     micro-batch) over the sf corpus in 3 equal epochs against a fresh
-    store root, in four configurations — base (5 stores), full screens
+    store root, in five configurations — base (5 stores), full screens
     (8 stores: + span + near-dup), all screens (11 stores: + the r10
-    semantic screen, served from the trained-hierarchy artifact), and all
+    semantic screen, served from the trained-hierarchy artifact), all
     stages (13 stores: + the r11 model quality gate, served from weights
-    the in-engine trainer fits once outside the timing). Returns
-    per-config (min epoch seconds, docs/sec) so index/compaction
-    regressions in any store become visible round-over-round."""
+    the in-engine trainer fits once outside the timing), and guarded
+    (15 stores: + the r11b benchmark decontamination gate, its shingle
+    set calibrated once outside the timing). Returns per-config (min
+    epoch seconds, docs/sec) so index/compaction regressions in any
+    store become visible round-over-round."""
     import shutil
     import tempfile
 
@@ -227,6 +233,24 @@ def bench_corpus_ingest(spark, sf_dir: str):
             sem_model=mdl,
             gate_weights=weights,
         )
+        # the r11b successor: every stage + the decontamination gate —
+        # the benchmark stand-in is the doc_id%50 slice (the batch
+        # llm_decontaminate's split), its shingle set calibrated once
+        # outside the per-epoch timing (the calibrate-once contract)
+        from data_ingestion_experiment_otp_spark.streaming.curation import (
+            benchmark_shingles,
+        )
+
+        bench_hashes = benchmark_shingles(
+            docs.filter(F.pmod("doc_id", F.lit(50)) == 0).select("text")
+        )
+        best_guarded = drive(
+            span_screen=True,
+            near_dedup=True,
+            sem_model=mdl,
+            gate_weights=weights,
+            decon_hashes=bench_hashes,
+        )
     finally:
         feed.unpersist()
     return {
@@ -242,6 +266,10 @@ def bench_corpus_ingest(spark, sf_dir: str):
         "corpus_ingest_all_stages": (
             round(best_stages, 3),
             round((n_docs / 3) / best_stages, 1),
+        ),
+        "corpus_ingest_guarded": (
+            round(best_guarded, 3),
+            round((n_docs / 3) / best_guarded, 1),
         ),
     }
 

@@ -308,6 +308,90 @@ def pca_train(vec: DataFrame, r: int = _PCA_DIM):
     return n, mu_int, P_int, eig
 
 
+# One row per model piece: kind in ('meta','mu','p','eig'); 'p' rows carry
+# one projection COLUMN each (idx = j); integer payloads only (mu and P on
+# the 1e-6 grid, eigenvalues as grid ints, n in 'meta'.vals[0]).
+_PCA_MODEL_SCHEMA = "kind string, idx int, vals array<long>"
+
+
+def _pca_store_key(sf_dir: str, sig: str, r: int) -> str:
+    import hashlib
+    import os
+
+    raw = f"pca1|{os.path.abspath(sf_dir)}|{sig}|{_EMB_GRID}|{r}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:20]
+
+
+def pca_model_dir(spark: SparkSession, sf_dir: str, r: int = _PCA_DIM) -> str:
+    """Build-if-absent and return the committed trained-PCA artifact
+    directory for this corpus (the trained-hierarchy / BPE store
+    pattern): the distributed covariance pass + eigensolve run at most
+    once per (corpus signature, grid, r); every later call reads a
+    parquet table of d + r + 2 integer rows. Training is deterministic
+    (exact integer moments, one driver eigensolve), so a concurrent
+    builder's committed generation is equivalent and the rename race
+    keeps whichever landed first."""
+    import os
+    import shutil
+
+    from .bpe import _build_root, _sweep_stale_builds, corpus_signature
+
+    sig = corpus_signature(sf_dir, "embeddings")
+    root = _build_root("spark_graft_pca_store", sig)
+    final = os.path.join(root, _pca_store_key(sf_dir, sig, r))
+    if not os.path.isfile(os.path.join(final, "_COMMITTED")):
+        _sweep_stale_builds(root)
+        tmp = f"{final}.build{os.getpid()}"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        v = load_vectors(spark, sf_dir).filter(F.size("embedding") > 0)
+        n, mu_int, P_int, eig = pca_train(v, r)
+        rows = [("meta", -1, [int(n)])]
+        if n > 0:
+            rows.append(("mu", -1, [int(x) for x in mu_int]))
+            for j in range(P_int.shape[1]):
+                rows.append(("p", j, [int(P_int[i, j]) for i in range(P_int.shape[0])]))
+            rows.append(("eig", -1, [int(round(e * _EMB_GRID)) for e in eig]))
+        spark.createDataFrame(rows, _PCA_MODEL_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(tmp, "model.parquet")
+        )
+        open(os.path.join(tmp, "_COMMITTED"), "w").close()
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            if os.path.isfile(os.path.join(final, "_COMMITTED")):
+                shutil.rmtree(tmp)
+            else:
+                raise
+    return final
+
+
+def load_pca_model(spark: SparkSession, model_dir: str):
+    """(n, mu_int, P_int, eigvals) from a committed artifact directory —
+    the same tuple `pca_train` returns (pinned equal in tests: the
+    training is pure-integer deterministic, so served == fresh-trained)."""
+    import os
+
+    import numpy as np
+
+    rows = (
+        spark.read.schema(_PCA_MODEL_SCHEMA)
+        .parquet(os.path.join(model_dir, "model.parquet"))
+        .collect()
+    )
+    by_kind: dict[str, list] = {}
+    for row in rows:
+        by_kind.setdefault(row["kind"], []).append(row)
+    n = int(by_kind["meta"][0]["vals"][0])
+    if n == 0:
+        return 0, np.zeros(0, np.int64), np.zeros((0, 0), np.int64), np.zeros(0)
+    mu_int = np.array(by_kind["mu"][0]["vals"], dtype=np.int64)
+    pcols = sorted(by_kind["p"], key=lambda row: row["idx"])
+    P_int = np.array([list(row["vals"]) for row in pcols], dtype=np.int64).T
+    eig = np.array(by_kind["eig"][0]["vals"], dtype=np.float64) / _EMB_GRID
+    return n, mu_int, P_int, eig
+
+
 @register(
     "llm_embed_pca",
     oracle=None,  # driver eigensolve: the documented non-hashable tier
@@ -338,11 +422,12 @@ def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     reductions — with the trained matrix shipped as d x r int literals
     (512 scalars here — broadcast-trivial at any corpus size; at 4k-dim
     embeddings route through llm_embed_rp first, the documented sketch
-    ladder). Verification tier: see the oracle note."""
-    import numpy as np  # noqa: F401  (pca_train returns numpy arrays)
-
+    ladder). The trainer is ARTIFACT-SERVED (`pca_model_dir`, the
+    BPE/hierarchy store pattern): the covariance pass runs once per
+    corpus; steady-state calls pay only the serving scan. Verification
+    tier: see the oracle note."""
     v = load_vectors(spark, sf_dir).filter(F.size("embedding") > 0)
-    n, mu_int, P_int, _ = pca_train(v, _PCA_DIM)
+    n, mu_int, P_int, _ = load_pca_model(spark, pca_model_dir(spark, sf_dir))
     if n == 0:
         return v.select(
             "vec_id",
@@ -373,3 +458,144 @@ def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fenced.select(
         "vec_id", F.posexplode(F.array(*proj)).alias("component", "proj")
     ).select("vec_id", F.col("component").cast("int").alias("component"), "proj")
+
+
+# Two-stage rerank knobs: stage 1 scores in a _RERANK_DIM-dim trained
+# subspace and keeps _RERANK_POOL x _TOP_K candidates per query; stage 2
+# reranks exactly in the full space. Raising either trades candidate/FLOP
+# volume for recall — the IVF rerank-pool knob, same contract. Recall is
+# governed by how much of the corpus geometry the subspace carries: real
+# embedding corpora have low intrinsic dimension (clustered; top-16
+# components carry most variance), while THIS fixture is uniform
+# [0,1)^64 — fully isotropic, the information-theoretic worst case for
+# any subspace sketch — so the pytest floors are measured-with-margin
+# per corpus size and documented as the fixture's bound, not the
+# method's.
+_RERANK_DIM = 16
+_RERANK_POOL = 10
+
+
+@register(
+    "llm_sim_topk_pca",
+    oracle=None,  # candidates come from the trained PCA subspace (the
+    # non-hashable eigensolve tier); recall vs the exact llm_sim_topk and
+    # the value-identity of agreeing pairs are pinned in
+    # tests/test_projection.py.
+    tags=("llm", "similarity", "approx", "projection", "invariant"),
+)
+def llm_sim_topk_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN through the trained PCA subspace — the serving
+    pattern the reduction tier exists for: stage 1 scores query x corpus
+    in _RERANK_DIM dims (4x fewer FLOPs and — at scale, where the
+    projected table is materialized — 4x less I/O than the full-width
+    brute force) and keeps a per-query candidate pool of
+    _RERANK_POOL x k; stage 2 reranks ONLY the pool exactly in the full
+    space, so the full-width vectors are read for O(queries x pool)
+    rows, never the corpus.
+
+    Physical shape mirrors llm_sim_topk (its docstring carries the
+    contract): queries broadcast as a dense normalized matrix, the
+    projected corpus streams through an Arrow-batched BLAS stage that
+    emits per-batch partial top-pools (exact for the pool by the same
+    subset argument), one bounded rank shuffle, then a broadcast-joined
+    exact rerank. Query-side cap enforced by the shared contract.
+
+    Recall is governed by how much variance the top-_PCA_DIM components
+    capture (pinned >= uniform share in the PCA tests; measured recall
+    vs the exact top-k pinned in tests) — the knob is _RERANK_POOL."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _MAX_QUERIES, _QUERY_ID_CAP, _TOP_K, _cosine
+
+    v = load_vectors(spark, sf_dir).filter(F.size("embedding") > 0)
+    n, mu_int, P_int, _ = load_pca_model(
+        spark, pca_model_dir(spark, sf_dir, _RERANK_DIM)
+    )
+    if n == 0:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rn int"
+        )
+    mu = mu_int.astype(np.float64)
+    P = P_int.astype(np.float64) / _EMB_GRID
+
+    qrows = (
+        v.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP))
+        .select("vec_id", "embedding")
+        .limit(_MAX_QUERIES + 1)
+        .collect()
+    )
+    if len(qrows) > _MAX_QUERIES:
+        raise ValueError(
+            f"llm_sim_topk_pca query side exceeds the {_MAX_QUERIES}-vector "
+            "budget; tighten the query predicate or batch the query set"
+        )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rn int"
+        )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    # project the queries through the SAME grid pipeline the corpus uses
+    Qq = np.floor(np.abs(Q) * _EMB_GRID + 0.5) * np.sign(Q)
+    QP = (Qq - mu) @ P
+    qnorm = np.linalg.norm(QP, axis=1, keepdims=True)
+    qnorm[qnorm == 0] = 1.0
+    pool = _RERANK_POOL * _TOP_K
+    bcast = spark.sparkContext.broadcast((qids, QP / qnorm, mu, P, pool))
+
+    def batches(it):
+        q_ids, Qn, bmu, bP, kp = bcast.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xq = np.floor(np.abs(X) * 1e6 + 0.5) * np.sign(X)
+            V = (Xq - bmu) @ bP
+            ids = pdf["vec_id"].to_numpy()
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            C = (V / norms) @ Qn.T  # B x q projected cosines
+            C[ids[:, None] == q_ids[None, :]] = -np.inf  # mask self-match
+            k = min(kp, C.shape[0])
+            order = np.lexsort((ids[:, None].repeat(C.shape[1], 1), -C), axis=0)[:k]
+            out_c = np.take_along_axis(C, order, axis=0).ravel()
+            keep = np.isfinite(out_c)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids[None, :], k, axis=0).ravel()[keep],
+                    "vec_id": ids[order].ravel()[keep],
+                    "pcos": out_c[keep],
+                }
+            )
+
+    from pyspark.sql import Window as W
+
+    cand = v.select("vec_id", "embedding").mapInPandas(
+        batches, "query_id long, vec_id long, pcos double"
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("pcos").desc(), F.col("vec_id"))
+    pooled = (
+        cand.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= pool)
+        .select("query_id", "vec_id")
+    )
+    # exact rerank: full-width vectors are read ONLY for the pooled rows
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["vec_id"]), r["embedding"]) for r in qrows],
+            "query_id long, q_emb array<float>",
+        )
+    )
+    full = pooled.join(
+        v.select("vec_id", F.col("embedding").alias("c_emb")), "vec_id"
+    ).join(qdf, "query_id")
+    we = W.partitionBy("query_id").orderBy(
+        F.col("cosine_raw").desc(), F.col("vec_id")
+    )
+    return (
+        full.withColumn("cosine_raw", _cosine("q_emb", "c_emb"))
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id", F.round("cosine_raw", 6).alias("cosine"), "rn")
+    )

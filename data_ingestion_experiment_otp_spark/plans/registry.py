@@ -125,7 +125,16 @@ DRIVER_ORDER: tuple[str, ...] = (
     "st_event_windows",
     # §2.8 scalar functions / §2.9 UDF surface
     "fn_scalars",
-    "udf_cosine",
+    # udf_cosine is driver-demoted (r11b): its cosine ARITHMETIC is
+    # hash-covered by two driver slots (llm_embed_cosine_dedup's pure-SQL
+    # zip_with/aggregate form and llm_sim_topk's ranked form), and its
+    # Arrow-Python worker MECHANISM by agg_stateful_rendezvous
+    # (applyInPandasWithState crosses the same pandas/Arrow boundary);
+    # exact oracle retained in pytest parity. Its slot carries
+    # llm_embed_rp below — the dimensionality-reduction tier's
+    # self-contained cross-engine hash gate (the sign matrix is rederived
+    # from scratch inside the oracle SQL, nothing replayed).
+    "llm_embed_rp",
     # §2.10 dedup
     "llm_exact_dedup",
     # llm_ngram_jaccard is driver-demoted (r7): llm_dedup_clusters below

@@ -993,6 +993,13 @@ class TestOrderIndependenceSweep:
         # test_projection.py)
         "llm_embed_rp",
         "llm_embed_pca",
+        # r11b: two-stage rerank — per-batch partial pools differ under
+        # repartition, but each row's projected cosine is a per-row
+        # function of the broadcast model (batch-independent), every
+        # batch emits a superset of its global-pool members, and the
+        # global pool is a window over (pcos desc, vec_id) — so the
+        # pooled set (and the exact rerank on it) cannot move
+        "llm_sim_topk_pca",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

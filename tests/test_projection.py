@@ -235,6 +235,72 @@ class TestPCA:
         n, mu, P, eig = pca_train(empty, _PCA_DIM)
         assert n == 0 and len(mu) == 0 and P.size == 0 and len(eig) == 0
 
+    def test_store_round_trip_and_key_separation(self, spark, sf_dir, trained):
+        """The committed artifact serves exactly what the trainer fit
+        (pure-integer deterministic training => served == fresh-trained),
+        and a different target rank keys a different generation."""
+        from data_ingestion_experiment_otp_spark.operators.projection import (
+            load_pca_model,
+            pca_model_dir,
+        )
+
+        d8 = pca_model_dir(spark, sf_dir, _PCA_DIM)
+        n, mu, P, eig = load_pca_model(spark, d8)
+        tn, tmu, tP, teig = trained
+        assert n == tn and (mu == tmu).all() and (P == tP).all()
+        assert np.allclose(eig, teig, atol=1e-9)
+        # served twice: same committed generation (no retrain)
+        assert pca_model_dir(spark, sf_dir, _PCA_DIM) == d8
+        d4 = pca_model_dir(spark, sf_dir, 4)
+        assert d4 != d8
+        _, _, P4, _ = load_pca_model(spark, d4)
+        assert P4.shape[1] == 4
+        # the top-4 subspace of the r=8 model is the r=4 model
+        assert (P4 == tP[:, :4]).all()
+
+
+class TestPcaRerank:
+    """llm_sim_topk_pca: two-stage ANN through the trained subspace.
+    Exactness claims: recall@k vs the exact brute force, value agreement
+    on shared pairs (stage 2 reranks exactly), and schema identity."""
+
+    def test_recall_and_value_agreement_vs_exact(self, spark, sf_dir):
+        from data_ingestion_experiment_otp_spark.operators.projection import (
+            llm_sim_topk_pca,
+        )
+        from data_ingestion_experiment_otp_spark.operators.similarity import (
+            llm_sim_topk,
+        )
+
+        exact = {
+            (r["query_id"], r["vec_id"]): r["cosine"]
+            for r in llm_sim_topk(spark, sf_dir).collect()
+        }
+        approx = {
+            (r["query_id"], r["vec_id"]): r["cosine"]
+            for r in llm_sim_topk_pca(spark, sf_dir).collect()
+        }
+        assert exact and approx
+        qs = {q for q, _ in exact}
+        assert {q for q, _ in approx} == qs
+        # per-query result size identical (k results per query)
+        from collections import Counter
+
+        assert Counter(q for q, _ in approx) == Counter(q for q, _ in exact)
+        shared = set(exact) & set(approx)
+        recall = len(shared) / len(exact)
+        # measured-with-margin floors on the ISOTROPIC fixture (the
+        # worst case for any subspace sketch — see _RERANK_DIM's note):
+        # r=16 / pool=50 measures 0.76 @ n=500(sf0.001), 0.72 @ sf0.01,
+        # 0.40 @ n=2000(sf0.1)
+        n = _load_emb(sf_dir)[1].shape[0]
+        floor = 0.55 if n <= 600 else 0.30
+        assert recall >= floor, f"recall@5 {recall:.3f} below floor {floor} (n={n})"
+        # stage 2 is an EXACT rerank: agreeing pairs carry the same
+        # cosine up to one round-6 grid step (fold-order ulp)
+        for key in shared:
+            assert abs(exact[key] - approx[key]) <= 1e-6, key
+
 
 class TestRpScaleConstant:
     def test_scale_literal_round_trips(self):
