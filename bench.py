@@ -147,6 +147,10 @@ HEADLINE = [
     # pass + eigensolve, min-of-reps records the serving scan) and the
     # two-stage subspace rerank the tier exists to serve
     "llm_sim_topk_pca",
+    # r11 second batch: fuzzy benchmark decontamination (the banded
+    # machinery pointed across the train x benchmark split — broadcast
+    # bench bands, candidates linear by construction)
+    "llm_decontaminate_fuzzy",
 ]
 
 

@@ -413,8 +413,11 @@ _HS_DUCK = (
 _WHS_DUCK = "list_transform(ws, w -> " + _WH_DUCK.format(w="w") + ")"
 
 
-_BANDED_ORACLE = f"""
-    WITH ws_t AS (
+# Shared signature CTE chain (word shingles -> polynomial hashes -> 8
+# permutation minima -> band keys): one definition serves the symmetric
+# all-pairs oracle below and the asymmetric train x benchmark oracle of
+# llm_decontaminate_fuzzy — the Spark-side twin is _minhash_sig.
+_SIG_CTES = f"""ws_t AS (
       SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
       FROM documents
     ),
@@ -431,7 +434,10 @@ _BANDED_ORACLE = f"""
     ),
     bands AS (
       {' UNION ALL '.join(f"SELECT doc_id, {bi} AS band, s{2 * bi} AS v1, s{2 * bi + 1} AS v2 FROM sig" for bi in range(_N_PERM // _BAND_SIZE))}
-    ),
+    )"""
+
+_BANDED_ORACLE = f"""
+    WITH {_SIG_CTES},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -691,6 +697,80 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("w").alias("n_shared_ngrams"),
             F.countDistinct("bench_doc_id").alias("n_bench_docs"),
         )
+    )
+
+
+@register(
+    "llm_decontaminate_fuzzy",
+    oracle=f"""
+    WITH {_SIG_CTES},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+       AND a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+    )
+    SELECT doc_a AS doc_id, doc_b AS bench_doc_id,
+           round(len(list_intersect(sa.hs, sb.hs))
+                 / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))), 6) AS jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE len(list_intersect(sa.hs, sb.hs))
+          / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= {_JACCARD_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "decontaminate", "minhash"),
+)
+def llm_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY train/test contamination: the PRECISION companion to
+    `llm_decontaminate` — the exact screen flags a training doc for ANY
+    shared 3-gram (maximum recall, but against a real benchmark suite
+    most long docs share some common phrase, which is why the published
+    setups either raise n to 13 or pair the n-gram screen with a
+    near-dup pass). This pass identifies training docs that are
+    NEAR-DUPLICATES of a benchmark doc — the unambiguous-removal tier
+    every published pipeline drops first — and attaches the evidence:
+    output (doc_id, bench_doc_id, jaccard), one row per train x bench
+    pair whose hashed shingle-set Jaccard reaches the near-dup
+    threshold (benchmark = doc_id % 50 == 0, the exact screen's split).
+
+    Mechanism = `llm_minhash_banded`'s machinery pointed across the
+    split instead of at itself: ONE signature relation (`_band_sig` —
+    the permutation family lives exactly once), band keys, and an
+    ASYMMETRIC candidate join — train bands against BROADCAST benchmark
+    bands (the benchmark side is ~2% here and a fixed human-scale suite
+    in production, so the corpus never shuffles for candidate
+    generation) — then the shared Arrow exact-verify kernel. Candidates
+    per train doc <= bands x |benchmark buckets|, linear in the corpus
+    BY CONSTRUCTION. Full DuckDB oracle replaying signatures, banding,
+    the split, and the verify arithmetic end to end."""
+    d = load_split(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    hs_t = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", F.expr(_WHS_SPARK).alias("whs"))
+        .select("doc_id", F.expr(_HS_SPARK).alias("hs"))
+    )
+    sig, bands = _band_sig(hs_t)
+    tb = bands.filter(F.col("doc_id") % 50 != 0).alias("a")
+    bb = bands.filter(F.col("doc_id") % 50 == 0).alias("b")
+    cand = (
+        tb.join(F.broadcast(bb), F.col("a.bk") == F.col("b.bk"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    paired = cand.join(sa, "doc_a").join(sb, "doc_b")
+    out = paired.mapInPandas(
+        _jaccard_verify_kernel(float(_JACCARD_THRESHOLD)),
+        "doc_a long, doc_b long, jaccard double",
+    )
+    return out.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("bench_doc_id"),
+        "jaccard",
     )
 
 
@@ -1356,27 +1436,7 @@ def _minhash_band_pairs(
     Exchange as int32, halving the one array-moving shuffle; xxhash64
     callers keep int64. Both produce identical jaccards — the values
     are the same integers."""
-    hs_col = (
-        F.col("hs").cast("array<int>").alias("hs") if compact_hashes else F.col("hs")
-    )
-    sig_cols = [
-        F.array_min(
-            F.expr(f"transform(hs, h -> (CAST({a} AS BIGINT) * h + {b}) % {_P})")
-        ).alias(f"s{i}")
-        for i, (a, b) in enumerate(_PERM)
-    ]
-    sig = hs_t.select("doc_id", hs_col, *sig_cols).localCheckpoint(eager=False)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.col(f"s{2 * bi}").alias("v1"),
-                F.col(f"s{2 * bi + 1}").alias("v2"),
-            )
-            for bi in range(_N_PERM // _BAND_SIZE)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bk"))
+    sig, bands = _band_sig(hs_t, compact_hashes)
     if bucket_cap is None:
         a = bands.alias("a")
         b = bands.alias("b")
@@ -1407,6 +1467,38 @@ def _minhash_band_pairs(
         _jaccard_verify_kernel(float(threshold)),
         "doc_a long, doc_b long, jaccard double",
     )
+
+
+def _band_sig(hs_t: DataFrame, compact_hashes: bool = False):
+    """Signature + band-key relations over any (doc_id, hs: array<bigint>)
+    input — the head `_minhash_band_pairs` (symmetric all-pairs) and
+    `llm_decontaminate_fuzzy` (asymmetric train x benchmark) share, so
+    the permutation family lives exactly once on the Spark side (the r9
+    correlated-permutation lesson: one definition, spliced). Returns
+    (sig, bands); sig is lazily localCheckpointed because every caller
+    joins it at least twice downstream."""
+    hs_col = (
+        F.col("hs").cast("array<int>").alias("hs") if compact_hashes else F.col("hs")
+    )
+    sig_cols = [
+        F.array_min(
+            F.expr(f"transform(hs, h -> (CAST({a} AS BIGINT) * h + {b}) % {_P})")
+        ).alias(f"s{i}")
+        for i, (a, b) in enumerate(_PERM)
+    ]
+    sig = hs_t.select("doc_id", hs_col, *sig_cols).localCheckpoint(eager=False)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.col(f"s{2 * bi}").alias("v1"),
+                F.col(f"s{2 * bi + 1}").alias("v2"),
+            )
+            for bi in range(_N_PERM // _BAND_SIZE)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk"))
+    return sig, bands
 
 
 def _jaccard_verify_kernel(thr: float):

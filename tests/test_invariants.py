@@ -1000,6 +1000,10 @@ class TestOrderIndependenceSweep:
         # global pool is a window over (pcos desc, vec_id) — so the
         # pooled set (and the exact rerank on it) cannot move
         "llm_sim_topk_pca",
+        # r11b: banded candidates from deterministic signature equality +
+        # exact integer set verification (the llm_char_minhash_banded
+        # argument, pointed across the train x benchmark split)
+        "llm_decontaminate_fuzzy",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):
