@@ -99,10 +99,43 @@ def _sign_py(i: int, j: int) -> int:
 
 
 def _emb_dim(v: DataFrame) -> int:
-    """The embedding width, from one 1-row probe job (a schema-level
-    constant the array type does not carry; 0 on an empty corpus)."""
-    row = v.select(F.size("embedding").alias("d")).first()
-    return int(row["d"]) if row is not None else 0
+    """The embedding width: the MAX over the corpus (one cheap aggregate
+    job — a deterministic rule, unlike a first()-row probe whose pick
+    depends on scan order; 0 on an empty corpus). The projection tier's
+    contract is a fixed-width embedding column; rows NARROWER than the
+    max are excluded by every consumer with the same max rule on both
+    engines, so a ragged corpus degrades deterministically instead of
+    null-padding dots into NULL output."""
+    row = v.agg(F.max(F.size("embedding")).alias("d")).first()
+    return int(row["d"]) if row is not None and row["d"] is not None else 0
+
+
+def _serve_projection(v: DataFrame, fenced_expr, cols, scale: float) -> DataFrame:
+    """The shared serving scaffold of `llm_embed_rp` and `llm_embed_pca`:
+    compute the int64 row representation ONCE behind a one-element
+    Generate fence (the classifier's measured re-inlining lesson:
+    without the fence each output dim re-runs the quantization), take
+    one zip_with dot per output dim against its literal int column,
+    scale-and-round, posexplode to (vec_id, component, proj) long
+    format. One definition so the fence trick and the output schema
+    cannot drift between the two reducers."""
+    fenced = v.select("vec_id", F.explode(F.array(fenced_expr)).alias("qv"))
+
+    def dot(j: int):
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in cols[j]])
+        return F.aggregate(
+            F.zip_with("qv", arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    proj = [
+        F.round(dot(j).cast("double") * F.lit(scale), 6).alias(f"p{j}")
+        for j in range(len(cols))
+    ]
+    return fenced.select(
+        "vec_id", F.posexplode(F.array(*proj)).alias("component", "proj")
+    ).select("vec_id", F.col("component").cast("int").alias("component"), "proj")
 
 
 def _q(x):
@@ -126,6 +159,8 @@ _Q_SQL = f"CAST(floor(abs({{x}}) * {_EMB_GRID} + 0.5) * sign({{x}}) AS BIGINT)"
              generate_subscripts(embedding, 1) - 1 AS i
       FROM embeddings
       WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(embedding) = (SELECT max(len(embedding)) FROM embeddings
+                              WHERE embedding IS NOT NULL)
     ),
     q AS (
       SELECT vec_id, i, {_Q_SQL.format(x="x")} AS q FROM e
@@ -165,7 +200,9 @@ def llm_embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     long format), and nothing is collected or broadcast. At 100 TB this
     is the preprocessing pass that makes the IVF/LSH tiers'
     per-dimension costs 4-64x cheaper; distance distortion is the JL
-    bound, pinned as a pytest invariant."""
+    bound, pinned as a pytest invariant. Fixed-width contract: rows
+    narrower than the corpus max width are excluded with the same
+    deterministic max rule on both engines (`_emb_dim`)."""
     v = load_vectors(spark, sf_dir).filter(F.size("embedding") > 0)
     d = _emb_dim(v)
     if d == 0:
@@ -174,24 +211,10 @@ def llm_embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("int").alias("component"),
             F.lit(0.0).alias("proj"),
         ).limit(0)
+    v = v.filter(F.size("embedding") == d)
     qv = F.transform("embedding", lambda x: _q(x))
-    fenced = v.select("vec_id", F.explode(F.array(qv)).alias("qv"))
-
-    def dot(j: int):
-        s = F.array(*[F.lit(_sign_py(i, j)).cast("long") for i in range(d)])
-        return F.aggregate(
-            F.zip_with("qv", s, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-
-    proj = [
-        F.round(dot(j).cast("double") * F.lit(_RP_SCALE), 6).alias(f"p{j}")
-        for j in range(_RP_DIM)
-    ]
-    return fenced.select(
-        "vec_id", F.posexplode(F.array(*proj)).alias("component", "proj")
-    ).select("vec_id", F.col("component").cast("int").alias("component"), "proj")
+    cols = [[_sign_py(i, j) for i in range(d)] for j in range(_RP_DIM)]
+    return _serve_projection(v, qv, cols, _RP_SCALE)
 
 
 # ---------------------------------------------------------------------------
@@ -226,8 +249,21 @@ def _pca_moments(vec: DataFrame):
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             Q = (np.floor(np.abs(X) * _EMB_GRID + 0.5) * np.sign(X)).astype(np.int64)
+            # LOUD overflow guard backing the int64-exactness claim: a
+            # Gram entry accumulates up to max|q|^2 x rows, and numpy
+            # int64 WRAPS silently. Unit-scale embeddings (|q| <= ~2e6)
+            # clear this by ~6 orders; inputs that don't (mixed-scale
+            # features, or an Arrow batch size cranked far up) must fail
+            # here, not train on a corrupted covariance.
+            m = float(np.abs(Q).max(initial=0))
+            if m * m * len(Q) >= float(2**62):
+                raise ValueError(
+                    "PCA moment accumulation would overflow int64: "
+                    f"max|q|={m:.3g} over {len(Q)} rows — rescale the "
+                    "embeddings to unit range or reduce the Arrow batch size"
+                )
             d = Q.shape[1]
-            G = Q.T @ Q  # int64-exact at partition scale
+            G = Q.T @ Q  # int64-exact under the guard above
             s = Q.sum(axis=0)
             iu, ju = np.triu_indices(d)
             out_i = np.concatenate([iu, np.arange(d), [-1]])
@@ -345,6 +381,8 @@ def pca_model_dir(spark: SparkSession, sf_dir: str, r: int = _PCA_DIM) -> str:
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         v = load_vectors(spark, sf_dir).filter(F.size("embedding") > 0)
+        d = _emb_dim(v)
+        v = v.filter(F.size("embedding") == d) if d else v
         n, mu_int, P_int, eig = pca_train(v, r)
         rows = [("meta", -1, [int(n)])]
         if n > 0:
@@ -435,29 +473,14 @@ def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("proj"),
         ).limit(0)
     d, r = P_int.shape
+    v = v.filter(F.size("embedding") == d)  # the trained width (max rule)
     mu_arr = F.array(*[F.lit(int(x)).cast("long") for x in mu_int])
     # centered quantized vector, computed ONCE per row behind the fence
     cv = F.zip_with(
         F.transform("embedding", lambda x: _q(x)), mu_arr, lambda a, b: a - b
     )
-    fenced = v.select("vec_id", F.explode(F.array(cv)).alias("cv"))
-
-    def dot(j: int):
-        pj_arr = F.array(*[F.lit(int(P_int[i, j])).cast("long") for i in range(d)])
-        return F.aggregate(
-            F.zip_with("cv", pj_arr, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-
-    scale = 1.0 / (float(_EMB_GRID) ** 2)
-    proj = [
-        F.round(dot(j).cast("double") * F.lit(scale), 6).alias(f"p{j}")
-        for j in range(r)
-    ]
-    return fenced.select(
-        "vec_id", F.posexplode(F.array(*proj)).alias("component", "proj")
-    ).select("vec_id", F.col("component").cast("int").alias("component"), "proj")
+    cols = [[int(P_int[i, j]) for i in range(d)] for j in range(r)]
+    return _serve_projection(v, cv, cols, 1.0 / (float(_EMB_GRID) ** 2))
 
 
 # Two-stage rerank knobs: stage 1 scores in a _RERANK_DIM-dim trained
@@ -504,9 +527,14 @@ def llm_sim_topk_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     capture (pinned >= uniform share in the PCA tests; measured recall
     vs the exact top-k pinned in tests) — the knob is _RERANK_POOL."""
     import numpy as np
-    import pandas as pd
 
-    from .similarity import _MAX_QUERIES, _QUERY_ID_CAP, _TOP_K, _cosine
+    from .similarity import (
+        _MAX_QUERIES,
+        _QUERY_ID_CAP,
+        _TOP_K,
+        _cosine,
+        _partial_topk_kernel,
+    )
 
     v = load_vectors(spark, sf_dir).filter(F.size("embedding") > 0)
     n, mu_int, P_int, _ = load_pca_model(
@@ -516,6 +544,8 @@ def llm_sim_topk_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cosine double, rn int"
         )
+    d = P_int.shape[0]
+    v = v.filter(F.size("embedding") == d)  # the trained width (max rule)
     mu = mu_int.astype(np.float64)
     P = P_int.astype(np.float64) / _EMB_GRID
 
@@ -536,43 +566,19 @@ def llm_sim_topk_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    # project the queries through the SAME grid pipeline the corpus uses
-    Qq = np.floor(np.abs(Q) * _EMB_GRID + 0.5) * np.sign(Q)
-    QP = (Qq - mu) @ P
+    # project the queries through the SAME grid pipeline the corpus-side
+    # kernel applies (rep below carries the grid, so the two cannot drift)
+    QP = (np.floor(np.abs(Q) * _EMB_GRID + 0.5) * np.sign(Q) - mu) @ P
     qnorm = np.linalg.norm(QP, axis=1, keepdims=True)
     qnorm[qnorm == 0] = 1.0
     pool = _RERANK_POOL * _TOP_K
-    bcast = spark.sparkContext.broadcast((qids, QP / qnorm, mu, P, pool))
-
-    def batches(it):
-        q_ids, Qn, bmu, bP, kp = bcast.value
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Xq = np.floor(np.abs(X) * 1e6 + 0.5) * np.sign(X)
-            V = (Xq - bmu) @ bP
-            ids = pdf["vec_id"].to_numpy()
-            norms = np.linalg.norm(V, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            C = (V / norms) @ Qn.T  # B x q projected cosines
-            C[ids[:, None] == q_ids[None, :]] = -np.inf  # mask self-match
-            k = min(kp, C.shape[0])
-            order = np.lexsort((ids[:, None].repeat(C.shape[1], 1), -C), axis=0)[:k]
-            out_c = np.take_along_axis(C, order, axis=0).ravel()
-            keep = np.isfinite(out_c)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(q_ids[None, :], k, axis=0).ravel()[keep],
-                    "vec_id": ids[order].ravel()[keep],
-                    "pcos": out_c[keep],
-                }
-            )
+    bcast = spark.sparkContext.broadcast((qids, QP / qnorm))
 
     from pyspark.sql import Window as W
 
     cand = v.select("vec_id", "embedding").mapInPandas(
-        batches, "query_id long, vec_id long, pcos double"
+        _partial_topk_kernel(bcast, pool, "pcos", rep=(float(_EMB_GRID), mu, P)),
+        "query_id long, vec_id long, pcos double",
     )
     wp = W.partitionBy("query_id").orderBy(F.col("pcos").desc(), F.col("vec_id"))
     pooled = (
@@ -595,6 +601,10 @@ def llm_sim_topk_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         full.withColumn("cosine_raw", _cosine("q_emb", "c_emb"))
+        # a zero-norm candidate has NULL cosine (no direction): drop it —
+        # the exact operator's isfinite keep, mirrored, so the two never
+        # diverge on degenerate vectors
+        .filter(F.col("cosine_raw").isNotNull())
         .withColumn("rn", F.row_number().over(we))
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "vec_id", F.round("cosine_raw", 6).alias("cosine"), "rn")

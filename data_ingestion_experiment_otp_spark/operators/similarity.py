@@ -48,6 +48,54 @@ def _cosine(ea: str, eb: str):
     return dot / F.nullif(F.sqrt(sq(ea)) * F.sqrt(sq(eb)), F.lit(0.0))
 
 
+def _partial_topk_kernel(bcast, k: int, out_name: str, rep=None):
+    """Arrow-batched per-batch partial top-k over broadcast normalized
+    queries — the subtle machinery (the -inf self-match mask, the
+    lexsort (ids, -C) id-ascending tiebreak, the isfinite keep the
+    exactness argument depends on) lives exactly once: `llm_sim_topk`
+    consumes it raw, `llm_sim_topk_pca` (operators/projection.py) with a
+    projection representation. Each batch emits only its own top-k per
+    query (the global top-k is a subset of the union of per-batch
+    top-k, so the downstream window is exact for whatever score the
+    representation defines). `bcast` carries (query_ids, normalized
+    query matrix IN the representation space). `rep`: optional
+    (grid, mu, P) — raw rows are grid-quantized, centered, and
+    projected before normalization; zero-norm representations divide to
+    nan and are dropped by the isfinite keep (they carry no direction).
+    Factory, not a bare module function, so the returned closure is
+    cloudpickled BY VALUE (the _jaccard_verify_kernel contract)."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        q_ids, Qn = bcast.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if rep is not None:
+                grid, mu, P = rep
+                X = (np.floor(np.abs(X) * grid + 0.5) * np.sign(X) - mu) @ P
+            ids = pdf["vec_id"].to_numpy()
+            C = (X / np.linalg.norm(X, axis=1, keepdims=True)) @ Qn.T  # B x q
+            C[ids[:, None] == q_ids[None, :]] = -np.inf  # mask self-match
+            kk = min(k, C.shape[0])
+            # per-query partial top-k within the batch: score desc, id asc
+            order = np.lexsort((ids[:, None].repeat(C.shape[1], 1), -C), axis=0)[:kk]
+            out_c = np.take_along_axis(C, order, axis=0).ravel()
+            keep = np.isfinite(out_c)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids[None, :], kk, axis=0).ravel()[keep],
+                    "vec_id": ids[order].ravel()[keep],
+                    out_name: out_c[keep],
+                }
+            )
+
+    return batches
+
+
 @register(
     "llm_sim_topk",
     oracle=f"""
@@ -85,7 +133,6 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The final per-query rank is the standard window over query_id."""
     import numpy as np
-    import pandas as pd
 
     e = load_vectors(spark, sf_dir)
     qrows = (
@@ -110,30 +157,9 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (qids, Q / np.linalg.norm(Q, axis=1, keepdims=True))
     )
 
-    def batches(it):
-        q_ids, Qn = bcast.value
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            ids = pdf["vec_id"].to_numpy()
-            C = (V / np.linalg.norm(V, axis=1, keepdims=True)) @ Qn.T  # B x q
-            C[ids[:, None] == q_ids[None, :]] = -np.inf  # mask self-match
-            k = min(_TOP_K, C.shape[0])
-            # per-query partial top-k within the batch: cosine desc, id asc
-            order = np.lexsort((ids[:, None].repeat(C.shape[1], 1), -C), axis=0)[:k]
-            out_c = np.take_along_axis(C, order, axis=0).ravel()
-            keep = np.isfinite(out_c)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(q_ids[None, :], k, axis=0).ravel()[keep],
-                    "vec_id": ids[order].ravel()[keep],
-                    "cosine_raw": out_c[keep],
-                }
-            )
-
     cand = e.select("vec_id", "embedding").mapInPandas(
-        batches, "query_id long, vec_id long, cosine_raw double"
+        _partial_topk_kernel(bcast, _TOP_K, "cosine_raw"),
+        "query_id long, vec_id long, cosine_raw double",
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
     return (
