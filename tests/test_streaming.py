@@ -2595,11 +2595,13 @@ class TestShingleIndexCompaction:
 class TestCapstoneAllStages:
     """The full composition: every optional stage on at once (drift +
     span screen + near-dup screen + the r10 semantic screen + the r11
-    model gate — all 16 stores) — the stages must not interfere, and a
-    replayed epoch must reproduce every store byte-identically. The gate
-    runs with keep-everything weights (bias +1, buckets 0: margin =
-    n_tokens > 0) so the dedup-funnel assertions stay exact; the gate's
-    own decision behavior is TestClassifierGateSink's job."""
+    model gate + the r11b decontamination gate — all 18 stores) — the
+    stages must not interfere, and a replayed epoch must reproduce every
+    store byte-identically. The gate runs with keep-everything weights
+    (bias +1, buckets 0: margin = n_tokens > 0) and the decon gate with
+    a feed-disjoint benchmark so the dedup-funnel assertions stay exact;
+    their own decision behavior is TestClassifierGateSink's /
+    TestDeconGateSink's job."""
 
     def test_all_stages_compose_and_replay_byte_identical(self, spark, tmp_path):
         import glob
@@ -2664,6 +2666,20 @@ class TestCapstoneAllStages:
             .orderBy("vec_id")
             .collect()
         )
+        # decon benchmark DISJOINT from every feed 3-gram (tokens appear
+        # nowhere in the feed texts): the stage materializes its stores
+        # and passes everything through — its kill behavior is
+        # TestDeconGateSink's job
+        from data_ingestion_experiment_otp_spark.streaming.curation import (
+            benchmark_shingles,
+        )
+
+        decon = benchmark_shingles(
+            spark.createDataFrame(
+                [("zzbench1 zzbench2 zzbench3 zzbench4 zzbench5",)],
+                "text string",
+            )
+        )
         work = str(tmp_path / "work")
         q = start_corpus_ingest(
             spark,
@@ -2677,13 +2693,35 @@ class TestCapstoneAllStages:
             near_dedup=True,
             sem_model=mdl,
             gate_weights=[0] * 128 + [1],
+            decon_hashes=decon,
         )
         drive.drain(q)
         dirs = corpus_ingest_dirs(work)
 
-        # every one of the 16 stores materialized
+        # every one of the 18 stores materialized
         for k, d in dirs.items():
             assert os.path.isdir(d), k
+        # the feed-disjoint benchmark passes everything through: the
+        # decon relation equals the gate's and the audit is empty
+        decon_acc = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(dirs["decon_accepted"])
+            .collect()
+        }
+        gate_acc = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(dirs["gate_accepted"])
+            .collect()
+        }
+        assert decon_acc == gate_acc
+        assert (
+            spark.read.schema("doc_id long, n_shared_ngrams long")
+            .parquet(dirs["decon_audit"])
+            .count()
+            == 0
+        )
         # stage interactions: 4 exact-killed, 5 near-killed, 8 SEM-killed
         # (fresh text, doc-1-like geometry), 6 admitted with its span
         # COVERED (epoch-0 doc 3 planted the grams)
@@ -2745,7 +2783,7 @@ class TestCapstoneAllStages:
         before = snapshot()
         epoch = corpus_ingest_epoch(
             work, cents, {"*": 0.0}, ref, 1.0, True, True, mdl,
-            [0] * 128 + [1],
+            [0] * 128 + [1], decon,
         )
         epoch(
             spark.createDataFrame(batches[1], TestStreamingCorpusPipeline.SCHEMA), 1
