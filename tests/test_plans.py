@@ -843,3 +843,47 @@ class TestR11Plans:
         assert final.count("FileScan parquet") == 0, final
         assert final.count("BroadcastHashJoin") >= 2, final
         assert "SortMergeJoin" not in final, final
+
+
+class TestProjectionTierShapes:
+    """r11b scale claims, plan-pinned: the fuzzy-decon candidate join
+    broadcasts the BENCHMARK band keys (the corpus never shuffles for
+    candidate generation), and the two-stage subspace rerank's shuffles
+    carry only scalar (query_id, vec_id, score) rows — full-width
+    embedding arrays never cross an Exchange. (The per-operator
+    scan-side pins for llm_embed_rp / llm_embed_pca live in
+    tests/test_projection.py.)"""
+
+    @staticmethod
+    def _shuffle_exchange_inputs(plan: str) -> list[str]:
+        lines = plan.splitlines()
+        out = []
+        for i, line in enumerate(lines):
+            if re.match(r"^\(\d+\) Exchange", line.strip()):
+                out.append(
+                    next((l for l in lines[i + 1 : i + 3] if "Input" in l), "")
+                )
+        return out
+
+    def test_fuzzy_decon_broadcasts_benchmark_bands(self, spark, sf_dir):
+        p = plan_of(spark, sf_dir, "llm_decontaminate_fuzzy")
+        ops = ops_of(p)
+        assert "BroadcastHashJoin" in ops, ops
+        assert "SortMergeJoin" not in ops, ops
+        assert "CartesianProduct" not in ops, ops
+        # the only shuffle Exchange carries candidate id pairs — never
+        # the hashed gram sets or the band structs
+        for inp in self._shuffle_exchange_inputs(p):
+            assert not re.search(r"[\[ ](hs|bk|text)#\d+", inp), inp
+
+    def test_subspace_rerank_shuffles_scalars_only(self, spark, sf_dir):
+        p = plan_of(spark, sf_dir, "llm_sim_topk_pca")
+        ops = ops_of(p)
+        assert "BroadcastHashJoin" in ops, ops
+        assert "SortMergeJoin" not in ops, ops
+        assert "BroadcastNestedLoopJoin" not in ops, ops
+        assert "CartesianProduct" not in ops, ops
+        # rank shuffles carry (query_id, vec_id, score) scalars; the
+        # full-width vectors reach only broadcast-joined rerank rows
+        for inp in self._shuffle_exchange_inputs(p):
+            assert not re.search(r"[\[ ](embedding|c_emb|q_emb)#\d+", inp), inp
