@@ -149,8 +149,10 @@ HEADLINE = [
     "llm_sim_topk_pca",
     # r11 second batch: fuzzy benchmark decontamination (the banded
     # machinery pointed across the train x benchmark split — broadcast
-    # bench bands, candidates linear by construction)
+    # bench bands, candidates linear by construction) and the combined
+    # exact+fuzzy decision report
     "llm_decontaminate_fuzzy",
+    "llm_decontaminate_report",
 ]
 
 

@@ -646,9 +646,9 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", simhash.alias("simhash"))
 
 
-@register(
-    "llm_decontaminate",
-    oracle=f"""
+# Named so llm_decontaminate_report can splice the identical exact-tier
+# derivation (the DEDUP_CLUSTERS_ORACLE precedent).
+DECON_ORACLE = f"""
     WITH ws_t AS (
       SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
       FROM documents
@@ -663,7 +663,12 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
     FROM train t JOIN bench b ON b.w = t.w
     GROUP BY t.doc_id
-    """,
+    """
+
+
+@register(
+    "llm_decontaminate",
+    oracle=DECON_ORACLE,
     tags=("llm", "dedup", "decontaminate"),
 )
 def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,9 +705,9 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_decontaminate_fuzzy",
-    oracle=f"""
+# Named so llm_decontaminate_report can splice the identical fuzzy-tier
+# derivation verbatim.
+FUZZY_DECON_ORACLE = f"""
     WITH {_SIG_CTES},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -718,7 +723,12 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sig sb ON sb.doc_id = doc_b
     WHERE len(list_intersect(sa.hs, sb.hs))
           / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= {_JACCARD_THRESHOLD}
-    """,
+    """
+
+
+@register(
+    "llm_decontaminate_fuzzy",
+    oracle=FUZZY_DECON_ORACLE,
     tags=("llm", "dedup", "decontaminate", "minhash"),
 )
 def llm_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,6 +781,66 @@ def llm_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").alias("bench_doc_id"),
         "jaccard",
+    )
+
+
+@register(
+    "llm_decontaminate_report",
+    oracle=f"""
+    WITH ex AS ({DECON_ORACLE}),
+    fz AS ({FUZZY_DECON_ORACLE}),
+    fs AS (
+      SELECT doc_id, max(jaccard) AS max_jaccard,
+             CAST(count(DISTINCT bench_doc_id) AS BIGINT) AS n_bench_neardups
+      FROM fz GROUP BY doc_id
+    )
+    SELECT ex.doc_id, ex.n_shared_ngrams, ex.n_bench_docs,
+           fs.max_jaccard,
+           coalesce(fs.n_bench_neardups, 0) AS n_bench_neardups,
+           CASE WHEN fs.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'overlap' END AS verdict
+    FROM ex LEFT JOIN fs ON fs.doc_id = ex.doc_id
+    """,
+    tags=("llm", "dedup", "decontaminate"),
+)
+def llm_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination DECISION artifact: both tiers joined into one
+    per-doc report — exact shared-gram counts (the recall tier) beside
+    the fuzzy near-dup evidence (the precision tier), with the verdict a
+    pipeline acts on: 'near_dup' (a benchmark near-duplicate — the
+    unambiguous drop every published setup removes) vs 'overlap' (shares
+    grams but is NOT a near-dup — the gray zone a human or a stricter
+    13-gram rule reviews). A LEFT join suffices semantically: a verified
+    fuzzy pair has a non-empty gram intersection, so every fuzzy doc
+    already has an exact row (the oracle's join replays the same
+    containment).
+
+    Both tiers' oracles splice VERBATIM (DECON_ORACLE /
+    FUZZY_DECON_ORACLE — the DEDUP_CLUSTERS precedent), so this single
+    driver-checkable entry hash-covers the exact screen, the banded
+    fuzzy pass, and the join arithmetic end to end. Scale shape: the
+    two constituent passes as documented (inverted index + broadcast
+    bench; banded signatures + broadcast bench bands) plus one
+    aggregate and one id-keyed join over flagged docs only — flagged
+    volume is benchmark-bounded, not corpus-bounded."""
+    ex = llm_decontaminate(spark, sf_dir)
+    fs = (
+        llm_decontaminate_fuzzy(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.max("jaccard").alias("max_jaccard"),
+            F.countDistinct("bench_doc_id").alias("n_bench_neardups"),
+        )
+    )
+    return ex.join(fs, "doc_id", "left").select(
+        "doc_id",
+        "n_shared_ngrams",
+        "n_bench_docs",
+        "max_jaccard",
+        F.coalesce("n_bench_neardups", F.lit(0)).alias("n_bench_neardups"),
+        F.when(F.col("max_jaccard").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("overlap"))
+        .alias("verdict"),
     )
 
 

@@ -17,6 +17,7 @@ from data_ingestion_experiment_otp_spark.operators.dedup import (
     _JACCARD_THRESHOLD,
     llm_decontaminate,
     llm_decontaminate_fuzzy,
+    llm_decontaminate_report,
 )
 
 # benchmark doc (doc_id 0 -> % 50 == 0). 24 words, distinctive vocabulary.
@@ -83,3 +84,20 @@ class TestTierSeparation:
         assert got[(2, 0)] >= _JACCARD_THRESHOLD
         # the evidence is a real near-dup score, not a grazing overlap
         assert got[(2, 0)] > 0.7
+
+    def test_report_joins_both_tiers_into_verdicts(self, spark, fixture_dir):
+        """The decision artifact: phrase-only overlap stays reviewable
+        ('overlap', no fuzzy evidence), the paraphrase is the unambiguous
+        drop ('near_dup' with its score), clean docs are absent."""
+        rep = {
+            r["doc_id"]: r.asDict()
+            for r in llm_decontaminate_report(spark, fixture_dir).collect()
+        }
+        assert set(rep) == {1, 2}
+        assert rep[1]["verdict"] == "overlap"
+        assert rep[1]["n_shared_ngrams"] == 1
+        assert rep[1]["max_jaccard"] is None
+        assert rep[1]["n_bench_neardups"] == 0
+        assert rep[2]["verdict"] == "near_dup"
+        assert rep[2]["max_jaccard"] > 0.7
+        assert rep[2]["n_bench_neardups"] == 1

@@ -1002,8 +1002,10 @@ class TestOrderIndependenceSweep:
         "llm_sim_topk_pca",
         # r11b: banded candidates from deterministic signature equality +
         # exact integer set verification (the llm_char_minhash_banded
-        # argument, pointed across the train x benchmark split)
+        # argument, pointed across the train x benchmark split); the
+        # report composes the two exact tiers with an id-keyed join
         "llm_decontaminate_fuzzy",
+        "llm_decontaminate_report",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):
