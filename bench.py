@@ -160,16 +160,27 @@ def bench_corpus_ingest(spark, sf_dir: str):
     """Streaming-capstone throughput cells (r5 judge task 9): drive the
     corpus-ingest epoch function (dedup screen -> curation -> vector index
     -> text index, the exact composition start_corpus_ingest runs per
-    micro-batch) over the sf corpus in 3 equal epochs against a fresh
-    store root, in five configurations — base (5 stores), full screens
+    micro-batch) over the sf corpus in 6 equal epochs against a fresh
+    store root (median of the 5 warm epochs — see the stability note at
+    `drive`), in five configurations — base (5 stores), full screens
     (8 stores: + span + near-dup), all screens (11 stores: + the r10
     semantic screen, served from the trained-hierarchy artifact), all
     stages (13 stores: + the r11 model quality gate, served from weights
     the in-engine trainer fits once outside the timing), and guarded
     (15 stores: + the r11b benchmark decontamination gate, its shingle
-    set calibrated once outside the timing). Returns per-config (min
-    epoch seconds, docs/sec) so index/compaction regressions in any
-    store become visible round-over-round."""
+    set calibrated once outside the timing). Returns per-config (median
+    warm-epoch seconds, docs/sec) so index/compaction regressions in any
+    store become visible round-over-round.
+
+    INTENTIONAL funnel difference in the guarded config (ADVICE r11,
+    documented not 'fixed'): the benchmark stand-in is the doc_id%50==0
+    slice of the SAME corpus the feed ingests, so the decon gate rejects
+    those docs against their own shingles and the guarded funnel admits
+    ~2% fewer docs than 'stages'. That is the gate doing its job on a
+    self-referential stand-in — downstream store sizes and the docs/sec
+    denominator (full n_docs) are therefore not strictly like-for-like
+    vs the other configs; round-over-round comparisons should compare
+    guarded ONLY against guarded."""
     import shutil
     import tempfile
 
@@ -200,19 +211,32 @@ def bench_corpus_ingest(spark, sf_dir: str):
         .select("vec_id", "embedding")
         .collect()
     )
+    # r12 stability protocol (VERDICT r11 "what's wrong" #2: min-of-3
+    # epochs measured a 1.8x spread on identical code, swallowing any
+    # real capstone regression under ~2x): each config now runs a FIXED
+    # 6-epoch ladder and reports the MEDIAN of the five warm epochs —
+    # epoch 0 pays plan compilation + the fresh store root and is
+    # excluded; the median absorbs both host noise and the deterministic
+    # index-growth slope across epochs (every round measures the same
+    # slope, so medians are round-over-round comparable). Per-epoch doc
+    # volume is n_docs/6, so these cells are NOT comparable to the
+    # pre-r12 min-of-3 numbers (BENCH_HISTORY.md records the break).
+    epochs_n = 6
+
     def drive(**kw):
         work = tempfile.mkdtemp(prefix="bench_corpus_ingest_")
         epoch = corpus_ingest_epoch(work, cents, {"*": 0.0}, **kw)
         runs = []
         try:
-            for b in range(3):
-                part = feed.filter(F.pmod("doc_id", F.lit(3)) == b)
+            for b in range(epochs_n):
+                part = feed.filter(F.pmod("doc_id", F.lit(epochs_n)) == b)
                 t0 = time.perf_counter()
                 epoch(part, b)
                 runs.append(time.perf_counter() - t0)
         finally:
             shutil.rmtree(work, ignore_errors=True)
-        return min(runs)
+        warm = sorted(runs[1:])
+        return warm[len(warm) // 2]
 
     try:
         best = drive()
@@ -260,22 +284,22 @@ def bench_corpus_ingest(spark, sf_dir: str):
     finally:
         feed.unpersist()
     return {
-        "corpus_ingest_epoch": (round(best, 3), round((n_docs / 3) / best, 1)),
+        "corpus_ingest_epoch": (round(best, 3), round((n_docs / epochs_n) / best, 1)),
         "corpus_ingest_full_screens": (
             round(best_full, 3),
-            round((n_docs / 3) / best_full, 1),
+            round((n_docs / epochs_n) / best_full, 1),
         ),
         "corpus_ingest_all_screens": (
             round(best_all, 3),
-            round((n_docs / 3) / best_all, 1),
+            round((n_docs / epochs_n) / best_all, 1),
         ),
         "corpus_ingest_all_stages": (
             round(best_stages, 3),
-            round((n_docs / 3) / best_stages, 1),
+            round((n_docs / epochs_n) / best_stages, 1),
         ),
         "corpus_ingest_guarded": (
             round(best_guarded, 3),
-            round((n_docs / 3) / best_guarded, 1),
+            round((n_docs / epochs_n) / best_guarded, 1),
         ),
     }
 

@@ -98,6 +98,19 @@ def _sign_py(i: int, j: int) -> int:
     return 1 if b == 0 else (-1 if b == 1 else 0)
 
 
+def _clean_vectors(v: DataFrame) -> DataFrame:
+    """The projection tier's input population: non-empty embeddings with
+    NO null components. A null element makes the Spark-side
+    aggregate(zip_with(...)) dot NULL while DuckDB's sum() silently
+    skips it (ADVICE r11) — so rows carrying intra-array nulls are
+    excluded by the SAME predicate on both engines (the oracle carries
+    the list_filter twin), applied BEFORE the max-width rule so the two
+    engines also agree on which width survives."""
+    return v.filter(F.size("embedding") > 0).filter(
+        ~F.exists("embedding", lambda x: x.isNull())
+    )
+
+
 def _emb_dim(v: DataFrame) -> int:
     """The embedding width: the MAX over the corpus (one cheap aggregate
     job — a deterministic rule, unlike a first()-row probe whose pick
@@ -162,8 +175,11 @@ _Q_SQL = f"CAST(floor(abs({{x}}) * {_EMB_GRID} + 0.5) * sign({{x}}) AS BIGINT)"
              generate_subscripts(embedding, 1) - 1 AS i
       FROM embeddings
       WHERE embedding IS NOT NULL AND len(embedding) > 0
-        AND len(embedding) = (SELECT max(len(embedding)) FROM embeddings
-                              WHERE embedding IS NOT NULL)
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(embedding) = (
+              SELECT max(len(embedding)) FROM embeddings
+              WHERE embedding IS NOT NULL
+                AND len(list_filter(embedding, x -> x IS NULL)) = 0)
     ),
     q AS (
       SELECT vec_id, i, {_Q_SQL.format(x="x")} AS q FROM e
@@ -205,8 +221,9 @@ def llm_embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dimension costs 4-64x cheaper; distance distortion is the JL
     bound, pinned as a pytest invariant. Fixed-width contract: rows
     narrower than the corpus max width are excluded with the same
-    deterministic max rule on both engines (`_emb_dim`)."""
-    v = load_vectors(spark, sf_dir).filter(F.size("embedding") > 0)
+    deterministic max rule on both engines (`_emb_dim`), and rows with
+    null COMPONENTS are excluded identically on both (`_clean_vectors`)."""
+    v = _clean_vectors(load_vectors(spark, sf_dir))
     d = _emb_dim(v)
     if d == 0:
         return v.select(
@@ -383,7 +400,7 @@ def pca_model_dir(spark: SparkSession, sf_dir: str, r: int = _PCA_DIM) -> str:
         tmp = f"{final}.build{os.getpid()}"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
-        v = load_vectors(spark, sf_dir).filter(F.size("embedding") > 0)
+        v = _clean_vectors(load_vectors(spark, sf_dir))
         d = _emb_dim(v)
         v = v.filter(F.size("embedding") == d) if d else v
         n, mu_int, P_int, eig = pca_train(v, r)
@@ -467,7 +484,7 @@ def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE/hierarchy store pattern): the covariance pass runs once per
     corpus; steady-state calls pay only the serving scan. Verification
     tier: see the oracle note."""
-    v = load_vectors(spark, sf_dir).filter(F.size("embedding") > 0)
+    v = _clean_vectors(load_vectors(spark, sf_dir))
     n, mu_int, P_int, _ = load_pca_model(spark, pca_model_dir(spark, sf_dir))
     if n == 0:
         return v.select(
@@ -534,41 +551,29 @@ def llm_sim_topk_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from .similarity import (
-        _MAX_QUERIES,
-        _QUERY_ID_CAP,
         _TOP_K,
+        _TOPK_SCHEMA,
+        _collect_query_rows,
         _cosine,
         _partial_topk_kernel,
     )
 
-    v = load_vectors(spark, sf_dir).filter(F.size("embedding") > 0)
+    v = _clean_vectors(load_vectors(spark, sf_dir))
     n, mu_int, P_int, _ = load_pca_model(
         spark, pca_model_dir(spark, sf_dir, _RERANK_DIM)
     )
     if n == 0:
-        return spark.createDataFrame(
-            [], "query_id long, vec_id long, cosine double, rn int"
-        )
+        return spark.createDataFrame([], _TOPK_SCHEMA)
     d = P_int.shape[0]
     v = v.filter(F.size("embedding") == d)  # the trained width (max rule)
     mu = mu_int.astype(np.float64)
     P = P_int.astype(np.float64) / _EMB_GRID
 
-    qrows = (
-        v.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP))
-        .select("vec_id", "embedding")
-        .limit(_MAX_QUERIES + 1)
-        .collect()
-    )
-    if len(qrows) > _MAX_QUERIES:
-        raise ValueError(
-            f"llm_sim_topk_pca query side exceeds the {_MAX_QUERIES}-vector "
-            "budget; tighten the query predicate or batch the query set"
-        )
+    # query selection + budget: the exact operator's shared helper, so
+    # the recall comparison always measures the same query set (ADVICE)
+    qrows = _collect_query_rows(v, "llm_sim_topk_pca")
     if not qrows:
-        return spark.createDataFrame(
-            [], "query_id long, vec_id long, cosine double, rn int"
-        )
+        return spark.createDataFrame([], _TOPK_SCHEMA)
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     # project the queries through the SAME grid pipeline the corpus-side

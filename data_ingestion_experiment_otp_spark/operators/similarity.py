@@ -31,6 +31,40 @@ _TOP_K = 5
 _QUERY_ID_CAP = 100_000
 _MAX_QUERIES = _QUERY_ID_CAP // 100
 
+# The shared output schema of every top-k family member (exact, LSH, IVF,
+# PQ, IVF-PQ, PCA-rerank) — one literal so the empty-result shapes can't
+# drift from the populated ones.
+_TOPK_SCHEMA = "query_id long, vec_id long, cosine double, rn int"
+
+
+def _query_pred():
+    """The query-population predicate as one definition (ADVICE r11: the
+    PCA rerank re-implemented it inline; if the exact operator's
+    predicate ever changed, the recall comparison would silently measure
+    different query sets). Every family member filters on THIS column
+    expression; the oracle SQL restates it with the same constants."""
+    return (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
+
+
+def _collect_query_rows(v: DataFrame, op_name: str) -> list:
+    """Collect the (vec_id, embedding) query rows under the shared
+    predicate, enforcing the _MAX_QUERIES broadcast budget — the
+    query-side contract of `llm_sim_topk` and every variant that
+    broadcasts a dense query matrix. Fetches at most budget+1 rows so an
+    oversized query population fails loudly without collecting it."""
+    qrows = (
+        v.filter(_query_pred())
+        .select("vec_id", "embedding")
+        .limit(_MAX_QUERIES + 1)
+        .collect()
+    )
+    if len(qrows) > _MAX_QUERIES:
+        raise ValueError(
+            f"{op_name} query side exceeds the {_MAX_QUERIES}-vector budget; "
+            "tighten the query predicate or batch the query set"
+        )
+    return qrows
+
 
 def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table with NULL vectors dropped at the scan: a null
@@ -135,22 +169,10 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     e = load_vectors(spark, sf_dir)
-    qrows = (
-        e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP))
-        .select("vec_id", "embedding")
-        .limit(_MAX_QUERIES + 1)  # fetch no more than the contract allows
-        .collect()
-    )
-    if len(qrows) > _MAX_QUERIES:
-        raise ValueError(
-            f"llm_sim_topk query side exceeds the {_MAX_QUERIES}-vector budget; "
-            "tighten the query predicate or batch the query set"
-        )
+    qrows = _collect_query_rows(e, "llm_sim_topk")
     if not qrows:
         # empty corpus / empty query set: schema-correct empty result
-        return spark.createDataFrame(
-            [], "query_id long, vec_id long, cosine double, rn int"
-        )
+        return spark.createDataFrame([], _TOPK_SCHEMA)
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     bcast = spark.sparkContext.broadcast(
@@ -338,9 +360,7 @@ def sim_lsh_topk(
         )
         .drop("bucket_n")
     )
-    queries = tabled.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
-    ).select("tbl", "bucket", F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
+    queries = tabled.filter(_query_pred()).select("tbl", "bucket", F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
 
     w = W.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
     return (
@@ -549,7 +569,7 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not sample:
         # nothing to cluster: schema-correct empty result
         return spark.createDataFrame(
-            [], "query_id long, vec_id long, cosine double, rn int"
+            [], _TOPK_SCHEMA
         )
     X = np.asarray(sample, dtype=np.float64)
     # clamp cells to the sample's distinct rows: fewer distinct points
@@ -582,7 +602,7 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = vec.mapInPandas(assign, "vec_id long, v array<double>, cell int")
     cn = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
     qrows = (
-        assigned.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP))
+        assigned.filter(_query_pred())
         .select("vec_id", "v")
         .collect()
     )
@@ -683,7 +703,7 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not sample:
         # nothing to train codebooks on: schema-correct empty result
         return spark.createDataFrame(
-            [], "query_id long, vec_id long, cosine double, rn int"
+            [], _TOPK_SCHEMA
         )
     sample = np.asarray(sample, dtype=np.float64)
     sample = sample / np.maximum(
@@ -713,7 +733,7 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Bounded query side (same contract as every similarity query here).
     qrows = (
-        vec.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP))
+        vec.filter(_query_pred())
         .collect()
     )
     Q = {r["vec_id"]: np.asarray(r["v"]) for r in qrows}
@@ -814,7 +834,7 @@ def llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_vectors(spark, sf_dir)
     vec = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     sample = _hash_ordered_sample(vec, _PQ_TRAIN_CAP)
-    empty = "query_id long, vec_id long, cosine double, rn int"
+    empty = _TOPK_SCHEMA
     if not sample:
         return spark.createDataFrame([], empty)
     S = np.asarray(sample, dtype=np.float64)
@@ -848,9 +868,7 @@ def llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("ac.cell").alias("cell"), F.col("ac.codes").alias("codes")
     )
 
-    qrows = vec.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
-    ).collect()
+    qrows = vec.filter(_query_pred()).collect()
     luts, probe_rows = {}, []
     for r in qrows:
         q = np.asarray(r["v"], dtype=np.float64)
@@ -997,7 +1015,7 @@ def llm_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_vectors(spark, sf_dir)
     qrows = (
-        e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP))
+        e.filter(_query_pred())
         .select("vec_id", "embedding")
         .limit(_MAX_QUERIES + 1)
         .collect()

@@ -843,37 +843,12 @@ def llm_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row total rides in as a broadcast cross join. Tokens are what
     shuffles, never text. Summation at ~dl terms per doc sits ~7 orders
     of magnitude inside the round-6 grid, so partition order cannot move
-    the reported value (same analysis as the BM25 scorer)."""
-    d = load(spark, sf_dir, "documents")
-    # The explicit isNotNull is semantically a no-op (explode of a regexp
-    # match array never yields nulls) but it matters to the PLAN: the
-    # tf ⋈ vocab join infers isnotnull(term) onto the joined branches, and
-    # without the same filter on every branch the total's subtree
-    # canonicalizes differently and exchange-stage reuse cannot dedup it —
-    # the corpus would be scanned and exploded once per branch.
-    tok = d.select("doc_id", F.explode(_tokenize()).alias("term")).filter(
-        F.col("term").isNotNull()
-    )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
-    # Derive the vocabulary from the tf relation rather than aggregating
-    # `tok` a second time: sum(tf) per term == count(*) per term over the
-    # token stream, and tf is orders of magnitude smaller than the stream,
-    # so the corpus is tokenized and exploded exactly ONCE — every branch
-    # shares the same (doc_id, term) shuffle stage, which AQE reuses
-    # (asserted on the executed adaptive plan in tests/test_plans.py).
-    # Same dft-from-tf pattern as retrieval.py's BM25.
-    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
-    total = vocab.agg(F.sum("c").alias("t"))
-    bits_per = F.col("tf") * -(F.log(F.col("c") / F.col("t")) / F.log(F.lit(2.0)))
-    return (
-        tf.join(vocab, "term")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").cast("long").alias("dl"),
-            F.round(F.sum(bits_per) / F.sum("tf"), 6).alias("avg_bits"),
-        )
-    )
+    the reported value (same analysis as the BM25 scorer).
+
+    The relation IS `_ppl_scores` (one definition — plan discipline,
+    dft-from-tf derivation, and the canonicalization-aligning isNotNull
+    all live in the helper's docstring)."""
+    return _ppl_scores(spark, sf_dir)
 
 
 _CCNET_ORACLE = f"""
@@ -942,28 +917,13 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, vocab join keyed by term, broadcast 1-row total) plus
     ONE per-language window — a partitioned sort, never a global one;
     the window input is (doc_id, lang, dl, avg_bits) scalars, text
-    never leaves the scan."""
+    never leaves the scan. The score relation IS `_ppl_scores(by_lang)`
+    (one definition, shared with the perplexity entry and the approx
+    split — the hash-cover argument in the registry depends on this
+    being the same code path, not a lookalike copy)."""
     from pyspark.sql import Window as W
 
-    d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", "lang", F.explode(_tokenize()).alias("term")
-    ).filter(F.col("term").isNotNull())
-    tf = tok.groupBy("doc_id", "lang", "term").agg(
-        F.count("*").cast("double").alias("tf")
-    )
-    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
-    total = vocab.agg(F.sum("c").alias("t"))
-    bits_per = F.col("tf") * -(F.log(F.col("c") / F.col("t")) / F.log(F.lit(2.0)))
-    r = (
-        tf.join(vocab, "term")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum("tf").cast("long").alias("dl"),
-            F.round(F.sum(bits_per) / F.sum("tf"), 6).alias("avg_bits"),
-        )
-    )
+    r = _ppl_scores(spark, sf_dir, by_lang=True)
     w = W.partitionBy("lang").orderBy("avg_bits", "doc_id")
     wn = W.partitionBy("lang")
     rk = F.row_number().over(w)

@@ -236,10 +236,21 @@ def decon_gate_sink(
     from ..operators.dedup import _SHINGLE_HASHES_SPARK
 
     hs = sorted({int(h) for h in bench_hashes})
+    # The benchmark relation is built ONCE, lazily on the first gate call,
+    # and cached in the closure (ADVICE r11: re-running createDataFrame per
+    # micro-batch re-serializes the whole suite from the driver every
+    # epoch — for a realistic benchmark of 1e5+ shingles that is exactly
+    # the per-epoch cost the calibrate-once contract exists to avoid).
+    # persist() pins the parquet-free LocalRelation on the executors so
+    # later epochs re-read blocks, not the driver list.
+    cache: dict = {}
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        bench = spark.createDataFrame([(h,) for h in hs], "w long")
+        bench = cache.get("bench")
+        if bench is None:
+            bench = spark.createDataFrame([(h,) for h in hs], "w long").persist()
+            cache["bench"] = bench
         words = F.filter(F.split("text", " "), lambda w: w != "")
         grams = (
             batch_df.select("doc_id", words.alias("ws"))
