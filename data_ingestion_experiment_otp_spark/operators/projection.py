@@ -86,13 +86,16 @@ def _sign_case_sql(i_expr: str, j_expr: str) -> str:
     return f"(CASE ({h}) % 6 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END)"
 
 
-def _sign_py(i: int, j: int) -> int:
+def _sign_py(i: int, j: int, k: int = _RP_DIM) -> int:
     """`_sign_case_sql` in Python: identical int chain, identical bucket
     map (pinned equal over the full range in tests). The Spark side ships
     the tiny d x k sign matrix as array literals instead of re-deriving
     the chain per element per row — measured 7x cheaper at sf0.1, and the
-    matrix is ~1 KB at any corpus size (it depends only on (d, k))."""
-    flat = i * _RP_DIM + j + 1
+    matrix is ~1 KB at any corpus size (it depends only on (d, k)). `k`
+    parameterizes the output width for non-default projections (the
+    production-width chain tests); the driver entry always uses _RP_DIM,
+    matching the SQL twin's baked constant."""
+    flat = i * k + j + 1
     h = ((flat * _LEHMER_MULT2) % _LEHMER_MOD) * _LEHMER_MULT2 % _LEHMER_MOD
     b = h % 6
     return 1 if b == 0 else (-1 if b == 1 else 0)
@@ -223,7 +226,18 @@ def llm_embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrower than the corpus max width are excluded with the same
     deterministic max rule on both engines (`_emb_dim`), and rows with
     null COMPONENTS are excluded identically on both (`_clean_vectors`)."""
-    v = _clean_vectors(load_vectors(spark, sf_dir))
+    return rp_project(_clean_vectors(load_vectors(spark, sf_dir)))
+
+
+def rp_project(v: DataFrame, k: int = _RP_DIM) -> DataFrame:
+    """The RP kernel over an arbitrary (vec_id, embedding) relation at an
+    arbitrary output width — `llm_embed_rp`'s body, factored so the
+    production-width chain (1024-dim planted corpora in
+    tests/test_projection_width.py, and any caller reducing a wide real
+    corpus before the PCA/ANN tiers) runs the IDENTICAL arithmetic the
+    driver-hash-gated entry runs at (d=64, k=16). Input rows must already
+    be `_clean_vectors`-clean; rows narrower than the corpus max width
+    are excluded by the shared max rule."""
     d = _emb_dim(v)
     if d == 0:
         return v.select(
@@ -233,8 +247,8 @@ def llm_embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).limit(0)
     v = v.filter(F.size("embedding") == d)
     qv = F.transform("embedding", lambda x: _q(x))
-    cols = [[_sign_py(i, j) for i in range(d)] for j in range(_RP_DIM)]
-    return _serve_projection(v, qv, cols, _RP_SCALE)
+    cols = [[_sign_py(i, j, k) for i in range(d)] for j in range(k)]
+    return _serve_projection(v, qv, cols, math.sqrt(3.0 / k) / _EMB_GRID)
 
 
 # ---------------------------------------------------------------------------

@@ -151,9 +151,20 @@ DRIVER_ORDER: tuple[str, ...] = (
     # release-versioning capability (added/removed/changed manifest), new
     # surface rather than a covered constituent.
     "llm_corpus_diff",
-    # r5: asymmetric containment (overlap coefficient) — the
-    # subset-duplicate case Jaccard structurally misses; full hash oracle
-    "llm_containment_dedup",
+    # llm_containment_dedup is driver-demoted (r12, judge-directed): its
+    # inverted-index shape (shingle-keyed pair counts -> set-overlap
+    # measure over na/nb) is hash-covered by llm_dedup_clusters' spliced
+    # pair relation, which rides verbatim inside llm_dataset_card's
+    # driver-green neardup_rate CTE — and the decontamination report
+    # below exercises the same shingle inverted index across the
+    # train x bench split; exact oracle retained in pytest parity at
+    # 3 SFs. Its slot carries llm_decontaminate_report — the combined
+    # exact+fuzzy decontamination decision artifact, whose oracle
+    # splices DECON_ORACLE and FUZZY_DECON_ORACLE VERBATIM, so one slot
+    # buys driver-hash cover for the exact screen, the banded fuzzy
+    # machinery (signatures, banding, the Arrow verify arithmetic), and
+    # the verdict join end to end.
+    "llm_decontaminate_report",
     # llm_minhash_banded is driver-demoted (r9): llm_neardup_screen below
     # exercises the identical banded-MinHash arithmetic end-to-end (same
     # word hash, shingle polynomial, _PERM permutation family, and the
