@@ -1,0 +1,414 @@
+"""Trained interpolated trigram LM, served from a committed artifact
+store (VERDICT r11 "what's missing" #3).
+
+CCNet's real perplexity scorer is a TRAINED KenLM; the engine's exact
+corpus unigram/bigram scorers (text_analysis.py) are the right
+hash-checkable stand-ins, but until r12 no trained-LM ARTIFACT had ever
+been built, so the "identical plumbing, swap the model in" claim was
+untested. This module closes that: a Jelinek-Mercer interpolated trigram
+model — all maximum-likelihood ratios of corpus counts, so the whole
+scorer stays exact rational arithmetic and therefore fully
+cross-engine hash-checkable (unlike the EM tier) — trained ONCE into the
+committed-store pattern (bpe.py:382-507) and SERVED from the stored count
+tables, with the DuckDB oracle re-deriving the identical model from
+scratch: a parity pass proves training + store round-trip + serving
+arithmetic end to end, the BPE 256-round CTE-replay precedent.
+
+Model definition (deterministic, SQL-replayable):
+- token stream: the shared corpus tokenizer (retrieval.py — one pattern,
+  two renderings); per position, (u, v, w) = (two-back, previous, word).
+- counts: c(w), T (unigrams); c(v,w), c(v.) (bigrams + context totals);
+  c(u,v,w), c(u,v.) (trigrams + context totals) — all integers.
+- PRUNING (what makes this a stored MODEL rather than a corpus replay,
+  and what bounds the artifact at 100 TB — the KenLM --prune analog):
+  bigram and trigram rows with count < _TRI_PRUNE_MIN are dropped from
+  the store; their probability contribution is exactly 0 at serve time.
+  Context-total rows are kept only for contexts with >= 1 surviving row,
+  so every stored table is bounded by the pruned n-gram tables.
+- scoring: p(w | u, v) =
+    pos 0 (no context):        q1
+    pos 1 (bigram context):    (l3 + l2) * q2 + l1 * q1
+    pos >= 2 (full context):    l3 * q3 + l2 * q2 + l1 * q1
+  with q1 = c(w)/T, q2 = c(v,w)/c(v.) (0 if pruned), q3 =
+  c(u,v,w)/c(u,v.) (0 if pruned) — missing ORDER (doc-initial
+  positions) folds its lambda into the next lower order; missing COUNTS
+  (pruned) contribute 0, the model's deliberate compression loss. Every
+  observed unigram has c(w) >= 1, so p >= l1 * q1 > 0 always.
+- per doc: avg_bits = sum(n * -log2 p) / dl on the round-6 grid — the
+  `_ppl_scores` output shape, so every consumer of the unigram scorer
+  (CCNet buckets, quality gates) can swap this model in unchanged.
+
+Scale shape: training is one scan -> (u, v, w) count aggregation
+(map-side partials on the triple key; the count relation is orders of
+magnitude smaller than the token stream), pruned tables written once
+into the committed store. Serving is one scan -> per-doc triple counts,
+then joins keyed by term scalars against the stored model tables (AQE
+broadcasts them while they fit — a pruned trigram model is
+vocabulary-bounded, not corpus-bounded); tokens shuffle, never text.
+
+Reference parity: generalizes the reference's parse-then-score hot path
+(`api/main.py:202-241`) to the trained-model scoring tier the
+training-data mandate names (CCNet / Wenzek et al. 2020).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load
+from .retrieval import _TOKENIZE as _LM_TOKENIZE, tokenize as _tokenize
+
+# Jelinek-Mercer weights (trigram, bigram, unigram). Rendered as the
+# same short decimal literals in both engines, so both parse the
+# identical doubles.
+_TRI_L3 = 0.5
+_TRI_L2 = 0.3
+_TRI_L1 = 0.2
+
+# Count-pruning floor: bigram/trigram rows below this corpus count are
+# dropped from the stored model (KenLM --prune analog). 2 keeps the
+# fixture models small while exercising the pruned-path arithmetic
+# (singleton n-grams are the bulk of any corpus's tail).
+_TRI_PRUNE_MIN = 2
+
+_LM_SCHEMA = "kind string, u string, v string, w string, n long"
+
+# The shared triple CTE chain: tokenize, positional explode, (u, v, w)
+# per position (1-based DuckDB indexing; the pos >= 2 guard matters —
+# DuckDB wraps NEGATIVE list indexes Python-style, so an unguarded
+# tk[pos-1] at pos 0 would read the LAST token as the two-back context),
+# then the full pre-prune model derivation. Spliced verbatim into both
+# oracles below.
+_TRI_MODEL_CTES = f"""
+    toks AS (
+      SELECT doc_id, lang, {_LM_TOKENIZE} AS tk FROM documents
+    ),
+    pos_tok AS (
+      SELECT doc_id, lang, tk, unnest(tk) AS w, unnest(range(len(tk))) AS pos
+      FROM toks
+    ),
+    tri AS (
+      SELECT doc_id, lang, w, tk[pos] AS v,
+             CASE WHEN pos >= 2 THEN tk[pos - 1] END AS u
+      FROM pos_tok
+    ),
+    pf AS (
+      SELECT doc_id, lang, u, v, w, count(*)::DOUBLE AS n
+      FROM tri GROUP BY doc_id, lang, u, v, w
+    ),
+    uni AS (SELECT w, sum(n) AS c_w FROM pf GROUP BY w),
+    tt AS (SELECT sum(c_w) AS t FROM uni),
+    bg_all AS (
+      SELECT v, w, sum(n) AS c_vw FROM pf WHERE v IS NOT NULL GROUP BY v, w
+    ),
+    cv_all AS (SELECT v, sum(c_vw) AS c_v FROM bg_all GROUP BY v),
+    bg AS (SELECT * FROM bg_all WHERE c_vw >= {_TRI_PRUNE_MIN}),
+    tg_all AS (
+      SELECT u, v, w, sum(n) AS c_uvw FROM pf WHERE u IS NOT NULL
+      GROUP BY u, v, w
+    ),
+    cuv_all AS (SELECT u, v, sum(c_uvw) AS c_uv FROM tg_all GROUP BY u, v),
+    tg AS (SELECT * FROM tg_all WHERE c_uvw >= {_TRI_PRUNE_MIN}),
+    scored AS (
+      SELECT pf.doc_id, pf.lang, pf.n,
+             CASE WHEN pf.v IS NULL THEN uni.c_w / tt.t
+                  WHEN pf.u IS NULL THEN
+                       {_TRI_L3 + _TRI_L2!r} * coalesce(bg.c_vw / cv_all.c_v, 0.0)
+                       + {_TRI_L1!r} * (uni.c_w / tt.t)
+                  ELSE {_TRI_L3!r} * coalesce(tg.c_uvw / cuv_all.c_uv, 0.0)
+                       + {_TRI_L2!r} * coalesce(bg.c_vw / cv_all.c_v, 0.0)
+                       + {_TRI_L1!r} * (uni.c_w / tt.t)
+             END AS p
+      FROM pf
+      JOIN uni ON uni.w = pf.w
+      LEFT JOIN bg ON bg.v = pf.v AND bg.w = pf.w
+      LEFT JOIN cv_all ON cv_all.v = pf.v
+      LEFT JOIN tg ON tg.u = pf.u AND tg.v = pf.v AND tg.w = pf.w
+      LEFT JOIN cuv_all ON cuv_all.u = pf.u AND cuv_all.v = pf.v
+      CROSS JOIN tt
+    )
+"""
+
+_TRIGRAM_PPL_ORACLE = f"""
+    WITH {_TRI_MODEL_CTES}
+    SELECT doc_id, CAST(sum(n) AS BIGINT) AS dl,
+           round(sum(n * -(ln(p) / ln(2))) / sum(n), 6) AS avg_bits
+    FROM scored GROUP BY doc_id
+    """
+
+
+def _doc_triples(d: DataFrame, with_lang: bool = False) -> DataFrame:
+    """(doc_id[, lang], u, v, w) per token position — `get()` for the
+    context lookbacks (0-based, NULL out of range — no ANSI error and no
+    negative-index wrap, the Spark twin of the oracle's guarded 1-based
+    indexing)."""
+    cols = ["doc_id", "lang"] if with_lang else ["doc_id"]
+    return (
+        d.select(*cols, _tokenize().alias("tk"))
+        .select(*cols, "tk", F.posexplode("tk").alias("pos", "w"))
+        .select(
+            *cols,
+            F.expr("get(tk, pos - 2)").alias("u"),
+            F.expr("get(tk, pos - 1)").alias("v"),
+            "w",
+        )
+    )
+
+
+def _lm_store_key(sf_dir: str, sig: str) -> str:
+    import hashlib
+    import os
+
+    raw = (
+        f"trilm1|{os.path.abspath(sf_dir)}|{sig}|{_TRI_PRUNE_MIN}"
+        f"|{_TRI_L3!r}|{_TRI_L2!r}|{_TRI_L1!r}"
+    )
+    return hashlib.sha256(raw.encode()).hexdigest()[:20]
+
+
+def trigram_model_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-absent and return the committed trained-trigram artifact
+    directory for this corpus (the BPE/PCA store pattern): the count
+    aggregation runs at most once per (corpus signature, prune floor,
+    lambdas); every later call reads the pruned parquet model. Training
+    is deterministic (integer corpus counts), so a concurrent builder's
+    committed generation is equivalent and the rename race keeps
+    whichever landed first."""
+    import os
+    import shutil
+
+    from .bpe import _build_root, _sweep_stale_builds, corpus_signature
+
+    sig = corpus_signature(sf_dir, "documents")
+    root = _build_root("spark_graft_trilm_store", sig)
+    final = os.path.join(root, _lm_store_key(sf_dir, sig))
+    if not os.path.isfile(os.path.join(final, "_COMMITTED")):
+        _sweep_stale_builds(root)
+        tmp = f"{final}.build{os.getpid()}"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        tri = _doc_triples(load(spark, sf_dir, "documents"))
+        pf = tri.groupBy("u", "v", "w").agg(F.count("*").alias("n"))
+        uni = pf.groupBy("w").agg(F.sum("n").alias("n")).select(
+            F.lit("uni").alias("kind"),
+            F.lit(None).cast("string").alias("u"),
+            F.lit(None).cast("string").alias("v"),
+            "w",
+            "n",
+        )
+        bg_all = (
+            pf.filter(F.col("v").isNotNull())
+            .groupBy("v", "w")
+            .agg(F.sum("n").alias("n"))
+        )
+        bg = bg_all.filter(F.col("n") >= _TRI_PRUNE_MIN).select(
+            F.lit("bg").alias("kind"),
+            F.lit(None).cast("string").alias("u"),
+            "v",
+            "w",
+            "n",
+        )
+        cv = (
+            bg_all.groupBy("v")
+            .agg(F.sum("n").alias("n"))
+            # context totals only for contexts with a surviving row: the
+            # stored model stays bounded by the pruned tables
+            .join(
+                bg_all.filter(F.col("n") >= _TRI_PRUNE_MIN)
+                .select("v")
+                .distinct(),
+                "v",
+                "left_semi",
+            )
+            .select(
+                F.lit("cv").alias("kind"),
+                F.lit(None).cast("string").alias("u"),
+                "v",
+                F.lit(None).cast("string").alias("w"),
+                "n",
+            )
+        )
+        tg_all = (
+            pf.filter(F.col("u").isNotNull())
+            .groupBy("u", "v", "w")
+            .agg(F.sum("n").alias("n"))
+        )
+        tg = tg_all.filter(F.col("n") >= _TRI_PRUNE_MIN).select(
+            F.lit("tg").alias("kind"), "u", "v", "w", "n"
+        )
+        cuv = (
+            tg_all.groupBy("u", "v")
+            .agg(F.sum("n").alias("n"))
+            .join(
+                tg_all.filter(F.col("n") >= _TRI_PRUNE_MIN)
+                .select("u", "v")
+                .distinct(),
+                ["u", "v"],
+                "left_semi",
+            )
+            .select(
+                F.lit("cuv").alias("kind"),
+                "u",
+                "v",
+                F.lit(None).cast("string").alias("w"),
+                "n",
+            )
+        )
+        total = pf.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n")).select(
+            F.lit("meta").alias("kind"),
+            F.lit(None).cast("string").alias("u"),
+            F.lit(None).cast("string").alias("v"),
+            F.lit(None).cast("string").alias("w"),
+            "n",
+        )
+        model = uni.unionByName(bg).unionByName(cv).unionByName(tg).unionByName(
+            cuv
+        ).unionByName(total)
+        model.write.parquet(os.path.join(tmp, "model.parquet"))
+        open(os.path.join(tmp, "_COMMITTED"), "w").close()
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            if os.path.isfile(os.path.join(final, "_COMMITTED")):
+                shutil.rmtree(tmp)
+            else:
+                raise
+    return final
+
+
+def _trigram_scores(
+    spark: SparkSession, sf_dir: str, by_lang: bool = False
+) -> DataFrame:
+    """The per-document trigram-LM bits relation (doc_id[, lang], dl,
+    avg_bits), SERVED from the committed artifact — one definition for
+    the perplexity entry and the CCNet-split variant (the `_ppl_scores`
+    contract with the trained model swapped in)."""
+    import os
+
+    model_dir = trigram_model_dir(spark, sf_dir)
+    m = spark.read.schema(_LM_SCHEMA).parquet(
+        os.path.join(model_dir, "model.parquet")
+    )
+    uni = m.filter(F.col("kind") == "uni").select("w", F.col("n").alias("c_w"))
+    bg = m.filter(F.col("kind") == "bg").select(
+        "v", "w", F.col("n").alias("c_vw")
+    )
+    cv = m.filter(F.col("kind") == "cv").select("v", F.col("n").alias("c_v"))
+    tg = m.filter(F.col("kind") == "tg").select(
+        "u", "v", "w", F.col("n").alias("c_uvw")
+    )
+    cuv = m.filter(F.col("kind") == "cuv").select(
+        "u", "v", F.col("n").alias("c_uv")
+    )
+    total = m.filter(F.col("kind") == "meta").select(F.col("n").alias("t"))
+
+    grp = ["doc_id", "lang"] if by_lang else ["doc_id"]
+    tri = _doc_triples(load(spark, sf_dir, "documents"), with_lang=by_lang)
+    pf = tri.groupBy(*grp, "u", "v", "w").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    q1 = F.col("c_w").cast("double") / F.col("t").cast("double")
+    q2 = F.coalesce(
+        F.col("c_vw").cast("double") / F.col("c_v").cast("double"), F.lit(0.0)
+    )
+    q3 = F.coalesce(
+        F.col("c_uvw").cast("double") / F.col("c_uv").cast("double"), F.lit(0.0)
+    )
+    p = (
+        F.when(F.col("v").isNull(), q1)
+        .when(
+            F.col("u").isNull(),
+            F.lit(_TRI_L3 + _TRI_L2) * q2 + F.lit(_TRI_L1) * q1,
+        )
+        .otherwise(
+            F.lit(_TRI_L3) * q3 + F.lit(_TRI_L2) * q2 + F.lit(_TRI_L1) * q1
+        )
+    )
+    return (
+        pf.join(uni, "w")
+        .join(bg, ["v", "w"], "left")
+        .join(cv, ["v"], "left")
+        .join(tg, ["u", "v", "w"], "left")
+        .join(cuv, ["u", "v"], "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn("bits", F.col("n") * -(F.log(p) / F.log(F.lit(2.0))))
+        .groupBy(*grp)
+        .agg(
+            F.sum("n").cast("long").alias("dl"),
+            F.round(F.sum("bits") / F.sum("n"), 6).alias("avg_bits"),
+        )
+    )
+
+
+@register(
+    "llm_trigram_perplexity",
+    oracle=_TRIGRAM_PPL_ORACLE,
+    tags=("llm", "text", "quality", "model"),
+)
+def llm_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity (avg bits) under the TRAINED interpolated
+    trigram LM, served from the committed artifact store — the trained
+    n-gram model the perplexity plumbing was built for (the production
+    KenLM's exact-arithmetic stand-in, pruned like one). The oracle
+    re-derives the ENTIRE model from scratch in SQL — counts, pruning,
+    context totals, interpolation — so a parity pass proves training,
+    the store round-trip, and the serving arithmetic in one gate (the
+    BPE CTE-replay precedent). See the module docstring for the model
+    definition and the 100 TB shape."""
+    return _trigram_scores(spark, sf_dir)
+
+
+@register(
+    "llm_ccnet_buckets_lm",
+    oracle=f"""
+    WITH {_TRI_MODEL_CTES},
+    r AS (
+      SELECT doc_id, lang, CAST(sum(n) AS BIGINT) AS dl,
+             round(sum(n * -(ln(p) / ln(2))) / sum(n), 6) AS avg_bits
+      FROM scored GROUP BY doc_id, lang
+    ),
+    rk AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY lang ORDER BY avg_bits, doc_id)
+               AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM r
+    )
+    SELECT doc_id, lang, dl, avg_bits,
+           CASE WHEN rk * 3 <= n THEN 'head'
+                WHEN rk * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM rk
+    """,
+    tags=("llm", "text", "quality", "model"),
+)
+def llm_ccnet_buckets_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail split scored by the TRAINED trigram LM
+    — the swap-in `llm_ccnet_buckets`' docstring promises ("the
+    production form swaps in a trained KenLM behind the same plumbing"),
+    now executed: identical per-language rank-tercile cut
+    (integer-exact rk*3 <= n arithmetic over the round-6 avg_bits grid,
+    doc_id ties), with the score relation coming from `_trigram_scores`
+    (the committed artifact) instead of the corpus unigram replay. A
+    sequence-aware model splits differently from a bag-of-words one —
+    repetitive-but-ordered boilerplate moves toward the head, rare-word
+    noise stays in the tail (pinned on planted corpora in
+    tests/test_ngram_lm.py)."""
+    from pyspark.sql import Window as W
+
+    r = _trigram_scores(spark, sf_dir, by_lang=True)
+    w = W.partitionBy("lang").orderBy("avg_bits", "doc_id")
+    wn = W.partitionBy("lang")
+    rk = F.row_number().over(w)
+    n = F.count("*").over(wn)
+    return r.select(
+        "doc_id",
+        "lang",
+        "dl",
+        "avg_bits",
+        F.when(rk * 3 <= n, F.lit("head"))
+        .when(rk * 3 <= 2 * n, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

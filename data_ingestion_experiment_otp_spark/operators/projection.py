@@ -16,10 +16,10 @@ for the shared arithmetic, the data-dependent member is pinned against an
 independent reference):
 
 - ``llm_embed_rp`` — data-OBLIVIOUS sparse random projection (Achlioptas
-  2003): the projection matrix is derived entry-by-entry from a two-step
-  Lehmer hash of (i, j), so the oracle rederives it from scratch in SQL —
-  a fully self-contained cross-engine hash gate over the exact integer
-  dot-product arithmetic.
+  2003): the projection matrix is derived entry-by-entry from a
+  squared-Lehmer hash of (i, j), so the oracle rederives it from scratch
+  in SQL — a fully self-contained cross-engine hash gate over the exact
+  integer dot-product arithmetic.
 - ``llm_embed_pca`` — data-DEPENDENT projection: distributed covariance
   via per-partition integer partial sums (the `_sem_train` reduce shape,
   made fold-order-exact by GRID-QUANTIZING each component to 1e-6 ints
@@ -55,15 +55,22 @@ _EMB_GRID = 1_000_000
 _RP_DIM = 16  # random-projection output dims (64 -> 16 on the fixture)
 _PCA_DIM = 8  # PCA output dims
 
-# Two-step Lehmer mix for the (i, j) -> sign derivation. ONE step is
-# monotone for small arguments (clustering.py's r9 lesson: id*48271 never
-# wraps below ~44k, so "hashed" order was id order; here the flat index
-# i*_RP_DIM+j tops out at ~1k and one step would make h % 6 literally
-# periodic in the flat index — 48271 % 6 == 1). Two squared-multiplier
-# steps wrap ~87 times over the index range; both engines evaluate the
-# chain exactly in int64 (max intermediate ~2^31 * 1.83e8 < 2^63).
+# (i, j) -> sign derivation: two independent per-axis Lehmer streams
+# paired multiplicatively, then one SQUARING step, then one final Lehmer
+# mix. The r12 lesson (measured, tests/test_projection_width.py): the r11
+# family — two Lehmer steps over the FLAT index i*k+j — composes to ONE
+# linear map h = flat*C mod M, and a linear-congruential lattice makes
+# sign COLUMNS correlate up to 0.96, costing ~2.5x the iid JL distortion
+# (the planted d=1024 corpus exposed it; the isotropic d=64 fixture's
+# loose JL bound had absorbed it). The squaring step is the nonlinearity
+# a multiplier chain cannot provide; measured distortion now matches an
+# iid Achlioptas matrix (mean |Δcos| 0.102 vs 0.094 iid at d=1024, k=64).
+# Every intermediate stays int64-exact on both engines: all factors are
+# < 2^31, so every product is < 2^62.
 _LEHMER_MOD = 2147483647
-_LEHMER_MULT2 = (48271 * 48271) % _LEHMER_MOD  # 182605794
+_LEHMER_MULT_I = 48271  # MINSTD (axis-i stream)
+_LEHMER_MULT_J = 16807  # classic Lewis-Goodman-Miller (axis-j stream)
+_LEHMER_MULT2 = (48271 * 48271) % _LEHMER_MOD  # 182605794 (final mix)
 
 # Achlioptas sparse family: s(i,j) = +1 / -1 / 0 with p = 1/6, 1/6, 2/3
 # (entries sqrt(3)*s have unit variance), so the unbiased length-preserving
@@ -73,30 +80,32 @@ _RP_SCALE = math.sqrt(3.0 / _RP_DIM) / _EMB_GRID
 
 
 def _sign_case_sql(i_expr: str, j_expr: str) -> str:
-    """The s(i,j) derivation as engine-neutral SQL: two Lehmer steps over
-    the flat index, bucket mod 6 -> {+1, -1, 0}. The Column-side twin is
-    `_sign_col`; a pytest pin holds the two implementations equal over
-    the full (i, j) range so the family cannot drift (the r9
-    correlated-permutation lesson)."""
-    flat = f"(({i_expr}) * {_RP_DIM} + ({j_expr}) + 1)"
-    h = (
-        f"((({flat} * {_LEHMER_MULT2}) % {_LEHMER_MOD})"
-        f" * {_LEHMER_MULT2}) % {_LEHMER_MOD}"
-    )
-    return f"(CASE ({h}) % 6 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END)"
+    """The s(i,j) derivation as engine-neutral SQL: per-axis Lehmer
+    streams -> product -> square -> final mix, bucket mod 6 ->
+    {+1, -1, 0}. The Python twin is `_sign_py`; a pytest pin holds the
+    two implementations equal over a wide (i, j) range so the family
+    cannot drift (the r9 correlated-permutation lesson). The derivation
+    depends ONLY on (i, j) — not on the output width — so a d x k
+    matrix at any width is a prefix of the same infinite family."""
+    hi = f"(((({i_expr}) + 1) * {_LEHMER_MULT_I}) % {_LEHMER_MOD})"
+    hj = f"(((({j_expr}) + 1) * {_LEHMER_MULT_J}) % {_LEHMER_MOD})"
+    h1 = f"(({hi} * {hj}) % {_LEHMER_MOD})"
+    h2 = f"(({h1} * {h1}) % {_LEHMER_MOD})"
+    h3 = f"(({h2} * {_LEHMER_MULT2}) % {_LEHMER_MOD})"
+    return f"(CASE ({h3}) % 6 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END)"
 
 
-def _sign_py(i: int, j: int, k: int = _RP_DIM) -> int:
+def _sign_py(i: int, j: int) -> int:
     """`_sign_case_sql` in Python: identical int chain, identical bucket
-    map (pinned equal over the full range in tests). The Spark side ships
+    map (pinned equal over a wide range in tests). The Spark side ships
     the tiny d x k sign matrix as array literals instead of re-deriving
     the chain per element per row — measured 7x cheaper at sf0.1, and the
-    matrix is ~1 KB at any corpus size (it depends only on (d, k)). `k`
-    parameterizes the output width for non-default projections (the
-    production-width chain tests); the driver entry always uses _RP_DIM,
-    matching the SQL twin's baked constant."""
-    flat = i * k + j + 1
-    h = ((flat * _LEHMER_MULT2) % _LEHMER_MOD) * _LEHMER_MULT2 % _LEHMER_MOD
+    matrix is ~1 KB at any corpus size (it depends only on (d, k))."""
+    hi = ((i + 1) * _LEHMER_MULT_I) % _LEHMER_MOD
+    hj = ((j + 1) * _LEHMER_MULT_J) % _LEHMER_MOD
+    h = (hi * hj) % _LEHMER_MOD
+    h = (h * h) % _LEHMER_MOD
+    h = (h * _LEHMER_MULT2) % _LEHMER_MOD
     b = h % 6
     return 1 if b == 0 else (-1 if b == 1 else 0)
 
@@ -203,8 +212,8 @@ def llm_embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse random projection of every embedding to _RP_DIM dims
     (Achlioptas 2003 / Johnson-Lindenstrauss): y_j = sqrt(3/k) * x . s_j
     with s(i,j) in {+1, -1, 0} (p = 1/6, 1/6, 2/3) derived from a
-    two-step Lehmer hash of the flat (i, j) index — no trained state, no
-    stored matrix, any executor rederives any entry from two integers.
+    squared-Lehmer hash of (i, j) — no trained state, no stored matrix,
+    any executor rederives any entry from two integers.
 
     Exactness: components are grid-quantized to 1e-6 int64 BEFORE the
     dot product, so the sum is integer arithmetic — fold-order-free on
@@ -229,7 +238,62 @@ def llm_embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_project(_clean_vectors(load_vectors(spark, sf_dir)))
 
 
-def rp_project(v: DataFrame, k: int = _RP_DIM) -> DataFrame:
+# d x k cells above this route to the Arrow BLAS kernel: the zip_with/
+# aggregate codegen dot is ideal at fixture scale (zero Python, one
+# whole-stage pass) but higher-order-function lambdas cost ~one virtual
+# call per element, so at production width the per-row cost is
+# d x k lambda invocations — measured 13.3 s for just 1,200 rows at
+# (1024, 64) vs ~1 s for the BLAS matmul of the identical integers. The
+# driver entry's (64, 16) = 1,024 cells stays comfortably on the codegen
+# path, so its zero-Python plan claim and its hash are untouched.
+_RP_BLAS_CELLS = 8192
+
+
+def _rp_blas_kernel(cols, scale: float, grid: int):
+    """Arrow-batched exact projection: quantize, integer matmul in
+    float64, scale — the llm_sim_topk BLAS shape applied to the
+    projection arithmetic. EXACT by the same argument as the codegen
+    path: |q| <= ~2e6 per component (unit-scale embeddings) and every
+    partial sum is <= d * max|q| < 2^53, so float64 accumulates the
+    integer dot with zero rounding; a LOUD guard enforces the bound
+    (the _pca_moments precedent). Emits UNROUNDED scaled values — the
+    caller applies F.round so both kernels share Spark's HALF_UP
+    semantics (np.round is banker's; a silent mix would diverge on
+    exact half-boundary doubles). Factory, so the closure (and the tiny
+    d x k sign matrix) is cloudpickled by value."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        S = np.array(cols, dtype=np.float64).T  # (d, k)
+        d, k = S.shape
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.floor(np.abs(X) * grid + 0.5) * np.sign(X)
+            m = float(np.abs(Q).max(initial=0.0))
+            if m * d >= float(2**53):
+                raise ValueError(
+                    "RP BLAS accumulation would exceed float64 exactness: "
+                    f"max|q|={m:.3g} over d={d} — rescale the embeddings "
+                    "to unit range"
+                )
+            Y = (Q @ S) * scale
+            ids = np.repeat(pdf["vec_id"].to_numpy(), k)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "component": np.tile(np.arange(k, dtype=np.int32), len(pdf)),
+                    "proj": Y.ravel(),
+                }
+            )
+
+    return batches
+
+
+def rp_project(v: DataFrame, k: int = _RP_DIM, impl: str = "auto") -> DataFrame:
     """The RP kernel over an arbitrary (vec_id, embedding) relation at an
     arbitrary output width — `llm_embed_rp`'s body, factored so the
     production-width chain (1024-dim planted corpora in
@@ -237,7 +301,13 @@ def rp_project(v: DataFrame, k: int = _RP_DIM) -> DataFrame:
     corpus before the PCA/ANN tiers) runs the IDENTICAL arithmetic the
     driver-hash-gated entry runs at (d=64, k=16). Input rows must already
     be `_clean_vectors`-clean; rows narrower than the corpus max width
-    are excluded by the shared max rule."""
+    are excluded by the shared max rule.
+
+    Two physical strategies for one arithmetic (`impl`: 'auto' routes on
+    d x k, see _RP_BLAS_CELLS; 'codegen' / 'blas' force): the zip_with
+    whole-stage dot at fixture widths, the Arrow BLAS matmul at
+    production widths — value-identical by construction (integer dot
+    either way, one shared F.round; pinned equal in the width tests)."""
     d = _emb_dim(v)
     if d == 0:
         return v.select(
@@ -246,9 +316,17 @@ def rp_project(v: DataFrame, k: int = _RP_DIM) -> DataFrame:
             F.lit(0.0).alias("proj"),
         ).limit(0)
     v = v.filter(F.size("embedding") == d)
+    scale = math.sqrt(3.0 / k) / _EMB_GRID
+    cols = [[_sign_py(i, j) for i in range(d)] for j in range(k)]
+    use_blas = impl == "blas" or (impl == "auto" and d * k > _RP_BLAS_CELLS)
+    if use_blas:
+        out = v.select("vec_id", "embedding").mapInPandas(
+            _rp_blas_kernel(cols, scale, _EMB_GRID),
+            "vec_id long, component int, proj double",
+        )
+        return out.select("vec_id", "component", F.round("proj", 6).alias("proj"))
     qv = F.transform("embedding", lambda x: _q(x))
-    cols = [[_sign_py(i, j, k) for i in range(d)] for j in range(k)]
-    return _serve_projection(v, qv, cols, math.sqrt(3.0 / k) / _EMB_GRID)
+    return _serve_projection(v, qv, cols, scale)
 
 
 # ---------------------------------------------------------------------------

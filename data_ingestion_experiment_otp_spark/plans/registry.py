@@ -304,6 +304,7 @@ def all_queries() -> dict[str, QuerySpec]:
         layout,
         materialize,
         multimodal,
+        ngram_lm,
         profile,
         projection,
         relational,

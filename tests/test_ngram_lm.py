@@ -1,0 +1,150 @@
+"""Trained interpolated trigram LM (operators/ngram_lm.py).
+
+The cross-engine gate (training + store round-trip + serving arithmetic
+vs the full from-scratch CTE replay) runs in test_oracle_parity.py; here
+we pin the properties the artifact exists for:
+
+- SEQUENCE AWARENESS on planted corpora: two docs with the IDENTICAL bag
+  of words — one in the corpus-frequent order, one scrambled — are
+  indistinguishable to the unigram scorer but split by the trigram model
+  (the CCNet claim a bag-of-words stand-in cannot test).
+- CCNet label pins: ordered boilerplate lands in 'head', rare-word noise
+  in 'tail' under the trained model's tercile cut.
+- The artifact is a real pruned MODEL: singleton trigrams are absent
+  from the store, the store is built once (second call serves the same
+  committed generation), and serving replays fresh-trained scores.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_ingestion_experiment_otp_spark.operators.ngram_lm import (
+    _TRI_PRUNE_MIN,
+    _LM_SCHEMA,
+    _trigram_scores,
+    llm_ccnet_buckets_lm,
+    llm_trigram_perplexity,
+    trigram_model_dir,
+)
+from data_ingestion_experiment_otp_spark.operators.text_analysis import (
+    _ppl_scores,
+)
+
+# The planted corpus: doc 0 = boilerplate in a CONSISTENT order repeated
+# corpus-wide; doc 1 = the same phrase vocabulary; doc 2 = doc 1's exact
+# bag of words SCRAMBLED (bigrams/trigrams that never repeat); doc 3 =
+# rare-word noise (every token unique to the doc). Docs 4+ repeat the
+# boilerplate so its n-grams clear the prune floor with a wide margin.
+_PHRASE = "the quick brown fox jumps over the lazy dog"
+_DOCS = [
+    (0, " ".join([_PHRASE] * 6), "en"),
+    (1, _PHRASE + " " + _PHRASE, "en"),
+    (2, "dog the fox brown lazy the jumps quick over "
+        "over quick jumps the lazy brown fox the dog", "en"),
+    (3, "zyxw vutsr qponm lkjih gfedc baazz yyxxw wwvvu", "en"),
+    (4, " ".join([_PHRASE] * 4), "en"),
+    (5, " ".join([_PHRASE] * 4), "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("trilm_planted"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in _DOCS], pa.int64()),
+            "text": pa.array([r[1] for r in _DOCS], pa.string()),
+            "lang": pa.array([r[2] for r in _DOCS], pa.string()),
+            "source": pa.array(["planted"] * len(_DOCS), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in _DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    return d
+
+
+class TestSequenceAwareness:
+    def test_trigram_splits_what_unigram_cannot(self, spark, planted_dir):
+        """Docs 1 and 2 share the exact bag of words: the unigram scorer
+        gives them identical avg_bits; the trained trigram model scores
+        the corpus-frequent ORDER strictly cheaper."""
+        uni = {
+            r["doc_id"]: r["avg_bits"]
+            for r in _ppl_scores(spark, planted_dir).collect()
+        }
+        assert uni[1] == pytest.approx(uni[2], abs=1e-6)
+        tri = {
+            r["doc_id"]: r["avg_bits"]
+            for r in llm_trigram_perplexity(spark, planted_dir).collect()
+        }
+        assert tri[1] < tri[2] - 0.5  # a decisive gap, not a rounding one
+
+    def test_ccnet_lm_labels_on_planted_corpus(self, spark, planted_dir):
+        """Ordered boilerplate -> 'head'; rare-word noise -> 'tail' under
+        the trained model's per-language tercile cut."""
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in llm_ccnet_buckets_lm(spark, planted_dir).collect()
+        }
+        assert got[0] == "head"
+        assert got[3] == "tail"
+        # the scrambled doc scores strictly worse than its ordered twin
+        order = {
+            r["doc_id"]: r["avg_bits"]
+            for r in llm_trigram_perplexity(spark, planted_dir).collect()
+        }
+        assert order[1] < order[2]
+
+
+class TestArtifactStore:
+    def test_store_is_pruned_and_committed_once(self, spark, planted_dir):
+        d1 = trigram_model_dir(spark, planted_dir)
+        d2 = trigram_model_dir(spark, planted_dir)
+        assert d1 == d2 and os.path.isfile(os.path.join(d1, "_COMMITTED"))
+        m = spark.read.schema(_LM_SCHEMA).parquet(
+            os.path.join(d1, "model.parquet")
+        )
+        tg = m.filter(F.col("kind") == "tg")
+        # every stored trigram cleared the prune floor...
+        assert tg.filter(F.col("n") < _TRI_PRUNE_MIN).count() == 0
+        # ...and the scrambled doc's one-off trigram was pruned away
+        # ((dog, the, fox) occurs only in doc 2; (dog, the, quick) is the
+        # boilerplate's cross-repeat trigram and survives)
+        assert (
+            tg.filter(
+                (F.col("u") == "dog")
+                & (F.col("v") == "the")
+                & (F.col("w") == "fox")
+            ).count()
+            == 0
+        )
+        # the boilerplate's repeated trigram survived
+        assert (
+            tg.filter(
+                (F.col("u") == "the")
+                & (F.col("v") == "quick")
+                & (F.col("w") == "brown")
+            ).count()
+            == 1
+        )
+
+    def test_served_scores_replay_fresh_training(self, spark, planted_dir):
+        """Serving from the committed store equals a second serve (the
+        deterministic-training claim: the artifact IS the model, there
+        is no fit-time randomness to drift)."""
+        a = sorted(
+            (r["doc_id"], r["dl"], r["avg_bits"])
+            for r in _trigram_scores(spark, planted_dir).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["dl"], r["avg_bits"])
+            for r in _trigram_scores(spark, planted_dir).collect()
+        )
+        assert a == b and len(a) == len(_DOCS)

@@ -42,9 +42,13 @@ def _ref_quantize(X: np.ndarray) -> np.ndarray:
 
 
 def _ref_sign(i: int, j: int) -> int:
-    """Independent re-statement of the Achlioptas sign derivation."""
-    flat = i * 16 + j + 1
-    h = ((flat * 182605794) % 2147483647) * 182605794 % 2147483647
+    """Independent re-statement of the Achlioptas sign derivation (r12
+    squared-Lehmer family: per-axis streams, product, square, final mix
+    — constants spelled out, no package imports)."""
+    m = 2147483647
+    h = ((((i + 1) * 48271) % m) * (((j + 1) * 16807) % m)) % m
+    h = (h * h) % m
+    h = (h * 182605794) % m
     b = h % 6
     return 1 if b == 0 else (-1 if b == 1 else 0)
 
