@@ -819,10 +819,24 @@ def llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, dl, logratio): the DSIR importance scorer shared
-    by the exact rank selection and the approx-threshold scale variant —
-    see llm_dsir_select for the arithmetic and plan shape."""
+def dsir_bucket_expr() -> str:
+    """The hashed-unigram bucket expression over a `ws` token-array
+    column — ONE definition consumed by the batch scorer and the
+    streaming selection gate (the _query_pred lesson: an inline copy at
+    the gate would let the two feature spaces silently drift)."""
+    from .text_analysis import _QC_HASH_MOD
+
+    return (
+        "transform(ws, w -> aggregate(transform(sequence(1, length(w)), "
+        "i -> cast(ascii(substr(w, i, 1)) as bigint)), 0L, "
+        f"(a, x) -> (a * 31 + x) % {_QC_HASH_MOD}) % {_DSIR_BUCKETS})"
+    )
+
+
+def _dsir_bucket_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpointed (doc_id, source, quality, b, cnt) relation both
+    the scorer and the gate calibration derive from — see llm_dsir_select
+    for the plan-shape argument."""
     from .text_analysis import quality_expr
 
     d = load(spark, sf_dir, "documents")
@@ -834,15 +848,11 @@ def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("words").alias("ws"),
         quality_expr().alias("quality"),
     )
-    from .text_analysis import _QC_HASH_MOD
-
-    bucket_expr = (
-        "transform(ws, w -> aggregate(transform(sequence(1, length(w)), "
-        "i -> cast(ascii(substr(w, i, 1)) as bigint)), 0L, "
-        f"(a, x) -> (a * 31 + x) % {_QC_HASH_MOD}) % {_DSIR_BUCKETS})"
-    )
     db = q.filter(F.size("ws") > 0).select(
-        "doc_id", "source", "quality", F.explode(F.expr(bucket_expr)).alias("b")
+        "doc_id",
+        "source",
+        "quality",
+        F.explode(F.expr(dsir_bucket_expr())).alias("b"),
     )
     # Four downstream branches (raw buckets, target buckets, both totals,
     # the per-doc scorer) derive from this relation with DIFFERENT
@@ -852,11 +862,18 @@ def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket) counts are bounded by B rows per doc — orders of magnitude
     # smaller than the token stream — so a lazy localCheckpoint pays one
     # materialization and every branch reads it.
-    dbc = (
+    return (
         db.groupBy("doc_id", "source", "quality", "b")
         .agg(F.count("*").cast("long").alias("cnt"))
         .localCheckpoint(eager=False)
     )
+
+
+def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, dl, logratio): the DSIR importance scorer shared
+    by the exact rank selection and the approx-threshold scale variant —
+    see llm_dsir_select for the arithmetic and plan shape."""
+    dbc = _dsir_bucket_rel(spark, sf_dir)
     cb_r = dbc.groupBy("b").agg(F.sum("cnt").cast("long").alias("c_r"))
     cb_t = (
         dbc.filter(F.col("quality") >= _MIX_QUALITY_FLOOR)
@@ -919,6 +936,54 @@ def llm_dsir_select_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "logratio",
         (F.col("logratio") >= F.col("thr")).alias("selected"),
     )
+
+
+def dsir_calibration(spark: SparkSession, sf_dir: str) -> dict:
+    """Calibrate-once inputs for the streaming SELECTION gate (stage 10,
+    `streaming.curation.dsir_gate_sink`): the raw/target hashed-unigram
+    bucket models (<= 2 x _DSIR_BUCKETS integers), their totals, and the
+    per-source threshold cuts — `llm_dsir_select_approx`'s
+    percentile_approx at the same keep fraction — plus a '*' global
+    fallback for sources unseen at calibration.
+
+    Driver-side BY CONTRACT (the centroids / gate-weights /
+    benchmark-shingles pattern): the models are B-bounded and the
+    thresholds are one scalar per source; recalibration against a newer
+    corpus snapshot is a control-plane sink swap."""
+    dbc = _dsir_bucket_rel(spark, sf_dir)
+    c_r = {
+        int(r["b"]): int(r["c_r"])
+        for r in dbc.groupBy("b")
+        .agg(F.sum("cnt").cast("long").alias("c_r"))
+        .collect()
+    }
+    c_t = {
+        int(r["b"]): int(r["c_t"])
+        for r in dbc.filter(F.col("quality") >= _MIX_QUALITY_FLOOR)
+        .groupBy("b")
+        .agg(F.sum("cnt").cast("long").alias("c_t"))
+        .collect()
+    }
+    pct = 1.0 - 1.0 / _DSIR_KEEP_DEN
+    scored = _dsir_scores(spark, sf_dir)
+    thr = {
+        r["source"]: float(r["thr"])
+        for r in scored.groupBy("source")
+        .agg(F.percentile_approx("logratio", pct, 10_000).alias("thr"))
+        .collect()
+        if r["thr"] is not None
+    }
+    g = scored.agg(
+        F.percentile_approx("logratio", pct, 10_000).alias("thr")
+    ).first()
+    return {
+        "c_r": c_r,
+        "c_t": c_t,
+        "rtot": sum(c_r.values()),
+        "ttot": sum(c_t.values()),
+        "thr": thr,
+        "thr_global": float(g["thr"]) if g and g["thr"] is not None else float("-inf"),
+    }
 
 
 def _finalize_mixture_oracle() -> None:

@@ -168,6 +168,12 @@ GRAM_INDEX_SCHEMA = T.StructType(
     [
         T.StructField("g", T.LongType()),
         T.StructField("n", T.LongType()),
+        # adm = admit epoch as a data column (r12, closing the family's
+        # last replay-vs-compaction caveat): the fold preserves
+        # per-(gram, adm) rows, so the replay guard survives compaction
+        # exactly as it does on the dedup/near/sem indexes. Legacy
+        # pre-adm rows read NULL and coalesce to src_batch.
+        T.StructField("adm", T.LongType()),
         T.StructField("src_batch", T.LongType()),
     ]
 )
@@ -186,8 +192,13 @@ def compact_span_index(spark, gram_index_dir: str, out_dir: str) -> None:
     Screening new epochs against the compacted generation is
     byte-identical to screening against the epoch stack (pinned in
     tests): the sink only ever consumes the per-gram SUM, and every
-    folded epoch is < any future batch_id, so the ``src_batch <
-    batch_id`` replay guard still admits the whole folded history.
+    folded epoch is < any future batch_id, so the replay guard still
+    admits the whole folded history. The fold groups by (g, adm) — the
+    admit epoch riding as a data column (r12, the `adm` pattern from the
+    dedup index) — so EPOCH REPLAY also composes with compaction: a
+    replayed epoch's ``coalesce(adm, src_batch) < batch_id`` guard
+    excludes its own folded contribution instead of double-counting it
+    (the caveat this module's r11 docstring could only document).
 
     The output is a fresh directory (generation swap — build, then
     readers move), stamped with a ``_COMPACTED`` marker (an
@@ -223,9 +234,12 @@ def compact_span_index(spark, gram_index_dir: str, out_dir: str) -> None:
             pass
     folded = sorted(folded_set)
     (
-        idx.groupBy("g")
+        idx.select(
+            "g", "n", F.coalesce("adm", "src_batch").alias("adm")
+        )
+        .groupBy("g", "adm")
         .agg(F.sum("n").alias("n"))
-        .select("g", "n", F.lit(0).alias("src_batch"))
+        .select("g", "n", "adm", F.lit(0).alias("src_batch"))
         .write.mode("overwrite")
         .option("compression", "zstd")
         .partitionBy("src_batch")
@@ -257,10 +271,12 @@ def span_screen_sink(
     whole-corpus coverage is `llm_dup_spans`' batch job over the stores.
 
     Replay safety is the module's standard contract: the screen reads
-    only ``src_batch < batch_id`` partitions (partition-pruned), and
-    both writes are epoch-scoped overwrites, so a replayed epoch
-    produces byte-identical audit rows and index contribution instead of
-    double-counting its own grams.
+    only ``coalesce(adm, src_batch) < batch_id`` rows (partition-pruned
+    on the epoch stack; the `adm` data column carries the same guard
+    through a fold — r12, so replay composes with compaction like the
+    rest of the index family), and both writes are epoch-scoped
+    overwrites, so a replayed epoch produces byte-identical audit rows
+    and index contribution instead of double-counting its own grams.
 
     Scale shape: the index is (8-byte gram hash, count, epoch) — no
     positions, no text; per-epoch moving state is O(batch tokens) for
@@ -280,7 +296,10 @@ def span_screen_sink(
                 spark.read.schema(GRAM_INDEX_SCHEMA)
                 .option("basePath", gram_index_dir)
                 .parquet(gram_index_dir)
-                .filter(F.col("src_batch") < batch_id)  # replay: ignore own epoch
+                # replay guard: ignore own epoch, INCLUDING its folded
+                # contribution (adm survives compaction; legacy rows
+                # coalesce to their partition epoch)
+                .filter(F.coalesce(F.col("adm"), F.col("src_batch")) < batch_id)
                 .groupBy("g")
                 .agg(F.sum("n").alias("c_cnt"))
             )
@@ -298,6 +317,7 @@ def span_screen_sink(
             bcounts.select(
                 "g",
                 F.col("b_cnt").alias("n"),
+                F.lit(batch_id).alias("adm"),
                 F.lit(batch_id).alias("src_batch"),
             )
             .write.mode("overwrite")

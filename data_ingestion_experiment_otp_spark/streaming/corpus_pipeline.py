@@ -91,6 +91,8 @@ def corpus_ingest_dirs(work_dir: str) -> dict[str, str]:
         "gate_audit": os.path.join(work_dir, "gate_audit"),
         "decon_accepted": os.path.join(work_dir, "decon_accepted"),
         "decon_audit": os.path.join(work_dir, "decon_audit"),
+        "sel_accepted": os.path.join(work_dir, "sel_accepted"),
+        "sel_audit": os.path.join(work_dir, "sel_audit"),
     }
 
 
@@ -105,6 +107,7 @@ def corpus_ingest_epoch(
     sem_model: str | None = None,
     gate_weights: list | None = None,
     decon_hashes: list[int] | None = None,
+    select_calib: dict | None = None,
 ):
     """The per-epoch function: built separately from the stream so a
     replay (same stores, same params, same batch_id) can be driven
@@ -172,9 +175,21 @@ def corpus_ingest_epoch(
     post-hoc shape — decontamination audits what will actually be
     trained on, so the benchmark gram join pays only on docs every
     cheaper tier admitted, and a contaminated doc can never reach the
-    curated mixture or either serving index."""
+    curated mixture or either serving index.
+
+    With `select_calib` (the DSIR bucket models + per-source thresholds —
+    `operators.sampling.dsir_calibration`'s output, the calibrate-once
+    contract), the data SELECTION gate (`curation.dsir_gate_sink`, r12 —
+    stage 10, the batch `llm_dsir_select_approx` served at ingest,
+    completing batch/streaming parity for the selection tier) runs LAST,
+    after every screen and both gates: survivors land in
+    ``sel_accepted`` (the relation curation, the serving indexes, and
+    the span screen then consume), rejects in ``sel_audit`` with their
+    importance logratios. Last is the published shape — selection
+    decides what enters the trained pool, so it scores exactly the
+    cleaned, decontaminated content every cheaper tier admitted."""
     from .corpus_index import neardup_screen_sink, semdedup_screen_sink
-    from .curation import classifier_gate_sink, decon_gate_sink
+    from .curation import classifier_gate_sink, decon_gate_sink, dsir_gate_sink
     from .drift_monitor import source_drift_sink
 
     dirs = corpus_ingest_dirs(work_dir)
@@ -205,6 +220,11 @@ def corpus_ingest_epoch(
             decon_hashes, dirs["decon_accepted"], dirs["decon_audit"]
         )
         if decon_hashes is not None
+        else None
+    )
+    select = (
+        dsir_gate_sink(select_calib, dirs["sel_accepted"], dirs["sel_audit"])
+        if select_calib is not None
         else None
     )
     curate = curation_sink(dirs["curated"], centroids, quality_min)
@@ -252,6 +272,11 @@ def corpus_ingest_epoch(
                 admitted = batch_df.sparkSession.read.parquet(
                     os.path.join(dirs["decon_accepted"], f"batch_id={batch_id}")
                 )
+            if select is not None:
+                select(admitted, batch_id)
+                admitted = batch_df.sparkSession.read.parquet(
+                    os.path.join(dirs["sel_accepted"], f"batch_id={batch_id}")
+                )
             curate(admitted, batch_id)
             index(
                 admitted.select(F.col("doc_id").alias("vec_id"), "embedding"),
@@ -280,6 +305,7 @@ def start_corpus_ingest(
     sem_model: str | None = None,
     gate_weights: list | None = None,
     decon_hashes: list[int] | None = None,
+    select_calib: dict | None = None,
 ) -> StreamingQuery:
     """Start the composed ingestion stream over a parquet document feed.
     `centroids` / `quality_min` / `drift_reference` / `sem_model` are the
@@ -289,7 +315,8 @@ def start_corpus_ingest(
     duplicated-substring screen its 6th, with a trained `sem_model`
     artifact the semantic screen its 7th, with trained `gate_weights`
     the model quality gate its 8th, and with calibrated `decon_hashes`
-    the benchmark decontamination gate its 9th."""
+    the benchmark decontamination gate its 9th, and with a
+    `select_calib` calibration the DSIR selection gate its 10th."""
     epoch = corpus_ingest_epoch(
         work_dir,
         centroids,
@@ -301,6 +328,7 @@ def start_corpus_ingest(
         sem_model,
         gate_weights,
         decon_hashes,
+        select_calib,
     )
     return (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
@@ -400,6 +428,8 @@ def corpus_retract(
         "gate_audit": 0,
         "decon_accepted": 0,
         "decon_audit": 0,
+        "sel_accepted": 0,
+        "sel_audit": 0,
     }
 
     def swap_rewrite(part_dir: str, df, partition_by: list[str] | None) -> None:
@@ -482,8 +512,13 @@ def corpus_retract(
         sempart = os.path.join(dirs["sem_accepted"], f"batch_id={b}")
         gatepart = os.path.join(dirs["gate_accepted"], f"batch_id={b}")
         deconpart = os.path.join(dirs["decon_accepted"], f"batch_id={b}")
+        selpart = os.path.join(dirs["sel_accepted"], f"batch_id={b}")
         span_part = next(
-            (p for p in (deconpart, gatepart, sempart, npart) if os.path.isdir(p)),
+            (
+                p
+                for p in (selpart, deconpart, gatepart, sempart, npart)
+                if os.path.isdir(p)
+            ),
             part,
         )
         # Compacted gram index: per-epoch provenance is folded, so RTBF
@@ -618,6 +653,27 @@ def corpus_retract(
             removed["decon_audit"] += dadf.count() - dakept.count()
             swap_rewrite(dapart, dakept, None)
             dadf.unpersist()
+        # Selection-gate stores (r12, select_calib runs): the victims'
+        # rows leave sel_accepted (text + embedding) and the audit
+        # (doc_id + logratio — a function of the victim's own content
+        # and the calibrated models alone, so like the model gate's
+        # margin no other doc's row references it). Stateless gate: no
+        # index to make unknown again.
+        if os.path.isdir(selpart):
+            sldf = spark.read.parquet(selpart).persist()
+            slkept = sldf.filter(~F.col("doc_id").isin(ids))
+            removed["sel_accepted"] += sldf.count() - slkept.count()
+            swap_rewrite(selpart, slkept, None)
+            sldf.unpersist()
+        sapart = os.path.join(dirs["sel_audit"], f"batch_id={b}")
+        if os.path.isdir(sapart):
+            sadf = spark.read.schema(
+                "doc_id long, logratio double"
+            ).parquet(sapart).persist()
+            sakept = sadf.filter(~F.col("doc_id").isin(ids))
+            removed["sel_audit"] += sadf.count() - sakept.count()
+            swap_rewrite(sapart, sakept, None)
+            sadf.unpersist()
         sipart = os.path.join(dirs["sem_index"], f"src_batch={b}")
         if os.path.isdir(sipart):
             # adm must ride through the rewrite: an explicit schema that
@@ -652,21 +708,52 @@ def corpus_retract(
                 shdf.unpersist()
 
         if gv is not None:
-            # Folded generation: subtract the victims' gram counts from
-            # src_batch=0 (exactly the counts the fold would hold had the
-            # victims never arrived); grams driven to zero leave the
-            # index entirely.
+            # Folded generation. Two provenance tiers (r12): rows whose
+            # `adm` column names this epoch are EXACTLY its contribution
+            # — replace them with a recount from the rewritten span
+            # source (per-epoch-exact, no shared-gram arithmetic).
+            # Legacy NULL-adm rows (pre-adm folds) have lost per-epoch
+            # provenance — fall back to subtracting the victims' gram
+            # counts from the legacy rows only (the pre-r12 contract);
+            # grams driven to zero leave the index entirely. adm rides
+            # through both rewrites (the r5 schema-evolution lesson).
             gen = os.path.join(gdir, "src_batch=0")
-            gen_df = spark.read.schema("g long, n long").parquet(gen)
+            gen_df = spark.read.schema("g long, n long, adm long").parquet(gen)
             old_n = gen_df.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
-            gnew = (
-                gen_df.join(gv, "g", "left")
-                .select(
-                    "g",
-                    (F.col("n") - F.coalesce(F.col("vn"), F.lit(0))).alias("n"),
+            has_adm = gen_df.filter(F.col("adm") == b).limit(1).count() > 0
+            if has_adm:
+                from ..operators.dedup import _span_pos_grams, _span_toks
+
+                recount = (
+                    _span_pos_grams(
+                        _span_toks(
+                            spark.read.schema(
+                                "doc_id long, text string"
+                            ).parquet(span_part)
+                        )
+                    )
+                    .groupBy("g")
+                    .agg(F.count("*").cast("long").alias("n"))
+                    .select("g", "n", F.lit(b).alias("adm"))
                 )
-                .filter(F.col("n") > 0)
-            )
+                gnew = gen_df.filter(
+                    F.col("adm").isNull() | (F.col("adm") != b)
+                ).unionByName(recount)
+            else:
+                legacy = gen_df.filter(F.col("adm").isNull())
+                rest = gen_df.filter(F.col("adm").isNotNull())
+                legacy_new = (
+                    legacy.join(gv, "g", "left")
+                    .select(
+                        "g",
+                        (
+                            F.col("n") - F.coalesce(F.col("vn"), F.lit(0))
+                        ).alias("n"),
+                        "adm",
+                    )
+                    .filter(F.col("n") > 0)
+                )
+                gnew = rest.unionByName(legacy_new)
             swap_rewrite(gen, gnew, None)
             new_n = (
                 spark.read.schema("g long, n long")
@@ -703,6 +790,8 @@ def corpus_retract(
                 )
                 .groupBy("g")
                 .agg(F.count("*").alias("n"))
+                # adm rides through the rewrite (r12 provenance column)
+                .select("g", "n", F.lit(b).alias("adm"))
             )
             swap_rewrite(gpart, gnew, None)
             new_n = (

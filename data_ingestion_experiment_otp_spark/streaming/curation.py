@@ -274,6 +274,114 @@ def decon_gate_sink(
     return gate
 
 
+def dsir_gate_sink(
+    calib: dict,
+    accepted_dir: str,
+    audit_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: ingestion-time DATA SELECTION gate (r12,
+    stage 10 — the batch `llm_dsir_select_approx` served at the stream,
+    completing batch->streaming parity for the selection tier, the last
+    batch-only family). Each doc's DSIR importance logratio is scored
+    against the CALIBRATED raw/target bucket models and kept when it
+    clears the calibrated per-source threshold: survivors land in a
+    batchId-keyed accepted directory, rejects in a batchId-keyed audit
+    carrying (doc_id, logratio) — ids and scores only, no text.
+
+    `calib` is `operators.sampling.dsir_calibration`'s output (bucket
+    models + totals + per-source percentile thresholds — a
+    calibrate-once control-plane input exactly like the curation sink's
+    centroids, the model gate's weights, and the decon gate's shingles;
+    retargeting the selection is a sink swap). Docs outside the scored
+    population (null text / no space-tokens) pass through unscored — the
+    outside-population convention every gate in the ladder follows.
+    Buckets unseen at calibration score with the same add-1 smoothing
+    the batch arithmetic applies (coalesce to 0 counts); sources unseen
+    fall back to the '*' global threshold.
+
+    The gate is STATELESS — no index, no cross-epoch memory — so replay
+    safety is free (epoch-scoped overwrites make a replayed epoch
+    byte-identical) and RTBF is a per-epoch row filter on both outputs.
+
+    Scale shape: one scan-side token-hash explode over the batch (the
+    batch scorer's exact feature expression — `dsir_bucket_expr`, one
+    definition), one broadcast join against the <= 2B-row model
+    relation (built once, lazily, persisted — the decon gate's r12
+    lesson), a per-doc aggregate over <= B scalar rows, one anti-join on
+    doc_id scalars. No text shuffles, no Python, no state grows.
+    Ordering: stage 10 runs LAST — selection decides what enters the
+    trained pool, so it audits exactly what every cheaper screen and
+    gate already admitted (the published selection-over-cleaned-pool
+    shape)."""
+    from ..operators.sampling import _DSIR_BUCKETS, dsir_bucket_expr
+
+    beta = float(_DSIR_BUCKETS)
+    rtot, ttot = float(calib["rtot"]), float(calib["ttot"])
+    model_rows = sorted(
+        (int(b), int(calib["c_r"].get(b, 0)), int(calib["c_t"].get(b)) if b in calib["c_t"] else None)
+        for b in set(calib["c_r"]) | set(calib["c_t"])
+    )
+    thr = {str(k): float(v) for k, v in calib["thr"].items()}
+    thr_global = float(calib["thr_global"])
+    bexpr = dsir_bucket_expr()
+    cache: dict = {}
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        models = cache.get("models")
+        if models is None:
+            models = spark.createDataFrame(
+                model_rows, "b long, c_r long, c_t long"
+            ).persist()
+            cache["models"] = models
+        words = F.filter(F.split("text", " "), lambda w: w != "")
+        dbc = (
+            batch_df.select("doc_id", "source", words.alias("ws"))
+            .filter(F.size("ws") > 0)  # token-less/null docs: pass through
+            .select("doc_id", "source", F.explode(F.expr(bexpr)).alias("b"))
+            .groupBy("doc_id", "source", "b")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        # the batch scorer's arithmetic verbatim, with the calibrated
+        # models joined in place of the corpus aggregates; coalesce(c_r)
+        # extends the add-1 smoothing to buckets unseen at calibration
+        p_ratio = (
+            (F.coalesce(F.col("c_t"), F.lit(0)) + 1) / F.lit(ttot + beta)
+        ) / ((F.coalesce(F.col("c_r"), F.lit(0)) + 1) / F.lit(rtot + beta))
+        scored = (
+            dbc.join(F.broadcast(models), "b", "left")
+            .groupBy("doc_id", "source")
+            .agg(
+                F.round(
+                    F.sum(F.col("cnt") * F.log(p_ratio)) / F.sum("cnt"), 6
+                ).alias("logratio")
+            )
+        )
+        entries = [x for kv in thr.items() for x in kv]
+        floor = (
+            F.coalesce(
+                F.create_map(*[F.lit(x) for x in entries])[F.col("source")],
+                F.lit(thr_global),
+            )
+            if entries
+            else F.lit(thr_global)
+        )
+        rejects = (
+            scored.filter(F.col("logratio") < floor)
+            .select("doc_id", "logratio")
+            .localCheckpoint(eager=False)
+        )
+        rejects.write.mode("overwrite").parquet(
+            os.path.join(audit_dir, f"batch_id={batch_id}")
+        )
+        accepted = batch_df.join(rejects.select("doc_id"), "doc_id", "left_anti")
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(accepted_dir, f"batch_id={batch_id}")
+        )
+
+    return gate
+
+
 def read_curated(spark, curated_dir: str) -> DataFrame:
     """The curated corpus across all epochs (latest write per epoch wins by
     construction — replays overwrite their own batch_id directory)."""
