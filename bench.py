@@ -153,6 +153,11 @@ HEADLINE = [
     # exact+fuzzy decision report
     "llm_decontaminate_fuzzy",
     "llm_decontaminate_report",
+    # r12 additions: the trained interpolated trigram LM (artifact-served
+    # — first rep pays the one-time count aggregation + store commit, the
+    # bpe_train_scaled precedent) and the CCNet split scored by it
+    "llm_trigram_perplexity",
+    "llm_ccnet_buckets_lm",
 ]
 
 
@@ -361,11 +366,20 @@ def main() -> None:
         spread[name] = round(warm_spread(runs[name]), 1)
 
     ingest = bench_corpus_ingest(spark, sf_dir)
+    capstone = {}
     dps = {}
     for cell, (sec, docs_per_sec) in ingest.items():
-        timings[cell] = sec
+        capstone[cell] = sec
         dps[cell] = docs_per_sec
 
+    # The headline total EXCLUDES the streaming capstones (r12, VERDICT
+    # r11 "what's wrong" #2's alternative): their per-epoch walls carry
+    # shared-host noise the median-of-warm protocol shrinks but cannot
+    # eliminate (measured 3-snapshot spreads up to ~50% on identical
+    # code), so folding them into the min-of-reps wall would let capstone
+    # noise masquerade as headline regressions. They ride in their own
+    # `capstone` key (and docs/s on stderr); compare capstone-to-capstone
+    # across rounds, headline-to-headline separately.
     total = round(sum(timings.values()), 3)
     # Auxiliary detail goes to STDERR: the driver's bench capture keeps a
     # bounded tail of stdout, and r5's single fat line (queries +
@@ -381,9 +395,10 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "capstone": capstone,
                 "sf": sf_dir,
                 "protocol": "interleaved-rounds-min",
+                "queries": timings,
             },
             separators=(",", ":"),
         )
