@@ -1006,6 +1006,15 @@ class TestOrderIndependenceSweep:
         # report composes the two exact tiers with an id-keyed join
         "llm_decontaminate_fuzzy",
         "llm_decontaminate_report",
+        # r12: the trigram model is exact integer corpus counts (pruning
+        # is a count predicate) served through double ratios on the
+        # round-6 grid; the LM-scored CCNet cut ranks with doc_id ties.
+        # Note the stores are artifact-served: the loader seam still
+        # repartitions the SERVING scan (per-doc triple counts), and the
+        # trainer's partition independence follows from integer count
+        # aggregation.
+        "llm_trigram_perplexity",
+        "llm_ccnet_buckets_lm",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

@@ -825,6 +825,33 @@ class TestR11Plans:
         assert final.count("Generate explode") == 1, final
         assert final.count("ReusedExchange") == 2, final
 
+    def test_trigram_serving_plan(self, spark, sf_dir):
+        """The trained-LM serving shape (r12): the corpus is scanned
+        exactly ONCE (one Generate for the positional explode), the six
+        model tables come off the committed store with their kind
+        filters PUSHED into the scans, and every model join is a
+        broadcast — no sort-merge join anywhere (the pruned model is
+        vocabulary-bounded, the AQE-broadcast claim in the module
+        docstring, pinned on the executed plan)."""
+        df = SPECS["llm_trigram_perplexity"].fn(spark, sf_dir)
+        df.collect()
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        doc_scans = sum(
+            1
+            for line in final.splitlines()
+            if "FileScan parquet" in line and "text#" in line
+        )
+        assert doc_scans == 1, final
+        assert final.count("FileScan parquet") == 7, final  # 1 corpus + 6 model
+        assert final.count("SortMergeJoin") == 0, final
+        assert final.count("BroadcastHashJoin") == 5, final
+        assert "PushedFilters: [IsNotNull(kind), EqualTo(kind," in final, final
+
     def test_dsir_select_zero_rescans(self, spark, sf_dir):
         """The main job's executed plan holds ZERO parquet scans — the
         corpus is scanned once into the checkpointed (doc, bucket)
