@@ -189,7 +189,19 @@ def trigram_model_dir(spark: SparkSession, sf_dir: str) -> str:
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         tri = _doc_triples(load(spark, sf_dir, "documents"))
-        pf = tri.groupBy("u", "v", "w").agg(F.count("*").alias("n"))
+        # Six model branches derive from pf with DIFFERENT join-inferred
+        # filters (u/v isNotNull), which de-canonicalizes the shared
+        # subtree and defeats AQE exchange reuse — without the
+        # checkpoints the one-time training write scans and
+        # triple-aggregates the corpus once per branch (the perplexity
+        # family's r6 lesson; _dsir_bucket_rel's comment documents the
+        # identical hazard). pf / bg_all / tg_all are compact count
+        # relations, orders of magnitude smaller than the token stream.
+        pf = (
+            tri.groupBy("u", "v", "w")
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint(eager=False)
+        )
         uni = pf.groupBy("w").agg(F.sum("n").alias("n")).select(
             F.lit("uni").alias("kind"),
             F.lit(None).cast("string").alias("u"),
@@ -201,6 +213,7 @@ def trigram_model_dir(spark: SparkSession, sf_dir: str) -> str:
             pf.filter(F.col("v").isNotNull())
             .groupBy("v", "w")
             .agg(F.sum("n").alias("n"))
+            .localCheckpoint(eager=False)  # bg + cv both read it
         )
         bg = bg_all.filter(F.col("n") >= _TRI_PRUNE_MIN).select(
             F.lit("bg").alias("kind"),
@@ -233,6 +246,7 @@ def trigram_model_dir(spark: SparkSession, sf_dir: str) -> str:
             pf.filter(F.col("u").isNotNull())
             .groupBy("u", "v", "w")
             .agg(F.sum("n").alias("n"))
+            .localCheckpoint(eager=False)  # tg + cuv both read it
         )
         tg = tg_all.filter(F.col("n") >= _TRI_PRUNE_MIN).select(
             F.lit("tg").alias("kind"), "u", "v", "w", "n"

@@ -869,11 +869,17 @@ def _dsir_bucket_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_scores(
+    spark: SparkSession, sf_dir: str, dbc: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, source, dl, logratio): the DSIR importance scorer shared
     by the exact rank selection and the approx-threshold scale variant —
-    see llm_dsir_select for the arithmetic and plan shape."""
-    dbc = _dsir_bucket_rel(spark, sf_dir)
+    see llm_dsir_select for the arithmetic and plan shape. `dbc` lets a
+    caller that already materialized the checkpointed bucket relation
+    (dsir_calibration) reuse it instead of paying the corpus scan
+    twice (review r12)."""
+    if dbc is None:
+        dbc = _dsir_bucket_rel(spark, sf_dir)
     cb_r = dbc.groupBy("b").agg(F.sum("cnt").cast("long").alias("c_r"))
     cb_t = (
         dbc.filter(F.col("quality") >= _MIX_QUALITY_FLOOR)
@@ -965,13 +971,17 @@ def dsir_calibration(spark: SparkSession, sf_dir: str) -> dict:
         .collect()
     }
     pct = 1.0 - 1.0 / _DSIR_KEEP_DEN
-    scored = _dsir_scores(spark, sf_dir)
+    scored = _dsir_scores(spark, sf_dir, dbc=dbc)
     thr = {
         r["source"]: float(r["thr"])
         for r in scored.groupBy("source")
         .agg(F.percentile_approx("logratio", pct, 10_000).alias("thr"))
         .collect()
-        if r["thr"] is not None
+        # a NULL source stratum gets no threshold entry: the gate treats
+        # NULL-source docs as outside the selected population (its batch
+        # twin's source-keyed join drops them), and str(None) would
+        # collide with a literal "None" source (review r12)
+        if r["thr"] is not None and r["source"] is not None
     }
     g = scored.agg(
         F.percentile_approx("logratio", pct, 10_000).alias("thr")

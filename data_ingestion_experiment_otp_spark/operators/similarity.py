@@ -1014,14 +1014,7 @@ def llm_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = load_vectors(spark, sf_dir)
-    qrows = (
-        e.filter(_query_pred())
-        .select("vec_id", "embedding")
-        .limit(_MAX_QUERIES + 1)
-        .collect()
-    )
-    if len(qrows) > _MAX_QUERIES:
-        raise ValueError("llm_triplet_mining query side exceeds the budget")
+    qrows = _collect_query_rows(e, "llm_triplet_mining")
     empty = "query_id long, vec_id long, cosine double, role string, rank int"
     if not qrows:
         return spark.createDataFrame([], empty)

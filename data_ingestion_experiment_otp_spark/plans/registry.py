@@ -110,8 +110,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     # agg_approx_distinct is driver-demoted (r5): rows-only by nature (HLL
     # sketches differ across engines), so its slot carried only a row
     # count; the ≤5% error invariant in pytest is its real verification
-    # and is unchanged. Its slot carries llm_containment_dedup below,
-    # which brings a full hash oracle.
+    # and is unchanged. Its slot carried llm_containment_dedup r5-r11;
+    # that entry is in turn driver-demoted (r12) and the slot now carries
+    # llm_decontaminate_report — see the demotion note at that entry.
     "agg_grouping_sets",
     "agg_collect_flatten",
     # §2.6 windows / sorts / set ops

@@ -233,10 +233,22 @@ def compact_span_index(spark, gram_index_dir: str, out_dir: str) -> None:
         except (ValueError, OSError):
             pass
     folded = sorted(folded_set)
+    # adm derivation on the fold input: an UNFOLDED per-epoch partition
+    # stamps its rows with its own epoch (exact provenance, even for
+    # pre-adm sinks — the partition value IS the admit epoch there). A
+    # row already AT src_batch=0 with NULL adm is a pre-adm FOLD: its
+    # per-epoch provenance is lost, and stamping it 0 would disguise
+    # multi-epoch legacy counts as "epoch 0's exact contribution" —
+    # corpus_retract's adm-recount branch would then replace them with an
+    # epoch-0-only recount, deleting every other legacy epoch's grams
+    # (review r12). NULL must stay NULL through a re-fold so retraction
+    # keeps routing those rows to the documented subtract fallback.
+    adm_expr = F.when(
+        (F.col("src_batch") == 0) & F.col("adm").isNull(),
+        F.lit(None).cast("long"),
+    ).otherwise(F.coalesce("adm", "src_batch"))
     (
-        idx.select(
-            "g", "n", F.coalesce("adm", "src_batch").alias("adm")
-        )
+        idx.select("g", "n", adm_expr.alias("adm"))
         .groupBy("g", "adm")
         .agg(F.sum("n").alias("n"))
         .select("g", "n", "adm", F.lit(0).alias("src_batch"))
@@ -296,10 +308,21 @@ def span_screen_sink(
                 spark.read.schema(GRAM_INDEX_SCHEMA)
                 .option("basePath", gram_index_dir)
                 .parquet(gram_index_dir)
-                # replay guard: ignore own epoch, INCLUDING its folded
-                # contribution (adm survives compaction; legacy rows
-                # coalesce to their partition epoch)
-                .filter(F.coalesce(F.col("adm"), F.col("src_batch")) < batch_id)
+                # replay guard, two conjuncts for one predicate: the
+                # src_batch half is PARTITION-PRUNABLE (own-epoch and
+                # later partitions never get listed on the epoch stack);
+                # the coalesce half refines rows INSIDE a folded
+                # src_batch=0 partition, where adm carries the admit
+                # epoch through compaction (legacy NULL rows coalesce to
+                # the partition value). Equivalent to
+                # coalesce(adm, src_batch) < batch_id alone — per-epoch
+                # rows have src_batch == effective epoch, folded rows
+                # src_batch = 0 <= adm — but a bare coalesce over the
+                # partition column would defeat pruning (review r12).
+                .filter(
+                    (F.col("src_batch") < batch_id)
+                    & (F.coalesce(F.col("adm"), F.col("src_batch")) < batch_id)
+                )
                 .groupBy("g")
                 .agg(F.sum("n").alias("c_cnt"))
             )

@@ -526,6 +526,7 @@ def corpus_retract(
         # computed from the OLD span-source rows and materialized BEFORE
         # the swaps below rewrite the files the persisted frame hangs off.
         gv = None
+        adm_recount = False
         gpart = os.path.join(gdir, f"src_batch={b}")
         epoch_folded = (
             (b in folded_epochs)
@@ -533,6 +534,24 @@ def corpus_retract(
             else (b == 0 or not os.path.isdir(gpart))
         )
         if gram_compacted and epoch_folded:
+            # Probe FIRST whether the folded generation carries this
+            # epoch's adm rows (the normal case for every r12-era fold):
+            # the adm path retracts by per-epoch RECOUNT from the
+            # rewritten span source and never reads gv, so computing the
+            # victims' gram counts here would be a wasted full
+            # scan+explode per retracted epoch (review r12). gv is the
+            # LEGACY (NULL-adm) fallback's input only.
+            gen0 = os.path.join(gdir, "src_batch=0")
+            adm_recount = (
+                os.path.isdir(gen0)
+                and spark.read.schema("g long, n long, adm long")
+                .parquet(gen0)
+                .filter(F.col("adm") == b)
+                .limit(1)
+                .count()
+                > 0
+            )
+        if gram_compacted and epoch_folded and not adm_recount:
             from ..operators.dedup import _span_pos_grams, _span_toks
 
             span_src = (
@@ -707,21 +726,21 @@ def corpus_retract(
                 swap_rewrite(shpart, shkept, None)
                 shdf.unpersist()
 
-        if gv is not None:
+        if adm_recount or gv is not None:
             # Folded generation. Two provenance tiers (r12): rows whose
             # `adm` column names this epoch are EXACTLY its contribution
             # — replace them with a recount from the rewritten span
             # source (per-epoch-exact, no shared-gram arithmetic).
             # Legacy NULL-adm rows (pre-adm folds) have lost per-epoch
             # provenance — fall back to subtracting the victims' gram
-            # counts from the legacy rows only (the pre-r12 contract);
-            # grams driven to zero leave the index entirely. adm rides
-            # through both rewrites (the r5 schema-evolution lesson).
+            # counts (gv) from the legacy rows only (the pre-r12
+            # contract); grams driven to zero leave the index entirely.
+            # adm rides through both rewrites (the r5 schema-evolution
+            # lesson).
             gen = os.path.join(gdir, "src_batch=0")
             gen_df = spark.read.schema("g long, n long, adm long").parquet(gen)
             old_n = gen_df.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
-            has_adm = gen_df.filter(F.col("adm") == b).limit(1).count() > 0
-            if has_adm:
+            if adm_recount:
                 from ..operators.dedup import _span_pos_grams, _span_toks
 
                 recount = (
@@ -762,7 +781,8 @@ def corpus_retract(
                 .collect()[0][0]
             )
             removed["gram_index"] += int(old_n - new_n)
-            gv.unpersist()
+            if gv is not None:
+                gv.unpersist()
         elif os.path.isdir(gpart):
             from ..operators.dedup import _span_pos_grams, _span_toks
 

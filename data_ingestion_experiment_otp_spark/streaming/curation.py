@@ -293,8 +293,10 @@ def dsir_gate_sink(
     calibrate-once control-plane input exactly like the curation sink's
     centroids, the model gate's weights, and the decon gate's shingles;
     retargeting the selection is a sink swap). Docs outside the scored
-    population (null text / no space-tokens) pass through unscored — the
-    outside-population convention every gate in the ladder follows.
+    population (null text / no space-tokens / NULL source — the batch
+    twin's source-keyed threshold join has no row for them either) pass
+    through unscored — the outside-population convention every gate in
+    the ladder follows.
     Buckets unseen at calibration score with the same add-1 smoothing
     the batch arithmetic applies (coalesce to 0 counts); sources unseen
     fall back to the '*' global threshold.
@@ -337,7 +339,13 @@ def dsir_gate_sink(
         words = F.filter(F.split("text", " "), lambda w: w != "")
         dbc = (
             batch_df.select("doc_id", "source", words.alias("ws"))
-            .filter(F.size("ws") > 0)  # token-less/null docs: pass through
+            # token-less/null docs pass through; so do NULL-source docs —
+            # the batch twin's threshold join is keyed by source, so a
+            # NULL-source doc is outside its selected population too
+            # (review r12: scoring them against thr_global here would
+            # break the pinned gate==batch parity on such corpora)
+            .filter(F.size("ws") > 0)
+            .filter(F.col("source").isNotNull())
             .select("doc_id", "source", F.explode(F.expr(bexpr)).alias("b"))
             .groupBy("doc_id", "source", "b")
             .agg(F.count("*").cast("long").alias("cnt"))

@@ -1735,6 +1735,56 @@ class TestSpanIndexFoldReplay:
         # and its re-admitted index contribution matches the original
         assert index_rows(replay_idx, 1) == orig_idx
 
+    def test_legacy_refold_preserves_null_provenance(self, spark, tmp_path):
+        """A PRE-adm fold's rows have lost per-epoch provenance; a
+        re-fold must keep their adm NULL (review r12: stamping them
+        adm=0 — their src_batch partition value — would disguise
+        multi-epoch legacy counts as 'epoch 0's exact contribution', and
+        corpus_retract's adm-recount branch would then replace them with
+        an epoch-0-only recount, deleting every other legacy epoch's
+        grams). New per-epoch partitions folding alongside keep exact
+        provenance."""
+        import json
+
+        from data_ingestion_experiment_otp_spark.streaming.corpus_index import (
+            compact_span_index,
+            span_screen_sink,
+        )
+
+        idx = str(tmp_path / "gram")
+        # simulate a pre-adm fold: (g, n) rows only, src_batch=0, with a
+        # legacy provenance marker naming epochs 0-1
+        spark.createDataFrame(
+            [(101, 3), (102, 2), (103, 5)], "g long, n long"
+        ).coalesce(1).write.parquet(os.path.join(idx, "src_batch=0"))
+        with open(os.path.join(idx, "_COMPACTED"), "w") as fh:
+            json.dump([0, 1], fh)
+        # one post-adm epoch on top of the legacy fold
+        sink = span_screen_sink(idx, str(tmp_path / "aud"))
+        sink(
+            spark.createDataFrame(
+                [(9, f"n1 n2 {self.SPAN8} n3")], self.DOC_SCHEMA
+            ),
+            2,
+        )
+
+        folded = str(tmp_path / "gram_refold")
+        compact_span_index(spark, idx, folded)
+        rows = spark.read.schema("g long, n long, adm long").parquet(
+            os.path.join(folded, "src_batch=0")
+        )
+        legacy = {
+            (r["g"], r["n"])
+            for r in rows.filter(F.col("adm").isNull()).collect()
+        }
+        assert legacy == {(101, 3), (102, 2), (103, 5)}  # NULL stayed NULL
+        # the post-adm epoch's rows carry exact provenance through the fold
+        assert rows.filter(F.col("adm") == 2).count() > 0
+        assert rows.filter((F.col("adm").isNotNull()) & (F.col("adm") != 2)).count() == 0
+        # and the fold marker unions the legacy epochs with the new one
+        with open(os.path.join(folded, "_COMPACTED")) as fh:
+            assert sorted(json.load(fh)) == [0, 1, 2]
+
 
 class TestCapstoneSpanScreen:
     def test_stage6_audits_admitted_docs_only(self, spark, tmp_path):
