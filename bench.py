@@ -171,9 +171,12 @@ def bench_corpus_ingest(spark, sf_dir: str):
     (8 stores: + span + near-dup), all screens (11 stores: + the r10
     semantic screen, served from the trained-hierarchy artifact), all
     stages (13 stores: + the r11 model quality gate, served from weights
-    the in-engine trainer fits once outside the timing), and guarded
+    the in-engine trainer fits once outside the timing), guarded
     (15 stores: + the r11b benchmark decontamination gate, its shingle
-    set calibrated once outside the timing). Returns per-config (median
+    set calibrated once outside the timing), and selective (19 stores:
+    + the r12 trained-LM quality gate and the DSIR selection gate, both
+    calibrated once outside the timing — the full 11-stage ladder).
+    Returns per-config (median
     warm-epoch seconds, docs/sec) so index/compaction regressions in any
     store become visible round-over-round.
 
@@ -286,6 +289,28 @@ def bench_corpus_ingest(spark, sf_dir: str):
             gate_weights=weights,
             decon_hashes=bench_hashes,
         )
+        # the r12 successor: the full 11-stage ladder — the trained-LM
+        # quality gate (stage 11, served from the committed trigram
+        # store) and the DSIR selection gate (stage 10), both
+        # calibrate-once outside the per-epoch timing
+        from data_ingestion_experiment_otp_spark.operators.ngram_lm import (
+            ppl_gate_calibration,
+        )
+        from data_ingestion_experiment_otp_spark.operators.sampling import (
+            dsir_calibration,
+        )
+
+        ppl_calib = ppl_gate_calibration(spark, sf_dir)
+        sel_calib = dsir_calibration(spark, sf_dir)
+        best_selective = drive(
+            span_screen=True,
+            near_dedup=True,
+            sem_model=mdl,
+            gate_weights=weights,
+            decon_hashes=bench_hashes,
+            select_calib=sel_calib,
+            ppl_calib=ppl_calib,
+        )
     finally:
         feed.unpersist()
     return {
@@ -305,6 +330,10 @@ def bench_corpus_ingest(spark, sf_dir: str):
         "corpus_ingest_guarded": (
             round(best_guarded, 3),
             round((n_docs / epochs_n) / best_guarded, 1),
+        ),
+        "corpus_ingest_selective": (
+            round(best_selective, 3),
+            round((n_docs / epochs_n) / best_selective, 1),
         ),
     }
 

@@ -296,31 +296,77 @@ def _trigram_scores(
 ) -> DataFrame:
     """The per-document trigram-LM bits relation (doc_id[, lang], dl,
     avg_bits), SERVED from the committed artifact — one definition for
-    the perplexity entry and the CCNet-split variant (the `_ppl_scores`
-    contract with the trained model swapped in)."""
-    import os
+    the perplexity entry, the CCNet-split variant, and (via
+    `score_with_stored_lm`, which this delegates to) the streaming
+    quality gate (the `_ppl_scores` contract with the trained model
+    swapped in). `lang` is functionally dependent on doc_id, so the
+    by_lang=False form just drops the column."""
+    model = load_lm_tables(spark, trigram_model_dir(spark, sf_dir))
+    r = score_with_stored_lm(load(spark, sf_dir, "documents"), model)
+    return r if by_lang else r.select("doc_id", "dl", "avg_bits")
 
+
+@register(
+    "llm_trigram_perplexity",
+    oracle=_TRIGRAM_PPL_ORACLE,
+    tags=("llm", "text", "quality", "model"),
+)
+def llm_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity (avg bits) under the TRAINED interpolated
+    trigram LM, served from the committed artifact store — the trained
+    n-gram model the perplexity plumbing was built for (the production
+    KenLM's exact-arithmetic stand-in, pruned like one). The oracle
+    re-derives the ENTIRE model from scratch in SQL — counts, pruning,
+    context totals, interpolation — so a parity pass proves training,
+    the store round-trip, and the serving arithmetic in one gate (the
+    BPE CTE-replay precedent). See the module docstring for the model
+    definition and the 100 TB shape."""
+    return _trigram_scores(spark, sf_dir)
+
+
+def ppl_gate_calibration(spark: SparkSession, sf_dir: str) -> dict:
+    """Calibrate-once inputs for the streaming LM quality gate (stage 11,
+    `streaming.curation.ppl_gate_sink`): the committed trigram-model
+    artifact directory plus the per-language TAIL cut — the 2/3
+    percentile of the trained-LM avg_bits (the boundary
+    `llm_ccnet_buckets_lm`'s rank terciles draw exactly; percentile_approx
+    is its one-pass scale form, the ccnet_buckets_approx precedent) —
+    and a '*' global fallback for languages unseen at calibration.
+
+    Driver-side BY CONTRACT: one scalar per language + one store path
+    (the centroids / gate-weights / shingles / DSIR-models pattern);
+    re-cutting against a newer corpus or a re-trained LM is a
+    control-plane sink swap."""
     model_dir = trigram_model_dir(spark, sf_dir)
-    m = spark.read.schema(_LM_SCHEMA).parquet(
-        os.path.join(model_dir, "model.parquet")
-    )
-    uni = m.filter(F.col("kind") == "uni").select("w", F.col("n").alias("c_w"))
-    bg = m.filter(F.col("kind") == "bg").select(
-        "v", "w", F.col("n").alias("c_vw")
-    )
-    cv = m.filter(F.col("kind") == "cv").select("v", F.col("n").alias("c_v"))
-    tg = m.filter(F.col("kind") == "tg").select(
-        "u", "v", "w", F.col("n").alias("c_uvw")
-    )
-    cuv = m.filter(F.col("kind") == "cuv").select(
-        "u", "v", F.col("n").alias("c_uv")
-    )
-    total = m.filter(F.col("kind") == "meta").select(F.col("n").alias("t"))
+    scored = _trigram_scores(spark, sf_dir, by_lang=True)
+    cuts = {
+        r["lang"]: float(r["cut"])
+        for r in scored.groupBy("lang")
+        .agg(F.percentile_approx("avg_bits", 2.0 / 3.0, 10_000).alias("cut"))
+        .collect()
+        if r["cut"] is not None and r["lang"] is not None
+    }
+    g = scored.agg(
+        F.percentile_approx("avg_bits", 2.0 / 3.0, 10_000).alias("cut")
+    ).first()
+    return {
+        "model_dir": model_dir,
+        "cuts": cuts,
+        "cut_global": float(g["cut"]) if g and g["cut"] is not None else float("inf"),
+    }
 
-    grp = ["doc_id", "lang"] if by_lang else ["doc_id"]
-    tri = _doc_triples(load(spark, sf_dir, "documents"), with_lang=by_lang)
-    pf = tri.groupBy(*grp, "u", "v", "w").agg(
-        F.count("*").cast("double").alias("n")
+
+def score_with_stored_lm(batch_df: DataFrame, model) -> DataFrame:
+    """(doc_id, lang, avg_bits) for a batch of documents against ALREADY-
+    LOADED model tables — the serving join of `_trigram_scores` factored
+    so the streaming gate scores micro-batches without re-reading the
+    store per epoch (model = the dict `load_lm_tables` returns). One
+    definition of the serving arithmetic; `_trigram_scores` delegates
+    here too, so the gate and the batch scorer cannot drift."""
+    pf = (
+        _doc_triples(batch_df, with_lang=True)
+        .groupBy("doc_id", "lang", "u", "v", "w")
+        .agg(F.count("*").cast("double").alias("n"))
     )
     q1 = F.col("c_w").cast("double") / F.col("t").cast("double")
     q2 = F.coalesce(
@@ -340,14 +386,14 @@ def _trigram_scores(
         )
     )
     return (
-        pf.join(uni, "w")
-        .join(bg, ["v", "w"], "left")
-        .join(cv, ["v"], "left")
-        .join(tg, ["u", "v", "w"], "left")
-        .join(cuv, ["u", "v"], "left")
-        .crossJoin(F.broadcast(total))
+        pf.join(model["uni"], "w")
+        .join(model["bg"], ["v", "w"], "left")
+        .join(model["cv"], ["v"], "left")
+        .join(model["tg"], ["u", "v", "w"], "left")
+        .join(model["cuv"], ["u", "v"], "left")
+        .crossJoin(F.broadcast(model["total"]))
         .withColumn("bits", F.col("n") * -(F.log(p) / F.log(F.lit(2.0))))
-        .groupBy(*grp)
+        .groupBy("doc_id", "lang")
         .agg(
             F.sum("n").cast("long").alias("dl"),
             F.round(F.sum("bits") / F.sum("n"), 6).alias("avg_bits"),
@@ -355,22 +401,37 @@ def _trigram_scores(
     )
 
 
-@register(
-    "llm_trigram_perplexity",
-    oracle=_TRIGRAM_PPL_ORACLE,
-    tags=("llm", "text", "quality", "model"),
-)
-def llm_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document perplexity (avg bits) under the TRAINED interpolated
-    trigram LM, served from the committed artifact store — the trained
-    n-gram model the perplexity plumbing was built for (the production
-    KenLM's exact-arithmetic stand-in, pruned like one). The oracle
-    re-derives the ENTIRE model from scratch in SQL — counts, pruning,
-    context totals, interpolation — so a parity pass proves training,
-    the store round-trip, and the serving arithmetic in one gate (the
-    BPE CTE-replay precedent). See the module docstring for the model
-    definition and the 100 TB shape."""
-    return _trigram_scores(spark, sf_dir)
+def load_lm_tables(spark: SparkSession, model_dir: str) -> dict:
+    """The committed store's six model tables as named DataFrames — the
+    serving-join inputs `score_with_stored_lm` consumes. A streaming
+    sink persists them once per calibration (the decon-gate r12 lesson:
+    per-epoch store re-reads are the cost calibrate-once exists to
+    avoid); batch callers read them lazily."""
+    import os
+
+    m = spark.read.schema(_LM_SCHEMA).parquet(
+        os.path.join(model_dir, "model.parquet")
+    )
+    return {
+        "uni": m.filter(F.col("kind") == "uni").select(
+            "w", F.col("n").alias("c_w")
+        ),
+        "bg": m.filter(F.col("kind") == "bg").select(
+            "v", "w", F.col("n").alias("c_vw")
+        ),
+        "cv": m.filter(F.col("kind") == "cv").select(
+            "v", F.col("n").alias("c_v")
+        ),
+        "tg": m.filter(F.col("kind") == "tg").select(
+            "u", "v", "w", F.col("n").alias("c_uvw")
+        ),
+        "cuv": m.filter(F.col("kind") == "cuv").select(
+            "u", "v", F.col("n").alias("c_uv")
+        ),
+        "total": m.filter(F.col("kind") == "meta").select(
+            F.col("n").alias("t")
+        ),
+    }
 
 
 @register(

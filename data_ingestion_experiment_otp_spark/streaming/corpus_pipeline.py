@@ -71,7 +71,11 @@ def corpus_ingest_dirs(work_dir: str) -> dict[str, str]:
     passed; gate_accepted/gate_audit the model quality gate's, written
     only when trained gate_weights are passed;
     decon_accepted/decon_audit the benchmark decontamination gate's,
-    written only when calibrated decon_hashes are passed)."""
+    written only when calibrated decon_hashes are passed;
+    ppl_accepted/ppl_audit the trained-LM quality gate's, written only
+    when a ppl_calib calibration is passed; sel_accepted/sel_audit the
+    DSIR selection gate's, written only when a select_calib calibration
+    is passed)."""
     return {
         "dedup_index": os.path.join(work_dir, "dedup_index"),
         "accepted": os.path.join(work_dir, "accepted"),
@@ -91,6 +95,8 @@ def corpus_ingest_dirs(work_dir: str) -> dict[str, str]:
         "gate_audit": os.path.join(work_dir, "gate_audit"),
         "decon_accepted": os.path.join(work_dir, "decon_accepted"),
         "decon_audit": os.path.join(work_dir, "decon_audit"),
+        "ppl_accepted": os.path.join(work_dir, "ppl_accepted"),
+        "ppl_audit": os.path.join(work_dir, "ppl_audit"),
         "sel_accepted": os.path.join(work_dir, "sel_accepted"),
         "sel_audit": os.path.join(work_dir, "sel_audit"),
     }
@@ -108,6 +114,7 @@ def corpus_ingest_epoch(
     gate_weights: list | None = None,
     decon_hashes: list[int] | None = None,
     select_calib: dict | None = None,
+    ppl_calib: dict | None = None,
 ):
     """The per-epoch function: built separately from the stream so a
     replay (same stores, same params, same batch_id) can be driven
@@ -177,6 +184,16 @@ def corpus_ingest_epoch(
     cheaper tier admitted, and a contaminated doc can never reach the
     curated mixture or either serving index.
 
+    With `ppl_calib` (the committed trigram-model store path +
+    per-language tail cuts — `operators.ngram_lm.ppl_gate_calibration`'s
+    output, the calibrate-once contract), the TRAINED-LM quality gate
+    (`curation.ppl_gate_sink`, r12 — stage 11, CCNet's perplexity filter
+    at ingest, the third trained artifact serving at the stream) runs
+    after the decontamination gate and before selection: survivors land
+    in ``ppl_accepted``, tail-bucket rejects in ``ppl_audit`` with their
+    avg_bits. Quality-filter the cleaned pool, then select from it — the
+    published ordering.
+
     With `select_calib` (the DSIR bucket models + per-source thresholds —
     `operators.sampling.dsir_calibration`'s output, the calibrate-once
     contract), the data SELECTION gate (`curation.dsir_gate_sink`, r12 —
@@ -189,7 +206,12 @@ def corpus_ingest_epoch(
     decides what enters the trained pool, so it scores exactly the
     cleaned, decontaminated content every cheaper tier admitted."""
     from .corpus_index import neardup_screen_sink, semdedup_screen_sink
-    from .curation import classifier_gate_sink, decon_gate_sink, dsir_gate_sink
+    from .curation import (
+        classifier_gate_sink,
+        decon_gate_sink,
+        dsir_gate_sink,
+        ppl_gate_sink,
+    )
     from .drift_monitor import source_drift_sink
 
     dirs = corpus_ingest_dirs(work_dir)
@@ -220,6 +242,11 @@ def corpus_ingest_epoch(
             decon_hashes, dirs["decon_accepted"], dirs["decon_audit"]
         )
         if decon_hashes is not None
+        else None
+    )
+    ppl = (
+        ppl_gate_sink(ppl_calib, dirs["ppl_accepted"], dirs["ppl_audit"])
+        if ppl_calib is not None
         else None
     )
     select = (
@@ -272,6 +299,11 @@ def corpus_ingest_epoch(
                 admitted = batch_df.sparkSession.read.parquet(
                     os.path.join(dirs["decon_accepted"], f"batch_id={batch_id}")
                 )
+            if ppl is not None:
+                ppl(admitted, batch_id)
+                admitted = batch_df.sparkSession.read.parquet(
+                    os.path.join(dirs["ppl_accepted"], f"batch_id={batch_id}")
+                )
             if select is not None:
                 select(admitted, batch_id)
                 admitted = batch_df.sparkSession.read.parquet(
@@ -306,6 +338,7 @@ def start_corpus_ingest(
     gate_weights: list | None = None,
     decon_hashes: list[int] | None = None,
     select_calib: dict | None = None,
+    ppl_calib: dict | None = None,
 ) -> StreamingQuery:
     """Start the composed ingestion stream over a parquet document feed.
     `centroids` / `quality_min` / `drift_reference` / `sem_model` are the
@@ -316,7 +349,10 @@ def start_corpus_ingest(
     artifact the semantic screen its 7th, with trained `gate_weights`
     the model quality gate its 8th, and with calibrated `decon_hashes`
     the benchmark decontamination gate its 9th, and with a
-    `select_calib` calibration the DSIR selection gate its 10th."""
+    `select_calib` calibration the DSIR selection gate its 10th and a
+    `ppl_calib` calibration the trained-LM quality gate its 11th (the
+    gate runs between decon and selection; the numbering follows the
+    order the stages were added)."""
     epoch = corpus_ingest_epoch(
         work_dir,
         centroids,
@@ -329,6 +365,7 @@ def start_corpus_ingest(
         gate_weights,
         decon_hashes,
         select_calib,
+        ppl_calib,
     )
     return (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
@@ -430,6 +467,8 @@ def corpus_retract(
         "decon_audit": 0,
         "sel_accepted": 0,
         "sel_audit": 0,
+        "ppl_accepted": 0,
+        "ppl_audit": 0,
     }
 
     def swap_rewrite(part_dir: str, df, partition_by: list[str] | None) -> None:
@@ -512,11 +551,12 @@ def corpus_retract(
         sempart = os.path.join(dirs["sem_accepted"], f"batch_id={b}")
         gatepart = os.path.join(dirs["gate_accepted"], f"batch_id={b}")
         deconpart = os.path.join(dirs["decon_accepted"], f"batch_id={b}")
+        pplpart = os.path.join(dirs["ppl_accepted"], f"batch_id={b}")
         selpart = os.path.join(dirs["sel_accepted"], f"batch_id={b}")
         span_part = next(
             (
                 p
-                for p in (selpart, deconpart, gatepart, sempart, npart)
+                for p in (selpart, pplpart, deconpart, gatepart, sempart, npart)
                 if os.path.isdir(p)
             ),
             part,
@@ -672,6 +712,26 @@ def corpus_retract(
             removed["decon_audit"] += dadf.count() - dakept.count()
             swap_rewrite(dapart, dakept, None)
             dadf.unpersist()
+        # Trained-LM quality-gate stores (r12, ppl_calib runs): the
+        # victims' rows leave ppl_accepted (text + embedding) and the
+        # audit (doc_id + avg_bits — a function of the victim's own
+        # content and the trained model alone). Stateless gate: no index
+        # to make unknown again.
+        if os.path.isdir(pplpart):
+            ppdf = spark.read.parquet(pplpart).persist()
+            ppkept = ppdf.filter(~F.col("doc_id").isin(ids))
+            removed["ppl_accepted"] += ppdf.count() - ppkept.count()
+            swap_rewrite(pplpart, ppkept, None)
+            ppdf.unpersist()
+        papart = os.path.join(dirs["ppl_audit"], f"batch_id={b}")
+        if os.path.isdir(papart):
+            padf = spark.read.schema(
+                "doc_id long, avg_bits double"
+            ).parquet(papart).persist()
+            pakept = padf.filter(~F.col("doc_id").isin(ids))
+            removed["ppl_audit"] += padf.count() - pakept.count()
+            swap_rewrite(papart, pakept, None)
+            padf.unpersist()
         # Selection-gate stores (r12, select_calib runs): the victims'
         # rows leave sel_accepted (text + embedding) and the audit
         # (doc_id + logratio — a function of the victim's own content

@@ -390,6 +390,94 @@ def dsir_gate_sink(
     return gate
 
 
+def ppl_gate_sink(
+    calib: dict,
+    accepted_dir: str,
+    audit_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: ingestion-time TRAINED-LM quality gate
+    (r12, stage 11 — CCNet's perplexity filter served at the stream,
+    the THIRD trained artifact serving at ingest after the classifier
+    weights (stage 8) and the SemDeDup hierarchy (stage 7)): each doc is
+    scored against the COMMITTED trigram model
+    (`operators.ngram_lm.score_with_stored_lm` — the batch scorer's
+    serving join verbatim, one definition) and rejected when its
+    avg_bits lands in the calibrated TAIL (the slice CCNet discards):
+    survivors in a batchId-keyed accepted directory, rejects in a
+    batchId-keyed audit carrying (doc_id, avg_bits) — ids and scores
+    only, no text.
+
+    `calib` is `ppl_gate_calibration`'s output (the trigram store path +
+    per-language 2/3-percentile cuts + the '*' global — calibrate-once
+    control-plane inputs; re-training the LM or re-cutting is a sink
+    swap). The stream feed has no `lang` column (DOC_STREAM_SCHEMA), so
+    a feed without one scores against the GLOBAL cut; a feed that
+    carries lang gets the per-language cuts. Outside-population docs
+    pass through unscored: null text, no space-tokens, and docs whose
+    every token is OUT-OF-VOCABULARY for the trained model (the serving
+    join's skip-OOV convention — no scored token means no model
+    opinion; partial-OOV docs score over their in-vocab tokens, exactly
+    the batch scorer's arithmetic).
+
+    The gate is STATELESS — replay-safe by epoch-scoped overwrites,
+    RTBF = per-epoch row filters on both outputs.
+
+    Scale shape: one scan-side positional explode over the batch, joins
+    keyed by term scalars against the stored model tables (persisted
+    ONCE per sink — the decon/DSIR r12 lesson; a pruned trigram model is
+    vocabulary-bounded), per-doc aggregate, one anti-join on doc_id
+    scalars. Ordering: after the decontamination gate and before the
+    selection gate — the published shape (quality-filter the cleaned
+    pool, then select from it)."""
+    from ..operators.ngram_lm import load_lm_tables, score_with_stored_lm
+
+    cuts = {str(k): float(v) for k, v in calib["cuts"].items()}
+    cut_global = float(calib["cut_global"])
+    model_dir = str(calib["model_dir"])
+    cache: dict = {}
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        model = cache.get("model")
+        if model is None:
+            model = {
+                k: df.persist()
+                for k, df in load_lm_tables(spark, model_dir).items()
+            }
+            cache["model"] = model
+        scored_in = (
+            batch_df
+            if "lang" in batch_df.columns
+            else batch_df.withColumn("lang", F.lit(None).cast("string"))
+        )
+        scored = score_with_stored_lm(
+            scored_in.select("doc_id", "lang", "text"), model
+        )
+        entries = [x for kv in cuts.items() for x in kv]
+        cut = (
+            F.coalesce(
+                F.create_map(*[F.lit(x) for x in entries])[F.col("lang")],
+                F.lit(cut_global),
+            )
+            if entries
+            else F.lit(cut_global)
+        )
+        rejects = (
+            scored.filter(F.col("avg_bits") > cut)
+            .select("doc_id", "avg_bits")
+            .localCheckpoint(eager=False)
+        )
+        rejects.write.mode("overwrite").parquet(
+            os.path.join(audit_dir, f"batch_id={batch_id}")
+        )
+        accepted = batch_df.join(rejects.select("doc_id"), "doc_id", "left_anti")
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(accepted_dir, f"batch_id={batch_id}")
+        )
+
+    return gate
+
+
 def read_curated(spark, curated_dir: str) -> DataFrame:
     """The curated corpus across all epochs (latest write per epoch wins by
     construction — replays overwrite their own batch_id directory)."""
