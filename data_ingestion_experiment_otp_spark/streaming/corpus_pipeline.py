@@ -320,6 +320,16 @@ def corpus_ingest_epoch(
         finally:
             batch_df.unpersist()
 
+    def close() -> None:
+        for s in (gate, decon, ppl, select):
+            fn = getattr(s, "close", None)
+            if fn is not None:
+                fn()
+
+    # release hook for the caching gates' persisted frames (ADVICE r12
+    # #3); start_corpus_ingest fires it on query termination, direct
+    # callers may fire it themselves
+    epoch.close = close
     return epoch
 
 
@@ -367,7 +377,7 @@ def start_corpus_ingest(
         select_calib,
         ppl_calib,
     )
-    return (
+    q = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(docs_dir)
@@ -376,6 +386,48 @@ def start_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+    _close_on_termination(spark, q.id, epoch.close)
+    return q
+
+
+# One listener per SparkSession; per-query close hooks pop as they fire,
+# so neither listeners nor hooks accumulate across many sink constructs
+# (ADVICE r12 #3 — the persisted calibrate-once frames previously
+# outlived their stream).
+_CLOSE_LISTENERS: dict = {}
+
+
+def _close_on_termination(spark: SparkSession, query_id, close) -> None:
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    key = id(spark)
+    ent = _CLOSE_LISTENERS.get(key)
+    if ent is None:
+        pending: dict = {}
+
+        class _Closer(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                pass
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                fn = pending.pop(str(event.id), None)
+                if fn is not None:
+                    try:
+                        fn()
+                    except Exception:
+                        pass  # session tearing down: nothing to free
+
+        listener = _Closer()
+        spark.streams.addListener(listener)
+        ent = (listener, pending)
+        _CLOSE_LISTENERS[key] = ent
+    ent[1][str(query_id)] = close
 
 
 def corpus_retract(

@@ -174,6 +174,31 @@ def classifier_gate_sink(
     return gate
 
 
+def _attach_close(gate: Callable, cache: dict) -> Callable:
+    """Give a caching gate an explicit release hook (ADVICE r12 #3: the
+    per-sink persisted frames — decon benchmark, DSIR models, the six LM
+    tables — were never unpersisted when a query stopped, so sessions
+    constructing many sinks accumulated executor-persisted blocks).
+    `gate.close()` unpersists everything the closure cached and clears
+    the cache; the next call simply re-persists, so close is safe at any
+    point (including between replays). `start_corpus_ingest` wires the
+    composed epoch's close to query termination via a
+    StreamingQueryListener; direct sink users call it themselves."""
+
+    def close() -> None:
+        for v in list(cache.values()):
+            frames = v.values() if isinstance(v, dict) else (v,)
+            for df in frames:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # session already stopped: nothing left to free
+        cache.clear()
+
+    gate.close = close
+    return gate
+
+
 def benchmark_shingles(bench_docs: DataFrame) -> list[int]:
     """Calibrate step for the decontamination gate: the DISTINCT hashed
     3-gram shingles of a benchmark suite (a `text` column), as a sorted
@@ -271,7 +296,7 @@ def decon_gate_sink(
             os.path.join(accepted_dir, f"batch_id={batch_id}")
         )
 
-    return gate
+    return _attach_close(gate, cache)
 
 
 def dsir_gate_sink(
@@ -387,7 +412,7 @@ def dsir_gate_sink(
             os.path.join(accepted_dir, f"batch_id={batch_id}")
         )
 
-    return gate
+    return _attach_close(gate, cache)
 
 
 def ppl_gate_sink(
@@ -413,11 +438,22 @@ def ppl_gate_sink(
     swap). The stream feed has no `lang` column (DOC_STREAM_SCHEMA), so
     a feed without one scores against the GLOBAL cut; a feed that
     carries lang gets the per-language cuts. Outside-population docs
-    pass through unscored: null text, no space-tokens, and docs whose
-    every token is OUT-OF-VOCABULARY for the trained model (the serving
-    join's skip-OOV convention — no scored token means no model
-    opinion; partial-OOV docs score over their in-vocab tokens, exactly
-    the batch scorer's arithmetic).
+    pass through unscored: null text, no space-tokens, and — at the
+    default floor — docs whose every token is OUT-OF-VOCABULARY for the
+    trained model (the serving join's skip-OOV convention — no scored
+    token means no model opinion; partial-OOV docs score over their
+    in-vocab tokens, exactly the batch scorer's arithmetic).
+
+    ADVICE r12 #1: that skip-OOV convention is a gate-evasion vector —
+    garbage made of unseen tokens (the very content a CCNet-style
+    perplexity filter targets) would pass unscored. A calibration
+    carrying ``min_vocab_frac`` (0 < f <= 1) therefore arms an in-vocab
+    FLOOR: docs with tokens whose in-vocab token fraction falls below f
+    are REJECTED, with their fraction (and NULL avg_bits when fully
+    OOV) in the audit. The floor costs one extra tokenize pass per
+    batch, so it is armed by calibration, not hardwired; the audit
+    schema carries ``in_vocab_frac`` in both modes (NULL when the floor
+    is off — readers with the 2-column explicit schema are unaffected).
 
     The gate is STATELESS — replay-safe by epoch-scoped overwrites,
     RTBF = per-epoch row filters on both outputs.
@@ -430,10 +466,14 @@ def ppl_gate_sink(
     selection gate — the published shape (quality-filter the cleaned
     pool, then select from it)."""
     from ..operators.ngram_lm import load_lm_tables, score_with_stored_lm
+    from ..operators.retrieval import tokenize as _rtokenize
 
     cuts = {str(k): float(v) for k, v in calib["cuts"].items()}
     cut_global = float(calib["cut_global"])
     model_dir = str(calib["model_dir"])
+    min_vocab_frac = float(calib.get("min_vocab_frac", 0.0))
+    if not 0.0 <= min_vocab_frac <= 1.0:
+        raise ValueError(f"min_vocab_frac must be in [0, 1], got {min_vocab_frac}")
     cache: dict = {}
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
@@ -462,11 +502,33 @@ def ppl_gate_sink(
             if entries
             else F.lit(cut_global)
         )
-        rejects = (
-            scored.filter(F.col("avg_bits") > cut)
-            .select("doc_id", "avg_bits")
-            .localCheckpoint(eager=False)
-        )
+        if min_vocab_frac > 0.0:
+            # Armed floor: join the scored relation (in-vocab token mass
+            # = dl) against each doc's TOTAL token count (same tokenizer
+            # as the scorer — one extra scan-side pass, no text shuffles:
+            # the join carries (doc_id, n_tok) scalars). Fully-OOV docs
+            # have no scored row -> dl NULL -> frac 0 -> rejected.
+            ntok = scored_in.select(
+                "doc_id",
+                F.coalesce(F.size(_rtokenize()), F.lit(0)).alias("n_tok"),
+            ).filter(F.col("n_tok") > 0)
+            st = ntok.join(scored, "doc_id", "left")
+            frac = (
+                F.coalesce(F.col("dl"), F.lit(0)).cast("double")
+                / F.col("n_tok")
+            )
+            rejects = st.filter(
+                (F.col("avg_bits") > cut) | (frac < F.lit(min_vocab_frac))
+            ).select(
+                "doc_id", "avg_bits", F.round(frac, 6).alias("in_vocab_frac")
+            )
+        else:
+            rejects = scored.filter(F.col("avg_bits") > cut).select(
+                "doc_id",
+                "avg_bits",
+                F.lit(None).cast("double").alias("in_vocab_frac"),
+            )
+        rejects = rejects.localCheckpoint(eager=False)
         rejects.write.mode("overwrite").parquet(
             os.path.join(audit_dir, f"batch_id={batch_id}")
         )
@@ -475,7 +537,7 @@ def ppl_gate_sink(
             os.path.join(accepted_dir, f"batch_id={batch_id}")
         )
 
-    return gate
+    return _attach_close(gate, cache)
 
 
 def read_curated(spark, curated_dir: str) -> DataFrame:

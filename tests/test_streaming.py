@@ -4928,6 +4928,206 @@ class TestPplGateSink:
         assert not os.path.isdir(d2["ppl_accepted"])
         assert not os.path.isdir(d2["ppl_audit"])
 
+    def test_min_vocab_frac_floor_rejects_oov_garbage(self, spark, tmp_path):
+        """ADVICE r12 #1: at the default floor, all-OOV garbage passes the
+        gate unscored; a calibration carrying min_vocab_frac arms the
+        in-vocab floor — fully-OOV docs are rejected with NULL avg_bits
+        and frac 0, partial-OOV docs below the floor are rejected with
+        their fraction, in-population docs are gated exactly as before."""
+        import os
+
+        from data_ingestion_experiment_otp_spark.operators.ngram_lm import (
+            ppl_gate_calibration,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.curation import (
+            ppl_gate_sink,
+        )
+
+        corpus = self._corpus(
+            spark,
+            tmp_path / "corpus",
+            [(i, " ".join([self.PHRASE] * 3), "en") for i in range(4)]
+            + [(4, self.SCRAMBLE + " " + self.SCRAMBLE, "en"),
+               (5, self.SCRAMBLE + " extra " + self.SCRAMBLE, "en")],
+        )
+        calib = ppl_gate_calibration(spark, corpus)
+        docs = [
+            (200, "web", 300, " ".join([self.PHRASE] * 3), [0.1] * 4),  # head
+            (201, "web", 300, self.SCRAMBLE + " " + self.SCRAMBLE, [0.2] * 4),  # tail
+            (202, "web", 30, "zzoov yyoov xxoov wwoov", [0.3] * 4),  # fully OOV
+            # 2 in-vocab of 8 tokens = 0.25 < 0.5 floor
+            (203, "web", 60, "the fox aaoov bboov ccoov ddoov eeoov ffoov", [0.4] * 4),
+            # 6 in-vocab of 8 = 0.75 >= floor: scores over in-vocab tokens
+            (204, "web", 60, self.PHRASE.replace("jumps over ", "") + " ggoov hhoov", [0.5] * 4),
+            (205, "web", 0, None, [0.6] * 4),  # null text: outside population
+        ]
+        batch = spark.createDataFrame(docs, self.SCHEMA)
+
+        # default floor: OOV docs pass (the documented convention)
+        acc0 = os.path.join(str(tmp_path), "acc0")
+        aud0 = os.path.join(str(tmp_path), "aud0")
+        ppl_gate_sink(calib, acc0, aud0)(batch, 0)
+        passed0 = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(os.path.join(acc0, "batch_id=0"))
+            .collect()
+        }
+        # the evasion vector: fully-OOV garbage (202) passes unscored
+        # (203/204 score over their in-vocab remnant and the tight
+        # boilerplate cut may reject them — that is tail gating, not OOV)
+        assert {202, 205} <= passed0
+
+        # armed floor
+        acc = os.path.join(str(tmp_path), "acc")
+        aud = os.path.join(str(tmp_path), "aud")
+        armed = dict(calib, min_vocab_frac=0.5)
+        ppl_gate_sink(armed, acc, aud)(batch, 0)
+        audit = {
+            r["doc_id"]: (r["avg_bits"], r["in_vocab_frac"])
+            for r in spark.read.schema(
+                "doc_id long, avg_bits double, in_vocab_frac double"
+            )
+            .parquet(os.path.join(aud, "batch_id=0"))
+            .collect()
+        }
+        passed = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(os.path.join(acc, "batch_id=0"))
+            .collect()
+        }
+        assert 202 in audit and audit[202][0] is None and audit[202][1] == 0.0
+        assert 203 in audit and audit[203][1] == 0.25
+        assert 201 in audit and audit[201][1] == 1.0  # tail reject, frac audited
+        assert {200, 205} <= passed  # head doc and null-text doc still pass
+
+    def test_gate_close_releases_persisted_model(self, spark, tmp_path):
+        """ADVICE r12 #3: the six persisted LM tables are released by the
+        sink's close() hook (and the capstone wires it to query
+        termination via the listener)."""
+        import os
+
+        from data_ingestion_experiment_otp_spark.operators.ngram_lm import (
+            ppl_gate_calibration,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.curation import (
+            ppl_gate_sink,
+        )
+        from pyspark import StorageLevel
+
+        corpus = self._corpus(
+            spark,
+            tmp_path / "corpus",
+            [(i, " ".join([self.PHRASE] * 3), "en") for i in range(4)]
+            + [(4, self.SCRAMBLE + " " + self.SCRAMBLE, "en")],
+        )
+        calib = ppl_gate_calibration(spark, corpus)
+        sink = ppl_gate_sink(
+            calib,
+            os.path.join(str(tmp_path), "acc"),
+            os.path.join(str(tmp_path), "aud"),
+        )
+        batch = spark.createDataFrame(
+            [(1, "web", 10, self.PHRASE, [0.1] * 4)], self.SCHEMA
+        )
+        # CacheManager probes: load_lm_tables builds plan-identical
+        # frames, and DataFrame.storageLevel consults the CacheManager by
+        # plan — so these report the SINK's persist state without
+        # reaching into its closure (and without flaky global-RDD-set
+        # arithmetic against the shared session)
+        from data_ingestion_experiment_otp_spark.operators.ngram_lm import (
+            load_lm_tables,
+        )
+
+        probe = load_lm_tables(spark, calib["model_dir"])
+
+        def n_pinned():
+            return sum(1 for df in probe.values() if df.storageLevel.useMemory)
+
+        assert n_pinned() == 0
+        sink(batch, 0)
+        assert n_pinned() == len(probe)  # the LM tables are pinned while serving
+        sink.close()
+        assert n_pinned() == 0
+        sink.close()  # idempotent
+        # a post-close batch re-persists lazily (close is replay-safe)...
+        sink(batch, 1)
+        assert n_pinned() == len(probe)
+        # ...and closes again
+        sink.close()
+        assert n_pinned() == 0
+
+    def test_capstone_listener_releases_on_termination(self, spark, tmp_path):
+        """start_corpus_ingest wires epoch.close to query termination: the
+        LM tables persisted by the stage-11 gate are gone (without any
+        caller action) once the availableNow query self-terminates."""
+        import os
+        import time
+
+        from data_ingestion_experiment_otp_spark.operators.ngram_lm import (
+            ppl_gate_calibration,
+        )
+        from data_ingestion_experiment_otp_spark.streaming import drive
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            start_corpus_ingest,
+        )
+
+        corpus = self._corpus(
+            spark,
+            tmp_path / "corpus",
+            [(i, self.PHRASE, "en") for i in range(4)]
+            + [(4, self.SCRAMBLE + " " + self.SCRAMBLE, "en")],
+        )
+        calib = ppl_gate_calibration(spark, corpus)
+
+        def basis(i, dim=64):
+            v = [0.0] * dim
+            v[i] = 1.0
+            return v
+
+        in_dir = str(tmp_path / "feed")
+        spark.createDataFrame(
+            [(1, "web", 300, self.PHRASE + " one", basis(0))], self.SCHEMA
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        cents = (
+            spark.createDataFrame(
+                [(0, basis(0))], "vec_id long, embedding array<float>"
+            ).collect()
+        )
+        def pids():
+            return {
+                int(x)
+                for x in spark.sparkContext._jsc.getPersistentRDDs()
+                .keySet()
+                .toArray()
+            }
+
+        before = pids()
+        q = start_corpus_ingest(
+            spark,
+            in_dir,
+            str(tmp_path / "work"),
+            cents,
+            {"*": 0.0},
+            str(tmp_path / "ckpt"),
+            ppl_calib=calib,
+        )
+        drive.drain(q)
+        # the terminate listener fires asynchronously; per-batch
+        # localCheckpoint blocks are released by the ContextCleaner once
+        # a JVM GC queues their weak refs — nudge both collectors
+        import gc
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if not (pids() - before):
+                break
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.3)
+        assert not (pids() - before)
+
 
 class TestDedupIndexCompaction:
     """corpus_index.py::compact_dedup_index (r11): the exact screen's
