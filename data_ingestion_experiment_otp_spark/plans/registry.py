@@ -322,6 +322,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dataset_card,
         dedup,
         extraction,
+        kn_lm,
         layout,
         materialize,
         multimodal,

@@ -1015,6 +1015,11 @@ class TestOrderIndependenceSweep:
         # aggregation.
         "llm_trigram_perplexity",
         "llm_ccnet_buckets_lm",
+        # r13: the KN-4 model is the same exact-integer-count class one
+        # order deeper — continuation counts are row counts of grouped
+        # integer relations, discounting is a per-row rational transform,
+        # and the serving scan repartitions through the loader seam
+        "llm_kn4_perplexity",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):
