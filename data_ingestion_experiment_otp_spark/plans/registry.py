@@ -329,6 +329,7 @@ def all_queries() -> dict[str, QuerySpec]:
         ngram_lm,
         profile,
         projection,
+        provenance,
         relational,
         retrieval,
         sampling,

@@ -61,7 +61,9 @@ DOC_STREAM_SCHEMA = (
 
 
 def corpus_ingest_dirs(work_dir: str) -> dict[str, str]:
-    """The stores the pipeline maintains under one root (drift_audit is
+    """The stores the pipeline maintains under one root
+    (dom_accepted/dom_audit the optional stage-0 domain blocklist
+    gate's, written only when a domain_blocklist is passed; drift_audit
     the optional sixth — written only when a calibrated reference is
     passed to the epoch; gram_index/span_audit the optional seventh and
     eighth, written only with span_screen=True; shingle_index/
@@ -77,6 +79,8 @@ def corpus_ingest_dirs(work_dir: str) -> dict[str, str]:
     DSIR selection gate's, written only when a select_calib calibration
     is passed)."""
     return {
+        "dom_accepted": os.path.join(work_dir, "dom_accepted"),
+        "dom_audit": os.path.join(work_dir, "dom_audit"),
         "dedup_index": os.path.join(work_dir, "dedup_index"),
         "accepted": os.path.join(work_dir, "accepted"),
         "curated": os.path.join(work_dir, "curated"),
@@ -115,6 +119,7 @@ def corpus_ingest_epoch(
     decon_hashes: list[int] | None = None,
     select_calib: dict | None = None,
     ppl_calib: dict | None = None,
+    domain_blocklist: list[str] | None = None,
 ):
     """The per-epoch function: built separately from the stream so a
     replay (same stores, same params, same batch_id) can be driven
@@ -209,12 +214,20 @@ def corpus_ingest_epoch(
     from .curation import (
         classifier_gate_sink,
         decon_gate_sink,
+        domain_gate_sink,
         dsir_gate_sink,
         ppl_gate_sink,
     )
     from .drift_monitor import source_drift_sink
 
     dirs = corpus_ingest_dirs(work_dir)
+    dom = (
+        domain_gate_sink(
+            domain_blocklist, dirs["dom_accepted"], dirs["dom_audit"]
+        )
+        if domain_blocklist is not None
+        else None
+    )
     screen = corpus_dedup_sink(dirs["dedup_index"], dirs["accepted"])
     near = (
         neardup_screen_sink(
@@ -272,8 +285,17 @@ def corpus_ingest_epoch(
         batch_df.persist()
         try:
             if drift is not None:
+                # drift audits the RAW feed deliberately (pre-gate): a
+                # feed tilting toward blocklisted domains is itself the
+                # drift signal the screened stream would hide
                 drift(batch_df.select("source", "text"), batch_id)
-            screen(batch_df, batch_id)
+            gated = batch_df
+            if dom is not None:
+                dom(batch_df, batch_id)
+                gated = batch_df.sparkSession.read.parquet(
+                    os.path.join(dirs["dom_accepted"], f"batch_id={batch_id}")
+                )
+            screen(gated, batch_id)
             # read the epoch's own admitted partition back: the write is
             # the dedup barrier, and replays re-read the same bytes
             admitted = batch_df.sparkSession.read.parquet(
@@ -321,7 +343,7 @@ def corpus_ingest_epoch(
             batch_df.unpersist()
 
     def close() -> None:
-        for s in (gate, decon, ppl, select):
+        for s in (dom, gate, decon, ppl, select):
             fn = getattr(s, "close", None)
             if fn is not None:
                 fn()
@@ -349,6 +371,7 @@ def start_corpus_ingest(
     decon_hashes: list[int] | None = None,
     select_calib: dict | None = None,
     ppl_calib: dict | None = None,
+    domain_blocklist: list[str] | None = None,
 ) -> StreamingQuery:
     """Start the composed ingestion stream over a parquet document feed.
     `centroids` / `quality_min` / `drift_reference` / `sem_model` are the
@@ -376,6 +399,7 @@ def start_corpus_ingest(
         decon_hashes,
         select_calib,
         ppl_calib,
+        domain_blocklist,
     )
     q = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
@@ -502,6 +526,8 @@ def corpus_retract(
     }
     epochs = sorted({r["batch_id"] for r in victims})
     removed = {
+        "dom_accepted": 0,
+        "dom_audit": 0,
         "accepted": 0,
         "curated": 0,
         "dedup_index": 0,
@@ -1044,6 +1070,61 @@ def corpus_retract(
             removed[store] += pdf.count() - akept.count()
             swap_rewrite(apart, akept, None)
             pdf.unpersist()
+
+    # Stage-0 domain-gate stores (r13, domain_blocklist runs): victims
+    # can live here in epochs the main loop never visits — a doc the
+    # gate itself rejected, or one the dedup screen later dropped, has
+    # NO accepted row, so its epochs are DISCOVERED from the dom stores
+    # (the audit-store pattern above). dom_accepted carries the feed's
+    # full rows, so its per-partition rewrite reads schema-less
+    # (discovery guarantees the partition is non-empty); the audit is
+    # (doc_id, domain) — a function of the victim's own provenance
+    # alone. Stateless gate: no index to make unknown again.
+    if os.path.isdir(dirs["dom_audit"]):
+        dom_hits: set[int] = set()
+        daud = (
+            spark.read.schema("doc_id long, domain string, batch_id long")
+            .option("basePath", dirs["dom_audit"])
+            .parquet(dirs["dom_audit"])
+        )
+        dom_hits |= {
+            r["batch_id"]
+            for r in daud.filter(F.col("doc_id").isin(ids))
+            .select("batch_id")
+            .distinct()
+            .collect()
+        }
+        dacc = (
+            spark.read.schema("doc_id long, batch_id long")
+            .option("basePath", dirs["dom_accepted"])
+            .parquet(dirs["dom_accepted"])
+        )
+        acc_hits = {
+            r["batch_id"]
+            for r in dacc.filter(F.col("doc_id").isin(ids))
+            .select("batch_id")
+            .distinct()
+            .collect()
+        }
+        for b in sorted(dom_hits | acc_hits):
+            if b in acc_hits:
+                dpart = os.path.join(dirs["dom_accepted"], f"batch_id={b}")
+                ddf_ = spark.read.parquet(dpart).persist()
+                dkept_ = ddf_.filter(~F.col("doc_id").isin(ids))
+                removed["dom_accepted"] += ddf_.count() - dkept_.count()
+                swap_rewrite(dpart, dkept_, None)
+                ddf_.unpersist()
+            if b in dom_hits:
+                apart_ = os.path.join(dirs["dom_audit"], f"batch_id={b}")
+                adf_ = (
+                    spark.read.schema("doc_id long, domain string")
+                    .parquet(apart_)
+                    .persist()
+                )
+                akept_ = adf_.filter(~F.col("doc_id").isin(ids))
+                removed["dom_audit"] += adf_.count() - akept_.count()
+                swap_rewrite(apart_, akept_, None)
+                adf_.unpersist()
 
     # Compacted semantic sidecar generation (compact_sem_index): rows
     # kept their vec_id through the fold, so victims from folded epochs

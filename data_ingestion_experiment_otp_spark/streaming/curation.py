@@ -199,6 +199,73 @@ def _attach_close(gate: Callable, cache: dict) -> Callable:
     return gate
 
 
+def domain_gate_sink(
+    blocklist: list[str],
+    accepted_dir: str,
+    audit_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: ingestion-time DOMAIN BLOCKLIST gate (r13,
+    stage 0 — the published pipelines' FIRST screen: CCNet/RefinedWeb/
+    Gopher all gate on URL domain before any content pass, because it is
+    the cheapest possible reject — scalar string ops, no tokenization,
+    no text shuffle). Docs whose normalized registrable domain sits on
+    the blocklist are rejected: survivors land in a batchId-keyed
+    accepted directory (what the dedup screen and every later stage then
+    consume), rejects in a batchId-keyed audit carrying (doc_id, domain)
+    — ids and domains only, no text, no url.
+
+    `blocklist` is the calibrate-once control-plane input (normalized
+    domains — the batch `llm_domain_blocklist_gate`'s relation; updating
+    the list is a sink swap). A feed carrying a `url` column gates on
+    it; the fixture feed (DOC_STREAM_SCHEMA has no url) gates on the
+    planted doc_id-derived URL, the batch tier's derivation — one
+    definition (`provenance.url_col`), so batch and stream screen the
+    identical domain space. Docs with a NULL url are outside the gate's
+    population and pass through unscored (no provenance means no
+    blocklist opinion — the ladder's convention).
+
+    The gate is STATELESS — replay-safe by epoch-scoped overwrites, RTBF
+    = per-epoch row filters on both outputs.
+
+    Scale shape: per-row normalize (scan-side string ops), ONE broadcast
+    anti-join against the blocklist relation (built once, lazily,
+    persisted — the decon-gate lesson; production blocklists are 1e4+
+    rows and arrive as data), one anti-join on doc_id scalars. The
+    corpus side never shuffles; running FIRST means every later stage's
+    cost is paid only on domain-admitted docs."""
+    from ..operators.provenance import domain_col, url_col
+
+    bl = sorted({str(d) for d in blocklist})
+    cache: dict = {}
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        blocked = cache.get("blocked")
+        if blocked is None:
+            blocked = spark.createDataFrame(
+                [(d,) for d in bl], "domain string"
+            ).persist()
+            cache["blocked"] = blocked
+        url = F.col("url") if "url" in batch_df.columns else url_col()
+        dom = batch_df.select(
+            "doc_id", domain_col(url).alias("domain")
+        ).filter(F.col("domain").isNotNull())
+        rejects = (
+            dom.join(F.broadcast(blocked), "domain")
+            .select("doc_id", "domain")
+            .localCheckpoint(eager=False)
+        )
+        rejects.write.mode("overwrite").parquet(
+            os.path.join(audit_dir, f"batch_id={batch_id}")
+        )
+        accepted = batch_df.join(rejects.select("doc_id"), "doc_id", "left_anti")
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(accepted_dir, f"batch_id={batch_id}")
+        )
+
+    return _attach_close(gate, cache)
+
+
 def benchmark_shingles(bench_docs: DataFrame) -> list[int]:
     """Calibrate step for the decontamination gate: the DISTINCT hashed
     3-gram shingles of a benchmark suite (a `text` column), as a sorted

@@ -2717,18 +2717,20 @@ class TestShingleIndexCompaction:
 
 class TestCapstoneAllStages:
     """The full composition: every optional stage on at once (drift +
-    span screen + near-dup screen + the r10 semantic screen + the r11
-    model gate + the r11b decontamination gate + the r12 selection and
-    trained-LM quality gates — all 22 stores) — the stages must not
-    interfere, and a replayed epoch must reproduce every store
-    byte-identically. The gate runs with keep-everything weights (bias
-    +1, buckets 0: margin = n_tokens > 0), the decon gate with a
+    the r13 stage-0 domain gate + span screen + near-dup screen + the
+    r10 semantic screen + the r11 model gate + the r11b decontamination
+    gate + the r12 selection and trained-LM quality gates — all 24
+    stores) — the stages must not interfere, and a replayed epoch must
+    reproduce every store byte-identically. The domain gate runs with a
+    feed-disjoint blocklist, the model gate with keep-everything weights
+    (bias +1, buckets 0: margin = n_tokens > 0), the decon gate with a
     feed-disjoint benchmark, the selection gate with a keep-everything
     calibration (empty models, -inf threshold), and the LM gate with a
     +inf cut over a real trained store (scores compute, nothing lands in
     the tail) so the dedup-funnel assertions stay exact; their own
-    decision behavior is TestClassifierGateSink's / TestDeconGateSink's /
-    TestDsirGateSink's / TestPplGateSink's job."""
+    decision behavior is TestDomainGateSink's / TestClassifierGateSink's
+    / TestDeconGateSink's / TestDsirGateSink's / TestPplGateSink's
+    job."""
 
     def test_all_stages_compose_and_replay_byte_identical(self, spark, tmp_path):
         import glob
@@ -2854,13 +2856,31 @@ class TestCapstoneAllStages:
             decon_hashes=decon,
             select_calib=sel_noop,
             ppl_calib=ppl_noop,
+            # feed doc_ids 1-8 derive domains d1..d8.example.org: d12 is
+            # feed-disjoint, the stage materializes and passes all through
+            domain_blocklist=["d12.example.org"],
         )
         drive.drain(q)
         dirs = corpus_ingest_dirs(work)
 
-        # every one of the 22 stores materialized
+        # every one of the 24 stores materialized
         for k, d in dirs.items():
             assert os.path.isdir(d), k
+        # the feed-disjoint blocklist passes everything through: the
+        # stage-0 relation is the whole feed and its audit is empty
+        dom_acc = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(dirs["dom_accepted"])
+            .collect()
+        }
+        assert dom_acc == {1, 2, 3, 4, 5, 6, 7, 8}
+        assert (
+            spark.read.schema("doc_id long, domain string")
+            .parquet(dirs["dom_audit"])
+            .count()
+            == 0
+        )
         # the feed-disjoint benchmark passes everything through: the
         # decon relation equals the gate's and the audit is empty
         decon_acc = {
@@ -2972,6 +2992,7 @@ class TestCapstoneAllStages:
         epoch = corpus_ingest_epoch(
             work, cents, {"*": 0.0}, ref, 1.0, True, True, mdl,
             [0] * 128 + [1], decon, sel_noop, ppl_noop,
+            domain_blocklist=["d12.example.org"],
         )
         epoch(
             spark.createDataFrame(batches[1], TestStreamingCorpusPipeline.SCHEMA), 1
@@ -5127,6 +5148,201 @@ class TestPplGateSink:
             spark.sparkContext._jvm.System.gc()
             time.sleep(0.3)
         assert not (pids() - before)
+
+
+class TestDomainGateSink:
+    """curation.py::domain_gate_sink (r13) — the published stage-0
+    screen: blocklisted domains rejected before any content pass;
+    feed-url vs planted-derivation parity, null-url passthrough,
+    stateless replay, capstone wiring (the gate's accepted relation
+    feeds the dedup screen), discovery-path RTBF, off by default."""
+
+    SCHEMA = TestStreamingCorpusPipeline.SCHEMA
+
+    def test_gate_semantics_replay_and_close(self, spark, tmp_path):
+        import os
+
+        from data_ingestion_experiment_otp_spark.streaming.curation import (
+            domain_gate_sink,
+        )
+
+        # feed WITH a url column: the gate uses it verbatim
+        rows = [
+            (1, "https://www.Bad.Example.COM/a#x"),  # blocked (normalized)
+            (2, "https://good.example.com/b"),
+            (3, None),  # no provenance: outside the population
+            (4, "https://bad.example.com/c/"),  # blocked
+        ]
+        batch = spark.createDataFrame(rows, "doc_id long, url string")
+        acc = os.path.join(str(tmp_path), "acc")
+        aud = os.path.join(str(tmp_path), "aud")
+        sink = domain_gate_sink(["bad.example.com"], acc, aud)
+        sink(batch, 0)
+        accepted = sorted(
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(os.path.join(acc, "batch_id=0"))
+            .collect()
+        )
+        audit = sorted(
+            map(
+                tuple,
+                spark.read.schema("doc_id long, domain string")
+                .parquet(os.path.join(aud, "batch_id=0"))
+                .collect(),
+            )
+        )
+        assert accepted == [2, 3]
+        assert audit == [(1, "bad.example.com"), (4, "bad.example.com")]
+        sink(batch, 0)  # stateless replay: byte-identical outputs
+        assert sorted(
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(os.path.join(acc, "batch_id=0"))
+            .collect()
+        ) == accepted
+        sink.close()  # releases the persisted blocklist; idempotent
+        sink.close()
+
+    def test_urlless_feed_gates_on_planted_derivation(self, spark, tmp_path):
+        import os
+
+        from data_ingestion_experiment_otp_spark.operators.provenance import (
+            domain_col,
+            url_col,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.curation import (
+            domain_gate_sink,
+        )
+
+        # DOC_STREAM_SCHEMA has no url: the gate derives the batch
+        # tier's planted URL from doc_id, so batch and stream screen the
+        # identical domain space (doc_id 3 -> d3.example.org)
+        docs = [(i, "web", 10, f"text {i}", [0.1] * 4) for i in (1, 2, 3, 16)]
+        batch = spark.createDataFrame(docs, self.SCHEMA)
+        expect_domain = {
+            r["doc_id"]: r["d"]
+            for r in batch.select(
+                "doc_id", domain_col(url_col()).alias("d")
+            ).collect()
+        }
+        assert expect_domain[3] == "d3.example.org"
+        assert expect_domain[16] == "d3.example.org"  # 16 % 13
+        acc = os.path.join(str(tmp_path), "acc")
+        aud = os.path.join(str(tmp_path), "aud")
+        domain_gate_sink(["d3.example.org"], acc, aud)(batch, 0)
+        accepted = sorted(
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(os.path.join(acc, "batch_id=0"))
+            .collect()
+        )
+        assert accepted == [1, 2]
+
+    def test_capstone_stage0_rtbf_discovery_and_off_by_default(
+        self, spark, tmp_path
+    ):
+        import os
+        import time
+
+        from data_ingestion_experiment_otp_spark.streaming import drive
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_retract,
+            start_corpus_ingest,
+        )
+
+        def basis(i, dim=64):
+            v = [0.0] * dim
+            v[i] = 1.0
+            return v
+
+        # doc 3 -> d3.example.org (blocked at stage 0); docs 1, 2 pass
+        batches = [
+            [(1, "web", 20, "alpha beta gamma delta", basis(0)),
+             (3, "web", 20, "epsilon zeta eta theta", basis(1))],
+            [(2, "web", 20, "iota kappa lambda mu", basis(2))],
+        ]
+        in_dir = str(tmp_path / "feed")
+        for rows in batches:
+            spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+            time.sleep(0.05)
+        cents = spark.createDataFrame(
+            [(0, basis(0))], "vec_id long, embedding array<float>"
+        ).collect()
+        work = str(tmp_path / "work")
+        q = start_corpus_ingest(
+            spark,
+            in_dir,
+            work,
+            cents,
+            {"*": 0.0},
+            str(tmp_path / "ckpt"),
+            domain_blocklist=["d3.example.org"],
+        )
+        drive.drain(q)
+        dirs = corpus_ingest_dirs(work)
+        dom_acc = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(dirs["dom_accepted"])
+            .collect()
+        }
+        assert dom_acc == {1, 2}
+        audit = {
+            (r["doc_id"], r["domain"])
+            for r in spark.read.schema("doc_id long, domain string")
+            .parquet(dirs["dom_audit"])
+            .collect()
+        }
+        assert audit == {(3, "d3.example.org")}
+        # the dedup screen consumed the GATED relation: doc 3 nowhere
+        accepted = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(dirs["accepted"])
+            .collect()
+        }
+        assert accepted == {1, 2}
+
+        # RTBF on the stage-0-REJECTED doc: its only trace is the dom
+        # audit, whose epoch the discovery path must find (no accepted
+        # row exists for it)
+        removed = corpus_retract(spark, work, [3])
+        assert removed["dom_audit"] == 1 and removed["dom_accepted"] == 0
+        assert (
+            spark.read.schema("doc_id long")
+            .parquet(dirs["dom_audit"])
+            .count()
+            == 0
+        )
+        # RTBF on an admitted doc sweeps both dom stores too
+        removed2 = corpus_retract(spark, work, [1])
+        assert removed2["dom_accepted"] == 1 and removed2["accepted"] == 1
+        left = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(dirs["dom_accepted"])
+            .collect()
+        }
+        assert left == {2}
+
+        # off by default: a run without a blocklist writes no dom dirs
+        work2 = str(tmp_path / "work2")
+        q2 = start_corpus_ingest(
+            spark,
+            in_dir,
+            work2,
+            cents,
+            {"*": 0.0},
+            str(tmp_path / "ckpt2"),
+        )
+        drive.drain(q2)
+        d2 = corpus_ingest_dirs(work2)
+        assert not os.path.isdir(d2["dom_accepted"])
+        assert not os.path.isdir(d2["dom_audit"])
 
 
 class TestDedupIndexCompaction:
