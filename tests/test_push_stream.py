@@ -205,3 +205,181 @@ class TestPushStream:
         dirs = corpus_ingest_dirs(work)
         for store in ("accepted", "dedup_index", "curated", "vector_index"):
             assert os.path.isdir(dirs[store]), store
+
+    @staticmethod
+    def _docs_select(df):
+        """Envelope rows -> the document-feed shape (one definition for
+        the stream and the batch-surface replay). The pseudo-embedding
+        varies direction with delivery_id (a constant family would make
+        every pair cosine-1 and the semantic screen would kill the
+        feed); ids congruent mod 19 repeat the vector — deliberate
+        semantic dups the screen may cull downstream of `accepted`."""
+        return (
+            df.select(
+                F.col("delivery_id").alias("doc_id"),
+                F.lit("webhook").alias("source"),
+                F.concat(
+                    F.lit("otp delivery "),
+                    F.col("delivery_id").cast("string"),
+                    F.lit(" history "),
+                    F.col("history_id").cast("string"),
+                    F.lit(" for "),
+                    F.col("email"),
+                ).alias("text"),
+                F.expr(
+                    "transform(sequence(0, 63), i -> "
+                    "CAST((pmod((delivery_id + 1) * (i + 3), 19) + 1) / 20.0"
+                    " AS FLOAT))"
+                ).alias("embedding"),
+            )
+            .withColumn("n_chars", F.length("text"))
+            .select("doc_id", "source", "n_chars", "text", "embedding")
+        )
+
+    def test_push_source_drives_full_selective_ladder(self, spark, tmp_path):
+        """VERDICT r12 next #5: the push channel feeds the COMPLETE
+        production pipeline — every optional stage armed, all 24 stores
+        materializing from the streaming DataSource with no file staging
+        — and a verbatim replay of the final epoch reproduces every
+        store byte-identically (the all-stages capstone's contract, now
+        driven by the reference's own push channel)."""
+        from pyspark.sql import Row
+
+        from data_ingestion_experiment_otp_spark.operators.ngram_lm import (
+            trigram_model_dir,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.corpus_pipeline import (
+            corpus_ingest_dirs,
+            corpus_ingest_epoch,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.curation import (
+            benchmark_shingles,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.drift_monitor import (
+            calibrate_reference,
+        )
+
+        work, ck = str(tmp_path / "work"), str(tmp_path / "ck")
+        rows, per_batch = 600, 200
+        register_push_source(spark)
+
+        # calibrations derive from the BATCH surface of the same channel
+        # (control-plane inputs; the stream itself stages no files)
+        batch_docs = self._docs_select(
+            spark.read.format("otp_webhook").option("rows", rows).load()
+        )
+        ref = calibrate_reference(batch_docs.select("doc_id", "text"))
+        lm_corpus = str(tmp_path / "lm_corpus")
+        batch_docs.select(
+            "doc_id", "text", F.lit("en").alias("lang"), "source", "n_chars"
+        ).coalesce(1).write.parquet(os.path.join(lm_corpus, "documents.parquet"))
+        ppl_noop = {
+            "model_dir": trigram_model_dir(spark, lm_corpus),
+            "cuts": {},
+            "cut_global": float("inf"),
+        }
+        sel_noop = {
+            "c_r": {},
+            "c_t": {},
+            "rtot": 0,
+            "ttot": 0,
+            "thr": {},
+            "thr_global": float("-inf"),
+        }
+        decon = benchmark_shingles(
+            spark.createDataFrame(
+                [("zzbench1 zzbench2 zzbench3 zzbench4 zzbench5",)],
+                "text string",
+            )
+        )
+        from tests.test_streaming import TestSemDedupScreenSink
+
+        def vec(s):
+            return [0.0] * s + [1.0] + [0.0] * (63 - s)
+
+        mdl = TestSemDedupScreenSink._train(
+            spark, tmp_path / "calib", [(i, vec(i)) for i in range(10)]
+        )
+        cents = [
+            Row(vec_id=0, embedding=[0.1 + (i % 5) / 10.0 for i in range(64)]),
+            Row(vec_id=1, embedding=[0.9 - (i % 7) / 10.0 for i in range(64)]),
+        ]
+        params = dict(
+            drift_reference=ref,
+            span_screen=True,
+            near_dedup=True,
+            sem_model=mdl,
+            gate_weights=[0] * 128 + [1],
+            decon_hashes=decon,
+            select_calib=sel_noop,
+            ppl_calib=ppl_noop,
+            # derived domains are d0..d12.example.org: d99 is disjoint,
+            # the stage materializes and passes all through (its kill
+            # behavior is TestDomainGateSink's job)
+            domain_blocklist=["d99.example.org"],
+        )
+        epoch = corpus_ingest_epoch(work, cents, {"*": 0.0}, **params)
+        dirs = corpus_ingest_dirs(work)
+        q = (
+            self._docs_select(_reader(spark, rows=rows, batch=per_batch))
+            .writeStream.foreachBatch(epoch)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+        def ladder_done():
+            # poll the LAST stage, not the dedup store: stopping on the
+            # accepted count races the rest of the epoch's ladder (the
+            # span audit is the final write of each epoch)
+            if _count(spark, dirs["accepted"]) < rows:
+                return False
+            acc = set(os.listdir(dirs["accepted"]))
+            try:
+                span = set(os.listdir(dirs["span_audit"]))
+            except FileNotFoundError:
+                return False
+            return acc <= span
+
+        drive.drain(q, until=ladder_done, timeout=180)
+        # all 24 stores materialized off the push channel
+        for k, d in dirs.items():
+            assert os.path.isdir(d), k
+        assert _count(spark, dirs["accepted"]) == rows  # distinct texts
+        n_epochs = len(os.listdir(dirs["accepted"]))
+        assert n_epochs >= rows // per_batch  # genuinely multi-epoch
+
+        # verbatim replay of the FINAL epoch: every store byte-identical
+        def leaf_tables(d):
+            subs = [
+                e
+                for e in sorted(os.listdir(d))
+                if os.path.isdir(os.path.join(d, e)) and "=" not in e
+            ]
+            return [os.path.join(d, e) for e in subs] if subs else [d]
+
+        def snapshot():
+            out = {}
+            for k, d in sorted(dirs.items()):
+                for t in leaf_tables(d):
+                    out[f"{k}/{os.path.basename(t)}"] = sorted(
+                        map(tuple, spark.read.parquet(t).collect())
+                    )
+            return out
+
+        last = max(
+            int(e.split("=")[1]) for e in os.listdir(dirs["accepted"])
+        )
+        last_ids = sorted(
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(os.path.join(dirs["accepted"], f"batch_id={last}"))
+            .collect()
+        )
+        before = snapshot()
+        replay_epoch = corpus_ingest_epoch(work, cents, {"*": 0.0}, **params)
+        replay_epoch(
+            batch_docs.filter(F.col("doc_id").isin(last_ids)), last
+        )
+        assert snapshot() == before
+        replay_epoch.close()
+        epoch.close()
