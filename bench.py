@@ -158,7 +158,44 @@ HEADLINE = [
     # bpe_train_scaled precedent) and the CCNet split scored by it
     "llm_trigram_perplexity",
     "llm_ccnet_buckets_lm",
+    # r13 additions: the Kneser-Ney 4-gram artifact (cold train on first
+    # rep — one level deeper than the trigram store), the approx form of
+    # the trained-LM CCNet split (no per-stratum sort), and the URL/
+    # domain provenance tier (metadata-only scans, no text in the plans)
+    "llm_kn4_perplexity",
+    "llm_ccnet_buckets_lm_approx",
+    "llm_domain_stats",
+    "llm_domain_blocklist_gate",
+    "llm_url_dedup",
 ]
+
+# Idle-gate calibration (r13, VERDICT r12 wrong #1): a constant-work JVM
+# spin with a FIXED task shape (8 partitions — wall-invariant to the
+# local[N] width while >= 8 cores are free), measured before and after
+# the run. On a quiet box the warm min sits at _CALIB_PIN seconds
+# (measured; re-pin if the fleet hardware changes); a loaded host shows
+# up as queued/preempted tasks and pushes the spin past the band, making
+# a low-signal snapshot MACHINE-DETECTABLE (the r12 close snapshot
+# carried its host-load caveat only in prose).
+_CALIB_PIN = 0.33
+_CALIB_MAX = 1.45  # caveat when min exceeds PIN by this factor
+_CALIB_SPREAD_MAX = 45.0  # ...or the warm spread (pct) exceeds this
+
+
+def _calibration(spark) -> tuple[float, float]:
+    def spin() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 500_000_000, 1, 8).selectExpr(
+            "sum(id % 1000003) as s"
+        ).collect()
+        return time.perf_counter() - t0
+
+    runs = [spin() for _ in range(4)]  # first run absorbs codegen
+    warm = runs[1:]
+    return (
+        round(min(warm), 3),
+        round((max(warm) / min(warm) - 1.0) * 100, 1),
+    )
 
 
 def bench_corpus_ingest(spark, sf_dir: str):
@@ -311,6 +348,26 @@ def bench_corpus_ingest(spark, sf_dir: str):
             select_calib=sel_calib,
             ppl_calib=ppl_calib,
         )
+        # the r13 successor: the full 12-stage ladder — stage 0's domain
+        # blocklist gate in front of everything. The batch tier's
+        # blocklist (3 of 13 planted domains) REJECTS ~23% of the feed at
+        # stage 0, so downstream volumes are deliberately NOT
+        # like-for-like with `selective` (that is the stage doing its
+        # job); compare provenanced ONLY against provenanced.
+        from data_ingestion_experiment_otp_spark.operators.provenance import (
+            _BLOCKLIST,
+        )
+
+        best_prov = drive(
+            span_screen=True,
+            near_dedup=True,
+            sem_model=mdl,
+            gate_weights=weights,
+            decon_hashes=bench_hashes,
+            select_calib=sel_calib,
+            ppl_calib=ppl_calib,
+            domain_blocklist=list(_BLOCKLIST),
+        )
     finally:
         feed.unpersist()
     return {
@@ -335,6 +392,10 @@ def bench_corpus_ingest(spark, sf_dir: str):
             round(best_selective, 3),
             round((n_docs / epochs_n) / best_selective, 1),
         ),
+        "corpus_ingest_provenanced": (
+            round(best_prov, 3),
+            round((n_docs / epochs_n) / best_prov, 1),
+        ),
     }
 
 
@@ -346,6 +407,8 @@ def main() -> None:
 
     # Warmup: JVM + codegen + parquet footer caches.
     q["src_point_lookup_latest"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    calib_pre = _calibration(spark)
 
     # Adaptive re-reps: a warm spread over this threshold means the cell
     # was still JIT-tiering or fighting load — spend extra reps until it
@@ -401,6 +464,12 @@ def main() -> None:
         capstone[cell] = sec
         dps[cell] = docs_per_sec
 
+    calib_post = _calibration(spark)
+    load_caveat = any(
+        c[0] > _CALIB_PIN * _CALIB_MAX or c[1] > _CALIB_SPREAD_MAX
+        for c in (calib_pre, calib_post)
+    )
+
     # The headline total EXCLUDES the streaming capstones (r12, VERDICT
     # r11 "what's wrong" #2's alternative): their per-epoch walls carry
     # shared-host noise the median-of-warm protocol shrinks but cannot
@@ -424,6 +493,12 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                # machine-detectable host-load flag (r13): [pre, post]
+                # constant-work calibration mins + the verdict; a true
+                # caveat means this snapshot's per-cell deltas are
+                # low-signal (the r12 close-snapshot lesson)
+                "calib": [calib_pre, calib_post],
+                "load_caveat": load_caveat,
                 "capstone": capstone,
                 "sf": sf_dir,
                 "protocol": "interleaved-rounds-min",
