@@ -453,6 +453,57 @@ def _kn_scores(
 
 
 @register(
+    "llm_kn4_ccnet_buckets",
+    oracle=f"""
+    WITH {_KN_MODEL_CTES},
+    r AS (
+      SELECT doc_id, lang, CAST(sum(n) AS BIGINT) AS dl,
+             round(sum(n * -(ln(p) / ln(2))) / sum(n), 6) AS avg_bits
+      FROM scored GROUP BY doc_id, lang
+    ),
+    rk AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY lang ORDER BY avg_bits, doc_id)
+               AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM r
+    )
+    SELECT doc_id, lang, dl, avg_bits,
+           CASE WHEN rk * 3 <= n THEN 'head'
+                WHEN rk * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM rk
+    """,
+    tags=("llm", "text", "quality", "model"),
+)
+def llm_kn4_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail split scored by the KN-4 artifact —
+    the same integer-exact per-language rank-tercile cut as
+    `llm_ccnet_buckets_lm`, with the score relation swapped to the
+    Kneser-Ney model (the third LM behind the one split: corpus unigram
+    -> trained trigram -> trained KN-4, each a pure artifact swap — the
+    plumbing claim, executed three times). Oracle splices the FULL KN
+    model derivation plus the rank cut."""
+    from pyspark.sql import Window as W
+
+    r = _kn_scores(spark, sf_dir, by_lang=True)
+    w = W.partitionBy("lang").orderBy("avg_bits", "doc_id")
+    wn = W.partitionBy("lang")
+    rk = F.row_number().over(w)
+    n = F.count("*").over(wn)
+    return r.select(
+        "doc_id",
+        "lang",
+        "dl",
+        "avg_bits",
+        F.when(rk * 3 <= n, F.lit("head"))
+        .when(rk * 3 <= 2 * n, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+@register(
     "llm_kn4_perplexity",
     oracle=_KN4_PPL_ORACLE,
     tags=("llm", "text", "quality", "model"),

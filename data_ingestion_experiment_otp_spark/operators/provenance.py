@@ -207,6 +207,73 @@ def llm_domain_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-domain contribution cap (RefinedWeb's anti-monoculture rule): no
+# domain may contribute more than _DOMAIN_CAP documents. Deterministic
+# keeper order (doc_id) so both engines cut the identical prefix.
+_DOMAIN_CAP = 25
+
+_DOMAIN_CAP_ORACLE = f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ),
+    d AS (SELECT doc_id, {_DOMAIN_SQL} AS domain FROM u),
+    rk AS (
+      SELECT doc_id, domain,
+             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk,
+             count(*) OVER (PARTITION BY domain) AS n_domain
+      FROM d
+    )
+    SELECT doc_id, domain,
+           CAST(rk AS BIGINT) AS rk,
+           CAST(n_domain AS BIGINT) AS n_domain
+    FROM rk WHERE rk <= {_DOMAIN_CAP}
+    """
+
+
+@register(
+    "llm_domain_cap",
+    oracle=_DOMAIN_CAP_ORACLE,
+    tags=("llm", "provenance", "url", "sampling"),
+)
+def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (the RefinedWeb/Gopher
+    anti-monoculture rule: a handful of giant domains must not dominate
+    the corpus): keep at most _DOMAIN_CAP documents per normalized
+    domain, in deterministic doc_id order, and emit each keeper with its
+    rank and its domain's total volume (the audit columns a mixture
+    designer reads).
+
+    Scale shape: one metadata-only scan -> per-domain window (shuffle on
+    the domain key, sort within each domain's partition — domains are
+    the natural stratification unit, so the sort is per-stratum, never
+    global). The documented seam: a single giant domain makes one fat
+    partition; the scale escape is count-then-coin (per-domain counts
+    broadcast back, keep with a deterministic hash coin at rate
+    cap/n_domain) — the ccnet_buckets_approx pattern, worth its own
+    entry only if a real corpus hits the seam."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    from pyspark.sql import Window as W
+
+    dom = d.withColumn("domain", domain_col(url_col()))
+    w = W.partitionBy("domain").orderBy("doc_id")
+    wn = W.partitionBy("domain")
+    return (
+        dom.select(
+            "doc_id",
+            "domain",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(wn).alias("n_domain"),
+        )
+        .filter(F.col("rk") <= _DOMAIN_CAP)
+        .select(
+            "doc_id",
+            "domain",
+            F.col("rk").cast("long").alias("rk"),
+            F.col("n_domain").cast("long").alias("n_domain"),
+        )
+    )
+
+
 _URL_DEDUP_ORACLE = f"""
     WITH u AS (
       SELECT doc_id, {_URL_SQL} AS url FROM documents
