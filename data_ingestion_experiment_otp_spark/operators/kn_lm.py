@@ -452,6 +452,42 @@ def _kn_scores(
     return r if by_lang else r.select("doc_id", "dl", "avg_bits")
 
 
+def kn_gate_calibration(spark: SparkSession, sf_dir: str) -> dict:
+    """Calibrate-once inputs for the stage-11 streaming quality gate
+    SERVED BY THE KN-4 ARTIFACT (`ppl_gate_sink` dispatches on
+    model_kind — the 'identical plumbing, swap the model in' claim
+    executed at ingest for the third artifact): the committed KN store
+    path plus per-language tail cuts from the SAME `lm_tercile_cuts`
+    helper the trigram calibration and the batch approx split use (one
+    cut definition across every model kind).
+
+    One KN-specific note: the smoothed model scores EVERY token (p1 > 0
+    even for words never seen as a continuation), so the trigram
+    serving join's skip-OOV convention — and therefore the
+    min_vocab_frac floor — is structurally moot under this kind; there
+    is no unscored-garbage bypass to close."""
+    from .ngram_lm import lm_tercile_cuts
+
+    model_dir = kn4_model_dir(spark, sf_dir)
+    scored = _kn_scores(spark, sf_dir, by_lang=True).localCheckpoint(
+        eager=False
+    )
+    cuts = {
+        r["lang"]: float(r["cut_mid"])
+        for r in lm_tercile_cuts(scored).collect()
+        if r["cut_mid"] is not None and r["lang"] is not None
+    }
+    g = scored.agg(
+        F.percentile_approx("avg_bits", 2.0 / 3.0, 10_000).alias("cut")
+    ).first()
+    return {
+        "model_kind": "kn4",
+        "model_dir": model_dir,
+        "cuts": cuts,
+        "cut_global": float(g["cut"]) if g and g["cut"] is not None else float("inf"),
+    }
+
+
 @register(
     "llm_kn4_ccnet_buckets",
     oracle=f"""

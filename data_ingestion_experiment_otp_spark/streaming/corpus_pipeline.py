@@ -803,8 +803,13 @@ def corpus_retract(
             ppdf.unpersist()
         papart = os.path.join(dirs["ppl_audit"], f"batch_id={b}")
         if os.path.isdir(papart):
+            # in_vocab_frac (r13) must ride through the rewrite — an
+            # explicit schema omitting it would silently prune the
+            # OOV-floor audit column from rewritten partitions (the r5
+            # schema-evolution lesson); pre-r13 partitions lack the
+            # column and read/rewrite as NULL, the documented evolution
             padf = spark.read.schema(
-                "doc_id long, avg_bits double"
+                "doc_id long, avg_bits double, in_vocab_frac double"
             ).parquet(papart).persist()
             pakept = padf.filter(~F.col("doc_id").isin(ids))
             removed["ppl_audit"] += padf.count() - pakept.count()

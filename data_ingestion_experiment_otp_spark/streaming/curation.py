@@ -491,13 +491,14 @@ def ppl_gate_sink(
     (r12, stage 11 — CCNet's perplexity filter served at the stream,
     the THIRD trained artifact serving at ingest after the classifier
     weights (stage 8) and the SemDeDup hierarchy (stage 7)): each doc is
-    scored against the COMMITTED trigram model
-    (`operators.ngram_lm.score_with_stored_lm` — the batch scorer's
-    serving join verbatim, one definition) and rejected when its
-    avg_bits lands in the calibrated TAIL (the slice CCNet discards):
-    survivors in a batchId-keyed accepted directory, rejects in a
-    batchId-keyed audit carrying (doc_id, avg_bits) — ids and scores
-    only, no text.
+    scored against the COMMITTED n-gram model the calibration names —
+    `model_kind` 'tri' (JM trigram, default) or 'kn4' (Kneser-Ney
+    4-gram, r13) — via the batch scorer's serving join verbatim (one
+    definition per kind: `score_with_stored_lm` / `score_with_stored_kn`)
+    and rejected when its avg_bits lands in the calibrated TAIL (the
+    slice CCNet discards): survivors in a batchId-keyed accepted
+    directory, rejects in a batchId-keyed audit carrying
+    (doc_id, avg_bits) — ids and scores only, no text.
 
     `calib` is `ppl_gate_calibration`'s output (the trigram store path +
     per-language 2/3-percentile cuts + the '*' global — calibrate-once
@@ -532,8 +533,26 @@ def ppl_gate_sink(
     scalars. Ordering: after the decontamination gate and before the
     selection gate — the published shape (quality-filter the cleaned
     pool, then select from it)."""
+    from ..operators.kn_lm import load_kn_tables, score_with_stored_kn
     from ..operators.ngram_lm import load_lm_tables, score_with_stored_lm
     from ..operators.retrieval import tokenize as _rtokenize
+
+    # Model-kind dispatch (r13): the gate serves WHICHEVER committed
+    # n-gram artifact the calibration names — 'tri' (the r12 JM trigram)
+    # or 'kn4' (the Kneser-Ney 4-gram) — through one reject predicate;
+    # both scorers share the (doc_id, lang, dl, avg_bits) contract, so
+    # swapping the model really is a calibration swap. Note the KN
+    # scorer has no OOV bypass (the smoothed model scores every token),
+    # so min_vocab_frac is structurally moot under kind='kn4' (frac is
+    # always 1).
+    _kinds = {
+        "tri": (load_lm_tables, score_with_stored_lm),
+        "kn4": (load_kn_tables, score_with_stored_kn),
+    }
+    kind = str(calib.get("model_kind", "tri"))
+    if kind not in _kinds:
+        raise ValueError(f"unknown model_kind {kind!r}; expected {sorted(_kinds)}")
+    load_tables, score_batch = _kinds[kind]
 
     cuts = {str(k): float(v) for k, v in calib["cuts"].items()}
     cut_global = float(calib["cut_global"])
@@ -549,7 +568,7 @@ def ppl_gate_sink(
         if model is None:
             model = {
                 k: df.persist()
-                for k, df in load_lm_tables(spark, model_dir).items()
+                for k, df in load_tables(spark, model_dir).items()
             }
             cache["model"] = model
         scored_in = (
@@ -557,7 +576,7 @@ def ppl_gate_sink(
             if "lang" in batch_df.columns
             else batch_df.withColumn("lang", F.lit(None).cast("string"))
         )
-        scored = score_with_stored_lm(
+        scored = score_batch(
             scored_in.select("doc_id", "lang", "text"), model
         )
         entries = [x for kv in cuts.items() for x in kv]

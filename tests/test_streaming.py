@@ -5023,6 +5023,68 @@ class TestPplGateSink:
         assert 201 in audit and audit[201][1] == 1.0  # tail reject, frac audited
         assert {200, 205} <= passed  # head doc and null-text doc still pass
 
+    def test_kn_served_gate_swaps_the_artifact(self, spark, tmp_path):
+        """r13: the stage-11 gate dispatches on model_kind — a KN-4
+        calibration serves the Kneser-Ney artifact through the SAME
+        reject predicate (the third 'swap the model in' execution, now
+        at ingest): corpus-frequent order passes, the scramble lands in
+        the calibrated tail; an unknown kind is rejected loudly."""
+        import os
+
+        import pytest as _pytest
+
+        from data_ingestion_experiment_otp_spark.operators.kn_lm import (
+            kn_gate_calibration,
+        )
+        from data_ingestion_experiment_otp_spark.streaming.curation import (
+            ppl_gate_sink,
+        )
+
+        corpus = self._corpus(
+            spark,
+            tmp_path / "corpus",
+            [(i, " ".join([self.PHRASE] * 3), "en") for i in range(4)]
+            + [(4, self.SCRAMBLE + " " + self.SCRAMBLE, "en"),
+               (5, self.SCRAMBLE + " extra " + self.SCRAMBLE, "en")],
+        )
+        calib = kn_gate_calibration(spark, corpus)
+        assert calib["model_kind"] == "kn4" and "en" in calib["cuts"]
+        docs = [
+            (300, "web", 300, " ".join([self.PHRASE] * 3), [0.1] * 4),
+            (301, "web", 300, self.SCRAMBLE + " " + self.SCRAMBLE, [0.2] * 4),
+            (302, "web", 0, None, [0.3] * 4),  # outside the population
+        ]
+        acc = os.path.join(str(tmp_path), "kn_acc")
+        aud = os.path.join(str(tmp_path), "kn_aud")
+        sink = ppl_gate_sink(calib, acc, aud)
+        batch = spark.createDataFrame(docs, self.SCHEMA)
+        sink(batch, 0)
+        accepted = sorted(
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(os.path.join(acc, "batch_id=0"))
+            .collect()
+        )
+        audit = {
+            r["doc_id"]: r["avg_bits"]
+            for r in spark.read.schema("doc_id long, avg_bits double")
+            .parquet(os.path.join(aud, "batch_id=0"))
+            .collect()
+        }
+        assert accepted == [300, 302]
+        assert set(audit) == {301}
+        assert audit[301] > calib["cuts"]["en"]
+        sink(batch, 0)  # stateless replay under the swapped artifact
+        assert sorted(
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(os.path.join(acc, "batch_id=0"))
+            .collect()
+        ) == accepted
+        sink.close()
+        with _pytest.raises(ValueError, match="model_kind"):
+            ppl_gate_sink(dict(calib, model_kind="bogus"), acc, aud)
+
     def test_gate_close_releases_persisted_model(self, spark, tmp_path):
         """ADVICE r12 #3: the six persisted LM tables are released by the
         sink's close() hook (and the capstone wires it to query
