@@ -274,6 +274,64 @@ def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Squared-Lehmer coin for the count-then-coin cap: one multiplier step
+# is a LINEAR map — sequential doc_ids produce coins that never wrap
+# (the r12 sign-family lesson, re-found live writing this operator:
+# a domain's ids 0,13,26,... gave coins <= 0.011 and the 'cap' kept
+# everything) — so the coin SQUARES the Lehmer value mod M (nonlinear,
+# wraps thoroughly, stays int64-exact: the squared operand is < 2^62).
+# Exact arithmetic, identical literals in both engines.
+_CAP_A = 48271
+_CAP_M = 2147483647
+
+_DOMAIN_CAP_APPROX_ORACLE = f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ),
+    d AS (SELECT doc_id, {_DOMAIN_SQL} AS domain FROM u),
+    nd AS (SELECT domain, count(*) AS n_domain FROM d GROUP BY domain)
+    SELECT d.doc_id, d.domain, CAST(nd.n_domain AS BIGINT) AS n_domain
+    FROM d JOIN nd ON nd.domain = d.domain
+    WHERE (((d.doc_id * {_CAP_A}) % {_CAP_M})
+           * ((d.doc_id * {_CAP_A}) % {_CAP_M}) % {_CAP_M})
+          / CAST({_CAP_M} AS DOUBLE)
+          < {_DOMAIN_CAP} / CAST(nd.n_domain AS DOUBLE)
+    """
+
+
+@register(
+    "llm_domain_cap_approx",
+    oracle=_DOMAIN_CAP_APPROX_ORACLE,
+    tags=("llm", "provenance", "url", "sampling", "approx"),
+)
+def llm_domain_cap_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the per-domain cap — count-then-coin, the
+    scale escape `llm_domain_cap`'s docstring names: per-domain counts
+    (map-side partials, vocabulary-of-domains-sized) broadcast back,
+    then a scan-side deterministic Lehmer coin keeps each doc with rate
+    cap/n_domain — NO per-domain sort, no fat partition for a giant
+    domain (the exact twin's seam). Domains at or under the cap keep
+    everything (rate >= 1, coin < 1); capped domains keep ~cap docs in
+    expectation (binomial, pinned vs the exact twin in
+    tests/test_provenance.py). Unlike the sketch-thresholded approx
+    twins this one is EXACT arithmetic (integer Lehmer + IEEE division,
+    identical in both engines), so it carries a full oracle."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    dom = d.withColumn("domain", domain_col(url_col()))
+    nd = dom.groupBy("domain").agg(F.count("*").alias("n_domain"))
+    lehmer = F.pmod(F.col("doc_id") * F.lit(_CAP_A), F.lit(_CAP_M))
+    coin = (
+        F.pmod(lehmer * lehmer, F.lit(_CAP_M)).cast("double")
+        / F.lit(float(_CAP_M))
+    )
+    rate = F.lit(float(_DOMAIN_CAP)) / F.col("n_domain").cast("double")
+    return (
+        dom.join(F.broadcast(nd), "domain")
+        .filter(coin < rate)
+        .select("doc_id", "domain", F.col("n_domain").cast("long").alias("n_domain"))
+    )
+
+
 _URL_DEDUP_ORACLE = f"""
     WITH u AS (
       SELECT doc_id, {_URL_SQL} AS url FROM documents

@@ -1020,6 +1020,15 @@ class TestOrderIndependenceSweep:
         # integer relations, discounting is a per-row rational transform,
         # and the serving scan repartitions through the loader seam
         "llm_kn4_perplexity",
+        # r13: the KN-scored split ranks on the round-6 grid with doc_id
+        # ties (the ccnet_buckets argument; the _approx twins stay in
+        # the documented excluded sketch class); the provenance tier is
+        # pure per-row string arithmetic + exact integer aggregates
+        "llm_kn4_ccnet_buckets",
+        "llm_domain_stats",
+        "llm_domain_blocklist_gate",
+        "llm_url_dedup",
+        "llm_domain_cap",
     )
 
     def test_results_identical_under_repartition(self, spark, sf_dir):

@@ -13,6 +13,7 @@ from data_ingestion_experiment_otp_spark.operators.provenance import (
     _BLOCKLIST,
     domain_col,
     llm_domain_blocklist_gate,
+    llm_domain_cap,
     llm_domain_stats,
     llm_url_dedup,
     url_col,
@@ -65,6 +66,39 @@ class TestTierSemantics:
         total = load(spark, sf_dir, "documents").count()
         blocked = sum(stats.get(d, 0) for d in _BLOCKLIST)
         assert kept.count() == total - blocked and blocked > 0
+
+    def test_domain_cap_approx_tracks_exact_twin(self, spark, sf_dir):
+        """Count-then-coin vs the exact window cap: under-cap domains
+        keep EVERYTHING identically; capped domains keep ~cap docs
+        (binomial band); the approx keep-set is always a subset of the
+        domain's members."""
+        from collections import Counter
+
+        from data_ingestion_experiment_otp_spark.operators.provenance import (
+            _DOMAIN_CAP,
+            llm_domain_cap_approx,
+        )
+
+        exact_rows = llm_domain_cap(spark, sf_dir).collect()
+        full = {r["domain"]: r["n_domain"] for r in exact_rows}
+        exact = Counter(r["domain"] for r in exact_rows)
+        approx_rows = llm_domain_cap_approx(spark, sf_dir).collect()
+        approx = Counter(r["domain"] for r in approx_rows)
+        assert set(approx) <= set(full)
+        for dom, n in full.items():
+            if n <= _DOMAIN_CAP:
+                # rate >= 1: the coin keeps every member, exactly the twin
+                assert approx[dom] == exact[dom] == n, dom
+            else:
+                # binomial around cap: 4 sigma of Bin(n, cap/n)
+                import math
+
+                sigma = math.sqrt(_DOMAIN_CAP * (1 - _DOMAIN_CAP / n))
+                assert abs(approx[dom] - _DOMAIN_CAP) <= 4 * sigma + 1, (
+                    dom,
+                    n,
+                    approx[dom],
+                )
 
     def test_url_dedup_accounts_for_every_doc(self, spark, sf_dir):
         total = load(spark, sf_dir, "documents").count()
