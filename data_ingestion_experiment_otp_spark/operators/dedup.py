@@ -1249,14 +1249,21 @@ def _char_pair_counts(
             max(_CHAR_DF_CAP_MIN, _CHAR_DF_CAP_FRAC * n_docs),
             _CHAR_DF_CAP_ABS,
         )
+        # count(*) == countDistinct(doc_id) here BY CONSTRUCTION (grams
+        # are array_distinct per doc), and the plain count skips the
+        # two-phase distinct aggregate — fewer shuffle bytes, one less
+        # aggregate pass (r13 opt, guide §2.3).
         rare = (
             tok.groupBy("w")
-            .agg(F.countDistinct("doc_id").alias("df"))
+            .agg(F.count("*").alias("df"))
             .filter(F.col("df") <= cap)
             .select("w")
         )
         tok = tok.join(rare, "w")
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # n is a per-doc distinct-gram count (bounded by text length), so int
+    # is provably wide enough — half the bytes through the pair shuffle
+    # below (guide §2.3, narrower types).
+    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("int").alias("n"))
     # Pair generation was a gram-keyed SELF-JOIN here through r7. That
     # join EXPANDS — ~332k capped tok rows at sf0.1 become Σ df²/2 ≈ 770M
     # gram-pair rows — and AQE plans the probe stage from the INPUT
@@ -1276,21 +1283,47 @@ def _char_pair_counts(
     # pair volume (hence partition balance) bounded at any corpus size.
     if capped:
         n_wide = 2 * max(2, spark.sparkContext.defaultParallelism)
+        # r13 opt (guide §2.3 — shuffle fewer bytes): each doc's rare-gram
+        # count `n` rides INSIDE the per-gram doc list, which buys two
+        # things downstream of the expansion: (a) a size-ratio prune
+        # BEFORE the pair shuffle — both jaccard consumers gate on
+        # jac >= T, and jac(a,b) <= min(na,nb)/max(na,nb) regardless of
+        # n_common, so a pair whose sizes are more than 1/T apart can
+        # never reach the threshold (measured at sf0.1: 46.5M emitted
+        # pair rows -> 30.2M; the -0.5 slack keeps the integer boundary
+        # pair conservatively, the exact >= T filter downstream remains
+        # the gate of record); (b) na/nb arrive WITH the pair, so the
+        # two post-aggregation size joins disappear. The extra doc_id
+        # join to attach n moves ~|capped tok| narrow rows once — two
+        # orders of magnitude below the pair volume it prunes.
         grouped = (
-            tok.groupBy("w")
-            .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+            tok.join(sizes, "doc_id")
+            .groupBy("w")
+            .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
             .filter(F.size("ds") >= 2)
             .repartition(n_wide, "w")
         )
         inter = (
-            grouped.select("ds", F.posexplode("ds").alias("i0", "doc_a"))
+            grouped.select("ds", F.posexplode("ds").alias("i0", "pa"))
             .select(
-                "doc_a",
-                F.explode(F.expr("slice(ds, i0 + 2, size(ds))")).alias("doc_b"),
+                "pa",
+                F.explode(F.expr("slice(ds, i0 + 2, size(ds))")).alias("pb"),
             )
-            .groupBy("doc_a", "doc_b")
+            .filter(
+                F.least(F.col("pa.n"), F.col("pb.n"))
+                >= _CHAR_JACCARD_THRESHOLD
+                * F.greatest(F.col("pa.n"), F.col("pb.n"))
+                - F.lit(0.5)
+            )
+            .groupBy(
+                F.col("pa.doc_id").alias("doc_a"),
+                F.col("pa.n").alias("na"),
+                F.col("pb.doc_id").alias("doc_b"),
+                F.col("pb.n").alias("nb"),
+            )
             .agg(F.count("*").alias("n_common"))
         )
+        return inter
     else:
         # The UNCAPPED form keeps the join: without the df cap the gram
         # doc-lists are corpus-sized and the collect_set/array path costs
@@ -1917,11 +1950,21 @@ def llm_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw-gram join whose candidate volume exploded on boilerplate-heavy
     corpora. Fully hash-checked cross-engine: every stage is integer
     arithmetic both engines reproduce bit-for-bit."""
+    _, audit = _screen_sig_and_audit(spark, sf_dir)
+    return audit
+
+
+def _screen_sig_and_audit(spark: SparkSession, sf_dir: str):
+    """(sig, audit) for the fixture screen split — one checkpointed
+    `_minhash_sig` relation shared by the screen and any caller that
+    needs the signatures again (`llm_screen_recall_eval` consumed a
+    SECOND full tokenize+signature pass before r13; guide §2.4, remove
+    redundant passes)."""
     d = load_split(spark, sf_dir, "documents")
     sig = _minhash_sig(d).localCheckpoint(eager=False)
     bsig = sig.filter(F.col("doc_id") % 10 >= 8).localCheckpoint(eager=False)
     isig = sig.filter(F.col("doc_id") % 10 < 8)
-    return _banded_screen_audit(
+    return sig, _banded_screen_audit(
         bsig, _band_explode(isig), isig.select("doc_id", "hs")
     )
 
@@ -1981,23 +2024,40 @@ def llm_screen_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusting the band/cap knobs at scale, exactly like
     llm_dedup_strategy_eval), not a production stage; the screen itself
     never pays this cost."""
+    # r13 opt: ONE `_minhash_sig` relation feeds both the screen under
+    # audit and the ground-truth side (this entry previously re-ran the
+    # full tokenize+shingle+signature pass for its own copy of the
+    # identical relation — guide §2.4, remove redundant passes).
+    sig, audit = _screen_sig_and_audit(spark, sf_dir)
     banded = (
-        llm_neardup_screen(spark, sf_dir)
-        .filter(F.col("phase") == "corpus")
+        audit.filter(F.col("phase") == "corpus")
         .select("doc_id")
         .distinct()
         .withColumn("in_banded", F.lit(True))
-    )
-    sig = _minhash_sig(load_split(spark, sf_dir, "documents")).localCheckpoint(
-        eager=False
     )
     g = sig.select("doc_id", F.size("hs").alias("n"), F.explode("hs").alias("g"))
     bg = g.filter(F.col("doc_id") % 10 >= 8)
     cg = g.filter(F.col("doc_id") % 10 < 8)
     jac = F.col("ic") / (F.col("na") + F.col("nb") - F.col("ic"))
+    # Size-ratio prune INSIDE the join (guide §2.3): the tail filter is
+    # jac >= T, and jac <= min(na,nb)/max(na,nb) whatever ic turns out to
+    # be, so gram instances of pairs whose sizes are more than 1/T apart
+    # never reach the aggregate (the -0.5 slack keeps integer boundary
+    # pairs conservatively; the exact jac filter below stays the gate of
+    # record). The prune depends only on (na, nb), so every instance of a
+    # pruned pair drops together and surviving pairs keep their exact ic.
     exact = (
         bg.alias("b")
-        .join(cg.alias("c"), F.col("b.g") == F.col("c.g"))
+        .join(
+            cg.alias("c"),
+            (F.col("b.g") == F.col("c.g"))
+            & (
+                F.least(F.col("b.n"), F.col("c.n"))
+                >= _JACCARD_THRESHOLD
+                * F.greatest(F.col("b.n"), F.col("c.n"))
+                - F.lit(0.5)
+            ),
+        )
         .groupBy(F.col("b.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_c"))
         .agg(
             F.count("*").alias("ic"),
