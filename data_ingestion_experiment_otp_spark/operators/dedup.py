@@ -1563,6 +1563,39 @@ def _minhash_band_pairs(
             (F.col("m") > bucket_cap) & (F.col("doc_id") > F.col("rep"))
         ).select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         cand = cand_small.union(cand_star).distinct()
+    # r13 opt, two parts. (1) Size-ratio prune BEFORE the gram arrays
+    # attach (guide §2.3): the verify keeps jac >= threshold, and
+    # jac <= min(|A|,|B|)/max(|A|,|B|) whatever the intersection is, so
+    # pairs whose set sizes are more than 1/threshold apart are dropped
+    # while they are still two scalars wide — the array-moving join and
+    # the Python kernel only ever see pairs that could pass (the -0.5
+    # slack keeps integer boundary pairs; the kernel's own threshold
+    # stays the gate of record). (2) An explicit fixed-width repartition
+    # before the verify join: the candidate relation's byte ESTIMATE is
+    # tiny (two longs per row), so AQE coalesced it to ONE post-shuffle
+    # partition — and the verify kernel, whose real cost AQE cannot see
+    # (arrays attach in the same stage, the work is per-pair Python),
+    # ran single-task (measured 4.3 s of a 5.9 s char-banded wall in one
+    # task). User repartitions are exempt from AQE coalescing, the same
+    # guarantee the char-gram pair expansion relies on.
+    sizes = sig.select("doc_id", F.size("hs").alias("n"))
+    n_wide = max(2, hs_t.sparkSession.sparkContext.defaultParallelism)
+    cand = (
+        cand.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            F.least("na", "nb")
+            >= float(threshold) * F.greatest("na", "nb") - F.lit(0.5)
+        )
+        .select("doc_a", "doc_b")
+        .repartition(n_wide, "doc_a", "doc_b")
+    )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     paired = cand.join(sa, "doc_a").join(sb, "doc_b")

@@ -358,6 +358,22 @@ def load_kn_tables(spark: SparkSession, model_dir: str) -> dict:
             *keys, F.col("n").alias(val)
         )
 
+    def td(kt, kd, keys):
+        # The t/d twins of one level are written from the SAME kept-totals
+        # relation (kn4_model_dir::kept_totals), so their key sets are
+        # identical by construction — pivoting them back into ONE relation
+        # costs a single aggregate over the (small, pruned) model table
+        # and removes one serving-side join per level: 10 model joins
+        # become 7 in `score_with_stored_kn` (r13 opt, guide §3).
+        return (
+            m.filter(F.col("kind").isin(kt, kd))
+            .groupBy(*keys)
+            .agg(
+                F.max(F.when(F.col("kind") == kt, F.col("n"))).alias(kt),
+                F.max(F.when(F.col("kind") == kd, F.col("n"))).alias(kd),
+            )
+        )
+
     meta = (
         m.filter(F.col("kind").isin("t1", "w1", "v"))
         .groupBy()
@@ -369,14 +385,11 @@ def load_kn_tables(spark: SparkSession, model_dir: str) -> dict:
     )
     return {
         "g4": part("g4", ("a", "b", "c", "w"), "c4"),
-        "t4": part("t4", ("a", "b", "c"), "t4"),
-        "d4": part("d4", ("a", "b", "c"), "d4"),
+        "td4": td("t4", "d4", ("a", "b", "c")),
         "g3": part("g3", ("b", "c", "w"), "n3"),
-        "t3": part("t3", ("b", "c"), "t3"),
-        "d3": part("d3", ("b", "c"), "d3"),
+        "td3": td("t3", "d3", ("b", "c")),
         "g2": part("g2", ("c", "w"), "n2"),
-        "t2": part("t2", ("c",), "t2"),
-        "d2": part("d2", ("c",), "d2"),
+        "td2": td("t2", "d2", ("c",)),
         "g1": part("g1", ("w",), "n1"),
         "meta": meta,
     }
@@ -398,14 +411,11 @@ def score_with_stored_kn(batch_df: DataFrame, model: dict) -> DataFrame:
     )
     j = (
         pf.join(model["g4"], ["a", "b", "c", "w"], "left")
-        .join(model["t4"], ["a", "b", "c"], "left")
-        .join(model["d4"], ["a", "b", "c"], "left")
+        .join(model["td4"], ["a", "b", "c"], "left")
         .join(model["g3"], ["b", "c", "w"], "left")
-        .join(model["t3"], ["b", "c"], "left")
-        .join(model["d3"], ["b", "c"], "left")
+        .join(model["td3"], ["b", "c"], "left")
         .join(model["g2"], ["c", "w"], "left")
-        .join(model["t2"], ["c"], "left")
-        .join(model["d2"], ["c"], "left")
+        .join(model["td2"], ["c"], "left")
         .join(model["g1"], ["w"], "left")
         .crossJoin(F.broadcast(model["meta"]))
     )

@@ -334,10 +334,14 @@ def _ordinal_bins(scored: DataFrame, n_bins: int) -> DataFrame:
     literal structs per row."""
     spark = scored.sparkSession
     probs = [i / n_bins for i in range(1, n_bins)]
+    # Literal arrays render as ONE parsed expression string, not one
+    # F.lit per element — each lit is a py4j round trip, and at the
+    # 64-bin default the per-element form cost ~2 s of pure DataFrame
+    # construction PER CALL (the r11b plan-construction lesson, re-found
+    # here in r13; bench builders pay it every rep).
+    probs_arr = F.expr("array(" + ",".join(f"{p!r}D" for p in probs) + ")")
     bs = scored.agg(
-        F.percentile_approx("margin", F.array(*[F.lit(p) for p in probs])).alias(
-            "bs"
-        )
+        F.percentile_approx("margin", probs_arr).alias("bs")
     ).collect()[0]["bs"]
     if bs is None:
         return scored.select("doc_id", "margin", F.lit(0).alias("pid")).limit(0)
@@ -350,12 +354,7 @@ def _ordinal_bins(scored: DataFrame, n_bins: int) -> DataFrame:
         rows = (
             scored.filter(F.col("margin").isin(heavy))
             .groupBy("margin")
-            .agg(
-                F.percentile_approx(
-                    "doc_id",
-                    F.array(*[F.lit(j / n_bins) for j in range(1, n_bins)]),
-                ).alias("ds")
-            )
+            .agg(F.percentile_approx("doc_id", probs_arr).alias("ds"))
             .collect()
         )
         by_m = {int(r["margin"]): [int(d) for d in r["ds"]] for r in rows}
@@ -371,13 +370,11 @@ def _ordinal_bins(scored: DataFrame, n_bins: int) -> DataFrame:
     for m in sorted(mult):
         cuts.extend((m, d) for d in sub.get(m, []))
         cuts.append((m, _MAX_LONG))
-    cut_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cm).cast("long").alias("m"), F.lit(cd).cast("long").alias("d")
-            )
-            for cm, cd in cuts
-        ]
+    # One parsed expression for the whole cut array (see probs_arr note).
+    cut_arr = F.expr(
+        "array("
+        + ",".join(f"named_struct('m', {cm}L, 'd', {cd}L)" for cm, cd in cuts)
+        + ")"
     )
     pid = F.size(
         F.filter(
@@ -405,7 +402,11 @@ def _global_ordinal(part: DataFrame, n_phases: int) -> DataFrame:
         offsets[r["pid"]] = acc
         acc += r["n"]
     total = acc
-    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    # One parsed map expression instead of 2·|bins| F.lit py4j calls
+    # (the r13 plan-construction fix, see _ordinal_bins).
+    off = F.expr(
+        "map(" + ",".join(f"{k}, {v}L" for k, v in offsets.items()) + ")"
+    )
     w = Window.partitionBy("pid").orderBy("margin", "doc_id")
     ord_col = (off[F.col("pid")] + F.row_number().over(w)).cast("long")
     return part.select("doc_id", "margin", ord_col.alias("ord")).select(
