@@ -24,8 +24,8 @@ from .clustering import _SEMDEDUP_ORACLE, llm_semdedup
 from .dedup import (
     DEDUP_CLUSTERS_ORACLE,
     _DUP_SPANS_ORACLE,
-    llm_dedup_clusters,
     llm_dup_spans,
+    llm_ngram_jaccard,
 )
 from .text_analysis import (
     QC_ORACLE,
@@ -148,8 +148,20 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = llm_script_id(spark, sf_dir).select(
         "doc_id", *[f"n_{n}" for n in _SCRIPT_NAMES]
     )
-    dup = llm_dedup_clusters(spark, sf_dir).select(
-        "doc_id", F.lit(1).alias("is_dup")
+    # r13 opt: the card consumes cluster MEMBERSHIP only (is_dup), and
+    # the member set of the CC fixpoint is exactly the node set of the
+    # pair graph it iterates on — every jac>=T pair puts both docs in a
+    # >=2-doc component, and every component node is on >=1 such pair.
+    # Deriving membership from the registered pair builder directly
+    # skips the whole label-propagation loop (per-round eager
+    # checkpoints + driver convergence collects) the card never needed;
+    # the spliced oracle still replays the full recursive-CTE fixpoint,
+    # so the hash gate proves the equivalence every run.
+    pairs = llm_ngram_jaccard(spark, sf_dir)
+    dup = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(1).alias("is_dup"))
     )
     sp = llm_dup_spans(spark, sf_dir).select(
         "doc_id",
