@@ -74,6 +74,32 @@ def load_split(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     split into hundreds of tasks and this is a no-op."""
     df = load(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 4):
+    if _scan_partitions(spark, sf_dir, name, df) < max(2, target // 4):
         df = df.repartition(target)
     return df
+
+
+# Scan split counts per (app, parallelism, table path): `df.rdd
+# .getNumPartitions()` converts the plan to an RDD driver-side and costs
+# ~0.12-0.16 s PER CALL on a fresh DataFrame — paid by nearly every
+# builder, every bench rep (r13 opt, guide §1.2 order: per-task work only
+# after the algorithm, but this is pure fixed overhead). The count is a
+# property of the file layout and the scan conf, both stable within an
+# application, so it is memoized. Only the round-robin input-parallelism
+# REPAIR decision reads it; results are repartition-invariant (pinned by
+# the repartition-invariance tests), so a stale entry could only ever
+# change task balance, never bytes.
+_SPLIT_COUNTS: dict[tuple[str, str, int], int] = {}
+
+
+def _scan_partitions(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> int:
+    key = (
+        spark.sparkContext.applicationId,
+        f"{sf_dir}/{name}",
+        spark.sparkContext.defaultParallelism,
+    )
+    n = _SPLIT_COUNTS.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SPLIT_COUNTS[key] = n
+    return n
