@@ -173,14 +173,17 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduces it to ~one row per doc before it moves."""
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        _shingle_pair_counts(spark, sf_dir)
+        _shingle_pair_counts(spark, sf_dir, prune_threshold=_JACCARD_THRESHOLD)
         .filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
 def _shingle_pair_counts(
-    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    df_cap: int | None = None,
+    prune_threshold: float | None = None,
 ) -> DataFrame:
     """The shared shingle-pair pipeline behind the jaccard/containment
     operators, plain and df-capped (the Spark twin of _shingle_pair_ctes):
@@ -188,7 +191,17 @@ def _shingle_pair_counts(
     least one 3-gram shingle. With df_cap, stop-shingles appearing in more
     than df_cap documents are dropped from both the index and the size
     denominators BEFORE pair generation — bounding the per-token-group
-    quadratic term at df_cap² (see llm_ngram_jaccard_capped)."""
+    quadratic term at df_cap² (see llm_ngram_jaccard_capped).
+
+    r13 opt: per-doc shingle counts ride INTO the pair join (one extra
+    narrow doc-keyed join of the token stream, two post-aggregation size
+    joins removed), and `prune_threshold` — passed ONLY by the Jaccard
+    consumers, whose tail filter is jac >= T — drops pair instances whose
+    set sizes are more than 1/T apart inside the join condition
+    (jac <= min/max regardless of the intersection; -0.5 keeps integer
+    boundary pairs; measured -34% aggregate input at sf0.1). The
+    containment consumers pass None: overlap = n_common/min(na,nb) has no
+    size-ratio bound."""
     d = load_split(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     tok = (
@@ -197,28 +210,39 @@ def _shingle_pair_counts(
         .select("doc_id", F.explode(F.expr(_SHINGLE_HASHES_SPARK)).alias("w"))
     )
     if df_cap is not None:
+        # count(*) == countDistinct(doc_id): shingles are array_distinct
+        # per doc by construction (the char-gram df lesson, r13).
         rare = (
             tok.groupBy("w")
-            .agg(F.countDistinct("doc_id").alias("df"))
+            .agg(F.count("*").alias("df"))
             .filter(F.col("df") <= df_cap)
             .select("w")
         )
         tok = tok.join(rare, "w")
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    inter = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # Per-doc distinct-shingle count as int (bounded by doc length —
+    # narrower types through the pair join, guide §2.3). No broadcast
+    # hint: `sizes` has corpus cardinality, AQE picks the strategy.
+    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("int").alias("n"))
+    tokn = tok.join(sizes, "doc_id")
+    a = tokn.alias("a")
+    b = tokn.alias("b")
+    cond = (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    if prune_threshold is not None:
+        cond = cond & (
+            F.least(F.col("a.n"), F.col("b.n"))
+            >= float(prune_threshold) * F.greatest(F.col("a.n"), F.col("b.n"))
+            - F.lit(0.5)
+        )
+    return (
+        a.join(b, cond)
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.n").alias("na"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    # No broadcast hint on the sizes joins: `sizes` has corpus cardinality
-    # (one row per doc), so forcing a broadcast would OOM at 100 TB. AQE
-    # broadcasts it when it's actually small (fixture scale) and shuffles
-    # otherwise — both sides of the join are already keyed by doc id.
-    return inter.join(sa, "doc_a").join(sb, "doc_b")
 
 
 _CONTAINMENT_THRESHOLD = 0.8
@@ -879,7 +903,9 @@ def llm_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the uncapped form keeps the driver slot.""".format(cap=_SHINGLE_DF_CAP)
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        _shingle_pair_counts(spark, sf_dir, df_cap=_SHINGLE_DF_CAP)
+        _shingle_pair_counts(
+            spark, sf_dir, df_cap=_SHINGLE_DF_CAP, prune_threshold=_JACCARD_THRESHOLD
+        )
         .filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
