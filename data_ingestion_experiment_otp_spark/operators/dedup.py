@@ -1034,22 +1034,47 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     btok, ctok = toks(batch), toks(corpus)
-    bsz = btok.groupBy("doc_id").agg(F.count("*").alias("nb"))
-    csz = ctok.groupBy("doc_id").agg(F.count("*").alias("nc"))
+    # r14 (the r13 _shingle_pair_counts restructure, applied to the
+    # batch-vs-corpus index join — the VERDICT r13 deferred item): each
+    # side's per-doc distinct-shingle count rides INTO the pair join as an
+    # int (shingles are array_distinct per doc by construction, so
+    # count(*) == countDistinct; narrower types through the shuffle,
+    # guide §2.3), and the size-ratio prune sits INSIDE the join
+    # condition: jac <= min(nb,nc)/max(nb,nc) independent of the
+    # intersection, so a pair whose sizes are more than 1/T apart can
+    # never reach the >= T gate — its instances drop BEFORE the pair
+    # shuffle instead of after the aggregate. The -0.5 integer slack
+    # keeps boundary pairs; the exact jac >= T filter stays the gate of
+    # record. The two post-aggregation size joins disappear (nb/nc
+    # arrive with the pair).
+    bsz = btok.groupBy("doc_id").agg(F.count("*").cast("int").alias("nb"))
+    csz = ctok.groupBy("doc_id").agg(F.count("*").cast("int").alias("nc"))
+    btokn = btok.join(bsz, "doc_id")
+    ctokn = ctok.join(csz, "doc_id")
     inter = (
-        btok.alias("b")
+        btokn.alias("b")
         .join(
-            ctok.alias("c"),
-            (F.col("b.w") == F.col("c.w")) & (F.col("b.doc_id") != F.col("c.doc_id")),
+            ctokn.alias("c"),
+            (F.col("b.w") == F.col("c.w"))
+            & (F.col("b.doc_id") != F.col("c.doc_id"))
+            & (
+                F.least(F.col("b.nb"), F.col("c.nc"))
+                >= float(_JACCARD_THRESHOLD)
+                * F.greatest(F.col("b.nb"), F.col("c.nc"))
+                - F.lit(0.5)
+            ),
         )
-        .groupBy(F.col("b.doc_id").alias("doc_b"), F.col("c.doc_id").alias("doc_c"))
+        .groupBy(
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.nb").alias("nb"),
+            F.col("c.doc_id").alias("doc_c"),
+            F.col("c.nc").alias("nc"),
+        )
         .agg(F.count("*").alias("n_common"))
     )
     jac = F.col("n_common") / (F.col("nb") + F.col("nc") - F.col("n_common"))
     near = (
-        inter.join(bsz.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .join(csz.withColumnRenamed("doc_id", "doc_c"), "doc_c")
-        .filter(jac >= _JACCARD_THRESHOLD)
+        inter.filter(jac >= _JACCARD_THRESHOLD)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -1260,8 +1285,17 @@ def _char_pair_ctes(capped: bool) -> str:
 
 
 def _char_pair_counts(
-    spark: SparkSession, sf_dir: str, capped: bool
+    spark: SparkSession,
+    sf_dir: str,
+    capped: bool,
+    prune_threshold: float | None = None,
 ) -> DataFrame:
+    """`prune_threshold` (ADVICE r13): the size-ratio prune inside the
+    capped expansion is only sound for measures bounded by
+    min(na,nb)/max(na,nb) — i.e. Jaccard consumers gating on >= T. They
+    pass their threshold explicitly (the `_shingle_pair_counts`
+    convention); a future consumer with a different measure (e.g.
+    containment) passes None and keeps every pair."""
     d = load_split(spark, sf_dir, "documents")
     tok = (
         d.filter(F.length("text") >= _CHAR_N)
@@ -1329,18 +1363,21 @@ def _char_pair_counts(
             .filter(F.size("ds") >= 2)
             .repartition(n_wide, "w")
         )
-        inter = (
-            grouped.select("ds", F.posexplode("ds").alias("i0", "pa"))
-            .select(
-                "pa",
-                F.explode(F.expr("slice(ds, i0 + 2, size(ds))")).alias("pb"),
-            )
-            .filter(
+        expanded = grouped.select(
+            "ds", F.posexplode("ds").alias("i0", "pa")
+        ).select(
+            "pa",
+            F.explode(F.expr("slice(ds, i0 + 2, size(ds))")).alias("pb"),
+        )
+        if prune_threshold is not None:
+            expanded = expanded.filter(
                 F.least(F.col("pa.n"), F.col("pb.n"))
-                >= _CHAR_JACCARD_THRESHOLD
+                >= float(prune_threshold)
                 * F.greatest(F.col("pa.n"), F.col("pb.n"))
                 - F.lit(0.5)
             )
+        inter = (
+            expanded
             .groupBy(
                 F.col("pa.doc_id").alias("doc_a"),
                 F.col("pa.n").alias("na"),
@@ -1432,7 +1469,9 @@ def llm_char_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands x rows regardless of gram document frequency."""
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        _char_pair_counts(spark, sf_dir, True)
+        _char_pair_counts(
+            spark, sf_dir, True, prune_threshold=_CHAR_JACCARD_THRESHOLD
+        )
         .filter(jac >= _CHAR_JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -515,14 +515,27 @@ def _ivf_train(X, k: int, seed: int = 42):
     kmeans||, whose per-partition seeded sampling made the model (and
     therefore every downstream result) depend on how the input happened
     to be partitioned (caught live by the repartition(7) registry audit
-    once its loader seam actually fired, r4)."""
+    once its loader seam actually fired, r4).
+
+    r14 (guide §1.2 per-task work): distances use the BLAS form
+    |x|^2 - 2x·c + |c|^2 — one GEMM instead of the (n, k, d) broadcast
+    temporary the subtraction form materializes per Lloyd step. Same
+    argmin up to float rounding; these models are sketch-class
+    (rows-only, recall-floored), never hash-oracled. Self-contained by
+    design (ints + builtins + internal imports only) so `ship_by_value`
+    can run the fit inside one executor task (guide §5: the driver does
+    no data work)."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
     n = len(X)
     C = X[rng.choice(n, k, replace=n < k)].copy()
     for _ in range(_IVF_ITERS):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        d2 = (
+            (X * X).sum(1)[:, None]
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
         a = d2.argmin(1)
         far = d2.min(1).argsort()[::-1]
         fi = 0
@@ -589,7 +602,12 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if len(pdf) == 0:
                     continue
                 V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-                d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                # GEMM-form distances (r14): no (batch, cells, d) temp
+                d2 = (
+                    (V * V).sum(1)[:, None]
+                    - 2.0 * (V @ C.T)
+                    + (C * C).sum(1)[None, :]
+                )
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"],
@@ -642,7 +660,9 @@ _PQ_ITERS = 10
 def _pq_train(sample, seed: int = 42):
     """Lloyd k-means per subspace over a numpy sample: returns
     (M, K, dsub) codebooks. Empty-cluster guard: re-seed dead centroids
-    from the farthest points (standard fix, keeps K live centroids)."""
+    from the farthest points (standard fix, keeps K live centroids).
+    Distances in the GEMM form and self-contained for `ship_by_value`
+    (see _ivf_train's r14 note)."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -656,7 +676,11 @@ def _pq_train(sample, seed: int = 42):
         # centroids are then re-seeded by the empty-cluster guard)
         C = S[rng.choice(n, _PQ_K, replace=n < _PQ_K)]
         for _ in range(_PQ_ITERS):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            d2 = (
+                (S * S).sum(1)[:, None]
+                - 2.0 * (S @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
             a = d2.argmin(1)
             far = d2.min(1).argsort()[::-1]
             fi = 0
@@ -725,7 +749,13 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes = np.empty((len(X), M), dtype=np.int32)
         for m in range(M):
             S = X[:, m * dsub : (m + 1) * dsub]
-            d2 = ((S[:, None, :] - B[m][None, :, :]) ** 2).sum(-1)
+            Bm = B[m]
+            # GEMM-form distances (r14): no (batch, K, dsub) temp
+            d2 = (
+                (S * S).sum(1)[:, None]
+                - 2.0 * (S @ Bm.T)
+                + (Bm * Bm).sum(1)[None, :]
+            )
             codes[:, m] = d2.argmin(1)
         return pd.Series(list(codes))
 
@@ -833,20 +863,89 @@ def llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_vectors(spark, sf_dir)
     vec = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    sample = _hash_ordered_sample(vec, _PQ_TRAIN_CAP)
     empty = _TOPK_SCHEMA
-    if not sample:
+    # r14 (VERDICT r13 #5, guide §5 — the driver does no data work): the
+    # IVF+PQ fit runs inside ONE executor task over the bounded
+    # hash-ordered sample (TakeOrdered + coalesce(1) + mapInPandas), and
+    # only the model — n_cells×d centers + M×K×dsub codebooks, a few KB —
+    # returns to the driver. The sample never routes through the driver,
+    # and the fetch-sample job and the fit collapse into one job. The
+    # kernel re-sorts to the canonical Lehmer order internally, so the
+    # fit stays a pure function of the data (partition/arrival-order
+    # independent, the r4 contract). Distributing the Lloyd iterations
+    # themselves would add a per-iteration barrier (the _sem_train shape)
+    # for a sample that is CAPPED at _PQ_TRAIN_CAP rows regardless of
+    # corpus size — single-task is the right shape for a bounded fit.
+    from ..shipping import ship_by_value
+    from .clustering import _HASH_MOD, _HASH_MULT2
+
+    ivf_fit = ship_by_value(_ivf_train)
+    pq_fit = ship_by_value(_pq_train)
+    hash_mod, hash_mult = int(_HASH_MOD), int(_HASH_MULT2)
+    cells_cap = int(_IVF_CELLS)
+
+    def fit(it):
+        import numpy as np
+        import pandas as pd
+
+        ids_parts, v_parts = [], []
+        for pdf in it:
+            if len(pdf):
+                ids_parts.append(pdf["vec_id"].to_numpy())
+                v_parts.append(np.stack(pdf["v"].to_numpy()))
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts).astype(np.int64)
+        X = np.concatenate(v_parts).astype(np.float64)
+        order = np.lexsort((ids, (ids % hash_mod) * hash_mult % hash_mod))
+        Sn = X[order]
+        Sn = Sn / np.maximum(np.linalg.norm(Sn, axis=1, keepdims=True), 1e-12)
+        n_cells = int(min(cells_cap, len(np.unique(Sn, axis=0))))
+        if n_cells < 2:
+            centers = Sn[:1].copy()
+        else:
+            centers = ivf_fit(Sn, n_cells)
+        d2 = (
+            (Sn * Sn).sum(1)[:, None]
+            - 2.0 * (Sn @ centers.T)
+            + (centers * centers).sum(1)[None, :]
+        )
+        resid = Sn - centers[d2.argmin(1)]
+        books = pq_fit(resid)
+        M, K, _ = books.shape
+        rows = [(-1, i, [float(x) for x in c]) for i, c in enumerate(centers)]
+        rows += [
+            (m, k, [float(x) for x in books[m, k]])
+            for m in range(M)
+            for k in range(K)
+        ]
+        yield pd.DataFrame(
+            {
+                "m": [r[0] for r in rows],
+                "k": [r[1] for r in rows],
+                "vals": [r[2] for r in rows],
+            }
+        )
+
+    lehmer = ((F.col("vec_id") % _HASH_MOD) * _HASH_MULT2) % _HASH_MOD
+    model_rows = (
+        vec.orderBy(lehmer, "vec_id")
+        .limit(_PQ_TRAIN_CAP)
+        .coalesce(1)
+        .mapInPandas(fit, "m int, k int, vals array<double>")
+        .collect()
+    )
+    if not model_rows:
         return spark.createDataFrame([], empty)
-    S = np.asarray(sample, dtype=np.float64)
-    Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
-    n_cells = int(min(_IVF_CELLS, len(np.unique(Sn, axis=0))))
-    if n_cells < 2:
-        centers = Sn[:1]
-        n_cells = 1
-    else:
-        centers = _ivf_train(Sn, n_cells)
-    resid = Sn - centers[((Sn[:, None, :] - centers[None, :, :]) ** 2).sum(-1).argmin(1)]
-    books = _pq_train(resid)
+    centers = np.array(
+        [r["vals"] for r in model_rows if r["m"] == -1], dtype=np.float64
+    )
+    n_cells = len(centers)
+    d_full = centers.shape[1]
+    books = np.zeros((_PQ_M, _PQ_K, d_full // _PQ_M), dtype=np.float64)
+    for r in model_rows:
+        if r["m"] >= 0:
+            books[r["m"], r["k"]] = r["vals"]
     sc = spark.sparkContext
     b_model = sc.broadcast((centers, books))
 
@@ -856,12 +955,22 @@ def llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         M, K, dsub = B.shape
         X = np.stack(vs.to_numpy())
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        cell = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        # GEMM-form distances (r14): no (batch, cells, d) temporary
+        cell = (
+            (X * X).sum(1)[:, None]
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(1)[None, :]
+        ).argmin(1)
         R = X - C[cell]
         codes = np.empty((len(X), M), dtype=np.int32)
         for m in range(M):
             Sm = R[:, m * dsub : (m + 1) * dsub]
-            codes[:, m] = ((Sm[:, None, :] - B[m][None, :, :]) ** 2).sum(-1).argmin(1)
+            Bm = B[m]
+            codes[:, m] = (
+                (Sm * Sm).sum(1)[:, None]
+                - 2.0 * (Sm @ Bm.T)
+                + (Bm * Bm).sum(1)[None, :]
+            ).argmin(1)
         return pd.DataFrame({"cell": cell.astype(np.int32), "codes": list(codes)})
 
     coded = vec.select("vec_id", assign_encode("v").alias("ac")).select(
