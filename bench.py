@@ -487,6 +487,17 @@ def main() -> None:
         json.dumps({"spread_pct": spread, "reps": reps, "ingest_docs_per_sec": dps}),
         file=sys.stderr,
     )
+    sys.stderr.flush()
+    # r14 (VERDICT r13 item 3 — harden the bench contract against
+    # environment-signal loss): the per-cell warm SPREAD rides in the
+    # stdout line beside the calibration pair, so a PERF consumer can
+    # machine-discount host noise per cell (a round-over-round delta
+    # inside a cell's own warm spread is noise, not regression) without
+    # needing the stderr sidecar or the committed BENCH_LOCAL snapshot.
+    # Spreads are emitted as integer percents to keep the line compact.
+    # The line stays the ONLY stdout emission, is printed LAST, and is
+    # explicitly flushed — the r12 driver capture lost its line mid-JSON
+    # and the whole round-over-round comparison with it.
     print(
         json.dumps(
             {
@@ -503,9 +514,11 @@ def main() -> None:
                 "sf": sf_dir,
                 "protocol": "interleaved-rounds-min",
                 "queries": timings,
+                "spread": {k: int(round(v)) for k, v in spread.items()},
             },
             separators=(",", ":"),
-        )
+        ),
+        flush=True,
     )
 
 

@@ -498,41 +498,59 @@ def neardup_screen_sink(
             )
         else:
             ibands = igrams = None
+        # r14 (guide §2.6): the audit relation is materialized EAGERLY
+        # (one checkpoint job — it was materialized anyway by the first
+        # write), and the four store writes, which are all deterministic
+        # functions of the checkpointed audit / bsig and target DISJOINT
+        # directories, run 2-wide so one write's barrier tail back-fills
+        # with the next write's tiny jobs. This epoch's wall was measured
+        # 37 sub-jobs averaging ~70 ms — pure job-launch latency, not
+        # compute — so overlapping the four independent writes is the
+        # §2.6 case exactly. Store bytes are unchanged (same rows from
+        # the same checkpointed inputs), so replay byte-identity holds.
         audit = _banded_screen_audit(
             bsig, ibands, igrams, thr, bucket_cap
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
 
-        audit.write.mode("overwrite").parquet(
-            os.path.join(audit_dir, f"batch_id={batch_id}")
-        )
         accepted = batch_df.join(audit.select("doc_id"), "doc_id", "left_anti")
-        accepted.write.mode("overwrite").parquet(
-            os.path.join(accepted_dir, f"batch_id={batch_id}")
-        )
         keep = bsig.join(audit.select("doc_id"), "doc_id", "left_anti")
-        (
-            _band_explode(keep)
-            .select(
-                "doc_id", "band", "v",
-                F.lit(batch_id).alias("adm"),
-                F.lit(batch_id).alias("src_batch"),
-            )
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("src_batch")
-            .parquet(bands_dir)
-        )
-        (
-            keep.select(
-                "doc_id", "hs", "n_g",
-                F.lit(batch_id).alias("adm"),
-                F.lit(batch_id).alias("src_batch"),
-            )
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("src_batch")
-            .parquet(grams_dir)
-        )
+        writes = [
+            lambda: audit.write.mode("overwrite").parquet(
+                os.path.join(audit_dir, f"batch_id={batch_id}")
+            ),
+            lambda: accepted.write.mode("overwrite").parquet(
+                os.path.join(accepted_dir, f"batch_id={batch_id}")
+            ),
+            lambda: (
+                _band_explode(keep)
+                .select(
+                    "doc_id", "band", "v",
+                    F.lit(batch_id).alias("adm"),
+                    F.lit(batch_id).alias("src_batch"),
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("src_batch")
+                .parquet(bands_dir)
+            ),
+            lambda: (
+                keep.select(
+                    "doc_id", "hs", "n_g",
+                    F.lit(batch_id).alias("adm"),
+                    F.lit(batch_id).alias("src_batch"),
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("src_batch")
+                .parquet(grams_dir)
+            ),
+        ]
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(inheritable_thread_target(lambda w: w()), writes))
 
     return screen
 
@@ -847,35 +865,47 @@ def semdedup_screen_sink(
         else:
             union = batch_side
 
+        # r14 (guide §2.6, the near screen's pattern): eager audit
+        # checkpoint, then the three disjoint store writes run 2-wide —
+        # same rows from the same checkpointed inputs, so replay
+        # byte-identity holds; only the job-barrier tail overlaps.
         audit = (
             union.groupBy("cluster_id")
             .applyInPandas(
                 verify_cluster,
                 "doc_id long, dup_of long, cosine double, phase string",
             )
-            .localCheckpoint(eager=False)
-        )
-        audit.write.mode("overwrite").parquet(
-            os.path.join(audit_dir, f"batch_id={batch_id}")
+            .localCheckpoint(eager=True)
         )
         accepted = batch_df.join(audit.select("doc_id"), "doc_id", "left_anti")
-        accepted.write.mode("overwrite").parquet(
-            os.path.join(accepted_dir, f"batch_id={batch_id}")
-        )
         keep = assigned.join(
             audit.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
         )
-        (
-            keep.select(
-                "cluster_id", "vec_id", "sim", "embedding",
-                F.lit(batch_id).alias("adm"),
-                F.lit(batch_id).alias("src_batch"),
-            )
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("src_batch")
-            .parquet(sem_index_dir)
-        )
+        writes = [
+            lambda: audit.write.mode("overwrite").parquet(
+                os.path.join(audit_dir, f"batch_id={batch_id}")
+            ),
+            lambda: accepted.write.mode("overwrite").parquet(
+                os.path.join(accepted_dir, f"batch_id={batch_id}")
+            ),
+            lambda: (
+                keep.select(
+                    "cluster_id", "vec_id", "sim", "embedding",
+                    F.lit(batch_id).alias("adm"),
+                    F.lit(batch_id).alias("src_batch"),
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("src_batch")
+                .parquet(sem_index_dir)
+            ),
+        ]
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(inheritable_thread_target(lambda w: w()), writes))
 
     return screen
 

@@ -282,63 +282,119 @@ def corpus_ingest_epoch(
     )
 
     def epoch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sc = spark.sparkContext
+        # r14: every admitted-partition read-back carries the FEED's own
+        # schema explicitly — the accepted stores write the batch rows
+        # verbatim, so the schema is known, and a schema-less
+        # spark.read.parquet pays one footer-inference job + a driver
+        # listing per stage (measured 8 extra `parquet at <unknown>`
+        # jobs per epoch). The bytes read are unchanged; replay
+        # semantics (write is the barrier, re-read the same bytes) are
+        # unchanged.
+        feed_schema = batch_df.schema
+
+        def _reread(key: str) -> DataFrame:
+            return spark.read.schema(feed_schema).parquet(
+                os.path.join(dirs[key], f"batch_id={batch_id}")
+            )
+
+        def _labeled(name, fn, *a):
+            # per-stage job labels (guide §1.5): the epoch runs ~100
+            # sub-jobs; without descriptions the UI/REST timeline cannot
+            # be attributed to stages at all
+            sc.setJobDescription(f"epoch {batch_id}: {name}")
+            try:
+                return fn(*a)
+            finally:
+                sc.setJobDescription(None)
+
         batch_df.persist()
         try:
             if drift is not None:
                 # drift audits the RAW feed deliberately (pre-gate): a
                 # feed tilting toward blocklisted domains is itself the
                 # drift signal the screened stream would hide
-                drift(batch_df.select("source", "text"), batch_id)
+                _labeled(
+                    "drift", drift, batch_df.select("source", "text"), batch_id
+                )
             gated = batch_df
             if dom is not None:
-                dom(batch_df, batch_id)
-                gated = batch_df.sparkSession.read.parquet(
-                    os.path.join(dirs["dom_accepted"], f"batch_id={batch_id}")
-                )
-            screen(gated, batch_id)
+                _labeled("dom", dom, batch_df, batch_id)
+                gated = _reread("dom_accepted")
+            _labeled("screen", screen, gated, batch_id)
             # read the epoch's own admitted partition back: the write is
             # the dedup barrier, and replays re-read the same bytes
-            admitted = batch_df.sparkSession.read.parquet(
-                os.path.join(dirs["accepted"], f"batch_id={batch_id}")
-            )
+            admitted = _reread("accepted")
             if near is not None:
-                near(admitted, batch_id)
-                admitted = batch_df.sparkSession.read.parquet(
-                    os.path.join(dirs["near_accepted"], f"batch_id={batch_id}")
-                )
+                _labeled("near", near, admitted, batch_id)
+                admitted = _reread("near_accepted")
             if sem is not None:
-                sem(admitted, batch_id)
-                admitted = batch_df.sparkSession.read.parquet(
-                    os.path.join(dirs["sem_accepted"], f"batch_id={batch_id}")
-                )
+                _labeled("sem", sem, admitted, batch_id)
+                admitted = _reread("sem_accepted")
             if gate is not None:
-                gate(admitted, batch_id)
-                admitted = batch_df.sparkSession.read.parquet(
-                    os.path.join(dirs["gate_accepted"], f"batch_id={batch_id}")
-                )
+                _labeled("gate", gate, admitted, batch_id)
+                admitted = _reread("gate_accepted")
             if decon is not None:
-                decon(admitted, batch_id)
-                admitted = batch_df.sparkSession.read.parquet(
-                    os.path.join(dirs["decon_accepted"], f"batch_id={batch_id}")
-                )
+                _labeled("decon", decon, admitted, batch_id)
+                admitted = _reread("decon_accepted")
             if ppl is not None:
-                ppl(admitted, batch_id)
-                admitted = batch_df.sparkSession.read.parquet(
-                    os.path.join(dirs["ppl_accepted"], f"batch_id={batch_id}")
-                )
+                _labeled("ppl", ppl, admitted, batch_id)
+                admitted = _reread("ppl_accepted")
             if select is not None:
-                select(admitted, batch_id)
-                admitted = batch_df.sparkSession.read.parquet(
-                    os.path.join(dirs["sel_accepted"], f"batch_id={batch_id}")
-                )
-            curate(admitted, batch_id)
-            index(
-                admitted.select(F.col("doc_id").alias("vec_id"), "embedding"),
-                batch_id,
-            )
-            tindex(admitted.select("doc_id", "text"), batch_id)
+                _labeled("select", select, admitted, batch_id)
+                admitted = _reread("sel_accepted")
+            # r14 (guide §2.6 — overlap independent jobs): the four
+            # final consumers all read the SAME final admitted relation
+            # and write DISJOINT stores, so they are independent by
+            # construction; a 2-wide pool lets the next consumer's tiny
+            # jobs back-fill the current one's barrier tail. Each store's
+            # rows are a deterministic function of the admitted
+            # partition, so replay byte-identity is unaffected by the
+            # submission order. Job descriptions are thread-local
+            # (guide §2.6), so per-stage labels stay correct.
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark import inheritable_thread_target
+
+            tail_stages = [
+                ("curate", lambda: curate(admitted, batch_id)),
+                (
+                    "vindex",
+                    lambda: index(
+                        admitted.select(
+                            F.col("doc_id").alias("vec_id"), "embedding"
+                        ),
+                        batch_id,
+                    ),
+                ),
+                (
+                    "tindex",
+                    lambda: tindex(
+                        admitted.select("doc_id", "text"), batch_id
+                    ),
+                ),
+            ]
             if spans is not None:
-                spans(admitted.select("doc_id", "text"), batch_id)
+                tail_stages.append(
+                    (
+                        "spans",
+                        lambda: spans(
+                            admitted.select("doc_id", "text"), batch_id
+                        ),
+                    )
+                )
+
+            def run_stage(stage):
+                name, fn = stage
+                return _labeled(name, fn)
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                list(
+                    pool.map(
+                        inheritable_thread_target(run_stage), tail_stages
+                    )
+                )
         finally:
             batch_df.unpersist()
 

@@ -117,6 +117,7 @@ EXHAUST = ["ab ab ab cd cd", "ab cd", ""]
 
 
 class TestPlantedSemantics:
+    @pytest.mark.slow
     @pytest.mark.parametrize("docs", [PLANTED, EXHAUST], ids=["overlap", "exhaust"])
     def test_train_matches_python_reference(self, spark, tmp_path, docs):
         sf, con = plant(spark, tmp_path, docs)
@@ -372,6 +373,7 @@ class TestDecode:
         ][:5]
         assert all(r["dec_n_chars"] == r["nl"] for r in rows)
 
+    @pytest.mark.slow
     def test_decode_planted_sha_matches_reference(self, spark, tmp_path):
         """The decoded text's sha256 must equal the sha of the original
         normalized words — computed OUTSIDE both engines — on the planted

@@ -4,6 +4,7 @@ with a hand-computed KL, absorbs replay."""
 from __future__ import annotations
 
 import math
+import pytest
 import re
 import time
 from collections import Counter
@@ -233,6 +234,7 @@ class TestSourceDrift:
 
 
 class TestCapstoneDriftStage:
+    @pytest.mark.slow
     def test_drift_audit_is_fifth_capstone_stage(self, spark, tmp_path):
         """With a calibrated reference, the corpus-ingest epoch writes
         the per-source drift audit alongside the other stores — scored
@@ -322,6 +324,7 @@ class TestVectorDrift:
         ref = calibrate_vector_reference(vec_df, mdl)
         return mdl, ref
 
+    @pytest.mark.slow
     def test_shifted_source_flagged_stable_source_green(self, spark, tmp_path):
         """A source whose cluster distribution CONCENTRATES away from
         the calibrated mixture is flagged while a source still emitting
@@ -428,6 +431,7 @@ class TestVectorDrift:
         }
         assert sorted(offheads.values()) == [0, 4], offheads
 
+    @pytest.mark.slow
     def test_reference_matches_hand_distribution(self, spark, tmp_path):
         """The calibrated reference is the exact fine-cluster mass
         distribution of the calibration corpus (head covers everything

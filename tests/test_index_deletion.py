@@ -12,6 +12,7 @@ stats arithmetic — so the comparison is exact, not approximate)."""
 from __future__ import annotations
 
 import os
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -116,6 +117,7 @@ class TestTextIndexDeletion:
 
 
 class TestVectorIndexDeletion:
+    @pytest.mark.slow
     def test_delete_purge_resurrect(self, spark, tmp_path):
         """Plant a near-duplicate of the query as the top hit, tombstone
         it (it must vanish from answers immediately), compact (its rows
@@ -328,6 +330,7 @@ class TestStreamingRetraction:
         "doc_id long, source string, n_chars long, text string, embedding array<float>"
     )
 
+    @pytest.mark.slow
     def test_retract_between_streaming_epochs(self, spark, tmp_path):
         """Retraction through the REAL streaming API: start_corpus_ingest
         drains a 2-file feed, corpus_retract runs as the control-plane
@@ -398,6 +401,7 @@ class TestStreamingRetraction:
 
 
 class TestRetractionSpanStores:
+    @pytest.mark.slow
     def test_retract_purges_span_audit_and_gram_counts(self, spark, tmp_path):
         """With the stage-6 span screen on, retraction must also purge the
         victim's span-audit row (it holds kept_text — personal data) and
@@ -468,6 +472,7 @@ class TestRetractionSpanStores:
         ).collect()
         assert audit1[0]["dup_tokens"] == 0
 
+    @pytest.mark.slow
     def test_retract_on_compacted_gram_index_subtracts(self, spark, tmp_path):
         """r8: after compact_span_index folds the epoch stack, per-epoch
         provenance is gone, so retraction SUBTRACTS the victims' gram

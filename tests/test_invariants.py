@@ -6,6 +6,8 @@ rows-only gate is backed by a real correctness bound here.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_ingestion_experiment_otp_spark.operators import dedup, similarity
@@ -1031,6 +1033,7 @@ class TestOrderIndependenceSweep:
         "llm_domain_cap",
     )
 
+    @pytest.mark.slow
     def test_results_identical_under_repartition(self, spark, sf_dir):
         """A query's result may not depend on input partitioning — on a
         cluster, partitioning is arbitrary. Catches order-dependent sums,

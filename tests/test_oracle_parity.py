@@ -13,7 +13,16 @@ import pytest
 from data_ingestion_experiment_otp_spark.plans.registry import all_queries
 
 SPECS = all_queries()
-ORACLE_NAMES = [n for n, s in SPECS.items() if s.oracle is not None]
+# Multi-minute DuckDB oracle replays (the 12-round recursive-CTE BPE
+# trainer runs ~28 s single-threaded) ride the `slow` marker so the
+# default gate stays inside the driver's pytest budget (r14); the full
+# run (-m "slow or not slow") and the close protocol still execute them.
+_SLOW_ORACLES = {"llm_bpe_train_scaled"}
+ORACLE_NAMES = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLES else n
+    for n, s in SPECS.items()
+    if s.oracle is not None
+]
 ROWS_ONLY_NAMES = [n for n, s in SPECS.items() if s.oracle is None]
 
 

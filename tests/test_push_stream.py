@@ -18,6 +18,7 @@ Pins:
 from __future__ import annotations
 
 import glob
+import pytest
 import hashlib
 import os
 
@@ -236,6 +237,7 @@ class TestPushStream:
             .select("doc_id", "source", "n_chars", "text", "embedding")
         )
 
+    @pytest.mark.slow
     def test_push_source_drives_full_selective_ladder(self, spark, tmp_path):
         """VERDICT r12 next #5: the push channel feeds the COMPLETE
         production pipeline — every optional stage armed, all 24 stores

@@ -791,6 +791,7 @@ class TestStreamStaticRefresh:
 
 
 class TestWatermarkStateBound:
+    @pytest.mark.slow
     def test_dedup_state_evicted_below_input_volume(self, spark, tmp_path):
         """The claim behind every watermark in this package, asserted from
         the engine's own state-store metrics: dedup state is EVICTED as
@@ -838,6 +839,7 @@ class TestWatermarkStateBound:
 
 
 class TestStreamStreamStateBound:
+    @pytest.mark.slow
     def test_interval_join_state_plateaus(self, spark, tmp_path):
         """The interval join's state must PLATEAU (steady-state rows with
         per-batch removals) as day-spaced epochs stream through — not
@@ -895,6 +897,7 @@ class TestStreamStreamStateBound:
 
 
 class TestWindowAggStateBound:
+    @pytest.mark.slow
     def test_windowed_counts_state_plateaus(self, spark, tmp_path):
         """Completes the bounded-state trilogy (dedup, interval join, and
         now windowed aggregation): closed windows must leave the state
@@ -1040,6 +1043,7 @@ class TestStreamingCurationSink:
 class TestStreamingVectorIndex:
     VEC_SCHEMA = "vec_id long, embedding array<float>"
 
+    @pytest.mark.slow
     def test_incremental_index_finds_planted_neighbors_and_absorbs_replay(
         self, spark, sf_dir, tmp_path
     ):
@@ -1276,6 +1280,7 @@ class TestStreamingCorpusPipeline:
     def _doc(i, source, text, vec):
         return (i, source, len(text), text, vec)
 
+    @pytest.mark.slow
     def test_dedup_curate_index_compose_and_absorb_replay(self, spark, tmp_path):
         """The composed ingestion path (corpus_pipeline.py): a re-crawled
         duplicate must be invisible to BOTH the curated mixture and the
@@ -1431,6 +1436,7 @@ class TestStreamingCorpusPipeline:
 class TestVectorIndexCompaction:
     VEC_SCHEMA = "vec_id long, embedding array<float>"
 
+    @pytest.mark.slow
     def test_compacted_generation_identical_answers_and_stale_geometry_dropped(
         self, spark, tmp_path
     ):
@@ -1583,6 +1589,7 @@ class TestSpanScreenSink:
         assert idx_after == idx_before
 
 
+    @pytest.mark.slow
     def test_compaction_collapses_files_and_preserves_screening(
         self, spark, tmp_path
     ):
@@ -1787,6 +1794,7 @@ class TestSpanIndexFoldReplay:
 
 
 class TestCapstoneSpanScreen:
+    @pytest.mark.slow
     def test_stage6_audits_admitted_docs_only(self, spark, tmp_path):
         """corpus_ingest_epoch(span_screen=True): the span screen runs on
         ADMITTED docs — an exact redelivery is dropped by stage 1 and
@@ -2080,6 +2088,7 @@ class TestNearDupScreenSink:
         # only survivors' bands/grams were admitted
         assert self._indexed_docs(spark, idx) == {1, 4}
 
+    @pytest.mark.slow
     def test_stream_matches_independent_python_reference(self, spark, tmp_path):
         """Batch-vs-stream equivalence: streaming a 3-epoch corpus through
         the sink accepts exactly the set an independent Python
@@ -2265,6 +2274,7 @@ class TestBandedScreenRandomizedDifferential:
                 audit[i] = (m[0], m[1], "batch")
         return audit
 
+    @pytest.mark.slow
     def test_randomized_corpora_match_replica(self, spark):
         import random
 
@@ -2422,6 +2432,7 @@ class TestCapstoneNearDedup:
     downstream store, and RTBF makes a victim's content near-unknown
     again."""
 
+    @pytest.mark.slow
     def test_near_screen_gates_downstream_and_rtbf_unknows(self, spark, tmp_path):
         import time
 
@@ -2575,6 +2586,7 @@ class TestShingleIndexCompaction:
     generation fold — file collapse, byte-identical screening, and RTBF
     against the folded generation."""
 
+    @pytest.mark.slow
     def test_fold_preserves_screening_and_collapses_files(self, spark, tmp_path):
         import glob
         import shutil
@@ -2643,6 +2655,7 @@ class TestShingleIndexCompaction:
         # the probe's near-dup was actually rejected (the fold screened)
         assert TestNearDupScreenSink._ids(spark, acc_b, 3) == [10]
 
+    @pytest.mark.slow
     def test_rtbf_after_fold(self, spark, tmp_path):
         """Retraction against the folded generation: the victim's rows
         leave src_batch=0 and its content is near-unknown again."""
@@ -2732,6 +2745,7 @@ class TestCapstoneAllStages:
     / TestDeconGateSink's / TestDsirGateSink's / TestPplGateSink's
     job."""
 
+    @pytest.mark.slow
     def test_all_stages_compose_and_replay_byte_identical(self, spark, tmp_path):
         import glob
         import time
@@ -3072,6 +3086,7 @@ class TestRetractionWithBothScreens:
         assert near1 == {6}  # 5 was near-rejected: never reached the span sink
         return work, dirs
 
+    @pytest.mark.slow
     def test_retracting_near_rejected_victim_leaves_gram_index_untouched(
         self, spark, tmp_path
     ):
@@ -3086,6 +3101,7 @@ class TestRetractionWithBothScreens:
         assert removed["gram_index"] == 0
         assert self._grams(spark, dirs["gram_index"]) == before
 
+    @pytest.mark.slow
     def test_recount_of_survivor_epoch_excludes_near_rejected_grams(
         self, spark, tmp_path
     ):
@@ -3103,6 +3119,7 @@ class TestRetractionWithBothScreens:
         assert not any(sb == 1 for (_, sb) in after)  # epoch-1 grams all gone
         assert any(sb == 0 for (_, sb) in after)  # epoch-0 grams intact
 
+    @pytest.mark.slow
     def test_subtraction_after_fold_uses_near_accepted(self, spark, tmp_path):
         """Compacted generation: subtracting a near-rejected victim must
         subtract NOTHING (it shares grams with its near-original, whose
@@ -3134,6 +3151,7 @@ class TestRetractionWithBothScreens:
         # doc 6's text is disjoint from epoch 0's: exactly its grams left
         assert sum(after.values()) == sum(before.values()) - removed["gram_index"]
 
+    @pytest.mark.slow
     def test_fold_marker_scopes_subtraction_to_folded_epochs(
         self, spark, tmp_path
     ):
@@ -3229,6 +3247,7 @@ class TestSemDedupScreenSink:
             for r in spark.read.schema("doc_id long").parquet(p).collect()
         )
 
+    @pytest.mark.slow
     def test_single_epoch_keepset_equals_llm_semdedup(self, spark, tmp_path):
         """Batch/streaming tier parity (the r10 Done pin): over one epoch
         with an empty sidecar, the streaming screen's keep-set EQUALS
@@ -3484,6 +3503,7 @@ class TestSemDedupScreenSink:
         }
         assert got_index == want_members
 
+    @pytest.mark.slow
     def test_stream_matches_independent_python_replica(self, spark, tmp_path):
         """Three epochs of deterministic vectors vs the INDEPENDENT pure-
         Python replica of the documented contract — accepted ids, audit
@@ -3509,6 +3529,7 @@ class TestSemDedupScreenSink:
         ]
         self._drive_and_compare(spark, str(tmp_path / "work"), mdl, epochs, 128)
 
+    @pytest.mark.slow
     def test_randomized_corpora_match_replica(self, spark, tmp_path):
         """Seeded randomized sweep of the full screen contract (the r9
         banded-screen sweep's methodology applied to the semantic tier):
@@ -3559,6 +3580,7 @@ class TestCapstoneSemDedup:
     stage 7, gating every downstream store; RTBF makes a victim's content
     semantically unknown again."""
 
+    @pytest.mark.slow
     def test_sem_screen_gates_downstream_and_rtbf_unknows(self, spark, tmp_path):
         import time
 
@@ -3750,6 +3772,7 @@ class TestSemIndexCompaction:
     epoch data column, which the fold carries through (src_batch, the
     partition value it rewrites to 0, is only the replay guard's key)."""
 
+    @pytest.mark.slow
     def test_fold_preserves_screening_under_binding_cap(self, spark, tmp_path):
         import shutil
 
@@ -3875,6 +3898,7 @@ class TestSemReplayAfterFold:
     vectors (self-match at cosine 1.0) and any later epoch's — the two
     store contracts (epoch replay, compaction) did not compose."""
 
+    @pytest.mark.slow
     def test_replay_of_folded_epoch_byte_identical(self, spark, tmp_path):
         import shutil
 
@@ -4098,6 +4122,7 @@ class TestClassifierGateSink:
         sink(batch, 0)  # replay: byte-identical outputs
         assert read(0) == (accepted, audit)
 
+    @pytest.mark.slow
     def test_capstone_stage8_gates_downstream_rtbf_and_off_by_default(
         self, spark, tmp_path
     ):
@@ -4341,6 +4366,7 @@ class TestDeconGateSink:
         )
         assert got == sorted(want_audit)
 
+    @pytest.mark.slow
     def test_capstone_stage9_gates_downstream_rtbf_and_off_by_default(
         self, spark, tmp_path
     ):
@@ -4579,6 +4605,7 @@ class TestDsirGateSink:
             )
             assert got == audit[some]
 
+    @pytest.mark.slow
     def test_capstone_stage10_gates_downstream_rtbf_and_off_by_default(
         self, spark, tmp_path
     ):
@@ -4819,6 +4846,7 @@ class TestPplGateSink:
         sink(batch, 0)  # stateless replay: byte-identical outputs
         assert read(0) == (accepted, audit)
 
+    @pytest.mark.slow
     def test_capstone_stage11_gates_downstream_rtbf_and_off_by_default(
         self, spark, tmp_path
     ):
@@ -4949,6 +4977,7 @@ class TestPplGateSink:
         assert not os.path.isdir(d2["ppl_accepted"])
         assert not os.path.isdir(d2["ppl_audit"])
 
+    @pytest.mark.slow
     def test_min_vocab_frac_floor_rejects_oov_garbage(self, spark, tmp_path):
         """ADVICE r12 #1: at the default floor, all-OOV garbage passes the
         gate unscored; a calibration carrying min_vocab_frac arms the
@@ -5023,6 +5052,7 @@ class TestPplGateSink:
         assert 201 in audit and audit[201][1] == 1.0  # tail reject, frac audited
         assert {200, 205} <= passed  # head doc and null-text doc still pass
 
+    @pytest.mark.slow
     def test_kn_served_gate_swaps_the_artifact(self, spark, tmp_path):
         """r13: the stage-11 gate dispatches on model_kind — a KN-4
         calibration serves the Kneser-Ney artifact through the SAME
@@ -5141,6 +5171,7 @@ class TestPplGateSink:
         sink.close()
         assert n_pinned() == 0
 
+    @pytest.mark.slow
     def test_capstone_listener_releases_on_termination(self, spark, tmp_path):
         """start_corpus_ingest wires epoch.close to query termination: the
         LM tables persisted by the stage-11 gate are gone (without any
@@ -5301,6 +5332,7 @@ class TestDomainGateSink:
         )
         assert accepted == [1, 2]
 
+    @pytest.mark.slow
     def test_capstone_stage0_rtbf_discovery_and_off_by_default(
         self, spark, tmp_path
     ):
@@ -5536,6 +5568,7 @@ class TestDedupIndexCompaction:
         )
         assert self._acc_ids(spark, acc, 1) == [2]
 
+    @pytest.mark.slow
     def test_rtbf_after_fold_unknows_content(self, spark, tmp_path):
         import shutil
 
@@ -5614,6 +5647,7 @@ class TestShingleFoldReplay:
     band keys. Legacy pre-adm rows must keep screening via the coalesce
     fallback."""
 
+    @pytest.mark.slow
     def test_replay_of_folded_epoch_byte_identical(self, spark, tmp_path):
         import shutil
 
@@ -5670,6 +5704,7 @@ class TestShingleFoldReplay:
         )
         assert got_aud == orig_aud1  # byte-identical: no self-match on 3
 
+    @pytest.mark.slow
     def test_legacy_rows_without_adm_still_screen(self, spark, tmp_path):
         from pyspark.sql import functions as F
 

@@ -4,6 +4,7 @@ replay absorption, and the partition-pruned query scan."""
 from __future__ import annotations
 
 import os
+import pytest
 import time
 
 from data_ingestion_experiment_otp_spark.operators.retrieval import (
@@ -69,6 +70,7 @@ class TestTextIndexParity:
         assert stats["epochs"] == 3
         assert stats["docs"] == len(docs)
 
+    @pytest.mark.slow
     def test_replay_absorbed(self, spark, sf_dir, tmp_path):
         """Re-running the final epoch's batch must change neither the
         index accounting nor any query result (dynamic partition
